@@ -1,0 +1,261 @@
+"""Result-buffer declarations and containers.
+
+TPU-native counterpart of the reference's ``libertem/common/buffers.py``
+(BufferWrapper:326, AuxBufferWrapper:995, PlaceholderBufferWrapper:949,
+valid_mask:554, masked_data:616).
+
+Design difference vs the reference: the reference allocates numpy arrays
+up front and hands out mutable *views* per partition/tile/frame; here the
+actual accumulation state lives on the TPU as a pytree of ``jnp`` arrays
+threaded functionally through a jit-compiled tile loop
+(:mod:`libertem_tpu.udf.base`).  ``BufferWrapper`` is therefore two
+things:
+
+1. a *declaration* (kind / extra_shape / dtype / use) consumed by the
+   runner to build the device state, and
+2. after a run, a *container* for the final host-side result with the
+   same access surface as the reference (``.data`` embeds roi-compressed
+   results into the full nav shape, ``.raw_data``, ``.valid_mask``,
+   ``.masked_data``).
+
+Buffer kinds:
+  * ``'nav'``    one entry per navigation position (scan pixel)
+  * ``'sig'``    one entry per signal position (detector pixel)
+  * ``'single'`` a single entry (plus ``extra_shape``)
+
+``use``:
+  * ``None``          regular input/output buffer
+  * ``'private'``     worker-side only, not part of the final results
+  * ``'result_only'`` produced only by ``UDF.get_results`` post-processing
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .math import prod
+from .shape import Shape
+
+KINDS = ("nav", "sig", "single")
+USES = (None, "private", "result_only")
+
+
+class BufferWrapper:
+    def __init__(
+        self,
+        kind: str,
+        extra_shape: Sequence[int] = (),
+        dtype="float32",
+        where: Optional[str] = None,
+        use: Optional[str] = None,
+    ):
+        if kind not in KINDS:
+            raise ValueError(f"unknown buffer kind {kind!r}")
+        if use not in USES:
+            raise ValueError(f"unknown buffer use {use!r}")
+        self._kind = kind
+        self._extra_shape = tuple(int(s) for s in extra_shape)
+        self._dtype = np.dtype(dtype)
+        self._where = where
+        self._use = use
+        # filled in by set_shape_ds:
+        self._ds_shape: Optional[Shape] = None
+        self._roi: Optional[np.ndarray] = None
+        self._roi_count: Optional[int] = None
+        # filled in after a run:
+        self._data: Optional[np.ndarray] = None
+        self._valid_nav_mask: Optional[np.ndarray] = None
+
+    # -- declaration accessors ------------------------------------------
+    @property
+    def kind(self) -> str:
+        return self._kind
+
+    @property
+    def extra_shape(self) -> tuple[int, ...]:
+        return self._extra_shape
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._dtype
+
+    @property
+    def where(self) -> Optional[str]:
+        return self._where
+
+    @property
+    def use(self) -> Optional[str]:
+        return self._use
+
+    def replace_dtype(self, dtype) -> None:
+        self._dtype = np.dtype(dtype)
+
+    # -- shape binding ---------------------------------------------------
+    def set_shape_ds(
+        self, ds_shape: Shape, roi: Optional[np.ndarray] = None
+    ) -> None:
+        """Bind to a dataset shape (and roi) so ``.shape`` is known."""
+        self._ds_shape = ds_shape
+        if roi is not None:
+            roi = np.asarray(roi).reshape(-1).astype(bool)
+            self._roi_count = int(np.count_nonzero(roi))
+        self._roi = roi
+
+    @property
+    def roi(self) -> Optional[np.ndarray]:
+        return self._roi
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        """The *storage* shape (roi-compressed flat nav for 'nav')."""
+        if self._ds_shape is None:
+            raise RuntimeError("buffer not bound to a dataset shape yet")
+        if self._kind == "nav":
+            n = (
+                self._roi_count
+                if self._roi is not None
+                else self._ds_shape.nav.size
+            )
+            return (n,) + self._extra_shape
+        elif self._kind == "sig":
+            return tuple(self._ds_shape.sig) + self._extra_shape
+        else:
+            return self._extra_shape
+
+    @property
+    def size(self) -> int:
+        return prod(self.shape)
+
+    # -- result access (after a run) --------------------------------------
+    def set_result(
+        self,
+        data: np.ndarray,
+        valid_nav_mask: Optional[np.ndarray] = None,
+    ) -> None:
+        """Install the final (host) result array.
+
+        ``valid_nav_mask`` is the roi-compressed flat-nav damage mask
+        (True where data has been merged).
+        """
+        self._data = np.asarray(data)
+        self._valid_nav_mask = valid_nav_mask
+
+    @property
+    def raw_data(self) -> Optional[np.ndarray]:
+        """The result in storage layout (roi-compressed flat nav)."""
+        return self._data
+
+    @property
+    def data(self) -> Optional[np.ndarray]:
+        """The result with full nav shape; roi gaps filled with nan/0."""
+        if self._data is None:
+            return None
+        if self._kind != "nav":
+            return self._data
+        nav_shape = tuple(self._ds_shape.nav)
+        if self._roi is None:
+            return self._data.reshape(nav_shape + self._extra_shape)
+        full = np.full(
+            (self._ds_shape.nav.size,) + self._extra_shape,
+            self._fill_value(),
+            dtype=self._dtype,
+        )
+        full[self._roi] = self._data
+        return full.reshape(nav_shape + self._extra_shape)
+
+    def _fill_value(self):
+        k = self._dtype.kind
+        if k == "f":
+            return np.nan
+        if k == "c":
+            return complex(np.nan, np.nan)
+        if k == "b":
+            return False
+        return 0
+
+    @property
+    def valid_mask(self) -> Optional[np.ndarray]:
+        """Boolean mask over ``.data``: which entries hold merged results."""
+        if self._data is None:
+            return None
+        if self._kind == "nav":
+            nav_shape = tuple(self._ds_shape.nav)
+            full = np.zeros(self._ds_shape.nav.size, dtype=bool)
+            vm = (
+                self._valid_nav_mask
+                if self._valid_nav_mask is not None
+                else np.ones(self.shape[0], dtype=bool)
+            )
+            if self._roi is None:
+                full[:] = vm
+            else:
+                full[self._roi] = vm
+            full = full.reshape(nav_shape)
+            return np.broadcast_to(
+                full.reshape(nav_shape + (1,) * len(self._extra_shape)),
+                nav_shape + self._extra_shape,
+            )
+        else:
+            # sig/single buffers become valid once anything merged
+            any_valid = (
+                bool(self._valid_nav_mask.any())
+                if self._valid_nav_mask is not None
+                else True
+            )
+            return np.full(self.data.shape, any_valid, dtype=bool)
+
+    @property
+    def masked_data(self) -> Optional[np.ma.MaskedArray]:
+        if self._data is None:
+            return None
+        return np.ma.MaskedArray(self.data, mask=~self.valid_mask)
+
+    def __repr__(self) -> str:
+        return (
+            f"<BufferWrapper kind={self._kind} extra_shape="
+            f"{self._extra_shape} dtype={self._dtype} use={self._use}>"
+        )
+
+
+class AuxBufferWrapper(BufferWrapper):
+    """Per-frame auxiliary *input* data, sliced alongside the nav axis.
+
+    Counterpart of the reference's AuxBufferWrapper
+    (common/buffers.py:995): declared via :meth:`UDF.aux_data`, the
+    runner gathers the rows matching each tile's frames and exposes them
+    on ``self.params.<name>`` inside process functions.
+    """
+
+    def __init__(self, kind, extra_shape=(), dtype="float32", data=None):
+        super().__init__(kind, extra_shape, dtype)
+        self._aux_data: Optional[np.ndarray] = None
+        if data is not None:
+            self.set_buffer(data)
+
+    def set_buffer(self, data) -> None:
+        data = np.ascontiguousarray(data, dtype=self._dtype)
+        flat = data.reshape((-1,) + self._extra_shape)
+        self._aux_data = flat
+
+    @property
+    def aux_data(self) -> Optional[np.ndarray]:
+        return self._aux_data
+
+    def new_for_partition(self, *a, **kw):  # API compat no-op
+        return self
+
+
+class PlaceholderBufferWrapper(BufferWrapper):
+    """A buffer that only exists as a `get_results` output
+    (``use='result_only'``); no device state is allocated for it."""
+
+    def __init__(self, kind, extra_shape=(), dtype="float32"):
+        super().__init__(kind, extra_shape, dtype, use="result_only")
+
+
+def reshaped_view(arr: np.ndarray, shape) -> np.ndarray:
+    """A reshaped view that is guaranteed not to copy."""
+    out = arr.view()
+    out.shape = tuple(shape)
+    return out

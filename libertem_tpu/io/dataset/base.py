@@ -1,0 +1,312 @@
+"""DataSet / Partition base machinery.
+
+TPU-native counterpart of the reference's ``libertem/io/dataset/base/``
+(dataset.py:31 DataSet, partition.py:31/191 Partition/BasePartition,
+meta.py:14 DataSetMeta).
+
+Design: a dataset is split along the flattened navigation axis into
+contiguous-frame :class:`Partition` s (the unit of scheduling, live
+partial results, and multi-chip sharding).  Each partition streams its
+frames as fixed-shape :class:`Block` s — ``(depth, *sig)`` host numpy
+arrays in the raw on-disk dtype, zero-padded at the tail — which the UDF
+runner device-puts and feeds to a jit-compiled tile step.  dtype
+conversion and corrections happen **on device** (cheaper PCIe traffic
+for narrow integer detector data than the reference's host-side numba
+decode, backend_mmap.py:23).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.math import prod
+from ...common.shape import Shape
+from ...common.slice import Slice
+from ..tiling import TilingScheme
+
+MAX_PARTITION_SIZE = 512 * 1024 * 1024  # bytes, like reference dataset.py:33
+
+
+class DataSetException(Exception):
+    pass
+
+
+@dataclass
+class DataSetMeta:
+    shape: Shape
+    raw_dtype: np.dtype
+    sync_offset: int = 0
+    image_count: int = 0  # number of frames actually present in the data
+
+    def __post_init__(self):
+        self.raw_dtype = np.dtype(self.raw_dtype)
+        if self.image_count == 0:
+            self.image_count = self.shape.nav.size
+
+
+@dataclass
+class Block:
+    """One fixed-shape chunk of frames headed for the device.
+
+    data:          (depth, *sig) raw-dtype numpy array, zero-padded
+    local_offset:  first-frame position within the partition's
+                   (roi-compressed) local frame ordering
+    global_offset: first-frame position within the dataset's
+                   (roi-compressed) flat nav ordering
+    coords:        (depth, nav_dims) int32 original nav coordinates
+    valid:         number of non-padding frames (<= depth)
+    """
+
+    data: np.ndarray
+    local_offset: int
+    global_offset: int
+    coords: np.ndarray
+    valid: int
+
+
+class Partition:
+    """A contiguous flat-nav frame range of a dataset."""
+
+    def __init__(
+        self,
+        meta: DataSetMeta,
+        start_frame: int,
+        num_frames: int,
+        idx: int = 0,
+    ):
+        self.meta = meta
+        self.start_frame = int(start_frame)
+        self.num_frames = int(num_frames)
+        self.idx = int(idx)
+
+    @property
+    def slice(self) -> Slice:
+        """Flat-nav slice of the dataset this partition covers."""
+        sig = tuple(self.meta.shape.sig)
+        return Slice(
+            (self.start_frame,) + (0,) * len(sig),
+            Shape(
+                (self.num_frames,) + sig,
+                sig_dims=self.meta.shape.sig.dims,
+            ),
+        )
+
+    def __repr__(self):
+        return (
+            f"<{type(self).__name__} #{self.idx} "
+            f"[{self.start_frame}:{self.start_frame + self.num_frames})>"
+        )
+
+    # -- reading -----------------------------------------------------------
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        """Read *data-space* frames [start, stop) as (n, *sig) raw dtype.
+
+        Implemented by subclasses; indices are guaranteed within
+        [0, image_count).
+        """
+        raise NotImplementedError()
+
+    def read_dataset_frames(self, start: int, stop: int) -> np.ndarray:
+        """Read *dataset-space* frames [start, stop), honoring
+        sync_offset (reference: dataset.py:70): data index = ds index +
+        sync_offset; out-of-range frames are zero-filled.
+        """
+        n = stop - start
+        sig = tuple(self.meta.shape.sig)
+        so = self.meta.sync_offset
+        d0, d1 = start + so, stop + so
+        c0 = max(0, min(self.meta.image_count, d0))
+        c1 = max(0, min(self.meta.image_count, d1))
+        if c0 == d0 and c1 == d1:
+            return self._read_raw_frames(d0, d1)
+        out = np.zeros((n,) + sig, dtype=self.meta.raw_dtype)
+        if c1 > c0:
+            out[c0 - d0:c1 - d0] = self._read_raw_frames(c0, c1)
+        return out
+
+    def local_frame_ids(self, roi: Optional[np.ndarray]) -> np.ndarray:
+        """Dataset-space flat-nav ids of the frames this partition
+        contributes (roi-filtered), in order."""
+        if roi is None:
+            return np.arange(
+                self.start_frame,
+                self.start_frame + self.num_frames,
+                dtype=np.int64,
+            )
+        roi = np.asarray(roi).reshape(-1)
+        sel = np.flatnonzero(
+            roi[self.start_frame:self.start_frame + self.num_frames]
+        )
+        return (sel + self.start_frame).astype(np.int64)
+
+    def roi_offset(self, roi: Optional[np.ndarray]) -> int:
+        """Position of this partition's first selected frame in the
+        roi-compressed global ordering."""
+        if roi is None:
+            return self.start_frame
+        roi = np.asarray(roi).reshape(-1)
+        return int(np.count_nonzero(roi[:self.start_frame]))
+
+    def gen_blocks(
+        self,
+        scheme: TilingScheme,
+        roi: Optional[np.ndarray] = None,
+    ) -> Iterator[Block]:
+        """Stream this partition as zero-padded fixed-shape blocks."""
+        ids = self.local_frame_ids(roi)
+        n = len(ids)
+        if n == 0:
+            return
+        depth = scheme.depth
+        goff = self.roi_offset(roi)
+        nav_shape = tuple(self.meta.shape.nav)
+        sig = tuple(self.meta.shape.sig)
+        contiguous = roi is None
+        for off in range(0, n, depth):
+            chunk = ids[off:off + depth]
+            valid = len(chunk)
+            if contiguous:
+                data = self.read_dataset_frames(
+                    int(chunk[0]), int(chunk[-1]) + 1
+                )
+            else:
+                lo, hi = int(chunk[0]), int(chunk[-1]) + 1
+                cover = self.read_dataset_frames(lo, hi)
+                data = cover[chunk - lo]
+            if valid < depth:
+                pad = np.zeros(
+                    (depth - valid,) + sig, dtype=data.dtype
+                )
+                data = np.concatenate([data, pad], axis=0)
+            elif not data.flags.c_contiguous:
+                data = np.ascontiguousarray(data)
+            coords = np.zeros((depth, len(nav_shape)), dtype=np.int32)
+            if len(nav_shape):
+                unr = np.unravel_index(chunk, nav_shape)
+                for d, u in enumerate(unr):
+                    coords[:valid, d] = u
+            yield Block(
+                data=data,
+                local_offset=off,
+                global_offset=goff + off,
+                coords=coords,
+                valid=valid,
+            )
+
+    def frames_in_roi(self, roi: Optional[np.ndarray]) -> int:
+        return len(self.local_frame_ids(roi))
+
+
+class DataSet:
+    """Base class for all dataset formats.
+
+    Subclasses implement :meth:`initialize` (fill ``self._meta``) and a
+    Partition subclass with ``_read_raw_frames``.
+    """
+
+    # registry hook (io/dataset/__init__.py:15 in the reference)
+    _format_id: Optional[str] = None
+
+    def __init__(self, io_backend=None, num_partitions: Optional[int] = None):
+        self._meta: Optional[DataSetMeta] = None
+        self._cores = 1
+        self._num_partitions = num_partitions
+
+    def initialize(self, executor=None) -> "DataSet":
+        raise NotImplementedError()
+
+    def set_num_cores(self, cores: int) -> None:
+        self._cores = max(1, int(cores))
+
+    @property
+    def meta(self) -> DataSetMeta:
+        assert self._meta is not None, "dataset not initialized"
+        return self._meta
+
+    @property
+    def shape(self) -> Shape:
+        return self.meta.shape
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.meta.raw_dtype
+
+    @property
+    def raw_dtype(self) -> np.dtype:
+        return self.meta.raw_dtype
+
+    def check_valid(self) -> bool:
+        return True
+
+    @property
+    def diagnostics(self):
+        return []
+
+    def get_num_partitions(self) -> int:
+        """Default partitioning: at least one per core, each at most
+        MAX_PARTITION_SIZE bytes (reference dataset.py:90)."""
+        if self._num_partitions is not None:
+            return max(1, self._num_partitions)
+        total_bytes = self.meta.shape.size * self.meta.raw_dtype.itemsize
+        by_size = max(1, int(np.ceil(total_bytes / MAX_PARTITION_SIZE)))
+        n = max(self._cores, by_size)
+        return min(n, max(1, self.meta.shape.nav.size))
+
+    def get_partition_ranges(self) -> list[tuple[int, int]]:
+        n_frames = self.meta.shape.nav.size
+        n_part = min(self.get_num_partitions(), n_frames)
+        bounds = np.linspace(0, n_frames, n_part + 1).astype(np.int64)
+        return [
+            (int(bounds[i]), int(bounds[i + 1]))
+            for i in range(n_part)
+            if bounds[i + 1] > bounds[i]
+        ]
+
+    def get_partitions(self) -> Iterator[Partition]:
+        raise NotImplementedError()
+
+    def get_slices(self) -> list[Slice]:
+        return [p.slice for p in self.get_partitions()]
+
+    def get_correction_data(self):
+        """Dataset-intrinsic corrections (dark/gain from sidecar files)."""
+        from ..corrections import CorrectionSet
+        return CorrectionSet()
+
+    def get_max_io_size(self) -> Optional[int]:
+        return None
+
+    def adjust_tileshape(self, tileshape, roi):
+        return tileshape
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        return False
+
+    @classmethod
+    def get_msg_converter(cls):
+        return None
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return set()
+
+    def __repr__(self):
+        if self._meta is None:
+            return f"<{type(self).__name__} (uninitialized)>"
+        return f"<{type(self).__name__} shape={self.shape}>"
+
+
+def nav_shape_from_kwargs(
+    nav_shape: Optional[Sequence[int]],
+    sig_shape: Sequence[int],
+    total_size: int,
+) -> tuple[int, ...]:
+    """Infer a nav shape when not given: frames = total / sig size."""
+    if nav_shape is not None:
+        return tuple(int(x) for x in nav_shape)
+    n_frames = total_size // prod(sig_shape)
+    return (int(n_frames),)

@@ -1,0 +1,74 @@
+"""In-memory dataset — the universal test fixture.
+
+Counterpart of the reference's ``libertem/io/dataset/memory.py``
+(MemoryDataSet:202): wraps a numpy array, with controllable partition
+count for exercising the tiling/merge machinery.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.shape import Shape
+from .base import DataSet, DataSetMeta, Partition
+
+
+class MemPartition(Partition):
+    def __init__(self, data_flat: np.ndarray, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._data = data_flat  # (n_frames, *sig)
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        return self._data[start:stop]
+
+
+class MemoryDataSet(DataSet):
+    def __init__(
+        self,
+        data: np.ndarray,
+        sig_dims: int = 2,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        num_partitions: Optional[int] = None,
+        tileshape=None,  # accepted for reference-API compat; advisory
+        sync_offset: int = 0,
+    ):
+        super().__init__(num_partitions=num_partitions)
+        data = np.asarray(data)
+        if sig_shape is not None:
+            sig_shape = tuple(int(s) for s in sig_shape)
+            sig_dims = len(sig_shape)
+        else:
+            sig_shape = data.shape[data.ndim - sig_dims:]
+        if nav_shape is not None:
+            nav_shape = tuple(int(s) for s in nav_shape)
+        else:
+            nav_shape = data.shape[:data.ndim - sig_dims]
+        shape = Shape(nav_shape + sig_shape, sig_dims=sig_dims)
+        self._data = data.reshape((-1,) + tuple(sig_shape))
+        self._meta = DataSetMeta(
+            shape=shape,
+            raw_dtype=data.dtype,
+            sync_offset=sync_offset,
+            image_count=self._data.shape[0],
+        )
+        self._tileshape = tileshape
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data.reshape(self.shape.to_tuple())
+
+    def initialize(self, executor=None) -> "MemoryDataSet":
+        return self
+
+    def get_num_partitions(self) -> int:
+        if self._num_partitions is not None:
+            return max(1, self._num_partitions)
+        return super().get_num_partitions()
+
+    def get_partitions(self) -> Iterator[MemPartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield MemPartition(
+                self._data, self.meta, start, stop - start, idx=idx
+            )

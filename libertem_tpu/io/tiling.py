@@ -1,0 +1,224 @@
+"""Tiling scheme + negotiation.
+
+TPU-native counterpart of the reference's
+``libertem/io/dataset/base/tiling_scheme.py`` (TilingScheme:25,
+Negotiator:173, get_scheme:223).
+
+Key design difference: the reference negotiates *dynamic* per-partition
+tile shapes tuned for CPU L3 cache; XLA wants **one static block shape
+per run** so each jit-compiled tile step is compiled once and reused.
+A scheme here is:
+
+  * ``depth``  — frames per device block (static),
+  * ``sig_slices`` — a static list of sig-space :class:`Slice` s
+    (usually exactly one covering the whole frame — TPU HBM holds full
+    frames easily; sig is only split for pathologically large frames or
+    when a UDF asks for small tiles).
+
+Blocks shorter than ``depth`` (partition tails, roi remainders) are
+zero-padded and carry a validity mask instead of triggering a fresh
+compilation.
+"""
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING, Optional, Sequence
+
+import numpy as np
+
+from ..common.math import prod
+from ..common.shape import Shape
+from ..common.slice import Slice
+
+if TYPE_CHECKING:
+    from ..udf.base import UDF
+
+
+# Depth markers mirroring the reference's UDF tiling preferences
+# (common/udf.py:23 TilingPreferences)
+TILE_DEPTH_DEFAULT = object()
+TILE_DEPTH_MAX = object()  # "whole partition" (PARTITION-method UDFs)
+TILE_SIZE_BEST_FIT = object()
+TILE_SIZE_MAX = object()
+
+
+class TilingScheme:
+    def __init__(
+        self,
+        depth: int,
+        sig_slices: Sequence[Slice],
+        dataset_shape: Shape,
+        intent: str = "tile",
+    ):
+        self._depth = int(depth)
+        self._sig_slices = list(sig_slices)
+        self._dataset_shape = dataset_shape
+        self._intent = intent  # 'tile' | 'frame' | 'partition'
+
+    @classmethod
+    def make_for_shape(
+        cls,
+        tileshape: Shape,
+        dataset_shape: Shape,
+        intent: str = "tile",
+    ) -> "TilingScheme":
+        """Build a scheme from a (depth, *sig_tile) shape, tiling the
+        full sig space in a grid."""
+        depth = tileshape[0]
+        sig_tile = tuple(tileshape)[1:]
+        full_sig = Slice.from_shape(
+            tuple(dataset_shape.sig), sig_dims=dataset_shape.sig.dims
+        )
+        sig_slices = list(full_sig.subslices(sig_tile))
+        return cls(depth, sig_slices, dataset_shape, intent)
+
+    @property
+    def depth(self) -> int:
+        return self._depth
+
+    @property
+    def intent(self) -> str:
+        return self._intent
+
+    @property
+    def dataset_shape(self) -> Shape:
+        return self._dataset_shape
+
+    @property
+    def slices(self):
+        """Enumerated (idx, sig Slice) pairs."""
+        return list(enumerate(self._sig_slices))
+
+    @property
+    def sig_slices(self) -> list[Slice]:
+        return list(self._sig_slices)
+
+    def __getitem__(self, idx: int) -> Slice:
+        return self._sig_slices[idx]
+
+    def __len__(self) -> int:
+        return len(self._sig_slices)
+
+    @property
+    def shape(self) -> Shape:
+        """Shape of the (largest) tile: (depth, *sig_tile)."""
+        first = self._sig_slices[0]
+        return Shape(
+            (self._depth,) + tuple(first.shape),
+            sig_dims=self._dataset_shape.sig.dims,
+        )
+
+    def __repr__(self):
+        return (
+            f"<TilingScheme depth={self._depth} "
+            f"n_sig_slices={len(self._sig_slices)} intent={self._intent}>"
+        )
+
+
+class Negotiator:
+    """Reconcile UDF tiling preferences, dataset constraints and device
+    budgets into one static :class:`TilingScheme`.
+
+    Reference contract: tiling_scheme.py:223 ``get_scheme``.  Inputs kept:
+    UDF prefs (depth / total size / method), dataset base shape & max io
+    size; output is static per run instead of per partition.
+    """
+
+    # ~64 MiB of input data staged per device block: big enough to
+    # amortize dispatch, small enough to double-buffer in HBM.
+    TARGET_BLOCK_BYTES = 64 * 1024 * 1024
+    MAX_SIG_BYTES = 256 * 1024 * 1024  # split sig above this (per frame)
+
+    def get_scheme(
+        self,
+        udfs: Sequence["UDF"],
+        dataset_shape: Shape,
+        read_dtype,
+        max_partition_frames: int,
+        approx_partition_shape: Optional[Shape] = None,
+        corrections=None,
+    ) -> TilingScheme:
+        itemsize = np.dtype(read_dtype).itemsize
+        frame_bytes = dataset_shape.sig.size * itemsize
+
+        methods = [u.get_method() for u in udfs]
+        prefs = [u.get_tiling_preferences() for u in udfs]
+
+        intent = "tile"
+        if "partition" in methods:
+            intent = "partition"
+        elif all(m == "frame" for m in methods):
+            intent = "frame"
+
+        # --- depth -----------------------------------------------------
+        if intent == "partition":
+            depth = max(1, int(max_partition_frames))
+        else:
+            depth = self._negotiate_depth(prefs, frame_bytes)
+            depth = min(depth, max(1, int(max_partition_frames)))
+        # round up to a sublane multiple for good VPU layout
+        if depth > 8:
+            depth = int(math.ceil(depth / 8) * 8)
+
+        # --- sig splitting ----------------------------------------------
+        sig_shape = tuple(dataset_shape.sig)
+        wanted_size = self._negotiate_size(prefs)
+        sig_tile = sig_shape
+        if frame_bytes > self.MAX_SIG_BYTES or (
+            wanted_size is not None and wanted_size < frame_bytes
+        ):
+            budget = (
+                wanted_size if wanted_size is not None
+                else self.MAX_SIG_BYTES
+            )
+            sig_tile = self._split_sig(sig_shape, itemsize, budget)
+
+        tileshape = Shape(
+            (depth,) + sig_tile, sig_dims=dataset_shape.sig.dims
+        )
+        scheme = TilingScheme.make_for_shape(
+            tileshape, dataset_shape, intent=intent
+        )
+        if corrections is not None and len(scheme) > 1:
+            # keep excluded-pixel repair environments inside one tile
+            # (reference: corrset.py:181 adjust_tileshape)
+            scheme = corrections.adjust_scheme(scheme, dataset_shape)
+        return scheme
+
+    def _negotiate_depth(self, prefs, frame_bytes: int) -> int:
+        depth_default = max(
+            1, self.TARGET_BLOCK_BYTES // max(1, frame_bytes)
+        )
+        depth_default = int(min(4096, max(8, depth_default)))
+        depths = []
+        for p in prefs:
+            d = p.get("depth", TILE_DEPTH_DEFAULT)
+            if d is TILE_DEPTH_DEFAULT:
+                continue
+            if d is TILE_DEPTH_MAX:
+                depths.append(1 << 30)
+            else:
+                depths.append(int(d))
+        if not depths:
+            return depth_default
+        # honor the smallest explicit request (all UDFs share one pass)
+        return max(1, min(depths))
+
+    def _negotiate_size(self, prefs) -> Optional[int]:
+        sizes = []
+        for p in prefs:
+            s = p.get("total_size", TILE_SIZE_MAX)
+            if s in (TILE_SIZE_MAX, TILE_SIZE_BEST_FIT):
+                continue
+            sizes.append(int(s))
+        return min(sizes) if sizes else None
+
+    def _split_sig(
+        self, sig_shape: tuple, itemsize: int, budget: int
+    ) -> tuple:
+        """Split the first sig axis until a single-depth tile fits
+        ``budget`` bytes (keeping the fast axes contiguous)."""
+        sig = list(sig_shape)
+        while prod(sig) * itemsize > budget and sig[0] > 1:
+            sig[0] = (sig[0] + 1) // 2
+        return tuple(sig)

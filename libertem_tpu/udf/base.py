@@ -1,0 +1,896 @@
+"""UDF contract + jit-compiled runner — the compute engine.
+
+TPU-native counterpart of the reference's ``libertem/udf/base.py``
+(UDF:1270, UDFMeta:332, UDFRunner:2338, UDFPartRunner:2094,
+UDFResults:2806, mixins :805–943).
+
+Execution model (vs the reference's per-tile Python dispatch loop,
+udf/base.py:2147–2309):
+
+* The dataset streams as fixed-shape ``(depth, *sig)`` blocks
+  (:meth:`Partition.gen_blocks`); **one** jit-compiled ``tile step`` is
+  traced per run and reused for every block — cast, corrections, and all
+  UDFs' process functions fuse into a single XLA program.
+* Result state is a pytree of ``jnp`` arrays threaded functionally:
+
+  - ``kind='nav'`` buffers live in the *global* state; each step
+    updates the block's rows via ``lax.dynamic_update_slice`` (frames
+    within a partition are contiguous in roi-compressed flat nav, so no
+    scatter is needed).  Padding rows are masked out.
+  - ``kind='sig'|'single'`` buffers accumulate in a *partition* state
+    that starts from zeros; after the partition the (traced)
+    ``UDF.merge`` folds it into the global state — the same hook that
+    becomes the cross-chip combine on a device mesh.
+
+* ``process_frame`` lowers to ``jax.vmap`` over the block when the UDF
+  only writes nav buffers, else to ``lax.scan`` (sequential reduction
+  semantics preserved).
+* ``process_tile`` receives the whole ``(depth, *sig_tile)`` block; the
+  framework guarantees zero-padded tails and exposes
+  ``self.meta.tile_valid`` / ``valid_frames`` for padding-sensitive
+  reductions.
+
+User-facing API matches the reference in shape: declare buffers in
+``get_result_buffers`` via ``self.buffer(...)``, implement
+``process_tile/frame/partition``, ``merge``, optional ``get_results``.
+The one JAX-ism: inside process functions, update buffers by
+**assignment** (``self.results.x = self.results.x + v`` or ``+=``),
+never by in-place slice mutation (jax arrays are immutable).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.buffers import (
+    AuxBufferWrapper,
+    BufferWrapper,
+    PlaceholderBufferWrapper,
+)
+from ..common.shape import Shape
+from ..common.slice import Slice
+from ..io.corrections import CorrectionSet
+from ..io.dataset.base import DataSet, Partition
+from ..io.tiling import (
+    TILE_DEPTH_DEFAULT,
+    TILE_DEPTH_MAX,
+    TILE_SIZE_BEST_FIT,
+    TILE_SIZE_MAX,
+    Negotiator,
+    TilingScheme,
+)
+
+log = logging.getLogger(__name__)
+
+
+class UDFException(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# accessors
+# ---------------------------------------------------------------------------
+
+class UDFData:
+    """Attribute-style accessor over a dict of arrays; records writes."""
+
+    def __init__(self, data: dict):
+        object.__setattr__(self, "_data", dict(data))
+        object.__setattr__(self, "_touched", set())
+
+    def __getattr__(self, k):
+        try:
+            return object.__getattribute__(self, "_data")[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def __setattr__(self, k, v):
+        self._data[k] = v
+        self._touched.add(k)
+
+    def __getitem__(self, k):
+        return self._data[k]
+
+    def __setitem__(self, k, v):
+        self._data[k] = v
+        self._touched.add(k)
+
+    def __contains__(self, k):
+        return k in self._data
+
+    def get(self, k, default=None):
+        return self._data.get(k, default)
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return self._data.items()
+
+    def as_dict(self) -> dict:
+        return dict(self._data)
+
+
+class UDFParams:
+    """Accessor for UDF constructor kwargs; aux entries resolve to the
+    current tile/frame rows during processing (reference:
+    UDFKwargsWrapper udf/base.py:781)."""
+
+    def __init__(self, kwargs: dict, aux_views: Optional[dict] = None):
+        object.__setattr__(self, "_kwargs", kwargs)
+        object.__setattr__(self, "_aux_views", aux_views or {})
+
+    def __getattr__(self, k):
+        aux_views = object.__getattribute__(self, "_aux_views")
+        if k in aux_views:
+            return aux_views[k]
+        kwargs = object.__getattribute__(self, "_kwargs")
+        try:
+            return kwargs[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def get(self, k, default=None):
+        if k in self._aux_views:
+            return self._aux_views[k]
+        return self._kwargs.get(k, default)
+
+    def items(self):
+        return self._kwargs.items()
+
+
+class UDFMeta:
+    """Metadata visible to process functions as ``self.meta``
+    (reference: UDFMeta udf/base.py:332)."""
+
+    def __init__(
+        self,
+        dataset_shape: Shape,
+        dataset_dtype,
+        input_dtype,
+        roi=None,
+        tiling_scheme: Optional[TilingScheme] = None,
+        device_class: str = "tpu",
+        corrections: Optional[CorrectionSet] = None,
+        threads_per_worker: int = 1,
+    ):
+        self.dataset_shape = dataset_shape
+        self.dataset_dtype = np.dtype(dataset_dtype)
+        self.input_dtype = np.dtype(input_dtype)
+        self.roi = roi
+        self.tiling_scheme = tiling_scheme
+        self.device_class = device_class
+        self.corrections = corrections
+        self.threads_per_worker = threads_per_worker
+        # per-tile/frame traced values, set by the runner during tracing:
+        self.coordinates = None       # (depth, nav_dims) int32 | (nav_dims,)
+        self.tile_valid = None        # (depth,) bool
+        self.valid_frames = None      # scalar int32
+        self.global_offset = None     # scalar int32 (roi-compressed nav)
+        self.sig_slice: Optional[Slice] = None   # static, current sig tile
+        self.tiling_scheme_idx: int = 0          # static
+        self.partition_slice: Optional[Slice] = None
+
+    @property
+    def sig_shape(self) -> tuple:
+        return tuple(self.dataset_shape.sig)
+
+
+# ---------------------------------------------------------------------------
+# UDF base class
+# ---------------------------------------------------------------------------
+
+class UDF:
+    """Base class for user-defined functions.
+
+    Subclass and implement ``get_result_buffers`` plus at least one of
+    ``process_tile(tile)``, ``process_frame(frame)``,
+    ``process_partition(partition)``; implement ``merge(dest, src)``
+    when declaring non-nav buffers.
+    """
+
+    USE_NATIVE_DTYPE = np.bool_  # result_type(bool, x) == x
+    TILE_SIZE_BEST_FIT = TILE_SIZE_BEST_FIT
+    TILE_SIZE_MAX = TILE_SIZE_MAX
+    TILE_DEPTH_DEFAULT = TILE_DEPTH_DEFAULT
+    TILE_DEPTH_MAX = TILE_DEPTH_MAX
+
+    BACKEND_JAX = "jax"
+    BACKEND_NUMPY = "numpy"
+
+    def __init__(self, **kwargs):
+        self._kwargs = kwargs
+        self.params = UDFParams(kwargs)
+        self.results: Optional[UDFData] = None
+        self.meta: Optional[UDFMeta] = None
+        self.task_data: Optional[UDFData] = None
+
+    def copy(self) -> "UDF":
+        return type(self)(**self._kwargs)
+
+    # -- declarations --------------------------------------------------
+
+    def get_result_buffers(self) -> dict:
+        raise NotImplementedError()
+
+    @staticmethod
+    def buffer(kind, extra_shape=(), dtype="float32", where=None, use=None):
+        if use == "result_only":
+            return PlaceholderBufferWrapper(kind, extra_shape, dtype)
+        return BufferWrapper(kind, extra_shape, dtype, where, use)
+
+    @classmethod
+    def aux_data(cls, data, kind="nav", extra_shape=(), dtype="float32"):
+        return AuxBufferWrapper(kind, extra_shape, dtype, data=data)
+
+    # -- hooks -----------------------------------------------------------
+
+    def merge(self, dest: UDFData, src: UDFData):
+        """Combine a partition's sig/single buffers into the global ones.
+
+        Default requires nav-only buffers (handled automatically);
+        reference: udf/base.py:1420 + requires_custom_merge:1386.
+        """
+        raise UDFException(
+            f"{type(self).__name__} declares non-nav buffers and must "
+            f"implement merge(dest, src)"
+        )
+
+    def get_results(self) -> dict:
+        return {}
+
+    def preprocess(self):
+        pass
+
+    def postprocess(self):
+        pass
+
+    def get_preferred_input_dtype(self):
+        return np.float32
+
+    def get_backends(self):
+        return (self.BACKEND_JAX,)
+
+    def get_tiling_preferences(self) -> dict:
+        return {
+            "depth": TILE_DEPTH_DEFAULT,
+            "total_size": TILE_SIZE_MAX,
+        }
+
+    def get_task_data(self) -> dict:
+        return {}
+
+    def get_method(self) -> str:
+        if hasattr(self, "process_tile"):
+            return "tile"
+        if hasattr(self, "process_frame"):
+            return "frame"
+        if hasattr(self, "process_partition"):
+            return "partition"
+        raise UDFException(
+            f"{type(self).__name__} must implement one of process_tile / "
+            f"process_frame / process_partition"
+        )
+
+    # -- conveniences ------------------------------------------------------
+
+    @property
+    def xp(self):
+        return jnp
+
+    def forbuf(self, arr, target=None):
+        """Backend-coercion helper (reference udf/base.py:1563); identity
+        on TPU where everything is a jnp array."""
+        return arr
+
+    def requires_custom_merge(self, decls: dict) -> bool:
+        return any(
+            b.kind != "nav"
+            for b in decls.values()
+            if b.use not in ("result_only",)
+        )
+
+    def _has_custom_merge(self) -> bool:
+        return type(self).merge is not UDF.merge
+
+
+class NoOpUDF(UDF):
+    """Reads tiles, does nothing — I/O benchmark
+    (reference udf/base.py:1735)."""
+
+    def process_tile(self, tile):
+        pass
+
+    def get_result_buffers(self):
+        return {}
+
+
+# ---------------------------------------------------------------------------
+# results
+# ---------------------------------------------------------------------------
+
+class UDFResults:
+    """Results of a (possibly partial) run: one dict of BufferWrappers
+    per UDF + the damage buffer (reference: UDFResults udf/base.py:2806)."""
+
+    def __init__(self, buffers: Sequence[dict], damage: BufferWrapper):
+        self.buffers = list(buffers)
+        self.damage = damage
+
+
+class SingleUDFResults(dict):
+    """dict-like results for a single UDF, with attribute access."""
+
+    def __init__(self, buffers: dict, damage: BufferWrapper):
+        super().__init__(buffers)
+        self.damage = damage
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+def _get_input_dtype(udfs: Sequence[UDF], ds_dtype) -> np.dtype:
+    """Reference rule (_get_dtype udf/base.py:106): result_type of all
+    UDF preferences and the dataset dtype."""
+    parts = [u.get_preferred_input_dtype() for u in udfs]
+    return np.result_type(*parts, ds_dtype)
+
+
+class _UDFPlanEntry:
+    """Per-UDF static plan: declarations split by residency."""
+
+    def __init__(self, udf: UDF, decls: dict):
+        self.udf = udf
+        self.decls = decls
+        self.nav_names = [
+            n for n, b in decls.items()
+            if b.kind == "nav" and b.use != "result_only"
+        ]
+        self.part_names = [
+            n for n, b in decls.items()
+            if b.kind in ("sig", "single") and b.use != "result_only"
+        ]
+        self.result_only_names = [
+            n for n, b in decls.items() if b.use == "result_only"
+        ]
+        self.method = udf.get_method()
+        # frame-mode UDFs that only write nav buffers can be vmapped
+        self.frame_navonly = self.method == "frame" and not self.part_names
+
+
+class UDFRunner:
+    def __init__(self, udfs: Sequence[UDF], debug: bool = False):
+        self._udfs = list(udfs)
+        self._debug = debug
+
+    # -- public entry points ---------------------------------------------
+
+    def run_for_dataset(
+        self,
+        dataset: DataSet,
+        roi: Optional[np.ndarray] = None,
+        corrections: Optional[CorrectionSet] = None,
+        progress: bool = False,
+        device=None,
+    ) -> UDFResults:
+        result = None
+        for result in self.run_for_dataset_iter(
+            dataset, roi=roi, corrections=corrections,
+            progress=progress, device=device, yield_partial=False,
+        ):
+            pass
+        assert result is not None
+        return result
+
+    def run_for_dataset_iter(
+        self,
+        dataset: DataSet,
+        roi: Optional[np.ndarray] = None,
+        corrections: Optional[CorrectionSet] = None,
+        progress: bool = False,
+        device=None,
+        yield_partial: bool = True,
+    ):
+        """Generator of UDFResults snapshots, one per merged partition
+        (the last one is the final result)."""
+        prep = self._prepare(dataset, roi, corrections, device)
+        yield from self._run_loop(
+            prep, dataset, roi, progress, yield_partial
+        )
+
+    def dry_run(self, dataset, roi=None) -> UDFResults:
+        """Buffer declarations without reading data
+        (reference: udf/base.py:2440)."""
+        prep = self._prepare(dataset, roi, None, None)
+        damage_host = np.zeros(prep["n_nav"], dtype=bool)
+        return self._wrap_results(prep, self._init_state(prep), damage_host)
+
+    # -- preparation -------------------------------------------------------
+
+    def _prepare(self, dataset, roi, corrections, device):
+        udfs = self._udfs
+        meta0 = dataset.meta
+        if roi is not None:
+            roi = np.asarray(roi).reshape(-1).astype(bool)
+            if roi.size != meta0.shape.nav.size:
+                raise ValueError(
+                    f"roi size {roi.size} != nav size "
+                    f"{meta0.shape.nav.size}"
+                )
+        input_dtype = _get_input_dtype(udfs, meta0.raw_dtype)
+        # keep device compute in f32/bf16/ints — f64 is emulated on TPU
+        if input_dtype == np.float64:
+            input_dtype = np.dtype(np.float32)
+        if input_dtype == np.complex128:
+            input_dtype = np.dtype(np.complex64)
+
+        partitions = list(dataset.get_partitions())
+        max_part_frames = max(
+            (p.frames_in_roi(roi) for p in partitions), default=1
+        )
+        if corrections is None:
+            corrections = dataset.get_correction_data()
+
+        scheme = Negotiator().get_scheme(
+            udfs,
+            meta0.shape,
+            input_dtype,
+            max_partition_frames=max_part_frames,
+            corrections=corrections,
+        )
+
+        device_class = "tpu"
+        if device is None:
+            device = jax.devices()[0]
+        if device.platform not in ("tpu", "axon"):
+            device_class = device.platform
+
+        meta = UDFMeta(
+            dataset_shape=meta0.shape,
+            dataset_dtype=meta0.raw_dtype,
+            input_dtype=input_dtype,
+            roi=roi,
+            tiling_scheme=scheme,
+            device_class=device_class,
+            corrections=corrections,
+        )
+
+        n_nav = (
+            int(np.count_nonzero(roi)) if roi is not None
+            else meta0.shape.nav.size
+        )
+
+        plan = []
+        for udf in udfs:
+            udf.meta = meta
+            decls = dict(udf.get_result_buffers())
+            for b in decls.values():
+                b.set_shape_ds(meta0.shape, roi)
+            entry = _UDFPlanEntry(udf, decls)
+            if entry.part_names and not udf._has_custom_merge():
+                raise UDFException(
+                    f"{type(udf).__name__} declares non-nav buffers "
+                    f"{entry.part_names} and must implement merge()"
+                )
+            task_data = udf.get_task_data()
+            udf.task_data = UDFData(task_data) if task_data else UDFData({})
+            plan.append(entry)
+
+        # aux buffers: compress by roi, keep as host arrays for now
+        aux_arrays = []
+        for udf in udfs:
+            entry = {}
+            for k, v in udf._kwargs.items():
+                if isinstance(v, AuxBufferWrapper):
+                    data = v.aux_data
+                    if data is None:
+                        raise UDFException(f"aux buffer {k} has no data")
+                    if roi is not None:
+                        data = data[roi]
+                    if data.shape[0] != n_nav:
+                        raise ValueError(
+                            f"aux buffer {k}: {data.shape[0]} rows != "
+                            f"{n_nav} selected frames"
+                        )
+                    entry[k] = jax.device_put(
+                        jnp.asarray(data), device
+                    )
+            aux_arrays.append(entry)
+
+        corr_plan = (
+            corrections.make_plan(tuple(meta0.shape.sig))
+            if corrections is not None else None
+        )
+
+        return {
+            "meta": meta,
+            "plan": plan,
+            "scheme": scheme,
+            "partitions": partitions,
+            "n_nav": n_nav,
+            "input_dtype": input_dtype,
+            "device": device,
+            "aux": aux_arrays,
+            "corr_plan": corr_plan,
+            "roi": roi,
+        }
+
+    # -- state construction -------------------------------------------------
+
+    def _init_state(self, prep) -> list:
+        """Global state: per UDF a dict name->jnp array.
+
+        nav buffers get ``depth`` extra pad rows so the final block's
+        dynamic_update_slice never clamps.
+        """
+        depth = prep["scheme"].depth
+        device = prep["device"]
+        state = []
+        for entry in prep["plan"]:
+            bufs = {}
+            for name in entry.nav_names:
+                b = entry.decls[name]
+                shape = (prep["n_nav"] + depth,) + b.extra_shape
+                bufs[name] = jax.device_put(
+                    jnp.zeros(shape, dtype=b.dtype), device
+                )
+            for name in entry.part_names:
+                b = entry.decls[name]
+                bufs[name] = jax.device_put(
+                    jnp.zeros(b.shape, dtype=b.dtype), device
+                )
+            state.append(bufs)
+        return state
+
+    def _init_part_state(self, prep) -> list:
+        state = []
+        for entry in prep["plan"]:
+            bufs = {}
+            for name in entry.part_names:
+                b = entry.decls[name]
+                bufs[name] = jnp.zeros(b.shape, dtype=b.dtype)
+            state.append(bufs)
+        return state
+
+    # -- traced step construction -------------------------------------------
+
+    def _apply_corrections(self, block, prep):
+        """Cast to input dtype and apply corrections, on device."""
+        x = block.astype(prep["input_dtype"])
+        cp = prep["corr_plan"]
+        if cp is None:
+            return x
+        if cp["dark"] is not None:
+            x = x - jnp.asarray(cp["dark"], dtype=x.dtype)
+        if cp["gain"] is not None:
+            x = x * jnp.asarray(cp["gain"], dtype=x.dtype)
+        if cp["repair_idx"] is not None:
+            d = x.shape[0]
+            flat = x.reshape(d, -1)
+            vals = flat[:, cp["nbr_idx"]]  # (d, k, m)
+            mean = jnp.sum(
+                vals * jnp.asarray(cp["nbr_w"], dtype=x.dtype), axis=-1
+            )
+            flat = flat.at[:, cp["repair_idx"]].set(mean)
+            x = flat.reshape(x.shape)
+        return x
+
+    def _make_step(self, prep) -> Callable:
+        """Build the jitted per-block step:
+
+        (state, part_state, raw_block, goff, coords, valid_count, aux)
+            -> (state, part_state)
+        """
+        plan = prep["plan"]
+        scheme = prep["scheme"]
+        meta = prep["meta"]
+        depth = scheme.depth
+        aux_all = prep["aux"]
+
+        def step(state, part_state, raw_block, goff, coords, valid_count):
+            block = self._apply_corrections(raw_block, prep)
+            valid_mask = (
+                jnp.arange(depth, dtype=jnp.int32) < valid_count
+            )
+            new_state = [dict(s) for s in state]
+            new_part = [dict(s) for s in part_state]
+            for k, sig_slice in scheme.slices:
+                if len(scheme) == 1:
+                    tile = block
+                else:
+                    tile = block[(slice(None),) + sig_slice.get()]
+                for ui, entry in enumerate(plan):
+                    aux_views = {
+                        name: jax.lax.dynamic_slice_in_dim(
+                            arr, goff, depth, axis=0
+                        )
+                        for name, arr in aux_all[ui].items()
+                    }
+                    self._run_udf_on_tile(
+                        entry, tile, k, sig_slice, meta,
+                        new_state[ui], new_part[ui],
+                        goff, coords, valid_mask, valid_count,
+                        aux_views, depth,
+                    )
+            return new_state, new_part
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _run_udf_on_tile(
+        self, entry, tile, scheme_idx, sig_slice, meta,
+        state_u, part_u, goff, coords, valid_mask, valid_count,
+        aux_views, depth,
+    ):
+        udf = entry.udf
+        decls = entry.decls
+        whole_sig = (
+            tuple(sig_slice.shape) == tuple(meta.dataset_shape.sig)
+        )
+
+        # gather current nav rows (block frames are contiguous)
+        nav_old = {
+            name: jax.lax.dynamic_slice(
+                state_u[name],
+                (goff,) + (0,) * len(decls[name].extra_shape),
+                (depth,) + decls[name].extra_shape,
+            )
+            for name in entry.nav_names
+        }
+
+        # sig views (sub-rectangle when sig-tiled)
+        def sig_view(name):
+            full = part_u[name]
+            if whole_sig:
+                return full
+            idx = sig_slice.get() + tuple(
+                slice(None) for _ in decls[name].extra_shape
+            )
+            return full[idx]
+
+        def sig_writeback(name, val):
+            if whole_sig:
+                part_u[name] = val
+            else:
+                idx = sig_slice.get() + tuple(
+                    slice(None) for _ in decls[name].extra_shape
+                )
+                part_u[name] = part_u[name].at[idx].set(val)
+
+        meta.sig_slice = sig_slice
+        meta.tiling_scheme_idx = scheme_idx
+        meta.global_offset = goff
+
+        if entry.method in ("tile", "partition"):
+            views = {}
+            for name in entry.nav_names:
+                views[name] = nav_old[name]
+            for name in entry.part_names:
+                if decls[name].kind == "sig":
+                    views[name] = sig_view(name)
+                else:
+                    views[name] = part_u[name]
+            udf.results = UDFData(views)
+            udf.params = UDFParams(udf._kwargs, aux_views)
+            meta.coordinates = coords
+            meta.tile_valid = valid_mask
+            meta.valid_frames = valid_count
+            if entry.method == "tile":
+                udf.process_tile(tile)
+            else:
+                udf.process_partition(tile)
+            res = udf.results
+            for name in entry.nav_names:
+                new = res[name]
+                if name in res._touched:
+                    bshape = valid_mask.shape + (1,) * (new.ndim - 1)
+                    new = jnp.where(
+                        valid_mask.reshape(bshape), new, nav_old[name]
+                    )
+                    state_u[name] = jax.lax.dynamic_update_slice(
+                        state_u[name], new.astype(state_u[name].dtype),
+                        (goff,) + (0,) * (new.ndim - 1),
+                    )
+            for name in entry.part_names:
+                if name in res._touched:
+                    if decls[name].kind == "sig":
+                        sig_writeback(
+                            name, res[name].astype(decls[name].dtype)
+                        )
+                    else:
+                        part_u[name] = res[name].astype(
+                            decls[name].dtype
+                        )
+        elif entry.frame_navonly:
+            # vmap over frames — embarrassingly parallel
+            def per_frame(frame, coord, olds, auxr):
+                views = dict(olds)
+                udf.results = UDFData(views)
+                udf.params = UDFParams(udf._kwargs, auxr)
+                meta.coordinates = coord
+                udf.process_frame(frame)
+                return {
+                    n: udf.results[n].astype(decls[n].dtype)
+                    for n in entry.nav_names
+                }
+
+            out = jax.vmap(per_frame)(tile, coords, nav_old, aux_views)
+            for name in entry.nav_names:
+                new = out[name]
+                bshape = valid_mask.shape + (1,) * (new.ndim - 1)
+                new = jnp.where(
+                    valid_mask.reshape(bshape), new, nav_old[name]
+                )
+                state_u[name] = jax.lax.dynamic_update_slice(
+                    state_u[name], new,
+                    (goff,) + (0,) * (new.ndim - 1),
+                )
+        else:
+            # frame mode with sig/single accumulation: sequential scan
+            carry_in = {}
+            for name in entry.part_names:
+                carry_in[name] = (
+                    sig_view(name) if decls[name].kind == "sig"
+                    else part_u[name]
+                )
+
+            def body(carry, xs):
+                frame, coord, fvalid, olds, auxr = xs
+                views = dict(olds)
+                views.update(carry)
+                udf.results = UDFData(views)
+                udf.params = UDFParams(udf._kwargs, auxr)
+                meta.coordinates = coord
+                udf.process_frame(frame)
+                res = udf.results
+                new_carry = {
+                    n: jnp.where(
+                        fvalid,
+                        res[n].astype(decls[n].dtype),
+                        carry[n],
+                    )
+                    for n in entry.part_names
+                }
+                nav_out = {
+                    n: jnp.where(
+                        fvalid,
+                        res[n].astype(decls[n].dtype),
+                        olds[n],
+                    )
+                    for n in entry.nav_names
+                }
+                return new_carry, nav_out
+
+            carry_out, nav_rows = jax.lax.scan(
+                body, carry_in,
+                (tile, coords, valid_mask, nav_old, aux_views),
+            )
+            for name in entry.part_names:
+                if decls[name].kind == "sig":
+                    sig_writeback(name, carry_out[name])
+                else:
+                    part_u[name] = carry_out[name]
+            for name in entry.nav_names:
+                state_u[name] = jax.lax.dynamic_update_slice(
+                    state_u[name], nav_rows[name],
+                    (goff,) + (0,) * (nav_rows[name].ndim - 1),
+                )
+
+    def _make_merge(self, prep) -> Callable:
+        """Jitted fold of a partition's sig/single state into the global
+        state via each UDF's (traced) merge()."""
+        plan = prep["plan"]
+
+        def merge_fn(state, part_state):
+            new_state = [dict(s) for s in state]
+            for ui, entry in enumerate(plan):
+                if not entry.part_names:
+                    continue
+                udf = entry.udf
+                dest = UDFData({
+                    n: new_state[ui][n] for n in entry.part_names
+                })
+                src = UDFData({
+                    n: part_state[ui][n] for n in entry.part_names
+                })
+                udf.merge(dest, src)
+                for n in entry.part_names:
+                    if n in dest._touched:
+                        new_state[ui][n] = dest[n].astype(
+                            entry.decls[n].dtype
+                        )
+            return new_state
+
+        return jax.jit(merge_fn, donate_argnums=(0,))
+
+    # -- main loop -----------------------------------------------------------
+
+    def _run_loop(self, prep, dataset, roi, progress, yield_partial):
+        scheme = prep["scheme"]
+        device = prep["device"]
+        state = self._init_state(prep)
+        step = self._make_step(prep)
+        merge = self._make_merge(prep)
+        damage_host = np.zeros(prep["n_nav"], dtype=bool)
+
+        partitions = prep["partitions"]
+        part_iter = partitions
+        if progress:
+            import tqdm
+            part_iter = tqdm.tqdm(partitions, unit="partition")
+
+        any_partition = False
+        for partition in part_iter:
+            n_sel = partition.frames_in_roi(roi)
+            if n_sel == 0:
+                continue
+            any_partition = True
+            for udf in self._udfs:
+                udf.preprocess()
+            part_state = self._init_part_state(prep)
+            goff0 = partition.roi_offset(roi)
+            for block in partition.gen_blocks(scheme, roi):
+                dev_block = jax.device_put(block.data, device)
+                state, part_state = step(
+                    state, part_state, dev_block,
+                    jnp.int32(block.global_offset),
+                    jax.device_put(block.coords, device),
+                    jnp.int32(block.valid),
+                )
+            state = merge(state, part_state)
+            for udf in self._udfs:
+                udf.postprocess()
+            damage_host[goff0:goff0 + n_sel] = True
+            if yield_partial:
+                yield self._wrap_results(prep, state, damage_host.copy())
+        if not any_partition or not yield_partial:
+            yield self._wrap_results(prep, state, damage_host)
+
+    # -- result wrapping --------------------------------------------------
+
+    def _wrap_results(self, prep, state, damage_host) -> UDFResults:
+        n_nav = prep["n_nav"]
+        meta = prep["meta"]
+        all_buffers = []
+        for ui, entry in enumerate(prep["plan"]):
+            udf = entry.udf
+            raw = {}
+            for name in entry.nav_names:
+                raw[name] = np.asarray(state[ui][name])[:n_nav]
+            for name in entry.part_names:
+                raw[name] = np.asarray(state[ui][name])
+            # bind results for get_results post-processing
+            udf.meta = meta
+            udf.results = UDFData(raw)
+            derived = udf.get_results() or {}
+            buffers = {}
+            for name, decl in entry.decls.items():
+                if decl.use == "private":
+                    continue
+                out = BufferWrapper(
+                    decl.kind, decl.extra_shape, decl.dtype
+                )
+                out.set_shape_ds(meta.dataset_shape, prep["roi"])
+                if name in derived:
+                    data = np.asarray(derived[name])
+                elif decl.use == "result_only":
+                    continue  # not produced
+                else:
+                    data = raw[name]
+                out.set_result(data, valid_nav_mask=damage_host)
+                buffers[name] = out
+            all_buffers.append(buffers)
+        damage_buf = BufferWrapper("nav", (), bool)
+        damage_buf.set_shape_ds(meta.dataset_shape, prep["roi"])
+        damage_buf.set_result(damage_host, valid_nav_mask=damage_host)
+        return UDFResults(all_buffers, damage_buf)

@@ -1,0 +1,25 @@
+"""SumUDF: sum all frames (reference: libertem/udf/sum.py:6)."""
+from __future__ import annotations
+
+import numpy as np
+
+from .base import UDF
+
+
+class SumUDF(UDF):
+    """Sum over the navigation axis → one (*sig) image."""
+
+    def __init__(self, dtype="float32"):
+        super().__init__(dtype=dtype)
+
+    def get_result_buffers(self):
+        dtype = np.result_type(self.params.dtype, self.meta.input_dtype)
+        return {
+            "intensity": self.buffer(kind="sig", dtype=dtype),
+        }
+
+    def process_tile(self, tile):
+        self.results.intensity += tile.sum(axis=0)
+
+    def merge(self, dest, src):
+        dest.intensity = dest.intensity + src.intensity
