@@ -1,0 +1,277 @@
+"""Context — the public Python API.
+
+TPU-native counterpart of the reference's ``libertem/api.py``
+(Context:177, load:446, run_udf:914, run_udf_iter:1053, map:1617,
+create_*_analysis:514–852, run:854).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Union
+
+import numpy as np
+
+from .common.buffers import BufferWrapper
+from .executor.base import JobExecutor
+from .executor.inline import InlineJobExecutor
+from .io.corrections import CorrectionSet
+from .io.dataset.base import DataSet
+from .udf.base import (
+    SingleUDFResults,
+    UDF,
+    UDFResults,
+    UDFRunner,
+)
+
+
+class Context:
+    """Entry point: load datasets, run UDFs and analyses."""
+
+    def __init__(self, executor: Optional[JobExecutor] = None):
+        if executor is None:
+            executor = InlineJobExecutor()
+        self.executor = executor
+
+    @classmethod
+    def make_with(cls, executor_spec: str = "inline", /, **kwargs) -> "Context":
+        """Create a Context with a named executor
+        (reference api.py:238).  Specs: 'inline' | 'synchronous' |
+        'sharded' (all devices) | 'tpu'.
+        """
+        if executor_spec in ("inline", "synchronous", "threads"):
+            return cls(executor=InlineJobExecutor())
+        elif executor_spec in ("sharded", "tpu", "pipelined", "dask"):
+            from .executor.sharded import ShardedJobExecutor
+            return cls(executor=ShardedJobExecutor(**kwargs))
+        raise ValueError(f"unknown executor spec {executor_spec!r}")
+
+    # -- datasets -----------------------------------------------------------
+
+    def load(self, filetype: str, *args, **kwargs) -> DataSet:
+        """Open a dataset (reference api.py:446).  ``filetype`` may be a
+        registered format id or 'auto'."""
+        from .io.dataset import load as _load
+        ds = _load(filetype, *args, executor=self.executor, **kwargs)
+        workers = self.executor.get_available_workers()
+        ds.set_num_cores(max(4, 2 * len(workers)))
+        return ds
+
+    def export_dataset(self, dataset: DataSet, *, path: str, progress=False):
+        """Export a dataset to .npy (reference api.py:1706)."""
+        from .io.writers import write_dataset_npy
+        return write_dataset_npy(self, dataset, path, progress=progress)
+
+    # -- UDFs ------------------------------------------------------------
+
+    def run_udf(
+        self,
+        dataset: DataSet,
+        udf: Union[UDF, Sequence[UDF]],
+        roi: Optional[np.ndarray] = None,
+        corrections: Optional[CorrectionSet] = None,
+        progress: bool = False,
+        backends=None,
+        plots=None,
+    ):
+        """Run one or more UDFs over a dataset in a single pass.
+
+        Returns a dict of result buffers for a single UDF, or a list of
+        dicts when given a sequence of UDFs (reference api.py:914).
+        """
+        udfs, single = self._normalize_udfs(udf)
+        roi = self._normalize_roi(roi, dataset)
+        plots = self._prepare_plots(plots, dataset, udfs, roi)
+        runner = UDFRunner(udfs)
+        if plots:
+            results = None
+            for results in runner.run_for_dataset_iter(
+                dataset, roi=roi, corrections=corrections,
+                progress=progress,
+            ):
+                self._update_plots(plots, results)
+            self._update_plots(plots, results, final=True)
+        else:
+            results = runner.run_for_dataset(
+                dataset, roi=roi, corrections=corrections,
+                progress=progress,
+                device=self.executor.main_device,
+            )
+        return self._wrap(results, single)
+
+    def run_udf_iter(
+        self,
+        dataset: DataSet,
+        udf: Union[UDF, Sequence[UDF]],
+        roi: Optional[np.ndarray] = None,
+        corrections: Optional[CorrectionSet] = None,
+        progress: bool = False,
+    ):
+        """Generator of partial results, one per merged partition
+        (reference api.py:1053)."""
+        udfs, single = self._normalize_udfs(udf)
+        roi = self._normalize_roi(roi, dataset)
+        runner = UDFRunner(udfs)
+        for results in runner.run_for_dataset_iter(
+            dataset, roi=roi, corrections=corrections, progress=progress,
+            device=self.executor.main_device,
+        ):
+            yield results
+
+    def map(self, dataset: DataSet, f, roi=None, progress=False):
+        """Apply ``f(frame) -> ndarray`` to every frame
+        (reference api.py:1617)."""
+        from .udf.auto import AutoUDF
+        udf = AutoUDF(f=f)
+        results = self.run_udf(
+            dataset, udf, roi=roi, progress=progress
+        )
+        return results["result"]
+
+    # -- analyses -----------------------------------------------------------
+
+    def run(self, analysis, roi=None, progress=False):
+        """Run an Analysis and post-process into an AnalysisResultSet
+        (reference api.py:854)."""
+        if roi is None:
+            roi = analysis.get_roi()
+        udf = analysis.get_udf()
+        udf_results = self.run_udf(
+            analysis.dataset, udf, roi=roi, progress=progress,
+        )
+        damage = udf_results.damage if hasattr(udf_results, "damage") else None
+        return analysis.get_udf_results(udf_results, roi, damage)
+
+    def create_mask_analysis(self, factories, dataset, **kwargs):
+        from .analysis.masks import MasksAnalysis
+        return MasksAnalysis(
+            dataset=dataset,
+            parameters=dict(factories=factories, **kwargs),
+        )
+
+    def create_disk_analysis(self, dataset, cx=None, cy=None, r=None):
+        from .analysis.disk import DiskMaskAnalysis
+        return DiskMaskAnalysis(
+            dataset=dataset,
+            parameters={"cx": cx, "cy": cy, "r": r},
+        )
+
+    def create_ring_analysis(
+        self, dataset, cx=None, cy=None, ri=None, ro=None
+    ):
+        from .analysis.ring import RingMaskAnalysis
+        return RingMaskAnalysis(
+            dataset=dataset,
+            parameters={"cx": cx, "cy": cy, "ri": ri, "ro": ro},
+        )
+
+    def create_point_analysis(self, dataset, x=None, y=None):
+        from .analysis.point import PointMaskAnalysis
+        return PointMaskAnalysis(
+            dataset=dataset, parameters={"cx": x, "cy": y}
+        )
+
+    def create_sum_analysis(self, dataset):
+        from .analysis.sum import SumAnalysis
+        return SumAnalysis(dataset=dataset, parameters={})
+
+    def create_sumsig_analysis(self, dataset):
+        from .analysis.sumsig import SumSigAnalysis
+        return SumSigAnalysis(dataset=dataset, parameters={})
+
+    def create_sd_analysis(self, dataset):
+        from .analysis.sd import SDAnalysis
+        return SDAnalysis(dataset=dataset, parameters={})
+
+    def create_pick_analysis(self, dataset, x, y=None):
+        from .analysis.raw import PickFrameAnalysis
+        params = {"x": x}
+        if y is not None:
+            params["y"] = y
+        return PickFrameAnalysis(dataset=dataset, parameters=params)
+
+    def create_com_analysis(
+        self, dataset, cx=None, cy=None, mask_radius=None,
+        flip_y=False, scan_rotation=0.0, mask_radius_inner=None,
+    ):
+        from .analysis.com import COMAnalysis
+        return COMAnalysis(
+            dataset=dataset,
+            parameters={
+                "cx": cx, "cy": cy, "r": mask_radius,
+                "ri": mask_radius_inner,
+                "flip_y": flip_y, "scan_rotation": scan_rotation,
+            },
+        )
+
+    def create_radial_fourier_analysis(
+        self, dataset, cx=None, cy=None, ri=None, ro=None,
+        n_bins=None, max_order=None,
+    ):
+        from .analysis.radialfourier import RadialFourierAnalysis
+        return RadialFourierAnalysis(
+            dataset=dataset,
+            parameters={
+                "cx": cx, "cy": cy, "ri": ri, "ro": ro,
+                "n_bins": n_bins, "max_order": max_order,
+            },
+        )
+
+    def create_fem_analysis(self, dataset, cx=None, cy=None, ri=None, ro=None):
+        from .analysis.fem import FEMAnalysis
+        return FEMAnalysis(
+            dataset=dataset,
+            parameters={"cx": cx, "cy": cy, "ri": ri, "ro": ro},
+        )
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _normalize_udfs(self, udf):
+        if isinstance(udf, UDF):
+            return [udf], True
+        return list(udf), False
+
+    def _normalize_roi(self, roi, dataset):
+        """Accept bool ndarray (nav or flat), sparse-like, or coord
+        tuples (reference api.py _normalize_roi)."""
+        if roi is None:
+            return None
+        if isinstance(roi, np.ndarray) and roi.dtype == bool:
+            return roi.reshape(-1)
+        if isinstance(roi, np.ndarray):
+            return roi.astype(bool).reshape(-1)
+        # iterable of nav coordinates
+        nav_shape = tuple(dataset.shape.nav)
+        mask = np.zeros(nav_shape, dtype=bool)
+        for coord in roi:
+            mask[tuple(coord)] = True
+        return mask.reshape(-1)
+
+    def _wrap(self, results: UDFResults, single: bool):
+        if single:
+            return SingleUDFResults(results.buffers[0], results.damage)
+        return [
+            SingleUDFResults(b, results.damage) for b in results.buffers
+        ]
+
+    def _prepare_plots(self, plots, dataset, udfs, roi):
+        if not plots:
+            return None
+        from .viz.base import Live2DPlot
+        prepared = []
+        for p in plots:
+            if isinstance(p, Live2DPlot):
+                prepared.append(p)
+        return prepared or None
+
+    def _update_plots(self, plots, results, final=False):
+        for p in plots:
+            p.new_data(results, force=final)
+
+    def close(self):
+        self.executor.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

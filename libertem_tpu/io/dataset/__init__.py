@@ -1,0 +1,93 @@
+"""Dataset format registry + load()/detect()
+(reference: libertem/io/dataset/__init__.py:15 filetypes, :106 load,
+:223 detect).
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Optional
+
+from .base import DataSet, DataSetException
+
+# format id -> "module:ClassName"; modules imported lazily
+filetypes = {
+    "memory": "libertem_tpu.io.dataset.memory:MemoryDataSet",
+    "raw": "libertem_tpu.io.dataset.raw:RawFileDataSet",
+    "npy": "libertem_tpu.io.dataset.npy:NPYDataSet",
+    "hdf5": "libertem_tpu.io.dataset.hdf5:H5DataSet",
+    "mib": "libertem_tpu.io.dataset.mib:MIBDataSet",
+    "empad": "libertem_tpu.io.dataset.empad:EMPADDataSet",
+    "blo": "libertem_tpu.io.dataset.blo:BloDataSet",
+    "mrc": "libertem_tpu.io.dataset.mrc:MRCDataSet",
+    "seq": "libertem_tpu.io.dataset.seq:SEQDataSet",
+    "tvips": "libertem_tpu.io.dataset.tvips:TVIPSDataSet",
+    "raw_csr": "libertem_tpu.io.dataset.raw_csr:RawCSRDataSet",
+    "dm": "libertem_tpu.io.dataset.dm:DMDataSet",
+    "frms6": "libertem_tpu.io.dataset.frms6:FRMS6DataSet",
+    "k2is": "libertem_tpu.io.dataset.k2is:K2ISDataSet",
+    "ser": "libertem_tpu.io.dataset.ser:SERDataSet",
+}
+
+
+def get_dataset_cls(filetype: str) -> type:
+    try:
+        spec = filetypes[filetype.lower()]
+    except KeyError:
+        raise DataSetException(
+            f"unknown filetype {filetype!r}; known: "
+            f"{sorted(filetypes)}"
+        ) from None
+    module_name, cls_name = spec.split(":")
+    module = importlib.import_module(module_name)
+    return getattr(module, cls_name)
+
+
+def load(filetype: str, *args, executor=None, **kwargs) -> DataSet:
+    if filetype == "auto":
+        return detect_and_load(*args, executor=executor, **kwargs)
+    cls = get_dataset_cls(filetype)
+    ds = cls(*args, **kwargs)
+    return ds.initialize(executor)
+
+
+def detect(path: str, executor=None) -> Optional[dict]:
+    """Try each format's detect_params in extension-priority order
+    (reference io/dataset/__init__.py:188–239)."""
+    ext = path.split(".")[-1].lower() if "." in path else ""
+    order = sorted(
+        filetypes,
+        key=lambda ft: 0 if ext in _extensions(ft) else 1,
+    )
+    for ft in order:
+        if ft == "memory":
+            continue
+        try:
+            cls = get_dataset_cls(ft)
+        except Exception:
+            continue
+        try:
+            params = cls.detect_params(path, executor)
+        except Exception:
+            params = False
+        if params:
+            return {"type": ft, "parameters": params}
+    return None
+
+
+def _extensions(filetype: str) -> set:
+    try:
+        return get_dataset_cls(filetype).get_supported_extensions()
+    except Exception:
+        return set()
+
+
+def detect_and_load(path: str, executor=None, **kwargs) -> DataSet:
+    detected = detect(path, executor)
+    if detected is None:
+        raise DataSetException(
+            f"could not auto-detect file format of {path!r}"
+        )
+    params = dict(detected["parameters"])
+    params.update(kwargs)
+    cls = get_dataset_cls(detected["type"])
+    return cls(**params).initialize(executor)

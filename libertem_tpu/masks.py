@@ -1,0 +1,198 @@
+"""Mask factory library for virtual detectors.
+
+Counterpart of the reference's ``libertem/masks.py`` (circular:108,
+ring:130, radial_gradient:162, polar_map:222, radial_bins:290,
+background_subtraction:356, rectangular:370, gradient_x/y:415,
+_make_circular_mask:18 antialiasing via oversampling).
+
+All factories return dense numpy arrays of shape (imageSizeY,
+imageSizeX); sparse radial-bin stacks return a (n_bins, Y, X) dense
+stack plus are cheap to keep dense on TPU (they get packed into the
+mask-stack matmul operand anyway).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _disk_aa(
+    centerX, centerY, imageSizeX, imageSizeY, radius,
+    antialiased=True,
+):
+    """Antialiased disk via 4x oversampling of the boundary ring
+    (same idea as reference _make_circular_mask:18)."""
+    y, x = np.ogrid[0:imageSizeY, 0:imageSizeX]
+    d2 = (y - centerY) ** 2 + (x - centerX) ** 2
+    if not antialiased:
+        return (d2 <= radius ** 2).astype(np.float32)
+    os = 4
+    yy, xx = np.mgrid[0:imageSizeY * os, 0:imageSizeX * os]
+    yy = (yy + 0.5) / os - 0.5
+    xx = (xx + 0.5) / os - 0.5
+    hit = ((yy - centerY) ** 2 + (xx - centerX) ** 2) <= radius ** 2
+    return (
+        hit.reshape(imageSizeY, os, imageSizeX, os)
+        .mean(axis=(1, 3))
+        .astype(np.float32)
+    )
+
+
+def circular(centerX, centerY, imageSizeX, imageSizeY, radius,
+             antialiased=False):
+    return _disk_aa(
+        centerX, centerY, imageSizeX, imageSizeY, radius,
+        antialiased=antialiased,
+    )
+
+
+def ring(centerX, centerY, imageSizeX, imageSizeY, radius,
+         radius_inner, antialiased=False):
+    outer = _disk_aa(
+        centerX, centerY, imageSizeX, imageSizeY, radius,
+        antialiased=antialiased,
+    )
+    inner = _disk_aa(
+        centerX, centerY, imageSizeX, imageSizeY, radius_inner,
+        antialiased=antialiased,
+    )
+    return (outer - inner).astype(np.float32)
+
+
+def rectangular(X, Y, Width, Height, imageSizeX, imageSizeY):
+    mask = np.zeros((imageSizeY, imageSizeX), dtype=np.float32)
+    y0, y1 = int(Y), int(Y + Height)
+    x0, x1 = int(X), int(X + Width)
+    mask[max(0, y0):max(0, y1), max(0, x0):max(0, x1)] = 1.0
+    return mask
+
+
+def radial_gradient(centerX, centerY, imageSizeX, imageSizeY, radius,
+                    antialiased=False):
+    y, x = np.ogrid[0:imageSizeY, 0:imageSizeX]
+    r = np.sqrt((y - centerY) ** 2 + (x - centerX) ** 2)
+    disk = _disk_aa(
+        centerX, centerY, imageSizeX, imageSizeY, radius,
+        antialiased=antialiased,
+    )
+    return (r * disk / radius).astype(np.float32)
+
+
+def polar_map(centerX, centerY, imageSizeX, imageSizeY,
+              stretchY=1.0, angle=0.0):
+    """(r, phi) maps for each detector pixel, with optional elliptical
+    stretch/rotation (reference masks.py:222)."""
+    y, x = np.mgrid[0:imageSizeY, 0:imageSizeX].astype(np.float64)
+    dy, dx = y - centerY, x - centerX
+    if angle != 0.0 or stretchY != 1.0:
+        c, s = np.cos(angle), np.sin(angle)
+        ry = c * dy - s * dx
+        rx = s * dy + c * dx
+        ry = ry / stretchY
+        dy2 = c * ry + s * rx
+        dx2 = -s * ry + c * rx
+        dy, dx = dy2, dx2
+    r = np.sqrt(dy ** 2 + dx ** 2)
+    phi = np.arctan2(dy, dx) % (2 * np.pi)
+    return r, phi
+
+
+def radial_bins(
+    centerX, centerY, imageSizeX, imageSizeY,
+    radius=None, radius_inner=0, n_bins=None,
+    normalize=False, use_sparse=None, stretchY=1.0, angle=0.0,
+):
+    """Stack of concentric ring masks (reference masks.py:290).
+
+    Returns a dense (n_bins, Y, X) float32 stack.
+    """
+    if radius is None:
+        radius = min(imageSizeY, imageSizeX) / 2
+    if n_bins is None:
+        n_bins = int(np.round(radius - radius_inner))
+    n_bins = max(1, int(n_bins))
+    r, _ = polar_map(
+        centerX, centerY, imageSizeX, imageSizeY, stretchY, angle
+    )
+    width = (radius - radius_inner) / n_bins
+    stack = np.zeros((n_bins, imageSizeY, imageSizeX), dtype=np.float32)
+    for b in range(n_bins):
+        lo = radius_inner + b * width
+        hi = lo + width
+        sel = (r >= lo) & (r < hi) if b < n_bins - 1 else (
+            (r >= lo) & (r <= hi)
+        )
+        m = sel.astype(np.float32)
+        if normalize:
+            total = m.sum()
+            if total > 0:
+                m = m / total
+        stack[b] = m
+    return stack
+
+
+def background_subtraction(
+    centerX, centerY, imageSizeX, imageSizeY,
+    radius, radius_inner, antialiased=False,
+):
+    """Disk minus normalized surrounding ring, zero total weight
+    (reference masks.py:356)."""
+    disk = _disk_aa(
+        centerX, centerY, imageSizeX, imageSizeY, radius_inner,
+        antialiased=antialiased,
+    )
+    outer = ring(
+        centerX, centerY, imageSizeX, imageSizeY,
+        radius, radius_inner, antialiased=antialiased,
+    )
+    s_outer = outer.sum()
+    if s_outer > 0:
+        outer = outer * (disk.sum() / s_outer)
+    return (disk - outer).astype(np.float32)
+
+
+def radial_gradient_background_subtraction(
+    r, r0, r_outer, delta=1.0,
+):
+    """Radial-gradient peak template with background ring
+    (reference masks.py:177); ``r`` is a radius map."""
+    within = (r < r0) * (r / max(r0, 1e-12))
+    bg = ((r >= r0) & (r < r_outer)) * -1.0
+    s_bg = np.abs(bg).sum()
+    s_in = within.sum()
+    if s_bg > 0 and s_in > 0:
+        bg = bg * (s_in / s_bg)
+    return (within + bg).astype(np.float32)
+
+
+def gradient_x(imageSizeX, imageSizeY, dtype=np.float32):
+    return np.broadcast_to(
+        np.arange(imageSizeX, dtype=dtype), (imageSizeY, imageSizeX)
+    ).copy()
+
+
+def gradient_y(imageSizeX, imageSizeY, dtype=np.float32):
+    return np.broadcast_to(
+        np.arange(imageSizeY, dtype=dtype)[:, None],
+        (imageSizeY, imageSizeX),
+    ).copy()
+
+
+def sparse_template_multi_stack(
+    mask_index, offsetX, offsetY, template, imageSizeX, imageSizeY,
+):
+    """Stamp a small template at per-mask offsets into a stack
+    (reference masks.py:55); dense output."""
+    n_masks = int(np.max(mask_index)) + 1
+    stack = np.zeros((n_masks, imageSizeY, imageSizeX), dtype=np.float32)
+    th, tw = template.shape
+    for i, m in enumerate(np.atleast_1d(mask_index)):
+        ox = int(np.atleast_1d(offsetX)[i])
+        oy = int(np.atleast_1d(offsetY)[i])
+        y0, x0 = max(0, oy), max(0, ox)
+        y1, x1 = min(imageSizeY, oy + th), min(imageSizeX, ox + tw)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        stack[m, y0:y1, x0:x1] += template[
+            y0 - oy:y1 - oy, x0 - ox:x1 - ox
+        ]
+    return stack

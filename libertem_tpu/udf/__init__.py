@@ -1,0 +1,26 @@
+from .base import (
+    NoOpUDF,
+    UDF,
+    UDFData,
+    UDFMeta,
+    UDFResults,
+    UDFRunner,
+)
+from .auto import AutoUDF
+from .com import CoMParams, CoMUDF, RegressionOptions, guess_corrections
+from .crystallinity import CrystallinityUDF
+from .FEM import FEMUDF
+from .logsum import LogsumUDF
+from .masks import ApplyMasksUDF, MaskContainer
+from .raw import PickUDF
+from .stddev import StdDevUDF, run_stddev
+from .sum import SumUDF
+from .sumsigudf import SumSigUDF
+
+__all__ = [
+    "UDF", "UDFData", "UDFMeta", "UDFResults", "UDFRunner", "NoOpUDF",
+    "AutoUDF", "CoMParams", "CoMUDF", "RegressionOptions",
+    "guess_corrections", "CrystallinityUDF", "FEMUDF", "LogsumUDF",
+    "ApplyMasksUDF", "MaskContainer", "PickUDF", "StdDevUDF",
+    "run_stddev", "SumUDF", "SumSigUDF",
+]

@@ -503,6 +503,13 @@ class UDFRunner:
                             f"aux buffer {k}: {data.shape[0]} rows != "
                             f"{n_nav} selected frames"
                         )
+                    # pad by one block depth so the final block's
+                    # dynamic_slice never clamps (which would misalign
+                    # aux rows with frames)
+                    pad = np.zeros(
+                        (scheme.depth,) + data.shape[1:], data.dtype
+                    )
+                    data = np.concatenate([data, pad], axis=0)
                     entry[k] = jax.device_put(
                         jnp.asarray(data), device
                     )

@@ -1,0 +1,300 @@
+"""CoMUDF: center of mass / first-moment analysis.
+
+Counterpart of the reference's ``libertem/udf/com.py`` (CoMUDF:298,
+CoMParams:30, com_masks_factory:47, center_shifts:100,
+apply_correction:110, divergence/curl:130–143, regression:600).
+
+Device side: one 3-column mask matmul per tile (sum, y·sum, x·sum) —
+shares the MXU path with ApplyMasksUDF.  All derived fields (shifts,
+rotation/flip correction, magnitude, divergence, curl, regression
+deskew) are computed in ``get_results`` post-processing on the host,
+matching the reference's split.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import UDF
+
+
+class RegressionOptions:
+    NO_REGRESSION = -1
+    SUBTRACT_MEAN = 0
+    SUBTRACT_LINEAR = 1
+
+
+@dataclass
+class CoMParams:
+    cy: Optional[float] = None
+    cx: Optional[float] = None
+    r: Optional[float] = None      # outer mask radius (None = whole frame)
+    ri: Optional[float] = None     # inner radius (annular CoM)
+    scan_rotation: float = 0.0
+    flip_y: bool = False
+    regression: int = RegressionOptions.NO_REGRESSION
+
+
+def com_masks(sig_shape, cy, cx, r=None, ri=None) -> np.ndarray:
+    """(3, *sig) stack: [total, y-weighted, x-weighted]
+    (reference com_masks_factory com.py:47)."""
+    h, w = sig_shape
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    if r is not None:
+        d2 = (y - cy) ** 2 + (x - cx) ** 2
+        base = (d2 <= r ** 2).astype(np.float32)
+        if ri is not None and ri > 0:
+            base *= (d2 >= ri ** 2).astype(np.float32)
+    else:
+        base = np.ones((h, w), dtype=np.float32)
+        if ri is not None and ri > 0:
+            d2 = (y - cy) ** 2 + (x - cx) ** 2
+            base *= (d2 >= ri ** 2).astype(np.float32)
+    return np.stack([base, y * base, x * base], axis=0)
+
+
+class CoMUDF(UDF):
+    def __init__(self, com_params: Optional[CoMParams] = None):
+        if com_params is None:
+            com_params = CoMParams()
+        super().__init__(com_params=com_params)
+        self._operand_cache = {}
+
+    @classmethod
+    def with_params(
+        cls, cy=None, cx=None, r=None, ri=None,
+        scan_rotation=0.0, flip_y=False,
+        regression=RegressionOptions.NO_REGRESSION,
+    ) -> "CoMUDF":
+        return cls(CoMParams(
+            cy=cy, cx=cx, r=r, ri=ri,
+            scan_rotation=scan_rotation, flip_y=flip_y,
+            regression=regression,
+        ))
+
+    def get_result_buffers(self):
+        return {
+            "raw_mask_result": self.buffer(
+                kind="nav", extra_shape=(3,), dtype="float32",
+                use="private",
+            ),
+            "raw_com": self.buffer(
+                kind="nav", extra_shape=(2,), dtype="float32",
+                use="result_only",
+            ),
+            "raw_shifts": self.buffer(
+                kind="nav", extra_shape=(2,), dtype="float32",
+                use="result_only",
+            ),
+            "field": self.buffer(
+                kind="nav", extra_shape=(2,), dtype="float32",
+                use="result_only",
+            ),
+            "field_y": self.buffer(
+                kind="nav", dtype="float32", use="result_only",
+            ),
+            "field_x": self.buffer(
+                kind="nav", dtype="float32", use="result_only",
+            ),
+            "magnitude": self.buffer(
+                kind="nav", dtype="float32", use="result_only",
+            ),
+            "divergence": self.buffer(
+                kind="nav", dtype="float32", use="result_only",
+            ),
+            "curl": self.buffer(
+                kind="nav", dtype="float32", use="result_only",
+            ),
+            "regression": self.buffer(
+                kind="single", extra_shape=(3, 2), dtype="float32",
+                use="result_only",
+            ),
+        }
+
+    def _center(self):
+        p: CoMParams = self.params.com_params
+        h, w = self.meta.sig_shape
+        cy = p.cy if p.cy is not None else (h - 1) / 2
+        cx = p.cx if p.cx is not None else (w - 1) / 2
+        return cy, cx
+
+    def _operand(self):
+        key = (self.meta.sig_slice.origin,
+               tuple(self.meta.sig_slice.shape))
+        if key in self._operand_cache:
+            return self._operand_cache[key]
+        p: CoMParams = self.params.com_params
+        cy, cx = self._center()
+        stack = com_masks(self.meta.sig_shape, cy, cx, p.r, p.ri)
+        sub = stack[(slice(None),) + self.meta.sig_slice.get()]
+        flat = jnp.asarray(
+            np.ascontiguousarray(sub.reshape(3, -1).T), dtype=jnp.float32
+        )
+        self._operand_cache[key] = flat
+        return flat
+
+    def process_tile(self, tile):
+        masks = self._operand()
+        flat = tile.reshape(tile.shape[0], -1).astype(jnp.float32)
+        self.results.raw_mask_result += jnp.matmul(
+            flat, masks, preferred_element_type=jnp.float32
+        )
+
+    # -- post-processing -----------------------------------------------
+
+    def get_results(self):
+        p: CoMParams = self.params.com_params
+        cy, cx = self._center()
+        raw = np.asarray(self.results.raw_mask_result, dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            com_y = raw[:, 1] / raw[:, 0]
+            com_x = raw[:, 2] / raw[:, 0]
+        raw_com = np.stack([com_y, com_x], axis=-1).astype(np.float32)
+        shifts_y = com_y - cy
+        shifts_x = com_x - cx
+        raw_shifts = np.stack(
+            [shifts_y, shifts_x], axis=-1
+        ).astype(np.float32)
+
+        # rotation / flip correction (reference apply_correction com.py:110)
+        theta = np.deg2rad(p.scan_rotation)
+        y_corr = shifts_y * np.cos(theta) - shifts_x * np.sin(theta)
+        x_corr = shifts_y * np.sin(theta) + shifts_x * np.cos(theta)
+        if p.flip_y:
+            y_corr = -y_corr
+
+        # regression deskew on the 2D nav grid (com.py:600)
+        regression = np.zeros((3, 2), dtype=np.float32)
+        if p.regression != RegressionOptions.NO_REGRESSION:
+            y2d, x2d, regression = self._regress(y_corr, x_corr,
+                                                 p.regression)
+            y_corr, x_corr = y2d, x2d
+
+        field = np.stack([y_corr, x_corr], axis=-1).astype(np.float32)
+        magnitude = np.sqrt(y_corr ** 2 + x_corr ** 2).astype(np.float32)
+        div, curl = self._div_curl(y_corr, x_corr)
+        return {
+            "raw_com": raw_com,
+            "raw_shifts": raw_shifts,
+            "field": field,
+            "field_y": y_corr.astype(np.float32),
+            "field_x": x_corr.astype(np.float32),
+            "magnitude": magnitude,
+            "divergence": div,
+            "curl": curl,
+            "regression": regression,
+        }
+
+    def _embed_nav2d(self, flat):
+        """roi-compressed flat nav → full 2D nav grid with nan gaps."""
+        nav_shape = tuple(self.meta.dataset_shape.nav)
+        if len(nav_shape) != 2:
+            return None
+        full = np.full(int(np.prod(nav_shape)), np.nan, dtype=np.float64)
+        if self.meta.roi is not None:
+            full[self.meta.roi] = flat
+        else:
+            full[:] = flat
+        return full.reshape(nav_shape)
+
+    def _compress_nav2d(self, grid):
+        flat = grid.reshape(-1)
+        if self.meta.roi is not None:
+            return flat[self.meta.roi]
+        return flat
+
+    def _div_curl(self, y_corr, x_corr):
+        y2d = self._embed_nav2d(y_corr)
+        x2d = self._embed_nav2d(x_corr)
+        n = y_corr.shape[0]
+        if y2d is None or min(y2d.shape) < 2:
+            nanbuf = np.full(n, np.nan, dtype=np.float32)
+            return nanbuf, nanbuf.copy()
+        dy_dy, dy_dx = np.gradient(y2d)
+        dx_dy, dx_dx = np.gradient(x2d)
+        div = (dy_dy + dx_dx).astype(np.float32)
+        curl = (dx_dy - dy_dx).astype(np.float32)
+        return (
+            self._compress_nav2d(div).astype(np.float32),
+            self._compress_nav2d(curl).astype(np.float32),
+        )
+
+    def _regress(self, y_corr, x_corr, mode):
+        """Fit and subtract a constant or linear plane per component;
+        returns corrected components and the (3, 2) coefficient matrix
+        rows = (intercept, d/drow, d/dcol), cols = (y, x)."""
+        nav_shape = tuple(self.meta.dataset_shape.nav)
+        regression = np.zeros((3, 2), dtype=np.float32)
+        if len(nav_shape) != 2:
+            return y_corr, x_corr, regression
+        y2d = self._embed_nav2d(y_corr)
+        x2d = self._embed_nav2d(x_corr)
+        rows, cols = np.mgrid[0:nav_shape[0], 0:nav_shape[1]]
+        valid = np.isfinite(y2d) & np.isfinite(x2d)
+        if valid.sum() < 3:
+            return y_corr, x_corr, regression
+        if mode == RegressionOptions.SUBTRACT_MEAN:
+            A = np.ones((valid.sum(), 1))
+        else:
+            A = np.stack(
+                [np.ones(valid.sum()), rows[valid], cols[valid]],
+                axis=-1,
+            )
+        for ci, comp2d in enumerate((y2d, x2d)):
+            coef, *_ = np.linalg.lstsq(A, comp2d[valid], rcond=None)
+            regression[:len(coef), ci] = coef
+            if mode == RegressionOptions.SUBTRACT_MEAN:
+                fit = np.full(nav_shape, coef[0])
+            else:
+                fit = coef[0] + coef[1] * rows + coef[2] * cols
+            comp2d -= fit
+        return (
+            self._compress_nav2d(y2d),
+            self._compress_nav2d(x2d),
+            regression,
+        )
+
+    def merge(self, dest, src):  # pragma: no cover - nav-only
+        pass
+
+
+def guess_corrections(y_centers, x_centers, roi=None):
+    """Guess scan_rotation / flip_y / center from CoM fields
+    (reference com.py:207): pick the (rotation, flip) minimizing curl.
+    Returns dict(scan_rotation, flip_y, cy, cx).
+    """
+    best = None
+    y2d = np.asarray(y_centers, dtype=np.float64)
+    x2d = np.asarray(x_centers, dtype=np.float64)
+    if roi is not None:
+        y2d = np.where(roi, y2d, np.nan)
+        x2d = np.where(roi, x2d, np.nan)
+    cy = np.nanmean(y2d)
+    cx = np.nanmean(x2d)
+    sy = y2d - cy
+    sx = x2d - cx
+    for flip in (False, True):
+        fy = -sy if flip else sy
+        for rot in np.linspace(-180, 175, 72):
+            t = np.deg2rad(rot)
+            ry = fy * np.cos(t) - sx * np.sin(t)
+            rx = fy * np.sin(t) + sx * np.cos(t)
+            dyy, _ = np.gradient(ry)
+            dxy, _ = np.gradient(rx)
+            _, dyx = np.gradient(ry)
+            _, dxx = np.gradient(rx)
+            curl = np.nansum(np.abs(dxy - dyx))
+            div = np.nansum(dyy + dxx)
+            score = curl - div  # prefer positive divergence, low curl
+            if best is None or score < best[0]:
+                best = (score, rot, flip)
+    _, rot, flip = best
+    return {
+        "scan_rotation": float(rot),
+        "flip_y": bool(flip),
+        "cy": float(cy),
+        "cx": float(cx),
+    }

@@ -1,0 +1,105 @@
+"""StdDevUDF: single-pass parallel variance.
+
+Counterpart of the reference's ``libertem/udf/stddev.py`` (tile kernel
+:124, pairwise merge :12–122, results :455, run_stddev :501) using the
+Chan/Golub/LeVeque parallel-variance combine — the same algebra, but as
+a traced jnp update fused into the tile step instead of a numba kernel.
+
+Padding-aware: uses ``self.meta.valid_frames`` so zero-padded tail rows
+don't pollute the statistics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .base import UDF
+
+
+def _combine(n0, sum0, varsum0, n1, sum1, varsum1):
+    """Combine two (count, sum, varsum) variance states."""
+    n = n0 + n1
+    safe_n = jnp.maximum(n, 1)
+    safe_n0 = jnp.maximum(n0, 1)
+    safe_n1 = jnp.maximum(n1, 1)
+    mean0 = sum0 / safe_n0
+    mean1 = sum1 / safe_n1
+    delta = mean1 - mean0
+    corr = delta * delta * (n0 * n1 / safe_n)
+    varsum = jnp.where(
+        n0 == 0, varsum1,
+        jnp.where(n1 == 0, varsum0, varsum0 + varsum1 + corr),
+    )
+    return n, sum0 + sum1, varsum
+
+
+class StdDevUDF(UDF):
+    """Per-pixel mean / variance / std over all frames in one pass."""
+
+    def get_result_buffers(self):
+        return {
+            "num_frames": self.buffer(kind="single", dtype="float32"),
+            "sum": self.buffer(kind="sig", dtype="float32"),
+            "varsum": self.buffer(kind="sig", dtype="float32"),
+            "var": self.buffer(kind="sig", dtype="float32",
+                               use="result_only"),
+            "std": self.buffer(kind="sig", dtype="float32",
+                               use="result_only"),
+            "mean": self.buffer(kind="sig", dtype="float32",
+                                use="result_only"),
+        }
+
+    def process_tile(self, tile):
+        n1 = self.meta.valid_frames.astype(jnp.float32)
+        safe_n1 = jnp.maximum(n1, 1.0)
+        sum1 = tile.sum(axis=0)
+        mean1 = sum1 / safe_n1
+        vmask = self.meta.tile_valid.reshape(
+            (-1,) + (1,) * (tile.ndim - 1)
+        )
+        diff = (tile - mean1) * vmask
+        varsum1 = (diff * diff).sum(axis=0)
+        n, s, v = _combine(
+            self.results.num_frames, self.results.sum,
+            self.results.varsum, n1, sum1, varsum1,
+        )
+        # with a sig-tiled scheme every sig slice sees the same frames:
+        # update the (single-kind) frame count only once per tile, on
+        # the *last* slice so earlier slices still read the old count
+        if (
+            self.meta.tiling_scheme is None
+            or self.meta.tiling_scheme_idx
+            == len(self.meta.tiling_scheme) - 1
+        ):
+            self.results.num_frames = n
+        self.results.sum = s
+        self.results.varsum = v
+
+    def merge(self, dest, src):
+        n, s, v = _combine(
+            dest.num_frames, dest.sum, dest.varsum,
+            src.num_frames, src.sum, src.varsum,
+        )
+        dest.num_frames = n
+        dest.sum = s
+        dest.varsum = v
+
+    def get_results(self):
+        n = max(float(self.results.num_frames), 1.0)
+        var = self.results.varsum / n
+        return {
+            "var": var,
+            "std": np.sqrt(var),
+            "mean": self.results.sum / n,
+        }
+
+
+def run_stddev(ctx, dataset, roi=None, progress=False):
+    """Convenience wrapper (reference stddev.py:501)."""
+    res = ctx.run_udf(
+        dataset, StdDevUDF(), roi=roi, progress=progress
+    )
+    return {
+        k: res[k].data
+        for k in ("num_frames", "sum", "varsum", "var", "std", "mean")
+    }

@@ -1,0 +1,254 @@
+import numpy as np
+import pytest
+
+from libertem_tpu import masks as mask_lib
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import (
+    ApplyMasksUDF,
+    AutoUDF,
+    CoMUDF,
+    CrystallinityUDF,
+    FEMUDF,
+    LogsumUDF,
+    NoOpUDF,
+    PickUDF,
+    StdDevUDF,
+    SumSigUDF,
+    SumUDF,
+)
+from libertem_tpu.udf.com import CoMParams
+
+from utils import naive_mask_apply
+from conftest import _mk_random
+
+
+@pytest.fixture
+def data():
+    return _mk_random((14, 15, 24, 24), dtype="float32")
+
+
+@pytest.fixture
+def ds(data):
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=3
+    ).initialize()
+
+
+def test_sum(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+
+
+def test_sumsig(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_multi_udf_single_pass(lt_ctx, ds, data):
+    res_sum, res_sumsig = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()])
+    assert np.allclose(
+        res_sum["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        res_sumsig["intensity"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_stddev(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, StdDevUDF())
+    flat = data.reshape(-1, 24, 24)
+    assert float(res["num_frames"].data) == flat.shape[0]
+    assert np.allclose(res["sum"].data, flat.sum(axis=0), rtol=1e-4)
+    assert np.allclose(
+        res["mean"].data, flat.mean(axis=0), rtol=1e-4
+    )
+    assert np.allclose(
+        res["var"].data, flat.var(axis=0), rtol=1e-3, atol=1e-4
+    )
+    assert np.allclose(
+        res["std"].data, flat.std(axis=0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_stddev_roi(lt_ctx, ds, data):
+    rng = np.random.default_rng(7)
+    roi = rng.random(14 * 15) > 0.4
+    res = lt_ctx.run_udf(ds, StdDevUDF(), roi=roi)
+    flat = data.reshape(-1, 24, 24)[roi]
+    assert float(res["num_frames"].data) == flat.shape[0]
+    assert np.allclose(
+        res["var"].data, flat.var(axis=0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_apply_masks(lt_ctx, ds, data):
+    m0 = mask_lib.circular(12, 12, 24, 24, 5)
+    m1 = mask_lib.ring(12, 12, 24, 24, 10, 6)
+    m2 = mask_lib.gradient_x(24, 24)
+    udf = ApplyMasksUDF(
+        mask_factories=[lambda: m0, lambda: m1, lambda: m2]
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    expected = naive_mask_apply([m0, m1, m2], data)
+    assert res["intensity"].data.shape == (14, 15, 3)
+    assert np.allclose(
+        res["intensity"].data, expected, rtol=5e-3, atol=1e-2
+    )
+
+
+def test_apply_masks_roi(lt_ctx, ds, data):
+    m0 = mask_lib.circular(12, 12, 24, 24, 5)
+    rng = np.random.default_rng(3)
+    roi = rng.random(14 * 15) > 0.5
+    udf = ApplyMasksUDF(mask_factories=[lambda: m0])
+    res = lt_ctx.run_udf(ds, udf, roi=roi)
+    expected = naive_mask_apply([m0], data).reshape(-1, 1)
+    out = res["intensity"].data.reshape(-1, 1)
+    assert np.allclose(out[roi], expected[roi], rtol=5e-3, atol=1e-2)
+    assert np.isnan(out[~roi]).all()
+
+
+def test_com(lt_ctx, ds, data):
+    udf = CoMUDF.with_params()
+    res = lt_ctx.run_udf(ds, udf)
+    flat = data.reshape(-1, 24, 24).astype(np.float64)
+    y, x = np.mgrid[0:24, 0:24]
+    tot = flat.sum(axis=(1, 2))
+    ref_y = (flat * y).sum(axis=(1, 2)) / tot
+    ref_x = (flat * x).sum(axis=(1, 2)) / tot
+    raw_com = res["raw_com"].data.reshape(-1, 2)
+    assert np.allclose(raw_com[:, 0], ref_y, rtol=1e-3, atol=1e-3)
+    assert np.allclose(raw_com[:, 1], ref_x, rtol=1e-3, atol=1e-3)
+    # shifts relative to default center (11.5, 11.5)
+    shifts = res["raw_shifts"].data.reshape(-1, 2)
+    assert np.allclose(shifts[:, 0], ref_y - 11.5, rtol=1e-3, atol=5e-3)
+    assert res["field"].data.shape == (14, 15, 2)
+    assert res["magnitude"].data.shape == (14, 15)
+    assert res["divergence"].data.shape == (14, 15)
+
+
+def test_com_masked(lt_ctx, ds, data):
+    udf = CoMUDF.with_params(cy=12, cx=12, r=8)
+    res = lt_ctx.run_udf(ds, udf)
+    flat = data.reshape(-1, 24, 24).astype(np.float64)
+    y, x = np.mgrid[0:24, 0:24]
+    mask = ((y - 12) ** 2 + (x - 12) ** 2 <= 64).astype(np.float64)
+    tot = (flat * mask).sum(axis=(1, 2))
+    ref_y = (flat * y * mask).sum(axis=(1, 2)) / tot
+    raw_com = res["raw_com"].data.reshape(-1, 2)
+    assert np.allclose(raw_com[:, 0], ref_y, rtol=1e-3, atol=1e-3)
+
+
+def test_pick(lt_ctx, ds, data):
+    roi = np.zeros(14 * 15, dtype=bool)
+    roi[[3, 77, 150]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    picked = res["intensity"].data
+    flat = data.reshape(-1, 24, 24)
+    assert picked.shape == (3, 24, 24)
+    assert np.allclose(picked, flat[[3, 77, 150]])
+
+
+def test_logsum(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, LogsumUDF())
+    flat = data.reshape(-1, 24, 24)
+    mins = flat.min(axis=(1, 2), keepdims=True)
+    expected = np.log1p(flat - mins).sum(axis=0)
+    assert np.allclose(res["logsum"].data, expected, rtol=1e-3,
+                       atol=1e-3)
+
+
+def test_fem(lt_ctx, ds, data):
+    udf = FEMUDF(center=(12, 12), rad_in=4, rad_out=9)
+    res = lt_ctx.run_udf(ds, udf)
+    y, x = np.ogrid[0:24, 0:24]
+    d = np.sqrt((y - 12) ** 2 + (x - 12) ** 2)
+    sel = (d >= 4) & (d < 9)
+    flat = data.reshape(-1, 24 * 24)
+    expected = flat[:, sel.reshape(-1)].std(axis=1)
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected,
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_crystallinity(lt_ctx, ds, data):
+    udf = CrystallinityUDF(rad_in=2, rad_out=8)
+    res = lt_ctx.run_udf(ds, udf)
+    flat = data.reshape(-1, 24, 24)
+    spec = np.abs(np.fft.fftshift(
+        np.fft.fft2(flat), axes=(1, 2)
+    ))
+    y, x = np.ogrid[0:24, 0:24]
+    d = np.sqrt((y - 12) ** 2 + (x - 12) ** 2)
+    sel = (d >= 2) & (d < 8)
+    expected = (spec * sel).sum(axis=(1, 2))
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected, rtol=1e-3,
+    )
+
+
+def test_auto(lt_ctx, ds, data):
+    import jax.numpy as jnp
+    res = lt_ctx.map(ds, lambda frame: frame.sum())
+    flat = data.reshape(-1, 24, 24)
+    assert np.allclose(
+        res.data.reshape(-1), flat.sum(axis=(1, 2)), rtol=1e-4
+    )
+    res2 = lt_ctx.map(ds, lambda frame: jnp.stack(
+        [frame.max(), frame.min()]
+    ))
+    assert res2.data.shape == (14, 15, 2)
+    assert np.allclose(
+        res2.data[..., 0].reshape(-1), flat.max(axis=(1, 2))
+    )
+
+
+def test_noop(lt_ctx, ds):
+    res = lt_ctx.run_udf(ds, NoOpUDF())
+    assert res is not None
+
+
+def test_aux_data(lt_ctx, ds, data):
+    from libertem_tpu.udf.base import UDF
+
+    class WeightedSumUDF(UDF):
+        def get_result_buffers(self):
+            return {
+                "wsum": self.buffer(kind="sig", dtype="float32"),
+            }
+
+        def process_tile(self, tile):
+            w = self.params.weights  # (depth,) aux rows
+            self.results.wsum += (
+                tile * w.reshape((-1,) + (1,) * (tile.ndim - 1))
+            ).sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.wsum = dest.wsum + src.wsum
+
+    weights = np.linspace(0.1, 2.0, 14 * 15).astype(np.float32)
+    udf = WeightedSumUDF(
+        weights=UDF.aux_data(weights, kind="nav", extra_shape=(),
+                             dtype="float32")
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    flat = data.reshape(-1, 24, 24)
+    expected = (flat * weights[:, None, None]).sum(axis=0)
+    assert np.allclose(res["wsum"].data, expected, rtol=1e-3)
+
+
+def test_damage_partial_results(lt_ctx, ds, data):
+    partials = list(lt_ctx.run_udf_iter(ds, SumSigUDF()))
+    assert len(partials) == 3
+    d0 = partials[0].damage.data
+    assert d0.sum() > 0 and d0.sum() < 14 * 15
+    assert partials[-1].damage.data.all()
+    # partial nav results only valid where damaged
+    buf = partials[0].buffers[0]["intensity"]
+    vm = buf.valid_mask
+    assert vm.sum() == d0.sum()
