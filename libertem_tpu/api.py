@@ -94,8 +94,13 @@ class Context:
                 dataset, roi=roi, corrections=corrections,
                 progress=progress,
                 device=self.executor.main_device,
+                devices=self._run_devices(),
             )
         return self._wrap(results, single)
+
+    def _run_devices(self):
+        devs = self.executor.devices
+        return devs if len(devs) > 1 else None
 
     def run_udf_iter(
         self,
@@ -113,6 +118,7 @@ class Context:
         for results in runner.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections, progress=progress,
             device=self.executor.main_device,
+            devices=self._run_devices(),
         ):
             yield results
 

@@ -383,11 +383,13 @@ class UDFRunner:
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
         device=None,
+        devices=None,
     ) -> UDFResults:
         result = None
         for result in self.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections,
-            progress=progress, device=device, yield_partial=False,
+            progress=progress, device=device, devices=devices,
+            yield_partial=False,
         ):
             pass
         assert result is not None
@@ -400,14 +402,28 @@ class UDFRunner:
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
         device=None,
+        devices=None,
         yield_partial: bool = True,
     ):
         """Generator of UDFResults snapshots, one per merged partition
-        (the last one is the final result)."""
-        prep = self._prepare(dataset, roi, corrections, device)
-        yield from self._run_loop(
-            prep, dataset, roi, progress, yield_partial
-        )
+        (the last one is the final result).
+
+        With ``devices`` (a list of >1 jax devices) the run is sharded
+        over a device mesh: the nav axis splits into one contiguous
+        shard per device, the tile loop runs as a single shard_mapped
+        XLA program per super-step, and the final sig/single states are
+        folded across devices with the UDF's merge().
+        """
+        if devices is not None and len(devices) > 1:
+            prep = self._prepare(dataset, roi, corrections, devices[0])
+            yield from self._run_loop_sharded(
+                prep, dataset, roi, progress, yield_partial, devices
+            )
+        else:
+            prep = self._prepare(dataset, roi, corrections, device)
+            yield from self._run_loop(
+                prep, dataset, roi, progress, yield_partial
+            )
 
     def dry_run(self, dataset, roi=None) -> UDFResults:
         """Buffer declarations without reading data
@@ -593,52 +609,65 @@ class UDFRunner:
             x = flat.reshape(x.shape)
         return x
 
-    def _make_step(self, prep) -> Callable:
-        """Build the jitted per-block step:
+    def _step_body(
+        self, prep, state, part_state, raw_block,
+        local_off, global_off, coords, valid_count,
+    ):
+        """The traced per-block step body.
 
-        (state, part_state, raw_block, goff, coords, valid_count, aux)
-            -> (state, part_state)
+        ``local_off``  — block's first-frame offset into the (possibly
+                         shard-local) nav state arrays.
+        ``global_off`` — offset into the roi-compressed global nav
+                         ordering (for aux gathers and UDF metadata).
         """
         plan = prep["plan"]
         scheme = prep["scheme"]
         meta = prep["meta"]
         depth = scheme.depth
         aux_all = prep["aux"]
+        block = self._apply_corrections(raw_block, prep)
+        valid_mask = (
+            jnp.arange(depth, dtype=jnp.int32) < valid_count
+        )
+        new_state = [dict(s) for s in state]
+        new_part = [dict(s) for s in part_state]
+        for k, sig_slice in scheme.slices:
+            if len(scheme) == 1:
+                tile = block
+            else:
+                tile = block[(slice(None),) + sig_slice.get()]
+            for ui, entry in enumerate(plan):
+                aux_views = {
+                    name: jax.lax.dynamic_slice_in_dim(
+                        arr, global_off, depth, axis=0
+                    )
+                    for name, arr in aux_all[ui].items()
+                }
+                self._run_udf_on_tile(
+                    entry, tile, k, sig_slice, meta,
+                    new_state[ui], new_part[ui],
+                    local_off, global_off, coords, valid_mask,
+                    valid_count, aux_views, depth,
+                )
+        return new_state, new_part
+
+    def _make_step(self, prep) -> Callable:
+        """Jitted single-device per-block step."""
 
         def step(state, part_state, raw_block, goff, coords, valid_count):
-            block = self._apply_corrections(raw_block, prep)
-            valid_mask = (
-                jnp.arange(depth, dtype=jnp.int32) < valid_count
+            return self._step_body(
+                prep, state, part_state, raw_block,
+                goff, goff, coords, valid_count,
             )
-            new_state = [dict(s) for s in state]
-            new_part = [dict(s) for s in part_state]
-            for k, sig_slice in scheme.slices:
-                if len(scheme) == 1:
-                    tile = block
-                else:
-                    tile = block[(slice(None),) + sig_slice.get()]
-                for ui, entry in enumerate(plan):
-                    aux_views = {
-                        name: jax.lax.dynamic_slice_in_dim(
-                            arr, goff, depth, axis=0
-                        )
-                        for name, arr in aux_all[ui].items()
-                    }
-                    self._run_udf_on_tile(
-                        entry, tile, k, sig_slice, meta,
-                        new_state[ui], new_part[ui],
-                        goff, coords, valid_mask, valid_count,
-                        aux_views, depth,
-                    )
-            return new_state, new_part
 
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _run_udf_on_tile(
         self, entry, tile, scheme_idx, sig_slice, meta,
-        state_u, part_u, goff, coords, valid_mask, valid_count,
-        aux_views, depth,
+        state_u, part_u, local_off, global_off, coords, valid_mask,
+        valid_count, aux_views, depth,
     ):
+        goff = local_off  # nav-state updates use the local offset
         udf = entry.udf
         decls = entry.decls
         whole_sig = (
@@ -676,7 +705,7 @@ class UDFRunner:
 
         meta.sig_slice = sig_slice
         meta.tiling_scheme_idx = scheme_idx
-        meta.global_offset = goff
+        meta.global_offset = global_off
 
         if entry.method in ("tile", "partition"):
             views = {}
@@ -862,6 +891,218 @@ class UDFRunner:
                 yield self._wrap_results(prep, state, damage_host.copy())
         if not any_partition or not yield_partial:
             yield self._wrap_results(prep, state, damage_host)
+
+    # -- sharded multi-device loop ----------------------------------------
+
+    def _run_loop_sharded(
+        self, prep, dataset, roi, progress, yield_partial, devices
+    ):
+        """SPMD over a 1-D device mesh: the roi-compressed nav axis is
+        split into one contiguous shard per device; every super-step
+        runs one block per device inside a single shard_mapped jitted
+        program (no collectives in the hot loop — nav writes are
+        shard-local, sig/single accumulate per device and are folded
+        with the UDF's merge() at the end).
+        """
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        scheme = prep["scheme"]
+        depth = scheme.depth
+        n_nav = prep["n_nav"]
+        n_dev = len(devices)
+        mesh = Mesh(np.array(devices), ("workers",))
+        shard_spec = NamedSharding(mesh, P("workers"))
+        repl_spec = NamedSharding(mesh, P())
+
+        meta0 = dataset.meta
+        sig = tuple(meta0.shape.sig)
+        nav_shape = tuple(meta0.shape.nav)
+        partitions = prep["partitions"]
+
+        # replicate aux arrays over the mesh
+        for entry in prep["aux"]:
+            for k in entry:
+                entry[k] = jax.device_put(
+                    np.asarray(entry[k]), repl_spec
+                )
+
+        # selected dataset-space frame ids, split into device shards
+        if roi is not None:
+            ids_all = np.flatnonzero(np.asarray(roi).reshape(-1))
+        else:
+            ids_all = np.arange(n_nav, dtype=np.int64)
+        bounds = np.linspace(0, n_nav, n_dev + 1).astype(np.int64)
+        shard_sizes = np.diff(bounds)
+        shard_max = int(shard_sizes.max()) if n_nav else 0
+        n_steps = max(1, -(-shard_max // depth))
+
+        def read_ds_range(lo, hi):
+            out = np.zeros((hi - lo,) + sig, dtype=meta0.raw_dtype)
+            for p in partitions:
+                s = max(lo, p.start_frame)
+                e = min(hi, p.start_frame + p.num_frames)
+                if e > s:
+                    out[s - lo:e - lo] = p.read_dataset_frames(s, e)
+            return out
+
+        # per-device state: nav arrays are shard-local (+depth pad)
+        state = []
+        for entry in prep["plan"]:
+            bufs = {}
+            for name in entry.nav_names:
+                b = entry.decls[name]
+                bufs[name] = jax.device_put(
+                    np.zeros(
+                        (n_dev, shard_max + depth) + b.extra_shape,
+                        dtype=b.dtype,
+                    ),
+                    shard_spec,
+                )
+            for name in entry.part_names:
+                b = entry.decls[name]
+                bufs[name] = jax.device_put(
+                    np.zeros((n_dev,) + b.shape, dtype=b.dtype),
+                    shard_spec,
+                )
+            state.append(bufs)
+
+        def inner(state, blk, loff, goff, valid, coords):
+            sq = lambda t: jax.tree.map(lambda x: x[0], t)
+            nav_part = [
+                {n: s[n] for n in e.nav_names}
+                for s, e in zip(sq(state), prep["plan"])
+            ]
+            sig_part = [
+                {n: s[n] for n in e.part_names}
+                for s, e in zip(sq(state), prep["plan"])
+            ]
+            ns, nps = self._step_body(
+                prep, nav_part, sig_part, blk[0],
+                loff[0], goff[0], coords[0], valid[0],
+            )
+            merged = [
+                {**a, **b} for a, b in zip(ns, nps)
+            ]
+            return jax.tree.map(lambda x: x[None], merged)
+
+        step = jax.jit(
+            jax.shard_map(
+                inner, mesh=mesh,
+                in_specs=(
+                    P("workers"), P("workers"), P("workers"),
+                    P("workers"), P("workers"), P("workers"),
+                ),
+                out_specs=P("workers"),
+            ),
+            donate_argnums=(0,),
+        )
+
+        damage_host = np.zeros(n_nav, dtype=bool)
+        step_iter = range(n_steps)
+        if progress:
+            import tqdm
+            step_iter = tqdm.tqdm(step_iter, unit="superstep")
+
+        for udf in self._udfs:
+            udf.preprocess()
+
+        for s in step_iter:
+            blk = np.zeros((n_dev, depth) + sig, dtype=meta0.raw_dtype)
+            loffs = np.zeros(n_dev, dtype=np.int32)
+            goffs = np.zeros(n_dev, dtype=np.int32)
+            valids = np.zeros(n_dev, dtype=np.int32)
+            coords = np.zeros(
+                (n_dev, depth, len(nav_shape)), dtype=np.int32
+            )
+            for d in range(n_dev):
+                off = s * depth
+                size_d = int(shard_sizes[d])
+                if off >= size_d:
+                    continue
+                chunk = ids_all[
+                    bounds[d] + off:
+                    min(bounds[d] + off + depth, bounds[d + 1])
+                ]
+                lo, hi = int(chunk[0]), int(chunk[-1]) + 1
+                cover = read_ds_range(lo, hi)
+                data = cover[chunk - lo]
+                blk[d, :len(chunk)] = data
+                loffs[d] = off
+                goffs[d] = bounds[d] + off
+                valids[d] = len(chunk)
+                if len(nav_shape):
+                    unr = np.unravel_index(chunk, nav_shape)
+                    for dim, u in enumerate(unr):
+                        coords[d, :len(chunk), dim] = u
+                damage_host[bounds[d] + off:
+                            bounds[d] + off + len(chunk)] = True
+            dev_blk = jax.device_put(blk, shard_spec)
+            state = step(
+                state, dev_blk,
+                jax.device_put(loffs, shard_spec),
+                jax.device_put(goffs, shard_spec),
+                jax.device_put(valids, shard_spec),
+                jax.device_put(coords, shard_spec),
+            )
+            if yield_partial:
+                yield self._wrap_results(
+                    prep,
+                    self._collapse_sharded(prep, state, bounds,
+                                           shard_max),
+                    damage_host.copy(),
+                )
+
+        for udf in self._udfs:
+            udf.postprocess()
+        if not yield_partial:
+            yield self._wrap_results(
+                prep,
+                self._collapse_sharded(prep, state, bounds, shard_max),
+                damage_host,
+            )
+
+    def _collapse_sharded(self, prep, state, bounds, shard_max):
+        """Gather per-device states to host: concatenate nav shards,
+        fold sig/single shards with the UDFs' merge()."""
+        n_nav = prep["n_nav"]
+        depth = prep["scheme"].depth
+        out = []
+        for ui, entry in enumerate(prep["plan"]):
+            bufs = {}
+            host = {
+                n: np.asarray(state[ui][n]) for n in state[ui]
+            }
+            for name in entry.nav_names:
+                arr = host[name]  # (n_dev, shard_max+depth, ...)
+                full = np.zeros(
+                    (n_nav + depth,) + arr.shape[2:], arr.dtype
+                )
+                for d in range(arr.shape[0]):
+                    size_d = int(bounds[d + 1] - bounds[d])
+                    full[bounds[d]:bounds[d + 1]] = arr[d][:size_d]
+                bufs[name] = full
+            if entry.part_names:
+                udf = entry.udf
+                n_dev = host[entry.part_names[0]].shape[0]
+                acc = {
+                    n: jnp.asarray(host[n][0])
+                    for n in entry.part_names
+                }
+                for d in range(1, n_dev):
+                    dest = UDFData(acc)
+                    src = UDFData({
+                        n: jnp.asarray(host[n][d])
+                        for n in entry.part_names
+                    })
+                    udf.merge(dest, src)
+                    acc = {
+                        n: dest[n].astype(entry.decls[n].dtype)
+                        for n in entry.part_names
+                    }
+                for n in entry.part_names:
+                    bufs[n] = np.asarray(acc[n])
+            out.append(bufs)
+        return out
 
     # -- result wrapping --------------------------------------------------
 

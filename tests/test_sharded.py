@@ -1,0 +1,85 @@
+import jax
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import (
+    ApplyMasksUDF, PickUDF, StdDevUDF, SumSigUDF, SumUDF,
+)
+from libertem_tpu.udf.base import UDFRunner
+from libertem_tpu import masks as mask_lib
+
+from utils import naive_mask_apply
+from conftest import _mk_random
+
+
+@pytest.fixture
+def data():
+    return _mk_random((16, 16, 24, 24), dtype="float32")
+
+
+@pytest.fixture
+def ds(data):
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=5
+    ).initialize()
+
+
+def devices():
+    return jax.devices()
+
+
+def test_sharded_sum(ds, data):
+    res = UDFRunner([SumUDF(), SumSigUDF()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, data.sum(axis=(0, 1)),
+        rtol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[1]["intensity"].data, data.sum(axis=(2, 3)),
+        rtol=1e-4,
+    )
+
+
+def test_sharded_stddev_masks(ds, data):
+    m0 = mask_lib.circular(12, 12, 24, 24, 6)
+    res = UDFRunner([
+        StdDevUDF(), ApplyMasksUDF(mask_factories=[lambda: m0]),
+    ]).run_for_dataset(ds, devices=devices())
+    flat = data.reshape(-1, 24, 24)
+    assert float(res.buffers[0]["num_frames"].data) == flat.shape[0]
+    assert np.allclose(
+        res.buffers[0]["var"].data, flat.var(axis=0),
+        rtol=1e-3, atol=1e-4,
+    )
+    expected = naive_mask_apply([m0], data)
+    assert np.allclose(
+        res.buffers[1]["intensity"].data, expected,
+        rtol=5e-3, atol=1e-2,
+    )
+
+
+def test_sharded_roi_pick(ds, data):
+    roi = np.zeros(16 * 16, dtype=bool)
+    roi[[5, 100, 200, 255]] = True
+    res = UDFRunner([PickUDF()]).run_for_dataset(
+        ds, roi=roi, devices=devices()
+    )
+    flat = data.reshape(-1, 24, 24)
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, flat[[5, 100, 200, 255]]
+    )
+
+
+def test_sharded_partial_iter(ds, data):
+    partials = list(UDFRunner([SumSigUDF()]).run_for_dataset_iter(
+        ds, devices=devices()
+    ))
+    assert len(partials) >= 1
+    assert partials[-1].damage.data.all()
+    assert np.allclose(
+        partials[-1].buffers[0]["intensity"].data,
+        data.sum(axis=(2, 3)), rtol=1e-4,
+    )
