@@ -1,0 +1,150 @@
+"""Dataset export + result download formats.
+
+Counterpart of the reference's ``libertem/io/writers/``: WriteHandle
+(tile-wise raw writing, writers/base.py:8) and the result formats
+(HDF5/NPZ/TIFF/RAW, writers/results/formats.py:8–113) used by
+Context.export_dataset (api.py:1706) and the web download API.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+
+def write_dataset_npy(ctx, dataset, path: str, progress=False) -> None:
+    """Stream a dataset to a .npy file via the RecordUDF-equivalent
+    (reference: udf/record.py, contrib/convert_transposed.py)."""
+    from ..udf.record import RecordUDF
+    udf = RecordUDF(filename=path)
+    ctx.run_udf(dataset, udf, progress=progress)
+
+
+class WriteHandle:
+    """Tile-wise writing of a partition's worth of frames to a raw
+    file, atomically (tmp + rename; reference writers/base.py:8)."""
+
+    def __init__(self, path: str, dtype, shape):
+        self._path = path
+        self._dtype = np.dtype(dtype)
+        self._shape = tuple(shape)
+        self._tmp = None
+        self._mmap = None
+
+    def __enter__(self):
+        fd, self._tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(self._path)) or "."
+        )
+        os.close(fd)
+        self._mmap = np.lib.format.open_memmap(
+            self._tmp, mode="w+", dtype=self._dtype, shape=self._shape
+        )
+        return self
+
+    def write_frames(self, offset: int, frames: np.ndarray):
+        self._mmap[offset:offset + frames.shape[0]] = frames
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._mmap is not None:
+            self._mmap.flush()
+            del self._mmap
+            self._mmap = None
+        if exc_type is None:
+            os.replace(self._tmp, self._path)
+        else:
+            os.unlink(self._tmp)
+        return False
+
+
+# -- result download formats (web API) ---------------------------------
+
+class ResultFormat:
+    registry: dict = {}
+
+    def __init_subclass__(cls, id_=None, **kw):
+        super().__init_subclass__(**kw)
+        if id_ is not None:
+            cls.id_ = id_
+            ResultFormat.registry[id_] = cls
+
+    @classmethod
+    def get_available_formats(cls):
+        return {
+            id_: f.description for id_, f in cls.registry.items()
+        }
+
+    def __init__(self, result_set):
+        self._result_set = result_set
+
+    def _iter_arrays(self):
+        for k in self._result_set.keys():
+            buf = self._result_set[k]
+            data = getattr(buf, "data", buf)
+            if data is not None:
+                yield k, np.asarray(data)
+
+
+class NpzFormat(ResultFormat, id_="NPZ"):
+    description = "numpy .npz"
+    extension = "npz"
+
+    def serialize_to(self, fileobj, compressed=False):
+        arrays = dict(self._iter_arrays())
+        if compressed:
+            np.savez_compressed(fileobj, **arrays)
+        else:
+            np.savez(fileobj, **arrays)
+
+
+class NpzCompressedFormat(NpzFormat, id_="NPZ_COMPRESSED"):
+    description = "numpy .npz (compressed)"
+
+    def serialize_to(self, fileobj):
+        super().serialize_to(fileobj, compressed=True)
+
+
+class Hdf5Format(ResultFormat, id_="HDF5"):
+    description = "HDF5"
+    extension = "h5"
+
+    def serialize_to(self, fileobj):
+        import h5py
+        with h5py.File(fileobj, "w") as f:
+            for k, arr in self._iter_arrays():
+                f.create_dataset(k, data=arr)
+
+
+class RawFormat(ResultFormat, id_="RAW"):
+    description = "raw binary (one file per channel, concatenated)"
+    extension = "bin"
+
+    def serialize_to(self, fileobj):
+        for _, arr in self._iter_arrays():
+            fileobj.write(np.ascontiguousarray(arr).tobytes())
+
+
+class TiffFormat(ResultFormat, id_="TIFF"):
+    description = "TIFF stack (float32)"
+    extension = "tif"
+
+    def serialize_to(self, fileobj):
+        from PIL import Image
+        images = []
+        for _, arr in self._iter_arrays():
+            arr = np.asarray(arr)
+            if np.iscomplexobj(arr):
+                arr = np.abs(arr)
+            arr2d = arr.reshape(
+                (-1,) + arr.shape[-2:]
+            ) if arr.ndim >= 2 else arr.reshape(1, 1, -1)
+            for plane in arr2d:
+                images.append(
+                    Image.fromarray(plane.astype(np.float32))
+                )
+        if images:
+            images[0].save(
+                fileobj, format="TIFF", save_all=True,
+                append_images=images[1:],
+            )

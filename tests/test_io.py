@@ -1,0 +1,128 @@
+import os
+
+import numpy as np
+import pytest
+
+from libertem_tpu.io.corrections import CorrectionSet
+from libertem_tpu.io.dataset.hdf5 import H5DataSet
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.io.dataset.npy import NPYDataSet
+from libertem_tpu.io.dataset.raw import RawFileDataSet
+from libertem_tpu.udf import PickUDF, SumSigUDF, SumUDF
+
+from conftest import _mk_random
+
+
+@pytest.fixture
+def data():
+    return _mk_random((13, 17, 19, 21), dtype="uint16")
+
+
+def _check(lt_ctx, ds, data):
+    res_sum, res_ss = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()])
+    ref = data.astype(np.float32)
+    assert np.allclose(
+        res_sum["intensity"].data, ref.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        res_ss["intensity"].data, ref.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_raw_ds(lt_ctx, tmp_path, data):
+    path = str(tmp_path / "test.raw")
+    data.tofile(path)
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=(13, 17), sig_shape=(19, 21),
+    )
+    assert tuple(ds.shape) == (13, 17, 19, 21)
+    _check(lt_ctx, ds, data)
+
+
+def test_raw_sync_offset(lt_ctx, tmp_path, data):
+    path = str(tmp_path / "test.raw")
+    data.tofile(path)
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=(13, 17), sig_shape=(19, 21), sync_offset=2,
+    )
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    flat = data.reshape(-1, 19, 21).astype(np.float32)
+    expected = np.zeros(13 * 17, dtype=np.float32)
+    expected[:13 * 17 - 2] = flat[2:].sum(axis=(1, 2))
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected, rtol=1e-4
+    )
+
+
+def test_npy_ds(lt_ctx, tmp_path, data):
+    path = str(tmp_path / "test.npy")
+    np.save(path, data)
+    ds = lt_ctx.load("npy", path=path, sig_dims=2)
+    assert tuple(ds.shape) == (13, 17, 19, 21)
+    _check(lt_ctx, ds, data)
+
+
+def test_npy_autodetect(lt_ctx, tmp_path, data):
+    path = str(tmp_path / "test.npy")
+    np.save(path, data)
+    ds = lt_ctx.load("auto", path)
+    assert tuple(ds.shape) == (13, 17, 19, 21)
+
+
+def test_hdf5_ds(lt_ctx, tmp_path, data):
+    import h5py
+    path = str(tmp_path / "test.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data, chunks=(1, 4, 19, 21))
+    ds = lt_ctx.load("hdf5", path=path, ds_path="data")
+    assert tuple(ds.shape) == (13, 17, 19, 21)
+    _check(lt_ctx, ds, data)
+
+
+def test_hdf5_autodetect_dspath(lt_ctx, tmp_path, data):
+    import h5py
+    path = str(tmp_path / "t2.h5")
+    with h5py.File(path, "w") as f:
+        grp = f.create_group("nested")
+        grp.create_dataset("frames", data=data)
+    ds = lt_ctx.load("hdf5", path=path)
+    assert tuple(ds.shape) == (13, 17, 19, 21)
+
+
+def test_corrections_roundtrip(lt_ctx, data):
+    """Corrections applied on device match the numpy reference
+    (counterpart of dataset_correction_verification,
+    reference tests/utils.py:259)."""
+    rng = np.random.default_rng(5)
+    dark = rng.normal(size=(19, 21)).astype(np.float32)
+    gain = (1 + 0.1 * rng.random((19, 21))).astype(np.float32)
+    excluded = np.zeros((19, 21), dtype=bool)
+    excluded[3, 4] = excluded[10, 15] = excluded[3, 5] = True
+    corr = CorrectionSet(dark=dark, gain=gain,
+                         excluded_pixels=excluded)
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=2)
+    ds.initialize()
+    res = lt_ctx.run_udf(ds, SumUDF(), corrections=corr)
+    flat = data.reshape(-1, 19, 21)
+    expected = corr.apply_numpy(flat).sum(axis=0)
+    assert np.allclose(
+        res["intensity"].data, expected, rtol=1e-3, atol=1e-2
+    )
+
+
+def test_record_and_export(lt_ctx, tmp_path, data):
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=2)
+    ds.initialize()
+    out = str(tmp_path / "exported.npy")
+    lt_ctx.export_dataset(ds, path=out)
+    written = np.load(out)
+    assert written.shape == (13 * 17, 19, 21)
+    assert np.array_equal(written, data.reshape(-1, 19, 21))
+
+
+def test_dataset_registry_unknown(lt_ctx):
+    from libertem_tpu.io.dataset.base import DataSetException
+    with pytest.raises(DataSetException):
+        lt_ctx.load("nosuchformat", path="/nonexistent")
