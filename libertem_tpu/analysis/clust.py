@@ -1,0 +1,116 @@
+"""Cluster analysis: segment the scan by diffraction similarity
+(reference: libertem/analysis/clust.py:93, id CLUST —
+StdDevUDF → peak_local_max → ApplyMasksUDF point features →
+AgglomerativeClustering).
+
+peak_local_max is reimplemented with scipy.ndimage (the reference uses
+skimage, which is not a dependency here).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.analysis import AnalysisResult, AnalysisResultSet
+from ..masks import sparse_template_multi_stack
+from ..udf.masks import ApplyMasksUDF
+from ..udf.stddev import StdDevUDF
+from ..viz.base import visualize_simple
+from .base import BaseAnalysis
+
+
+def peak_local_max(
+    image: np.ndarray, min_distance: int = 1, num_peaks: int = 100,
+) -> np.ndarray:
+    """(n, 2) coordinates of local maxima, strongest first."""
+    from scipy import ndimage
+    image = np.asarray(image, dtype=np.float64)
+    size = 2 * min_distance + 1
+    maxed = ndimage.maximum_filter(image, size=size, mode="constant")
+    mask = (image == maxed) & (image > image.mean())
+    coords = np.argwhere(mask)
+    if len(coords) == 0:
+        return coords.reshape(0, 2)
+    values = image[tuple(coords.T)]
+    order = np.argsort(values)[::-1]
+    return coords[order[:num_peaks]]
+
+
+class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
+    def get_parameters(self, parameters: dict) -> dict:
+        return {
+            "n_clust": parameters.get("n_clust", 8),
+            "n_peaks": parameters.get("n_peaks", 42),
+            "min_dist": parameters.get("min_dist", 1),
+            "rad": parameters.get("rad", 2),
+            **parameters,
+        }
+
+    def get_udf(self):
+        return StdDevUDF()
+
+    def run_clustering(self, ctx) -> AnalysisResultSet:
+        """Full pipeline; needs a Context to run the feature pass
+        (reference runs this via an analysis controller,
+        clust.py:93–205 + web/engine.py:176)."""
+        p = self.parameters
+        sd = ctx.run_udf(self.dataset, StdDevUDF())
+        std_map = np.asarray(sd["std"].data)
+        peaks = peak_local_max(
+            std_map, min_distance=p["min_dist"],
+            num_peaks=p["n_peaks"],
+        )
+        if len(peaks) == 0:
+            raise ValueError("no peaks found for clustering features")
+        h, w = std_map.shape
+        rad = int(p["rad"])
+        template = np.ones((2 * rad + 1, 2 * rad + 1), np.float32)
+
+        def factory():
+            return sparse_template_multi_stack(
+                mask_index=np.arange(len(peaks)),
+                offsetY=peaks[:, 0] - rad, offsetX=peaks[:, 1] - rad,
+                template=template, imageSizeY=h, imageSizeX=w,
+            )
+
+        feats = ctx.run_udf(self.dataset, ApplyMasksUDF(
+            mask_factories=factory, mask_count=len(peaks),
+        ))
+        features = np.asarray(feats["intensity"].data)
+        nav_shape = features.shape[:-1]
+        flat = features.reshape(-1, features.shape[-1])
+        flat = np.nan_to_num(flat)
+        from sklearn.cluster import AgglomerativeClustering
+        conn = None
+        try:
+            from sklearn.feature_extraction.image import (
+                grid_to_graph,
+            )
+            if len(nav_shape) == 2:
+                conn = grid_to_graph(*nav_shape)
+        except Exception:
+            pass
+        labels = AgglomerativeClustering(
+            n_clusters=int(p["n_clust"]), connectivity=conn,
+        ).fit_predict(flat)
+        label_map = labels.reshape(nav_shape).astype(np.float32)
+        return AnalysisResultSet([
+            AnalysisResult(
+                raw_data=label_map,
+                visualized=lambda: visualize_simple(label_map),
+                key="intensity", title="cluster labels",
+                desc="agglomerative clustering of diffraction "
+                     "features",
+            ),
+        ])
+
+    def get_udf_results(self, udf_results, roi, damage):
+        std = udf_results["std"].data
+        return AnalysisResultSet([
+            AnalysisResult(
+                raw_data=std,
+                visualized=lambda: visualize_simple(std),
+                key="intensity", title="std",
+                desc="standard deviation map (clustering runs via "
+                     "run_clustering)",
+            ),
+        ], raw_results=udf_results)

@@ -1,0 +1,92 @@
+"""Mask-based analyses funneling into ApplyMasksUDF
+(reference: libertem/analysis/masks.py:6 BaseMasksAnalysis,
+:148 MasksAnalysis).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.analysis import AnalysisResult, AnalysisResultSet
+from ..udf.masks import ApplyMasksUDF
+from ..viz.base import visualize_simple
+from .base import BaseAnalysis
+from .getroi import get_roi
+
+
+class BaseMasksAnalysis(BaseAnalysis):
+    """Shared scaffolding: build mask factories from parameters, run
+    ApplyMasksUDF, slice per-mask channels out of the result."""
+
+    def get_mask_factories(self):
+        raise NotImplementedError()
+
+    def get_use_sparse(self):
+        return self.parameters.get("use_sparse", None)
+
+    def get_udf(self):
+        return ApplyMasksUDF(
+            mask_factories=self.get_mask_factories(),
+            use_sparse=self.get_use_sparse(),
+            mask_count=self.parameters.get("mask_count"),
+            mask_dtype=self.parameters.get("mask_dtype"),
+            dtype=self.parameters.get("dtype"),
+        )
+
+    def get_roi(self):
+        return get_roi(self.parameters, self.dataset.shape.nav)
+
+    def get_udf_results(self, udf_results, roi, damage):
+        data = udf_results["intensity"].data  # (*nav, n_masks)
+        dmg = self.nav_damage(damage)
+        results = []
+        for i in range(data.shape[-1]):
+            chan = data[..., i]
+            if np.iscomplexobj(chan):
+                results.extend(self.get_complex_results(
+                    chan, key_prefix=f"intensity_{i}",
+                    title=f"intensity[{i}]",
+                    desc="mask result", damage=dmg,
+                ))
+            else:
+                results.append(AnalysisResult(
+                    raw_data=chan,
+                    visualized=(
+                        lambda c=chan: visualize_simple(c, damage=dmg)
+                    ),
+                    key="intensity" if data.shape[-1] == 1
+                    else f"intensity_{i}",
+                    title=f"intensity[{i}]",
+                    desc="mask result",
+                ))
+        return AnalysisResultSet(results, raw_results=udf_results)
+
+
+class MasksAnalysis(BaseMasksAnalysis, id_="MASKS"):
+    def get_mask_factories(self):
+        return self.parameters["factories"]
+
+
+class SingleMaskAnalysis(BaseMasksAnalysis):
+    def get_udf_results(self, udf_results, roi, damage):
+        data = udf_results["intensity"].data[..., 0]
+        dmg = self.nav_damage(damage)
+        if np.iscomplexobj(data):
+            return AnalysisResultSet(
+                self.get_complex_results(
+                    data, key_prefix="intensity",
+                    title="intensity",
+                    desc=self.get_description(), damage=dmg,
+                ),
+                raw_results=udf_results,
+            )
+        return AnalysisResultSet([
+            AnalysisResult(
+                raw_data=data,
+                visualized=lambda: visualize_simple(data, damage=dmg),
+                key="intensity", title="intensity",
+                desc=self.get_description(),
+            ),
+        ], raw_results=udf_results)
+
+    def get_description(self):
+        return "intensity of the virtual detector"

@@ -1,0 +1,60 @@
+"""Pick-frame analysis
+(reference: libertem/analysis/raw.py:83, id PICK_FRAME)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.analysis import AnalysisResult, AnalysisResultSet
+from ..common.math import prod
+from ..udf.raw import PickUDF
+from ..viz.base import visualize_simple
+from .base import BaseAnalysis
+
+
+class PickFrameAnalysis(BaseAnalysis, id_="PICK_FRAME"):
+    def get_coords(self):
+        nav = tuple(self.dataset.shape.nav)
+        p = self.parameters
+        if len(nav) == 1:
+            return (int(p["x"]),)
+        coords = (int(p.get("y", 0)), int(p["x"]))
+        if len(nav) == 3:
+            coords = (int(p.get("z", 0)),) + coords
+        return coords
+
+    def get_udf(self):
+        return PickUDF()
+
+    def get_roi(self):
+        nav = tuple(self.dataset.shape.nav)
+        roi = np.zeros(prod(nav), dtype=bool)
+        roi[np.ravel_multi_index(self.get_coords(), nav)] = True
+        return roi
+
+    def get_udf_results(self, udf_results, roi, damage):
+        frame = np.asarray(udf_results["intensity"].data)[0]
+        coords_str = ", ".join(str(c) for c in self.get_coords())
+        results = []
+        if np.iscomplexobj(frame):
+            results.extend(self.get_complex_results(
+                frame, key_prefix="intensity",
+                title=f"frame ({coords_str})",
+                desc="the frame at the selected scan position",
+            ))
+        else:
+            results.append(AnalysisResult(
+                raw_data=frame,
+                visualized=lambda: visualize_simple(frame),
+                key="intensity", title=f"frame ({coords_str})",
+                desc="the frame at the selected scan position",
+            ))
+            results.append(AnalysisResult(
+                raw_data=frame,
+                visualized=lambda: visualize_simple(
+                    frame, logarithmic=True
+                ),
+                key="intensity_log",
+                title=f"frame ({coords_str}) [log]",
+                desc="the frame at the selected scan position (log)",
+            ))
+        return AnalysisResultSet(results, raw_results=udf_results)

@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+
+from conftest import _mk_random
+
+
+@pytest.fixture
+def data():
+    return _mk_random((8, 9, 20, 22), dtype="float32")
+
+
+@pytest.fixture
+def ds(data):
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+
+
+def test_sum_analysis(lt_ctx, ds, data):
+    analysis = lt_ctx.create_sum_analysis(dataset=ds)
+    res = lt_ctx.run(analysis)
+    assert np.allclose(
+        res.intensity.raw_data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert res.intensity.visualized.shape == (20, 22, 4)
+    assert "intensity_log" in res.keys()
+
+
+def test_disk_analysis(lt_ctx, ds, data):
+    analysis = lt_ctx.create_disk_analysis(
+        dataset=ds, cx=11, cy=10, r=5
+    )
+    res = lt_ctx.run(analysis)
+    from libertem_tpu import masks as mask_lib
+    m = mask_lib.circular(11, 10, 22, 20, 5, antialiased=True)
+    expected = (
+        data.reshape(-1, 20, 22) * m
+    ).sum(axis=(1, 2)).reshape(8, 9)
+    assert np.allclose(
+        res.intensity.raw_data, expected, rtol=5e-3, atol=1e-2
+    )
+
+
+def test_ring_analysis(lt_ctx, ds):
+    analysis = lt_ctx.create_ring_analysis(
+        dataset=ds, cx=11, cy=10, ri=4, ro=8
+    )
+    res = lt_ctx.run(analysis)
+    assert res.intensity.raw_data.shape == (8, 9)
+
+
+def test_point_analysis(lt_ctx, ds, data):
+    analysis = lt_ctx.create_point_analysis(dataset=ds, x=5, y=7)
+    res = lt_ctx.run(analysis)
+    assert np.allclose(
+        res.intensity.raw_data, data[..., 7, 5], rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+def test_sumsig_analysis(lt_ctx, ds, data):
+    res = lt_ctx.run(lt_ctx.create_sumsig_analysis(dataset=ds))
+    assert np.allclose(
+        res.intensity.raw_data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_sd_analysis(lt_ctx, ds, data):
+    res = lt_ctx.run(lt_ctx.create_sd_analysis(dataset=ds))
+    flat = data.reshape(-1, 20, 22)
+    assert np.allclose(
+        res.std.raw_data, flat.std(axis=0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_pick_analysis(lt_ctx, ds, data):
+    res = lt_ctx.run(
+        lt_ctx.create_pick_analysis(dataset=ds, x=3, y=5)
+    )
+    assert np.allclose(
+        res.intensity.raw_data, data[5, 3], rtol=1e-5
+    )
+
+
+def test_com_analysis(lt_ctx, ds, data):
+    res = lt_ctx.run(lt_ctx.create_com_analysis(dataset=ds))
+    assert res.field.raw_data.shape == (8, 9, 2)
+    assert res.magnitude.raw_data.shape == (8, 9)
+    assert np.isfinite(res.x.raw_data).all()
+    # field visualized is RGB
+    assert res.field.visualized.shape == (8, 9, 3)
+
+
+def test_radial_fourier_analysis(lt_ctx, ds, data):
+    analysis = lt_ctx.create_radial_fourier_analysis(
+        dataset=ds, cx=11, cy=10, ri=0, ro=9, n_bins=2, max_order=3
+    )
+    res = lt_ctx.run(analysis)
+    assert "dominant_0" in res.keys()
+    assert "absolute_0_0" in res.keys()
+    assert "phase_1_3" in res.keys()
+    # order 0 of bin 0 is the mean intensity in the bin: positive
+    assert (res.absolute_0_0.raw_data >= 0).all()
+
+
+def test_fem_analysis(lt_ctx, ds):
+    res = lt_ctx.run(
+        lt_ctx.create_fem_analysis(dataset=ds, cx=11, cy=10,
+                                   ri=3, ro=8)
+    )
+    assert res.intensity.raw_data.shape == (8, 9)
+
+
+def test_fft_analyses(lt_ctx, ds, data):
+    from libertem_tpu.analysis import (
+        ApplyFFTMask, PickFFTFrameAnalysis, SumfftAnalysis,
+    )
+    res = lt_ctx.run(ApplyFFTMask(
+        dataset=ds, parameters={"rad_in": 2, "rad_out": 8}
+    ))
+    flat = data.reshape(-1, 20, 22)
+    spec = np.abs(np.fft.fft2(flat))
+    h, w = 20, 22
+    y, x = np.ogrid[0:h, 0:w]
+    d = np.sqrt((y - h // 2) ** 2 + (x - w // 2) ** 2)
+    ring = np.fft.ifftshift((d >= 2) & (d < 8))
+    expected = (spec * ring).sum(axis=(1, 2)).reshape(8, 9)
+    assert np.allclose(
+        res.intensity.raw_data, expected, rtol=1e-3
+    )
+    res2 = lt_ctx.run(PickFFTFrameAnalysis(
+        dataset=ds, parameters={"x": 2, "y": 3}
+    ))
+    assert res2.intensity.raw_data.shape == (20, 22)
+    res3 = lt_ctx.run(SumfftAnalysis(dataset=ds, parameters={}))
+    assert res3.intensity.raw_data.shape == (20, 22)
+
+
+def test_cluster_analysis(lt_ctx, ds):
+    from libertem_tpu.analysis import ClusterAnalysis
+    analysis = ClusterAnalysis(
+        dataset=ds, parameters={"n_clust": 3, "n_peaks": 10}
+    )
+    res = analysis.run_clustering(lt_ctx)
+    labels = res.intensity.raw_data
+    assert labels.shape == (8, 9)
+    assert len(np.unique(labels)) <= 3
+
+
+def test_masks_analysis_registry():
+    from libertem_tpu.analysis import Analysis
+    for id_ in ("SUM_FRAMES", "SD_FRAMES", "SUM_SIG", "PICK_FRAME",
+                "APPLY_DISK_MASK", "APPLY_RING_MASK",
+                "APPLY_POINT_SELECTOR", "MASKS", "CENTER_OF_MASS",
+                "RADIAL_FOURIER", "FEM", "CLUST", "APPLY_FFT_MASK",
+                "PICK_FFT_FRAME", "FFTSUM_FRAMES"):
+        assert Analysis.get_analysis_by_type(id_) is not None
