@@ -1,0 +1,210 @@
+"""Fused moments + mask-matmul kernel — the flagship Pallas op.
+
+Computes, in a single pass over a ``(depth, pixels)`` frame block:
+
+  * ``y = x @ masks``            per-frame mask projections (MXU)
+  * ``colsum = sum_d x``         per-pixel first moment
+  * ``colvar``                   per-pixel centered second moment,
+                                 Chan-combined across row tiles
+
+This replaces what the generic UDF path does in ~7 HBM passes
+(ApplyMasksUDF matmul + CoMUDF matmul + SumSigUDF reduce + SumUDF
+reduce + StdDevUDF's mean/diff²/sum) with ONE read of the block:
+the row tile sits in VMEM and feeds the MXU and both VPU reduction
+trees before the next tile is fetched.  The reference's equivalents
+are separate numba/BLAS passes (udf/masks.py:12 ApplyMasksEngine,
+udf/stddev.py:124 process_tile, udf/sum.py, udf/sumsigudf.py).
+
+Variance uses per-row-tile two-pass (tile mean → centered squares,
+both over the VMEM-resident tile) with Chan/Golub/LeVeque combination
+across tiles — numerically equivalent to the reference's parallel
+variance (udf/stddev.py:12) and stable for narrow distributions with
+large means, unlike a naive sum-of-squares.
+
+Padding rows (block tails) are masked via the ``valid_count`` scalar.
+On non-TPU backends a jnp fallback computes the same values.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pick_row_tile(depth: int, pixels: int, itemsize: int = 4) -> int:
+    """Largest row-tile (multiple of 8, dividing depth) whose VMEM
+    footprint stays within budget."""
+    budget = 6 * 1024 * 1024
+    td = max(8, (budget // max(1, pixels * itemsize)) // 8 * 8)
+    td = min(td, depth)
+    while depth % td != 0 and td > 8:
+        td -= 8
+    if depth % td != 0:
+        td = depth  # tiny depths: single tile
+    return td
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_var", "interpret")
+)
+def _fused_moments_pallas(
+    x, masks_t, valid_count, compute_var: bool = True,
+    interpret: bool = False,
+):
+    """Pallas TPU implementation.  x: (D, P) any real dtype,
+    masks_t: (M, P) f32 — transposed so the contraction runs along
+    the 128-lane axis and the small mask count M sits in sublanes
+    (a (P, M) operand would pad M up to 128 lanes and waste ~20x
+    VMEM + bandwidth), valid_count: () int32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    depth, pixels = x.shape
+    n_masks = masks_t.shape[0]
+    td = _pick_row_tile(depth, pixels, 4)
+    n_steps = depth // td
+
+    def kernel(valid_ref, x_ref, masks_ref, y_ref, colsum_ref,
+               colvar_ref):
+        d = pl.program_id(0)
+        valid = valid_ref[0]
+        xt = x_ref[:].astype(jnp.float32)  # (td, P)
+        row_ids = (
+            d * td
+            + jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
+        )
+        row_valid = (row_ids < valid).astype(jnp.float32)  # (td,1)
+        xt = xt * row_valid  # zero out padding rows
+
+        # ---- mask projections (MXU), contracting over lanes ----
+        y_ref[:] = jax.lax.dot_general(
+            xt, masks_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- first moment ----
+        local_sum = jnp.sum(xt, axis=0, keepdims=True)  # (1, P)
+
+        n1 = jnp.clip(valid - d * td, 0, td).astype(jnp.float32)
+        n0 = jnp.minimum(d * td, valid).astype(jnp.float32)
+
+        if compute_var:
+            # two-pass over the VMEM-resident tile
+            local_mean = local_sum / jnp.maximum(n1, 1.0)
+            diff = (xt - local_mean) * row_valid
+            local_var = jnp.sum(diff * diff, axis=0, keepdims=True)
+
+        @pl.when(d == 0)
+        def _():
+            colsum_ref[:] = local_sum
+            if compute_var:
+                colvar_ref[:] = local_var
+
+        @pl.when(d != 0)
+        def _():
+            if compute_var:
+                prev_sum = colsum_ref[:]
+                prev_var = colvar_ref[:]
+                n = jnp.maximum(n0 + n1, 1.0)
+                mean0 = prev_sum / jnp.maximum(n0, 1.0)
+                mean1 = local_sum / jnp.maximum(n1, 1.0)
+                delta = mean1 - mean0
+                corr = delta * delta * (n0 * n1 / n)
+                have_both = jnp.logical_and(n0 > 0, n1 > 0)
+                colvar_ref[:] = jnp.where(
+                    have_both,
+                    prev_var + local_var + corr,
+                    prev_var + local_var,
+                )
+            colsum_ref[:] = colsum_ref[:] + local_sum
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((depth, n_masks), jnp.float32),
+        jax.ShapeDtypeStruct((1, pixels), jnp.float32),
+        jax.ShapeDtypeStruct((1, pixels), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (td, pixels), lambda i, *_: (i, 0),
+            ),
+            pl.BlockSpec(
+                (n_masks, pixels), lambda i, *_: (0, 0),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((td, n_masks), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, pixels), lambda i, *_: (0, 0)),
+            pl.BlockSpec((1, pixels), lambda i, *_: (0, 0)),
+        ),
+    )
+    y, colsum, colvar = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * depth * pixels * n_masks + 6 * depth * pixels,
+            bytes_accessed=(
+                x.size * x.dtype.itemsize
+                + masks_t.size * 4
+                + depth * n_masks * 4 + 2 * pixels * 4
+            ),
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), x, masks_t)
+    return y, colsum[0], colvar[0]
+
+
+def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
+    """Reference/fallback implementation with plain XLA ops."""
+    depth = x.shape[0]
+    row_valid = (
+        jnp.arange(depth, dtype=jnp.int32) < valid_count
+    ).astype(jnp.float32)[:, None]
+    xt = x.astype(jnp.float32) * row_valid
+    y = jax.lax.dot_general(
+        xt, masks_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    colsum = xt.sum(axis=0)
+    if compute_var:
+        n = jnp.maximum(valid_count.astype(jnp.float32), 1.0)
+        mean = colsum / n
+        diff = (xt - mean) * row_valid
+        colvar = (diff * diff).sum(axis=0)
+    else:
+        colvar = jnp.zeros_like(colsum)
+    return y, colsum, colvar
+
+
+def fused_moments(
+    x, masks_t, valid_count, compute_var: bool = True,
+    force_xla: bool = False,
+):
+    """Dispatch: Pallas on TPU, XLA ops elsewhere.
+
+    x: (depth, pixels) real array (any dtype; cast to f32 inside)
+    masks_t: (n_masks, pixels) f32 (transposed mask stack)
+    valid_count: () int32 — rows >= valid_count are padding
+
+    Returns (y (depth, n_masks) f32, colsum (pixels,) f32,
+    colvar (pixels,) f32).
+    """
+    backend = jax.default_backend()
+    if force_xla or backend not in ("tpu", "axon"):
+        return _fused_moments_xla(x, masks_t, valid_count, compute_var)
+    try:
+        return _fused_moments_pallas(
+            x, masks_t, jnp.asarray(valid_count),
+            compute_var=compute_var,
+        )
+    except Exception:  # pragma: no cover — pallas lowering issues
+        return _fused_moments_xla(x, masks_t, valid_count, compute_var)

@@ -308,6 +308,9 @@ class NoOpUDF(UDF):
     def get_result_buffers(self):
         return {}
 
+    def fused_moments_spec(self):
+        return {"mode": "noop"}
+
 
 # ---------------------------------------------------------------------------
 # results
@@ -536,7 +539,10 @@ class UDFRunner:
             if corrections is not None else None
         )
 
+        fused_plan = self._build_fused_plan(plan, scheme, meta)
+
         return {
+            "fused": fused_plan,
             "meta": meta,
             "plan": plan,
             "scheme": scheme,
@@ -609,10 +615,157 @@ class UDFRunner:
             x = flat.reshape(x.shape)
         return x
 
+    def _build_fused_plan(self, plan, scheme, meta):
+        """Cross-UDF fusion: when every UDF in the set exposes a
+        ``fused_moments_spec`` (ApplyMasks/CoM/Sum/SumSig/StdDev/NoOp),
+        the whole pass collapses into ONE fused matmul+moments op per
+        block (:func:`libertem_tpu.ops.moments.fused_moments`) —
+        one HBM read instead of one per UDF.
+        """
+        if len(scheme) != 1:
+            return None
+        if np.dtype(meta.input_dtype).kind not in "fiu":
+            return None
+        pixels = int(np.prod(meta.sig_shape))
+        mask_rows = []
+        specs = []
+        need_var = False
+        need_colsum = False
+        col_off = 0
+        for entry in plan:
+            spec_fn = getattr(entry.udf, "fused_moments_spec", None)
+            if spec_fn is None:
+                return None
+            try:
+                s = spec_fn()
+            except Exception:
+                return None
+            if s is None:
+                return None
+            mode = s["mode"]
+            if mode == "masks":
+                op = np.asarray(s["operand"], dtype=np.float32)
+                if op.ndim != 2 or op.shape[1] != pixels:
+                    return None
+                mask_rows.append(op)
+                specs.append({
+                    "mode": "masks", "name": s["name"],
+                    "off": col_off, "n": op.shape[0],
+                })
+                col_off += op.shape[0]
+            elif mode == "sumsig":
+                specs.append({
+                    "mode": "sumsig", "name": s["name"], "off": None,
+                })
+            elif mode == "colsum":
+                need_colsum = True
+                specs.append({"mode": "colsum", "name": s["name"]})
+            elif mode == "stats":
+                need_var = True
+                need_colsum = True
+                specs.append({"mode": "stats"})
+            elif mode == "noop":
+                specs.append({"mode": "noop"})
+            else:
+                return None
+        sumsig_col = None
+        if any(s["mode"] == "sumsig" for s in specs):
+            mask_rows.append(np.ones((1, pixels), dtype=np.float32))
+            sumsig_col = col_off
+            col_off += 1
+        for s in specs:
+            if s["mode"] == "sumsig":
+                s["off"] = sumsig_col
+        if col_off == 0:
+            # pad one zero column so the op has a mask operand
+            mask_rows.append(np.zeros((1, pixels), dtype=np.float32))
+            col_off = 1
+        masks_t = np.concatenate(mask_rows, axis=0)
+        return {
+            "masks_t": masks_t,
+            "specs": specs,
+            "need_var": need_var,
+            "need_colsum": need_colsum,
+        }
+
+    def _fused_step(
+        self, prep, state, part_state, raw_block,
+        local_off, valid_count,
+    ):
+        """Fused-path step body: one matmul+moments op, then
+        distribute columns/moments into each UDF's buffers."""
+        from ..ops.moments import fused_moments
+
+        fused = prep["fused"]
+        plan = prep["plan"]
+        depth = raw_block.shape[0]
+        sig_shape = tuple(prep["meta"].dataset_shape.sig)
+        block = self._apply_corrections(raw_block, prep)
+        flat = block.reshape(depth, -1)
+        y, colsum, colvar = fused_moments(
+            flat, jnp.asarray(fused["masks_t"]), valid_count,
+            compute_var=fused["need_var"],
+        )
+        valid_mask = (
+            jnp.arange(depth, dtype=jnp.int32) < valid_count
+        )
+        new_state = [dict(s) for s in state]
+        new_part = [dict(s) for s in part_state]
+        for ui, (entry, spec) in enumerate(zip(plan, fused["specs"])):
+            mode = spec["mode"]
+            if mode == "noop":
+                continue
+            state_u = new_state[ui]
+            part_u = new_part[ui]
+            if mode in ("masks", "sumsig"):
+                name = spec["name"]
+                decl = entry.decls[name]
+                if mode == "masks" and len(decl.extra_shape):
+                    rows = y[:, spec["off"]:spec["off"] + spec["n"]]
+                else:
+                    rows = y[:, spec["off"]]
+                old = jax.lax.dynamic_slice(
+                    state_u[name],
+                    (local_off,) + (0,) * len(decl.extra_shape),
+                    (depth,) + decl.extra_shape,
+                )
+                bshape = valid_mask.shape + (1,) * (rows.ndim - 1)
+                rows = jnp.where(
+                    valid_mask.reshape(bshape),
+                    old + rows.astype(old.dtype), old,
+                )
+                state_u[name] = jax.lax.dynamic_update_slice(
+                    state_u[name], rows,
+                    (local_off,) + (0,) * (rows.ndim - 1),
+                )
+            elif mode == "colsum":
+                name = spec["name"]
+                part_u[name] = part_u[name] + colsum.reshape(
+                    sig_shape
+                ).astype(part_u[name].dtype)
+            elif mode == "stats":
+                from .stddev import _combine
+                n1 = valid_count.astype(jnp.float32)
+                n, s_, v = _combine(
+                    part_u["num_frames"], part_u["sum"],
+                    part_u["varsum"],
+                    n1, colsum.reshape(sig_shape),
+                    colvar.reshape(sig_shape),
+                )
+                part_u["num_frames"] = n
+                part_u["sum"] = s_
+                part_u["varsum"] = v
+        return new_state, new_part
+
     def _step_body(
         self, prep, state, part_state, raw_block,
         local_off, global_off, coords, valid_count,
     ):
+        if prep.get("fused") is not None:
+            return self._fused_step(
+                prep, state, part_state, raw_block, local_off,
+                valid_count,
+            )
         """The traced per-block step body.
 
         ``local_off``  — block's first-frame offset into the (possibly

@@ -260,6 +260,18 @@ class CoMUDF(UDF):
     def merge(self, dest, src):  # pragma: no cover - nav-only
         pass
 
+    def fused_moments_spec(self):
+        """Join the cross-UDF fused moments pass with the 3-column
+        (total, y·, x·) CoM mask stack."""
+        p: CoMParams = self.params.com_params
+        cy, cx = self._center()
+        stack = com_masks(self.meta.sig_shape, cy, cx, p.r, p.ri)
+        return {
+            "mode": "masks",
+            "operand": stack.reshape(3, -1).astype(np.float32),
+            "name": "raw_mask_result",
+        }
+
 
 def guess_corrections(y_centers, x_centers, roi=None):
     """Guess scan_rotation / flip_y / center from CoM fields

@@ -215,6 +215,27 @@ class ApplyMasksUDF(UDF):
     def merge(self, dest, src):  # pragma: no cover - nav-only
         pass
 
+    def fused_moments_spec(self):
+        """Join the cross-UDF fused moments pass: contribute the mask
+        stack as matmul columns (real-valued, unshifted masks only)."""
+        if self.params.get("shifts") is not None:
+            return None
+        try:
+            stack = self._container._compute_stack(self.meta.sig_shape)
+        except Exception:
+            return None
+        if np.iscomplexobj(stack):
+            return None
+        out_dtype = self._container.dtype_for(self.meta.input_dtype)
+        if self._kwargs.get("dtype") is not None:
+            out_dtype = np.dtype(self._kwargs["dtype"])
+        if np.dtype(out_dtype) not in (np.dtype(np.float32),
+                                       np.dtype(np.float64)):
+            return None
+        operand = stack.reshape(stack.shape[0], -1).astype(np.float32)
+        return {"mode": "masks", "operand": operand,
+                "name": "intensity"}
+
 
 def _acc_dtype(dtype):
     if np.dtype(dtype).kind == "c":

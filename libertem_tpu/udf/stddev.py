@@ -75,6 +75,10 @@ class StdDevUDF(UDF):
         self.results.sum = s
         self.results.varsum = v
 
+    def fused_moments_spec(self):
+        """Fused pass: consumes the shared colsum/colvar moments."""
+        return {"mode": "stats"}
+
     def merge(self, dest, src):
         n, s, v = _combine(
             dest.num_frames, dest.sum, dest.varsum,

@@ -23,3 +23,12 @@ class SumUDF(UDF):
 
     def merge(self, dest, src):
         dest.intensity = dest.intensity + src.intensity
+
+    def fused_moments_spec(self):
+        """Join the cross-UDF fused moments pass (udf/base.py
+        _build_fused_plan): consumes the shared per-pixel column sum."""
+        import numpy as np
+        dtype = np.result_type(self.params.dtype, self.meta.input_dtype)
+        if np.dtype(dtype) != np.float32:
+            return None
+        return {"mode": "colsum", "name": "intensity"}

@@ -18,3 +18,10 @@ class SumSigUDF(UDF):
     def process_tile(self, tile):
         sig_axes = tuple(range(1, tile.ndim))
         self.results.intensity += tile.sum(axis=sig_axes)
+
+    def fused_moments_spec(self):
+        """Fused pass: per-frame sig sum == a ones mask column."""
+        import numpy as np
+        if np.dtype(self.meta.input_dtype) != np.float32:
+            return None
+        return {"mode": "sumsig", "name": "intensity"}
