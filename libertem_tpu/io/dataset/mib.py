@@ -1,0 +1,257 @@
+"""Quantum Detectors Merlin/Medipix MIB dataset.
+
+Counterpart of the reference's ``libertem/io/dataset/mib.py``
+(MIBDataSet:992, MIBHeaderReader:753, decoders :400–666).
+
+File structure: every frame is an ASCII "MQ1,..." header followed by
+the payload; a ``.hdr`` sidecar describes the acquisition.  Header
+CSV fields used: [2]=header size bytes, [3]=number of chips,
+[4]=width, [5]=height, [6]=dtype ('U08'|'U16'|'U32'|'R64'),
+[7]=sensor layout ('1x1'|'2x2'), [-1]=counter bit depth.
+
+Processed ('U') data is big-endian unsigned; RAW ('R64') data is
+bit-packed at 1/6/12/24 bits and decoded by the native C++ kernels in
+:mod:`libertem_tpu.native` (numpy fallback included).  The 2x2-quad
+RAW layout (four chips with per-quadrant flips) is not implemented
+yet; processed quad data works since it is stored assembled.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.math import prod
+from ...common.shape import Shape
+from ...native import decode_r1, decode_r6, decode_r12, decode_r24
+from .base import (
+    DataSet,
+    DataSetException,
+    DataSetMeta,
+    Partition,
+)
+
+
+def parse_mib_header(path: str) -> dict:
+    """Parse the first frame header of a .mib file."""
+    with open(path, "rb") as f:
+        filesize = os.fstat(f.fileno()).st_size
+        head = f.read(1024).decode("ascii", errors="ignore")
+    parts = head.split(",")
+    if not parts or parts[0] != "MQ1":
+        raise DataSetException(f"{path}: not a MIB file")
+    header_bytes = int(parts[2])
+    # only the declared header region holds fields; the rest of the
+    # first KB is already frame payload
+    parts = [
+        p for p in head[:header_bytes].split(",") if "\x00" not in p
+    ]
+    num_chips = int(parts[3])
+    width = int(parts[4])
+    height = int(parts[5])
+    dtype_str = parts[6].upper()
+    layout = parts[7].replace("G", "") if len(parts) > 7 else "1x1"
+    try:
+        bit_depth = int(parts[-1])
+    except ValueError:
+        bit_depth = int(dtype_str[1:]) if dtype_str[0] == "U" else 12
+    kind = dtype_str[0].lower()
+    if kind == "u":
+        bytes_per_px = int(dtype_str[1:]) // 8
+        payload = width * height * bytes_per_px
+        out_dtype = np.dtype(f"uint{int(dtype_str[1:])}")
+    elif kind == "r":
+        factor = {1: 1 / 8, 6: 1, 12: 2, 24: 4}[bit_depth]
+        payload = int(width * height * factor)
+        out_dtype = np.dtype({
+            1: np.uint8, 6: np.uint8, 12: np.uint16, 24: np.uint32,
+        }[bit_depth])
+    else:
+        raise DataSetException(f"unknown MIB dtype {dtype_str}")
+    frame_size = header_bytes + payload
+    return {
+        "header_bytes": header_bytes,
+        "num_chips": num_chips,
+        "width": width,
+        "height": height,
+        "kind": kind,
+        "bit_depth": bit_depth,
+        "payload": payload,
+        "frame_size": frame_size,
+        "num_images": filesize // frame_size,
+        "out_dtype": out_dtype,
+        "layout": layout,
+    }
+
+
+def parse_hdr_sidecar(path: str) -> dict:
+    """Parse the acquisition .hdr sidecar (key: value lines)."""
+    out = {}
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            out[key.strip()] = value.strip()
+    result = {}
+    n_total = out.get("Frames in Acquisition (Number)")
+    n_trigger = out.get("Frames per Trigger (Number)")
+    if n_total is not None and n_trigger is not None:
+        total, per = int(n_total), int(n_trigger)
+        if per > 0 and total % per == 0 and total // per > 1:
+            result["nav_shape"] = (total // per, per)
+        else:
+            result["nav_shape"] = (total,)
+    return result
+
+
+class MIBPartition(Partition):
+    def __init__(self, paths_and_offsets, header, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # list of (path, first_frame_idx, n_frames) in order
+        self._files = paths_and_offsets
+        self._hdr = header
+        self._mmaps = {}
+
+    def _get_mmap(self, path):
+        if path not in self._mmaps:
+            self._mmaps[path] = np.memmap(path, dtype=np.uint8,
+                                          mode="r")
+        return self._mmaps[path]
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        h = self._hdr
+        n = stop - start
+        w, ht = h["width"], h["height"]
+        n_pix = w * ht
+        payloads = np.empty((n, h["payload"]), dtype=np.uint8)
+        for path, first, count in self._files:
+            lo = max(start, first)
+            hi = min(stop, first + count)
+            if hi <= lo:
+                continue
+            mm = self._get_mmap(path)
+            for i in range(lo, hi):
+                off = (i - first) * h["frame_size"] + h["header_bytes"]
+                payloads[i - start] = mm[off:off + h["payload"]]
+        if h["kind"] == "u":
+            bpx = int(h["out_dtype"].itemsize)
+            arr = payloads.view(f">u{bpx}").astype(h["out_dtype"])
+            return arr.reshape(n, ht, w)
+        bd = h["bit_depth"]
+        if bd == 1:
+            out = decode_r1(payloads, n_pix)
+        elif bd == 6:
+            out = decode_r6(payloads, n_pix)
+        elif bd == 12:
+            out = decode_r12(payloads, n_pix)
+        elif bd == 24:
+            out = decode_r24(payloads, n_pix)
+        else:
+            raise DataSetException(f"unsupported bit depth {bd}")
+        return out.reshape(n, ht, w)
+
+
+class MIBDataSet(DataSet):
+    def __init__(
+        self,
+        path: str,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        sync_offset: int = 0,
+        # reference-compat alias
+        scan_size=None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self._path = path
+        self._nav_shape = tuple(nav_shape or scan_size or ())
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
+        self._sync_offset = int(sync_offset)
+        self._hdr = None
+        self._files = []
+
+    def _discover_files(self):
+        if self._path.lower().endswith(".hdr"):
+            pattern = self._path[:-4] + "*.mib"
+            files = sorted(glob.glob(pattern))
+            if not files:
+                base = os.path.dirname(self._path)
+                files = sorted(glob.glob(os.path.join(base, "*.mib")))
+        elif self._path.lower().endswith(".mib"):
+            files = [self._path]
+        else:
+            files = sorted(glob.glob(
+                os.path.join(self._path, "*.mib")
+            ))
+        if not files:
+            raise DataSetException(f"no .mib files for {self._path}")
+        return files
+
+    def initialize(self, executor=None) -> "MIBDataSet":
+        files = self._discover_files()
+        hdr = parse_mib_header(files[0])
+        if hdr["kind"] == "r" and hdr["layout"] not in ("1x1", "Nx1"):
+            raise DataSetException(
+                "RAW 2x2-quad MIB layout is not supported yet"
+            )
+        self._hdr = hdr
+        self._files = []
+        first = 0
+        for f in files:
+            h = parse_mib_header(f)
+            self._files.append((f, first, h["num_images"]))
+            first += h["num_images"]
+        image_count = first
+
+        nav_shape = self._nav_shape
+        if not nav_shape:
+            sidecar = (
+                self._path if self._path.lower().endswith(".hdr")
+                else os.path.splitext(files[0])[0] + ".hdr"
+            )
+            if os.path.exists(sidecar):
+                nav_shape = parse_hdr_sidecar(sidecar).get("nav_shape")
+            if not nav_shape:
+                side = int(np.sqrt(image_count))
+                if side * side == image_count:
+                    nav_shape = (side, side)
+                else:
+                    nav_shape = (image_count,)
+        sig_shape = self._sig_shape or (hdr["height"], hdr["width"])
+        self._meta = DataSetMeta(
+            shape=Shape(
+                tuple(nav_shape) + tuple(sig_shape),
+                sig_dims=len(sig_shape),
+            ),
+            raw_dtype=hdr["out_dtype"],
+            sync_offset=self._sync_offset,
+            image_count=image_count,
+        )
+        return self
+
+    def get_partitions(self) -> Iterator[MIBPartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield MIBPartition(
+                self._files, self._hdr,
+                self.meta, start, stop - start, idx=idx,
+            )
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        ext = path.split(".")[-1].lower()
+        if ext not in ("mib", "hdr"):
+            return False
+        try:
+            ds = cls(path)
+            files = ds._discover_files()
+            parse_mib_header(files[0])
+        except Exception:
+            return False
+        return {"path": path}
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return {"mib", "hdr"}

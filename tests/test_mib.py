@@ -1,0 +1,143 @@
+"""MIB format tests with synthetic files (the reference's real-file
+tests are gated on TESTDATA; here we synthesize files + verify the
+decoders against an independent encoder)."""
+import numpy as np
+import pytest
+
+from libertem_tpu.native import (
+    decode_r1, decode_r6, decode_r12, decode_r24, decode_uint12_le,
+    get_lib,
+)
+from libertem_tpu.udf import PickUDF, SumUDF
+
+from conftest import _mk_random
+
+
+def _encode_r1(frames):
+    """Inverse of decode_r1: pixel p -> stripe p//64, byte (p%64)//8,
+    bit p%8; byte stored at stripe*8 + (7-byte)."""
+    n, n_pix = frames.shape
+    out = np.zeros((n, n_pix // 8), dtype=np.uint8)
+    for p in range(n_pix):
+        stripe, byte, bit = p // 64, (p % 64) // 8, p % 8
+        src = frames[:, p] & 1
+        out[:, stripe * 8 + (7 - byte)] |= (
+            src.astype(np.uint8) << bit
+        )
+    return out
+
+
+def _encode_r6(frames):
+    n, n_pix = frames.shape
+    return frames.reshape(n, -1, 8)[:, :, ::-1].reshape(
+        n, n_pix
+    ).astype(np.uint8)
+
+
+def _encode_r12(frames):
+    n, n_pix = frames.shape
+    reordered = frames.reshape(n, -1, 4)[:, :, ::-1].reshape(n, n_pix)
+    return reordered.astype(">u2").view(np.uint8)
+
+
+def _encode_r24(frames):
+    msb = _encode_r12((frames >> 12) & 0xFFF)
+    lsb = _encode_r12(frames & 0xFFF)
+    return np.concatenate([msb, lsb], axis=1)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_decoders_roundtrip(use_native, monkeypatch):
+    if not use_native:
+        import libertem_tpu.native as nat
+        monkeypatch.setattr(nat, "_lib", None)
+        monkeypatch.setattr(nat, "_tried", True)
+    elif get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    n, n_pix = 3, 256
+    f1 = rng.integers(0, 2, (n, n_pix)).astype(np.uint8)
+    assert np.array_equal(decode_r1(_encode_r1(f1), n_pix), f1)
+    f6 = rng.integers(0, 64, (n, n_pix)).astype(np.uint8)
+    assert np.array_equal(decode_r6(_encode_r6(f6), n_pix), f6)
+    f12 = rng.integers(0, 4096, (n, n_pix)).astype(np.uint16)
+    assert np.array_equal(decode_r12(_encode_r12(f12), n_pix), f12)
+    f24 = rng.integers(0, 1 << 24, (n, n_pix)).astype(np.uint32)
+    assert np.array_equal(decode_r24(_encode_r24(f24), n_pix), f24)
+
+
+def test_uint12_le_roundtrip():
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 4096, 64).astype(np.uint16)
+    packed = np.zeros(96, dtype=np.uint8)
+    for i in range(32):
+        a, b = int(vals[2 * i]), int(vals[2 * i + 1])
+        packed[3 * i] = a & 0xFF
+        packed[3 * i + 1] = ((a >> 8) & 0x0F) | ((b & 0x0F) << 4)
+        packed[3 * i + 2] = (b >> 4) & 0xFF
+    assert np.array_equal(decode_uint12_le(packed), vals)
+
+
+def _write_mib(path, frames, dtype_str, bit_depth, payload_fn):
+    """Write a synthetic MIB file: MQ1 header + payload per frame."""
+    header_bytes = 384
+    with open(path, "wb") as f:
+        for i, frame in enumerate(frames):
+            payload = payload_fn(frame[None]).tobytes()
+            head = (
+                f"MQ1,{i + 1},{header_bytes},1,"
+                f"{frames.shape[2]},{frames.shape[1]},{dtype_str},"
+                f"1x1,2x2,{bit_depth}"
+            ).encode("ascii")
+            f.write(head.ljust(header_bytes, b"\x00"))
+            f.write(payload)
+
+
+def test_mib_u16(lt_ctx, tmp_path):
+    data = _mk_random((4, 5, 16, 16), dtype="uint16")
+    flat = data.reshape(-1, 16, 16)
+    path = str(tmp_path / "test.mib")
+    _write_mib(
+        path, flat, "U16", 12,
+        lambda fr: fr.reshape(fr.shape[0], -1).astype(">u2"),
+    )
+    ds = lt_ctx.load("mib", path=path, nav_shape=(4, 5))
+    assert tuple(ds.shape) == (4, 5, 16, 16)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        flat.astype(np.float32).sum(axis=0), rtol=1e-4,
+    )
+
+
+def test_mib_r12(lt_ctx, tmp_path):
+    rng = np.random.default_rng(5)
+    flat = rng.integers(0, 4096, (20, 16, 16)).astype(np.uint16)
+    path = str(tmp_path / "raw.mib")
+    _write_mib(
+        path, flat, "R64", 12,
+        lambda fr: _encode_r12(fr.reshape(fr.shape[0], -1)),
+    )
+    ds = lt_ctx.load("mib", path=path, nav_shape=(4, 5))
+    roi = np.zeros(20, dtype=bool)
+    roi[[0, 7, 19]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(
+        res["intensity"].data, flat[[0, 7, 19]]
+    )
+
+
+def test_mib_r1_autodetect(lt_ctx, tmp_path):
+    rng = np.random.default_rng(6)
+    flat = rng.integers(0, 2, (9, 16, 16)).astype(np.uint8)
+    path = str(tmp_path / "bits.mib")
+    _write_mib(
+        path, flat, "R64", 1,
+        lambda fr: _encode_r1(fr.reshape(fr.shape[0], -1)),
+    )
+    ds = lt_ctx.load("auto", path)
+    assert tuple(ds.shape) == (3, 3, 16, 16)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, flat.astype(np.float32).sum(axis=0)
+    )
