@@ -46,8 +46,9 @@ def parse_mib_header(path: str) -> dict:
     # only the declared header region holds fields; the rest of the
     # first KB is already frame payload
     parts = [
-        p for p in head[:header_bytes].split(",") if "\x00" not in p
+        p.strip("\x00 ") for p in head[:header_bytes].split(",")
     ]
+    parts = [p for p in parts if p]
     num_chips = int(parts[3])
     width = int(parts[4])
     height = int(parts[5])
