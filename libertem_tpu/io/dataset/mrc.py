@@ -1,0 +1,120 @@
+"""MRC / MRC2014 dataset (reference: libertem/io/dataset/mrc.py:90,
+which delegates to ncempy; here the standard MRC2014 header is parsed
+directly — public spec: 1024-byte header of little-endian i32 words,
+nx/ny/nz at words 0-2, mode at word 3, NSYMBT extended-header size at
+byte offset 92; data follows at 1024 + NSYMBT).
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.shape import Shape
+from .base import (
+    DataSet,
+    DataSetException,
+    DataSetMeta,
+    Partition,
+)
+
+MRC_MODES = {
+    0: np.int8,
+    1: np.int16,
+    2: np.float32,
+    6: np.uint16,
+    12: np.float16,
+}
+
+
+def read_mrc_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        head = f.read(1024)
+    if len(head) < 1024:
+        raise DataSetException("file too small for an MRC header")
+    nx, ny, nz, mode = struct.unpack("<4i", head[:16])
+    nsymbt = struct.unpack("<i", head[92:96])[0]
+    # MRC2014 exttyp/machine stamp checks omitted; assume LE
+    if mode not in MRC_MODES:
+        raise DataSetException(f"unsupported MRC mode {mode}")
+    return {
+        "nx": nx, "ny": ny, "nz": nz,
+        "dtype": np.dtype(MRC_MODES[mode]),
+        "data_offset": 1024 + max(0, nsymbt),
+    }
+
+
+class MRCPartition(Partition):
+    def __init__(self, path, offset, dtype, sig_shape, *args, **kw):
+        super().__init__(*args, **kw)
+        self._path = path
+        self._offset = offset
+        self._dtype = np.dtype(dtype)
+        self._sig_shape = tuple(sig_shape)
+        self._mmap = None
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        if self._mmap is None:
+            self._mmap = np.memmap(
+                self._path, dtype=self._dtype, mode="r",
+                offset=self._offset,
+            )
+        px = int(np.prod(self._sig_shape))
+        return self._mmap[start * px:stop * px].reshape(
+            (stop - start,) + self._sig_shape
+        )
+
+
+class MRCDataSet(DataSet):
+    def __init__(
+        self,
+        path: str,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        sync_offset: int = 0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self._path = path
+        self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sync_offset = int(sync_offset)
+
+    def initialize(self, executor=None) -> "MRCDataSet":
+        h = read_mrc_header(self._path)
+        sig_shape = (h["ny"], h["nx"])
+        nav_shape = self._nav_shape or (h["nz"],)
+        self._h = h
+        self._meta = DataSetMeta(
+            shape=Shape(
+                tuple(nav_shape) + sig_shape, sig_dims=2
+            ),
+            raw_dtype=h["dtype"],
+            sync_offset=self._sync_offset,
+            image_count=h["nz"],
+        )
+        return self
+
+    def get_partitions(self) -> Iterator[MRCPartition]:
+        h = self._h
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield MRCPartition(
+                self._path, h["data_offset"], h["dtype"],
+                (h["ny"], h["nx"]),
+                self.meta, start, stop - start, idx=idx,
+            )
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        if not path.lower().endswith((".mrc", ".mrcs", ".rec")):
+            return False
+        try:
+            read_mrc_header(path)
+        except Exception:
+            return False
+        return {"path": path}
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return {"mrc", "mrcs", "rec"}

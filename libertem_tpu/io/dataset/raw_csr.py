@@ -1,0 +1,146 @@
+"""RAW CSR dataset: sparse frames in compressed-sparse-row layout on
+disk, described by a TOML file
+(reference: libertem/io/dataset/raw_csr.py:105 — [params]
+filetype/nav_shape/sig_shape + [raw_csr] indptr_file/indptr_dtype/
+indices_file/indices_dtype/data_file/data_dtype; both axes flattened).
+
+TPU-native handling: rows are read via memmapped indptr slices and
+**densified per block** on the host — the MXU/VPU compute path is
+dense, and at typical detector sparsity the densified block transfer
+is still cheaper than a gather-based device kernel.  The frames/sec
+win of sparse files remains in the reduced disk I/O.
+"""
+from __future__ import annotations
+
+import os
+import tomllib
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.math import prod
+from ...common.shape import Shape
+from .base import (
+    DataSet,
+    DataSetException,
+    DataSetMeta,
+    Partition,
+)
+
+
+def load_descriptor(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    params = raw.get("params", {})
+    csr = raw.get("raw_csr", {})
+    base = os.path.dirname(os.path.abspath(path))
+    if params.get("filetype", "raw_csr").lower() != "raw_csr":
+        raise DataSetException("not a raw_csr descriptor")
+    out = {
+        "nav_shape": tuple(params.get("nav_shape", ())),
+        "sig_shape": tuple(params.get("sig_shape", ())),
+    }
+    for key in ("indptr", "indices", "data"):
+        out[f"{key}_file"] = os.path.join(
+            base, csr[f"{key}_file"]
+        )
+        out[f"{key}_dtype"] = np.dtype(csr[f"{key}_dtype"])
+    return out
+
+
+class RawCSRPartition(Partition):
+    def __init__(self, desc, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._desc = desc
+        self._maps = None
+
+    def _get_maps(self):
+        if self._maps is None:
+            d = self._desc
+            self._maps = (
+                np.memmap(d["indptr_file"], dtype=d["indptr_dtype"],
+                          mode="r"),
+                np.memmap(d["indices_file"], dtype=d["indices_dtype"],
+                          mode="r"),
+                np.memmap(d["data_file"], dtype=d["data_dtype"],
+                          mode="r"),
+            )
+        return self._maps
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        indptr, indices, data = self._get_maps()
+        sig = tuple(self.meta.shape.sig)
+        n_pix = prod(sig)
+        n = stop - start
+        lo = int(indptr[start])
+        hi = int(indptr[stop])
+        cols = np.asarray(indices[lo:hi], dtype=np.int64)
+        vals = np.asarray(data[lo:hi])
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(np.asarray(indptr[start:stop + 1],
+                               dtype=np.int64)),
+        )
+        out = np.zeros((n, n_pix), dtype=self.meta.raw_dtype)
+        out[rows, cols] = vals
+        return out.reshape((n,) + sig)
+
+
+class RawCSRDataSet(DataSet):
+    def __init__(
+        self,
+        path: str,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        sync_offset: int = 0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self._path = path
+        self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
+        self._sync_offset = int(sync_offset)
+
+    def initialize(self, executor=None) -> "RawCSRDataSet":
+        desc = load_descriptor(self._path)
+        nav_shape = self._nav_shape or desc["nav_shape"]
+        sig_shape = self._sig_shape or desc["sig_shape"]
+        if not nav_shape or not sig_shape:
+            raise DataSetException(
+                "nav_shape and sig_shape required (TOML or kwargs)"
+            )
+        indptr = np.memmap(
+            desc["indptr_file"], dtype=desc["indptr_dtype"], mode="r"
+        )
+        image_count = len(indptr) - 1
+        self._desc = desc
+        self._meta = DataSetMeta(
+            shape=Shape(
+                tuple(nav_shape) + tuple(sig_shape),
+                sig_dims=len(sig_shape),
+            ),
+            raw_dtype=desc["data_dtype"],
+            sync_offset=self._sync_offset,
+            image_count=image_count,
+        )
+        return self
+
+    def get_partitions(self) -> Iterator[RawCSRPartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield RawCSRPartition(
+                self._desc, self.meta, start, stop - start, idx=idx,
+            )
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        if not path.lower().endswith(".toml"):
+            return False
+        try:
+            load_descriptor(path)
+        except Exception:
+            return False
+        return {"path": path}
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return {"toml"}

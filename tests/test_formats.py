@@ -1,0 +1,171 @@
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from libertem_tpu.udf import PickUDF, SumSigUDF, SumUDF
+
+from conftest import _mk_random
+
+
+def _check_sum(lt_ctx, ds, flat_f32):
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, flat_f32.sum(axis=0), rtol=1e-4
+    )
+
+
+def test_empad(lt_ctx, tmp_path):
+    frames = _mk_random((4, 6, 128, 128), dtype="float32")
+    flat = frames.reshape(-1, 128, 128)
+    raw = np.zeros((24, 130, 128), dtype=np.float32)
+    raw[:, :128, :] = flat
+    raw_path = str(tmp_path / "scan.raw")
+    raw.tofile(raw_path)
+    xml_path = str(tmp_path / "scan.xml")
+    with open(xml_path, "w") as f:
+        f.write(
+            '<root><raw_file filename="scan.raw"/>'
+            '<type>scan</type>'
+            '<scan_parameters mode="acquire">'
+            "<scan_resolution_x>6</scan_resolution_x>"
+            "<scan_resolution_y>4</scan_resolution_y>"
+            "</scan_parameters></root>"
+        )
+    ds = lt_ctx.load("empad", path=xml_path)
+    assert tuple(ds.shape) == (4, 6, 128, 128)
+    _check_sum(lt_ctx, ds, flat)
+
+
+def test_blo(lt_ctx, tmp_path):
+    from libertem_tpu.io.dataset.blo import (
+        FRAME_HEADER_BYTES, blo_header_dtype,
+    )
+    nav, dp = (3, 4), 16
+    frames = _mk_random((12, dp, dp), dtype="uint8")
+    hdr = np.zeros(1, dtype=blo_header_dtype())
+    hdr["ID"] = b"IMGBLO"
+    hdr["MAGIC"] = 258
+    hdr["Data_offset_1"] = 1024
+    hdr["Data_offset_2"] = 2048
+    hdr["DP_SZ"] = dp
+    hdr["NX"] = nav[1]
+    hdr["NY"] = nav[0]
+    path = str(tmp_path / "t.blo")
+    with open(path, "wb") as f:
+        f.write(hdr.tobytes().ljust(2048, b"\x00"))
+        for fr in frames:
+            f.write(b"\x00" * FRAME_HEADER_BYTES)
+            f.write(fr.tobytes())
+    ds = lt_ctx.load("blo", path=path)
+    assert tuple(ds.shape) == (3, 4, 16, 16)
+    _check_sum(lt_ctx, ds, frames.astype(np.float32))
+
+
+def test_mrc(lt_ctx, tmp_path):
+    frames = _mk_random((10, 20, 24), dtype="int16")
+    path = str(tmp_path / "t.mrc")
+    head = bytearray(1024)
+    head[0:16] = struct.pack("<4i", 24, 20, 10, 1)
+    head[92:96] = struct.pack("<i", 0)
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        f.write(frames.astype("<i2").tobytes())
+    ds = lt_ctx.load("mrc", path=path)
+    assert tuple(ds.shape) == (10, 20, 24)
+    _check_sum(lt_ctx, ds, frames.astype(np.float32))
+
+
+def test_seq(lt_ctx, tmp_path):
+    from libertem_tpu.io.dataset.seq import _FIELDS, _HEADER_STRUCT
+    w, h, n = 16, 12, 9
+    frames = _mk_random((n, h, w), dtype="uint16")
+    true_image_size = w * h * 2 + 64
+    vals = []
+    defaults = {
+        "magic": 0xFEED, "name": b"seq", "version": 5,
+        "header_size": 8192, "description": b"", "width": w,
+        "height": h, "bit_depth": 16, "bit_depth_real": 12,
+        "image_size_bytes": w * h * 2, "image_format": 0,
+        "allocated_frames": n, "origin": 0,
+        "true_image_size": true_image_size,
+        "suggested_frame_rate": 10.0, "description_format": 0,
+        "reference_frame": 0, "fixed_size": 0, "flags": 0,
+        "bayer_pattern": 0, "time_offset_us": 0,
+        "extended_header_size": 0, "compression_format": 0,
+        "reference_time_s": 0, "reference_time_ms": 0,
+        "reference_time_us": 0,
+    }
+    for name in _FIELDS:
+        vals.append(defaults[name])
+    head = struct.pack(_HEADER_STRUCT, *vals)
+    path = str(tmp_path / "t.seq")
+    with open(path, "wb") as f:
+        f.write(head.ljust(8192, b"\x00"))
+        for fr in frames:
+            f.write(
+                fr.astype("<u2").tobytes().ljust(
+                    true_image_size, b"\x00"
+                )
+            )
+    ds = lt_ctx.load("auto", path)
+    assert tuple(ds.shape) == (9, 12, 16)
+    _check_sum(lt_ctx, ds, frames.astype(np.float32))
+
+
+def test_tvips(lt_ctx, tmp_path):
+    w, h, n = 16, 14, 8
+    frames = _mk_random((n, h, w), dtype="uint16")
+    img_header = 12
+    head = struct.pack(
+        "<13i", 256, 2, w, h, 16, 0, 0, 1, 1, 10, 200, 1, img_header
+    )
+    path = str(tmp_path / "ser_000.tvips")
+    with open(path, "wb") as f:
+        f.write(head.ljust(256, b"\x00"))
+        for fr in frames:
+            f.write(b"\x00" * img_header)
+            f.write(fr.astype("<u2").tobytes())
+    ds = lt_ctx.load("tvips", path=path, nav_shape=(2, 4))
+    assert tuple(ds.shape) == (2, 4, 14, 16)
+    _check_sum(lt_ctx, ds, frames.astype(np.float32))
+
+
+def test_raw_csr(lt_ctx, tmp_path):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(9)
+    n, sig = 12, (8, 9)
+    dense = (
+        rng.random((n, sig[0] * sig[1])) < 0.1
+    ) * rng.integers(1, 100, (n, sig[0] * sig[1]))
+    csr = sp.csr_matrix(dense.astype(np.int32))
+    (tmp_path / "rowind.dat").write_bytes(
+        csr.indptr.astype("<i4").tobytes()
+    )
+    (tmp_path / "coords.dat").write_bytes(
+        csr.indices.astype("<i4").tobytes()
+    )
+    (tmp_path / "values.dat").write_bytes(
+        csr.data.astype("<i4").tobytes()
+    )
+    toml_path = str(tmp_path / "sparse.toml")
+    with open(toml_path, "w") as f:
+        f.write(
+            '[params]\nfiletype = "raw_csr"\n'
+            "nav_shape = [3, 4]\nsig_shape = [8, 9]\n\n"
+            '[raw_csr]\nindptr_file = "rowind.dat"\n'
+            'indptr_dtype = "<i4"\n'
+            'indices_file = "coords.dat"\nindices_dtype = "<i4"\n'
+            'data_file = "values.dat"\ndata_dtype = "<i4"\n'
+        )
+    ds = lt_ctx.load("raw_csr", path=toml_path)
+    assert tuple(ds.shape) == (3, 4, 8, 9)
+    flat = dense.reshape(n, 8, 9).astype(np.float32)
+    _check_sum(lt_ctx, ds, flat)
+    roi = np.zeros(12, dtype=bool)
+    roi[[2, 7]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.allclose(res["intensity"].data, dense.reshape(
+        n, 8, 9
+    )[[2, 7]])
