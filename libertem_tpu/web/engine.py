@@ -1,0 +1,151 @@
+"""JobEngine: run analyses asynchronously and stream partial results
+over the websocket (reference: libertem/web/engine.py:73 JobEngine,
+run_analysis:85, _run_udf:156, send_results:261 — result pushes are
+throttled, channels PNG-encoded).
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import logging
+import time
+
+import numpy as np
+
+from ..analysis.base import Analysis
+from ..viz.base import encode_image
+
+log = logging.getLogger(__name__)
+
+RESULT_THROTTLE = 0.3  # seconds between TASK_RESULT pushes
+
+
+def _encode_channel(result) -> dict:
+    vis = result.visualized
+    png_b64 = None
+    if vis is not None:
+        png_b64 = base64.b64encode(
+            encode_image(np.asarray(vis)).read()
+        ).decode("ascii")
+    return {
+        "key": result.key,
+        "title": result.title,
+        "desc": result.desc,
+        "image": png_b64,
+    }
+
+
+class JobEngine:
+    def __init__(self, state, event_registry):
+        self.state = state
+        self.event_registry = event_registry
+
+    async def run_analysis(self, analysis_uuid: str, job_uuid: str):
+        entry = self.state.analysis_state[analysis_uuid]
+        ds_uuid = entry["dataset"]
+        dataset = self.state.dataset_state[ds_uuid]
+        details = entry["details"]
+        analysis_cls = Analysis.get_analysis_by_type(
+            details["analysisType"]
+        )
+        analysis = analysis_cls(
+            dataset=dataset,
+            parameters=details.get("parameters", {}),
+        )
+        self.state.job_state.register(job_uuid, analysis_uuid, ds_uuid)
+        entry["jobs"].append(job_uuid)
+        await self.event_registry.broadcast({
+            "status": "ok", "messageType": "JOB_STARTED",
+            "job": job_uuid, "analysis": analysis_uuid,
+            "details": {"id": job_uuid, "analysis": analysis_uuid},
+        })
+        try:
+            await self._run_udf(job_uuid, analysis, dataset)
+        except Exception as e:
+            log.exception("job %s failed", job_uuid)
+            await self.event_registry.broadcast({
+                "status": "error", "messageType": "JOB_ERROR",
+                "job": job_uuid, "msg": str(e),
+            })
+        finally:
+            self.state.job_state.finish(job_uuid)
+
+    async def _run_udf(self, job_uuid, analysis, dataset):
+        ctx = self.state.executor_state.get_context()
+        udf = analysis.get_udf()
+        roi = analysis.get_roi()
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def producer():
+            try:
+                for partial in ctx.run_udf_iter(dataset, udf, roi=roi):
+                    if self.state.job_state.is_cancelled(job_uuid):
+                        loop.call_soon_threadsafe(
+                            queue.put_nowait, ("cancelled", None)
+                        )
+                        return
+                    loop.call_soon_threadsafe(
+                        queue.put_nowait, ("partial", partial)
+                    )
+                loop.call_soon_threadsafe(
+                    queue.put_nowait, ("done", None)
+                )
+            except Exception as e:  # pragma: no cover
+                loop.call_soon_threadsafe(
+                    queue.put_nowait, ("error", e)
+                )
+
+        fut = loop.run_in_executor(None, producer)
+        last_push = 0.0
+        latest = None
+        from ..udf.base import SingleUDFResults
+        while True:
+            kind, payload = await queue.get()
+            if kind == "error":
+                raise payload
+            if kind == "cancelled":
+                await self.event_registry.broadcast({
+                    "status": "ok", "messageType": "CANCEL_JOB_DONE",
+                    "job": job_uuid,
+                })
+                break
+            if kind == "partial":
+                latest = payload
+                now = time.monotonic()
+                if now - last_push < RESULT_THROTTLE:
+                    continue
+                last_push = now
+                await self._push_results(
+                    job_uuid, analysis, latest, final=False
+                )
+            if kind == "done":
+                if latest is not None:
+                    await self._push_results(
+                        job_uuid, analysis, latest, final=True
+                    )
+                await self.event_registry.broadcast({
+                    "status": "ok", "messageType": "FINISH_JOB",
+                    "job": job_uuid,
+                    "followup": {"numMessages": 0,
+                                 "descriptions": []},
+                })
+                break
+        await fut
+
+    async def _push_results(self, job_uuid, analysis, udf_results,
+                            final):
+        from ..udf.base import SingleUDFResults
+        wrapped = SingleUDFResults(
+            udf_results.buffers[0], udf_results.damage
+        )
+        roi = analysis.get_roi()
+        result_set = analysis.get_udf_results(
+            wrapped, roi, udf_results.damage
+        )
+        channels = [_encode_channel(r) for r in result_set]
+        await self.event_registry.broadcast({
+            "status": "ok", "messageType": "TASK_RESULT",
+            "job": job_uuid, "channels": channels,
+            "final": final,
+        })

@@ -1,0 +1,409 @@
+"""Tornado web API server
+(reference: libertem/web/server.py:79 make_app, routes :95–116,
+token auth :61; handlers from web/dataset.py, web/jobs.py,
+web/analysis.py, web/browse.py).
+
+REST + websocket protocol:
+  GET  /api/config/                         server/config info
+  GET  /api/datasets/detect/?path=          format auto-detection
+  PUT  /api/datasets/<uuid>/                open a dataset
+  DELETE /api/datasets/<uuid>/              close
+  PUT  /api/compoundAnalyses/<cuuid>/analyses/<uuid>/   create/update
+  DELETE .../analyses/<uuid>/
+  PUT  /api/jobs/<uuid>/                    start analysis job
+  DELETE /api/jobs/<uuid>/                  cancel
+  GET  /api/jobs/<uuid>/download/?fmt=NPZ   download results
+  GET  /api/browse/?path=                   filesystem browser
+  WS   /api/events/                         state + result stream
+
+Differences vs the reference: result images are streamed as base64
+PNG inside the JSON TASK_RESULT message (the reference sends separate
+binary websocket frames).
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import stat
+import uuid as uuid_mod
+from typing import Optional
+
+import numpy as np
+import tornado.escape
+import tornado.web
+import tornado.websocket
+
+from .engine import JobEngine
+from .state import SharedState
+
+log = logging.getLogger(__name__)
+
+
+class EventRegistry:
+    """Connected websocket clients + broadcast
+    (reference: web/events.py:12)."""
+
+    def __init__(self):
+        self.handlers: set = set()
+
+    def add_handler(self, h):
+        self.handlers.add(h)
+
+    def remove_handler(self, h):
+        self.handlers.discard(h)
+
+    async def broadcast(self, message: dict):
+        dead = []
+        for h in self.handlers:
+            try:
+                h.write_message(json.dumps(message))
+            except Exception:
+                dead.append(h)
+        for h in dead:
+            self.handlers.discard(h)
+
+
+class _BaseHandler(tornado.web.RequestHandler):
+    def initialize(self, state: SharedState, registry: EventRegistry,
+                   engine: JobEngine, token: Optional[str] = None):
+        self.state = state
+        self.registry = registry
+        self.engine = engine
+        self.token = token
+
+    def prepare(self):
+        if self.token is not None:
+            given = self.get_argument("token", None)
+            if given != self.token:
+                raise tornado.web.HTTPError(400, "token mismatch")
+
+    def write_json(self, obj):
+        self.set_header("Content-Type", "application/json")
+        self.write(json.dumps(obj))
+
+
+class ConfigHandler(_BaseHandler):
+    def get(self):
+        import jax
+
+        from .. import __version__
+        devices = jax.devices()
+        self.write_json({
+            "status": "ok",
+            "messageType": "CONFIG",
+            "config": {
+                "version": __version__,
+                "revision": "",
+                "localCores": os.cpu_count() or 1,
+                "devices": {
+                    "cpus": [0],
+                    "cudas": [],
+                    "tpus": [
+                        str(d) for d in devices
+                        if d.platform in ("tpu", "axon")
+                    ],
+                    "has_cupy": False,
+                },
+                "cwd": os.getcwd(),
+                "separator": os.sep,
+            },
+        })
+
+
+class DataSetDetectHandler(_BaseHandler):
+    def get(self):
+        path = self.get_argument("path")
+        from ..io.dataset import detect
+        params = detect(path, None)
+        if params is None:
+            self.write_json({
+                "status": "error",
+                "messageType": "DATASET_DETECTION_FAILED",
+                "path": path,
+                "msg": "could not detect dataset format",
+            })
+            return
+        self.write_json({
+            "status": "ok",
+            "messageType": "DATASET_DETECTED",
+            "datasetParams": {
+                "type": params["type"].upper(),
+                **params["parameters"],
+            },
+        })
+
+
+class DataSetDetailHandler(_BaseHandler):
+    async def put(self, uuid: str):
+        request_data = tornado.escape.json_decode(self.request.body)
+        params = dict(request_data["dataset"]["params"])
+        ds_type = params.pop("type").lower()
+        ctx = self.state.executor_state.get_context()
+        for key in ("nav_shape", "sig_shape"):
+            if key in params and params[key] is not None:
+                params[key] = tuple(params[key])
+        try:
+            ds = ctx.load(ds_type, **params)
+        except Exception as e:
+            self.write_json({
+                "status": "error",
+                "messageType": "CREATE_DATASET_ERROR",
+                "dataset": uuid,
+                "msg": str(e),
+            })
+            return
+        self.state.dataset_state.register(uuid, ds, {
+            "type": ds_type.upper(), **params,
+        })
+        msg = {
+            "status": "ok",
+            "messageType": "CREATE_DATASET",
+            "dataset": uuid,
+            "details": self.state.dataset_state.serialize(uuid),
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+    async def delete(self, uuid: str):
+        self.state.dataset_state.remove(uuid)
+        msg = {
+            "status": "ok",
+            "messageType": "DELETE_DATASET",
+            "dataset": uuid,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+
+class CompoundAnalysisHandler(_BaseHandler):
+    async def put(self, compound_uuid: str):
+        data = tornado.escape.json_decode(self.request.body)
+        details = data["details"]
+        self.state.compound_analyses[compound_uuid] = {
+            "dataset": details["dataset"],
+            "details": details,
+        }
+        msg = {
+            "status": "ok",
+            "messageType": "COMPOUND_ANALYSIS_CREATED",
+            "compoundAnalysis": compound_uuid,
+            "details": details,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+    async def delete(self, compound_uuid: str):
+        self.state.compound_analyses.pop(compound_uuid, None)
+        msg = {
+            "status": "ok",
+            "messageType": "COMPOUND_ANALYSIS_REMOVED",
+            "compoundAnalysis": compound_uuid,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+
+class AnalysisDetailHandler(_BaseHandler):
+    async def put(self, compound_uuid: str, uuid: str):
+        data = tornado.escape.json_decode(self.request.body)
+        details = data["details"]
+        ds_uuid = data["dataset"]
+        if uuid in self.state.analysis_state:
+            self.state.analysis_state.update(uuid, details)
+            message_type = "ANALYSIS_UPDATED"
+        else:
+            self.state.analysis_state.create(uuid, ds_uuid, details)
+            message_type = "ANALYSIS_CREATED"
+        msg = {
+            "status": "ok",
+            "messageType": message_type,
+            "analysis": uuid,
+            "dataset": ds_uuid,
+            "details": details,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+    async def delete(self, compound_uuid: str, uuid: str):
+        self.state.analysis_state.remove(uuid)
+        msg = {
+            "status": "ok",
+            "messageType": "ANALYSIS_REMOVED",
+            "analysis": uuid,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+
+class JobDetailHandler(_BaseHandler):
+    async def put(self, uuid: str):
+        data = tornado.escape.json_decode(self.request.body)
+        analysis_uuid = data["job"]["analysis"]
+        self.write_json({
+            "status": "ok",
+            "messageType": "JOB_STARTED",
+            "job": uuid,
+        })
+        tornado.ioloop.IOLoop.current().add_callback(
+            self.engine.run_analysis, analysis_uuid, uuid
+        )
+
+    async def delete(self, uuid: str):
+        self.state.job_state.cancel(uuid)
+        msg = {
+            "status": "ok",
+            "messageType": "CANCEL_JOB",
+            "job": uuid,
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+
+class ResultDownloadHandler(_BaseHandler):
+    async def get(self, job_uuid: str):
+        fmt = self.get_argument("fmt", "NPZ").upper()
+        job = self.state.job_state[job_uuid]
+        entry = self.state.analysis_state[job["analysis"]]
+        dataset = self.state.dataset_state[job["dataset"]]
+        from ..analysis.base import Analysis
+        analysis_cls = Analysis.get_analysis_by_type(
+            entry["details"]["analysisType"]
+        )
+        analysis = analysis_cls(
+            dataset=dataset,
+            parameters=entry["details"].get("parameters", {}),
+        )
+        ctx = self.state.executor_state.get_context()
+        result_set = ctx.run(analysis)
+        from ..io.writers import ResultFormat
+        fmt_cls = ResultFormat.registry[fmt]
+        buf = io.BytesIO()
+        fmt_cls({
+            r.key: r for r in result_set
+        }).serialize_to(buf)
+        buf.seek(0)
+        self.set_header("Content-Type", "application/octet-stream")
+        self.set_header(
+            "Content-Disposition",
+            f'attachment; filename="result.{fmt_cls.extension}"',
+        )
+        self.write(buf.read())
+
+
+class BrowseHandler(_BaseHandler):
+    def get(self):
+        path = self.get_argument("path")
+        try:
+            names = sorted(os.listdir(path))
+        except OSError as e:
+            self.write_json({
+                "status": "error",
+                "messageType": "DIRECTORY_LISTING_FAILED",
+                "path": path, "code": "NOT_FOUND", "alternative": None,
+                "msg": str(e),
+            })
+            return
+        dirs, files = [], []
+        for name in names:
+            full = os.path.join(path, name)
+            try:
+                st = os.stat(full)
+            except OSError:
+                continue
+            entry = {
+                "name": name, "size": st.st_size,
+                "ctime": st.st_ctime, "mtime": st.st_mtime,
+                "owner": str(st.st_uid),
+            }
+            if stat.S_ISDIR(st.st_mode):
+                dirs.append(entry)
+            else:
+                files.append(entry)
+        self.write_json({
+            "status": "ok",
+            "messageType": "DIRECTORY_LISTING",
+            "drives": ["/"],
+            "places": [{"key": "home",
+                        "title": "Home",
+                        "path": os.path.expanduser("~")}],
+            "path": path, "dirs": dirs, "files": files,
+        })
+
+
+class ShutdownHandler(_BaseHandler):
+    async def delete(self):
+        self.write_json({
+            "status": "ok", "messageType": "SERVER_SHUTDOWN",
+        })
+        tornado.ioloop.IOLoop.current().add_callback(
+            tornado.ioloop.IOLoop.current().stop
+        )
+
+
+class EventsHandler(tornado.websocket.WebSocketHandler):
+    def initialize(self, state, registry, engine, token=None):
+        self.state = state
+        self.registry = registry
+        self.token = token
+
+    def check_origin(self, origin):
+        return True
+
+    def open(self):
+        if self.token is not None and self.get_argument(
+            "token", None
+        ) != self.token:
+            self.close(code=4403)
+            return
+        self.registry.add_handler(self)
+        self.write_message(json.dumps(
+            self.state.serialize_initial()
+        ))
+
+    def on_close(self):
+        self.registry.remove_handler(self)
+
+    def on_message(self, message):
+        pass
+
+
+def make_app(state: Optional[SharedState] = None,
+             token: Optional[str] = None) -> tornado.web.Application:
+    if state is None:
+        state = SharedState()
+    registry = EventRegistry()
+    engine = JobEngine(state, registry)
+    common = dict(
+        state=state, registry=registry, engine=engine, token=token,
+    )
+    app = tornado.web.Application([
+        (r"/api/config/", ConfigHandler, common),
+        (r"/api/datasets/detect/", DataSetDetectHandler, common),
+        (r"/api/datasets/([^/]+)/", DataSetDetailHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/",
+         AnalysisDetailHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/", CompoundAnalysisHandler,
+         common),
+        (r"/api/jobs/([^/]+)/download/", ResultDownloadHandler,
+         common),
+        (r"/api/jobs/([^/]+)/", JobDetailHandler, common),
+        (r"/api/browse/localfs/", BrowseHandler, common),
+        (r"/api/shutdown/", ShutdownHandler, common),
+        (r"/api/events/", EventsHandler, common),
+    ])
+    app.shared_state = state
+    app.event_registry = registry
+    return app
+
+
+def run_server(host="localhost", port=9000, token=None,
+               browser=False):
+    app = make_app(token=token)
+    app.listen(port, address=host)
+    log.info("libertem-tpu-server listening on %s:%d", host, port)
+    if browser:  # pragma: no cover
+        import webbrowser
+        webbrowser.open(f"http://{host}:{port}")
+    tornado.ioloop.IOLoop.current().start()

@@ -1,0 +1,159 @@
+"""Web API tests: drive the REST + websocket protocol in-process
+(counterpart of the reference's tests/server/, marker web_api)."""
+import json
+
+import numpy as np
+import pytest
+import tornado.httpclient
+import tornado.testing
+import tornado.websocket
+
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.web.server import make_app
+from libertem_tpu.web.state import SharedState
+
+from conftest import _mk_random
+
+
+class WebTestBase(tornado.testing.AsyncHTTPTestCase):
+    def get_app(self):
+        self.state = SharedState()
+        return make_app(state=self.state)
+
+    def fetch_json(self, path, method="GET", body=None):
+        kwargs = {"method": method}
+        if body is not None:
+            kwargs["body"] = json.dumps(body)
+        resp = self.fetch(path, **kwargs)
+        assert resp.code == 200, resp.body
+        return json.loads(resp.body)
+
+
+class TestConfig(WebTestBase):
+    def test_config(self):
+        data = self.fetch_json("/api/config/")
+        assert data["status"] == "ok"
+        assert "version" in data["config"]
+
+    def test_browse(self):
+        data = self.fetch_json("/api/browse/localfs/?path=/")
+        assert data["messageType"] == "DIRECTORY_LISTING"
+        assert isinstance(data["dirs"], list)
+
+    def test_browse_missing(self):
+        data = self.fetch_json(
+            "/api/browse/localfs/?path=/nonexistent-dir-xyz"
+        )
+        assert data["status"] == "error"
+
+
+class TestDatasetAndJob(WebTestBase):
+    def _register_memory_ds(self, uuid="ds-1"):
+        data = _mk_random((6, 7, 12, 12), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=2
+        ).initialize()
+        self.state.dataset_state.register(
+            uuid, ds, {"type": "MEMORY"}
+        )
+        return data
+
+    def test_dataset_lifecycle_raw(self):
+        import tempfile, os
+        raw = _mk_random((4, 5, 8, 8), dtype="float32")
+        with tempfile.NamedTemporaryFile(
+            suffix=".raw", delete=False
+        ) as f:
+            raw.tofile(f.name)
+            path = f.name
+        try:
+            resp = self.fetch_json(
+                "/api/datasets/ds-raw/", method="PUT",
+                body={
+                    "dataset": {
+                        "params": {
+                            "type": "RAW",
+                            "path": path,
+                            "dtype": "float32",
+                            "nav_shape": [4, 5],
+                            "sig_shape": [8, 8],
+                        },
+                    },
+                },
+            )
+            assert resp["status"] == "ok", resp
+            assert resp["details"]["params"]["shape"] == [4, 5, 8, 8]
+            resp = self.fetch_json(
+                "/api/datasets/ds-raw/", method="DELETE"
+            )
+            assert resp["messageType"] == "DELETE_DATASET"
+        finally:
+            os.unlink(path)
+
+    def test_analysis_and_job(self):
+        data = self._register_memory_ds()
+        resp = self.fetch_json(
+            "/api/compoundAnalyses/ca-1/analyses/an-1/",
+            method="PUT",
+            body={
+                "dataset": "ds-1",
+                "details": {
+                    "analysisType": "SUM_FRAMES",
+                    "parameters": {},
+                },
+            },
+        )
+        assert resp["messageType"] == "ANALYSIS_CREATED"
+        resp = self.fetch_json(
+            "/api/jobs/job-1/", method="PUT",
+            body={"job": {"analysis": "an-1"}},
+        )
+        assert resp["messageType"] == "JOB_STARTED"
+
+        # drive the ioloop until the job finishes
+        deadline = 200
+        while (
+            self.state.job_state["job-1"]["running"]
+            and deadline > 0
+        ):
+            self.io_loop.run_sync(
+                lambda: tornado.gen.sleep(0.05)
+            )
+            deadline -= 1
+        assert not self.state.job_state["job-1"]["running"]
+
+    def test_download(self):
+        self._register_memory_ds(uuid="ds-2")
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-2/analyses/an-2/",
+            method="PUT",
+            body={
+                "dataset": "ds-2",
+                "details": {
+                    "analysisType": "SUM_FRAMES",
+                    "parameters": {},
+                },
+            },
+        )
+        self.state.job_state.register("job-2", "an-2", "ds-2")
+        resp = self.fetch(
+            "/api/jobs/job-2/download/?fmt=NPZ"
+        )
+        assert resp.code == 200
+        import io
+        arrays = np.load(io.BytesIO(resp.body))
+        assert "intensity" in arrays
+
+
+class TestEvents(WebTestBase):
+    def test_initial_state_ws(self):
+        async def go():
+            url = (
+                f"ws://127.0.0.1:{self.get_http_port()}/api/events/"
+            )
+            conn = await tornado.websocket.websocket_connect(url)
+            msg = json.loads(await conn.read_message())
+            assert msg["messageType"] == "INITIAL_STATE"
+            conn.close()
+
+        self.io_loop.run_sync(go)
