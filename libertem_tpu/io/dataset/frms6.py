@@ -1,0 +1,207 @@
+"""PNDetector FRMS6 dataset
+(reference: libertem/io/dataset/frms6.py:406 — 1024-byte file header
+[u2 header_size=1024, u2 frame_header_size=64, 3 pad bytes,
+u1 version=6, 80 comment, u2 width, u2 height, 928 comment,
+u4 num_frames], 64-byte frame headers, u16 pixel data).
+
+Frames are stored *folded*: a stored (h, w) frame holds the top half
+in columns [0, w/2) and the vertically flipped bottom half in
+[w/2, w) — the unfolded signal is (2h, w/2)
+(reference _map_y frms6.py:233).  ``*_000.frms6`` holds dark frames;
+their unfolded mean becomes the dark correction.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+import struct
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.shape import Shape
+from ..corrections import CorrectionSet
+from .base import (
+    DataSet,
+    DataSetException,
+    DataSetMeta,
+    Partition,
+)
+
+FILE_HEADER_SIZE = 1024
+FRAME_HEADER_SIZE = 64
+
+
+def read_frms6_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = f.read(FILE_HEADER_SIZE)
+    header_size, frame_header_size = struct.unpack("<HH", raw[:4])
+    version = raw[7]
+    width, height = struct.unpack("<HH", raw[88:92])
+    num_frames = struct.unpack("<I", raw[1020:1024])[0]
+    if header_size != 1024 or frame_header_size != 64 or version != 6:
+        raise DataSetException(f"{path}: not an FRMS6 file")
+    filesize = os.path.getsize(path)
+    if num_frames == 0:
+        per_frame = width * height * 2 + FRAME_HEADER_SIZE
+        num_frames = (filesize - FILE_HEADER_SIZE) // per_frame
+    return {
+        "width": int(width), "height": int(height),
+        "num_frames": int(num_frames), "path": path,
+    }
+
+
+def unfold(frames: np.ndarray) -> np.ndarray:
+    """(n, h, w) folded -> (n, 2h, w/2) unfolded."""
+    n, h, w = frames.shape
+    w2 = w // 2
+    out = np.empty((n, 2 * h, w2), dtype=frames.dtype)
+    out[:, :h] = frames[:, :, :w2]
+    out[:, h:] = frames[:, ::-1, w2:]
+    return out
+
+
+def _discover(path: str) -> tuple:
+    """(dark_file | None, [data files]) from any member path."""
+    m = re.match(r"^(.*)_(\d+)\.frms6$", path)
+    base = m.group(1) if m else os.path.splitext(path)[0]
+    all_files = sorted(glob.glob(f"{glob.escape(base)}_*.frms6"))
+    if not all_files:
+        all_files = [path]
+    dark = None
+    data = []
+    for f in all_files:
+        fm = re.match(r"^.*_(\d+)\.frms6$", f)
+        if fm and int(fm.group(1)) == 0:
+            dark = f
+        else:
+            data.append(f)
+    if not data:
+        data = [dark] if dark else [path]
+        dark = None
+    return dark, data
+
+
+class FRMS6Partition(Partition):
+    def __init__(self, files, stored_shape, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._files = files  # [(path, first, count)]
+        self._stored = stored_shape  # (h, w) folded
+        self._mmaps = {}
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        h, w = self._stored
+        frame_bytes = h * w * 2
+        stride = FRAME_HEADER_SIZE + frame_bytes
+        n = stop - start
+        folded = np.empty((n, h, w), dtype=np.uint16)
+        for path, first, count in self._files:
+            lo, hi = max(start, first), min(stop, first + count)
+            if hi <= lo:
+                continue
+            if path not in self._mmaps:
+                self._mmaps[path] = np.memmap(
+                    path, dtype=np.uint8, mode="r"
+                )
+            mm = self._mmaps[path]
+            for i in range(lo, hi):
+                off = (
+                    FILE_HEADER_SIZE + (i - first) * stride
+                    + FRAME_HEADER_SIZE
+                )
+                folded[i - start] = np.frombuffer(
+                    mm[off:off + frame_bytes], dtype="<u2"
+                ).reshape(h, w)
+        return unfold(folded)
+
+
+class FRMS6DataSet(DataSet):
+    def __init__(
+        self,
+        path: str,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        sync_offset: int = 0,
+        enable_offset_correction: bool = True,
+        gain_map_path: Optional[str] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self._path = path
+        self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sync_offset = int(sync_offset)
+        self._enable_offset_correction = enable_offset_correction
+        self._gain_map_path = gain_map_path
+
+    def initialize(self, executor=None) -> "FRMS6DataSet":
+        dark_file, data_files = _discover(self._path)
+        self._dark_file = dark_file
+        h0 = read_frms6_header(data_files[0])
+        self._stored = (h0["height"], h0["width"])
+        sig_shape = (2 * h0["height"], h0["width"] // 2)
+        self._files = []
+        first = 0
+        for f in data_files:
+            h = read_frms6_header(f)
+            self._files.append((f, first, h["num_frames"]))
+            first += h["num_frames"]
+        image_count = first
+        nav_shape = self._nav_shape
+        if not nav_shape:
+            side = int(np.sqrt(image_count))
+            nav_shape = (
+                (side, side) if side * side == image_count
+                else (image_count,)
+            )
+        self._meta = DataSetMeta(
+            shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
+            raw_dtype=np.dtype(np.uint16),
+            sync_offset=self._sync_offset,
+            image_count=image_count,
+        )
+        return self
+
+    def get_correction_data(self) -> CorrectionSet:
+        dark = gain = None
+        if self._enable_offset_correction and self._dark_file:
+            h = read_frms6_header(self._dark_file)
+            part = FRMS6Partition(
+                [(self._dark_file, 0, h["num_frames"])],
+                self._stored, self.meta, 0, h["num_frames"],
+            )
+            frames = part._read_raw_frames(0, h["num_frames"])
+            dark = frames.astype(np.float64).mean(axis=0).astype(
+                np.float32
+            )
+        if self._gain_map_path and os.path.exists(
+            self._gain_map_path
+        ):
+            if self._gain_map_path.endswith(".npy"):
+                gain = np.load(self._gain_map_path)
+            else:  # CSV like the reference's gain maps
+                gain = np.loadtxt(
+                    self._gain_map_path, delimiter=","
+                ).astype(np.float32)
+        return CorrectionSet(dark=dark, gain=gain)
+
+    def get_partitions(self) -> Iterator[FRMS6Partition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield FRMS6Partition(
+                self._files, self._stored,
+                self.meta, start, stop - start, idx=idx,
+            )
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        if not path.lower().endswith(".frms6"):
+            return False
+        try:
+            read_frms6_header(path)
+        except Exception:
+            return False
+        return {"path": path}
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return {"frms6", "hdr"}

@@ -1013,13 +1013,18 @@ class UDFRunner:
         damage_host = np.zeros(prep["n_nav"], dtype=bool)
 
         partitions = prep["partitions"]
-        part_iter = partitions
+        pm = None
         if progress:
-            import tqdm
-            part_iter = tqdm.tqdm(partitions, unit="partition")
+            from ..common.progress import (
+                ProgressManager, TQDMProgressReporter,
+            )
+            pm = ProgressManager(
+                prep["n_nav"], len(partitions),
+                TQDMProgressReporter(), progress_id=str(id(prep)),
+            )
 
         any_partition = False
-        for partition in part_iter:
+        for partition in partitions:
             n_sel = partition.frames_in_roi(roi)
             if n_sel == 0:
                 continue
@@ -1040,8 +1045,12 @@ class UDFRunner:
             for udf in self._udfs:
                 udf.postprocess()
             damage_host[goff0:goff0 + n_sel] = True
+            if pm is not None:
+                pm.partition_done(n_sel)
             if yield_partial:
                 yield self._wrap_results(prep, state, damage_host.copy())
+        if pm is not None:
+            pm.close()
         if not any_partition or not yield_partial:
             yield self._wrap_results(prep, state, damage_host)
 
@@ -1151,15 +1160,20 @@ class UDFRunner:
         )
 
         damage_host = np.zeros(n_nav, dtype=bool)
-        step_iter = range(n_steps)
+        pm = None
         if progress:
-            import tqdm
-            step_iter = tqdm.tqdm(step_iter, unit="superstep")
+            from ..common.progress import (
+                ProgressManager, TQDMProgressReporter,
+            )
+            pm = ProgressManager(
+                n_nav, n_steps, TQDMProgressReporter(),
+                progress_id=str(id(prep)),
+            )
 
         for udf in self._udfs:
             udf.preprocess()
 
-        for s in step_iter:
+        for s in range(n_steps):
             blk = np.zeros((n_dev, depth) + sig, dtype=meta0.raw_dtype)
             loffs = np.zeros(n_dev, dtype=np.int32)
             goffs = np.zeros(n_dev, dtype=np.int32)
@@ -1197,6 +1211,8 @@ class UDFRunner:
                 jax.device_put(valids, shard_spec),
                 jax.device_put(coords, shard_spec),
             )
+            if pm is not None:
+                pm.frames_done(int(valids.sum()))
             if yield_partial:
                 yield self._wrap_results(
                     prep,
@@ -1207,6 +1223,8 @@ class UDFRunner:
 
         for udf in self._udfs:
             udf.postprocess()
+        if pm is not None:
+            pm.close()
         if not yield_partial:
             yield self._wrap_results(
                 prep,

@@ -1,0 +1,35 @@
+"""Device detection (reference: libertem/utils/devices.py:31 detect —
+cpus via psutil + cudas via nvidia probing; here: host cores + jax
+TPU/accelerator devices).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+
+def detect() -> dict:
+    try:
+        import psutil
+        cpus = psutil.cpu_count(logical=False) or psutil.cpu_count()
+    except Exception:
+        import os
+        cpus = os.cpu_count() or 1
+    tpus: list = []
+    has_tpu = False
+    try:
+        import jax
+        devices = jax.devices()
+        tpus = [
+            i for i, d in enumerate(devices)
+            if d.platform in ("tpu", "axon")
+        ]
+        has_tpu = bool(tpus)
+    except Exception:
+        pass
+    return {
+        "cpus": list(range(int(cpus))),
+        "tpus": tpus,
+        "cudas": [],       # API compat with the reference
+        "has_cupy": False,  # API compat with the reference
+        "has_tpu": has_tpu,
+    }

@@ -1,0 +1,115 @@
+"""Synthetic test-data generators
+(reference: libertem/utils/generate.py — cbed_frame:9,
+hologram_frame:45, gradient_data:121, exclude_pixels:128).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import masks as mask_lib
+
+
+def cbed_frame(
+    fy=128, fx=128, zero=None, a=None, b=None, indices=None,
+    radius=4, all_equal=False, margin=None,
+):
+    """Simulated convergent-beam electron diffraction frame: disks at
+    lattice positions zero + i*a + j*b."""
+    if zero is None:
+        zero = (fy // 2, fx // 2)
+    zero = np.array(zero, dtype=np.float64)
+    if a is None:
+        a = (fy // 8, 0)
+    a = np.array(a, dtype=np.float64)
+    if b is None:
+        b = make_cartesian(make_polar(a) - (0, np.pi / 2))
+    b = np.array(b, dtype=np.float64)
+    if indices is None:
+        indices = np.mgrid[-10:11, -10:11]
+    indices, peaks = frame_peaks(
+        fy=fy, fx=fx, zero=zero, a=a, b=b,
+        r=margin if margin is not None else radius,
+        indices=indices,
+    )
+    frame = np.zeros((fy, fx), dtype=np.float32)
+    for i, p in enumerate(peaks):
+        intensity = 1.0 if all_equal else max(
+            0.1, 1.0 - 0.05 * np.linalg.norm(p - zero) / max(fy, fx)
+            * 16
+        )
+        frame += intensity * mask_lib.circular(
+            p[1], p[0], fx, fy, radius, antialiased=True
+        )
+    return frame, indices, peaks
+
+
+def make_polar(y_x):
+    y, x = y_x
+    return np.array([np.hypot(y, x), np.arctan2(y, x)])
+
+
+def make_cartesian(r_phi):
+    r, phi = r_phi
+    return np.array([r * np.sin(phi + np.pi / 2),
+                     r * np.cos(phi + np.pi / 2)])
+
+
+def frame_peaks(fy, fx, zero, a, b, r=0, indices=None):
+    if indices is None:
+        indices = np.mgrid[-10:11, -10:11]
+    idx = indices.reshape(2, -1).T
+    peaks = zero + idx[:, 0:1] * a + idx[:, 1:2] * b
+    sel = (
+        (peaks[:, 0] >= r) & (peaks[:, 0] < fy - r)
+        & (peaks[:, 1] >= r) & (peaks[:, 1] < fx - r)
+    )
+    return idx[sel], peaks[sel]
+
+
+def hologram_frame(
+    amp, phi,
+    counts=1000.0, sampling=5.0, visibility=1.0,
+    f_angle=30.0, gaussian_noise=None, poisson_noise=None,
+):
+    """Simulated off-axis electron hologram of a (amplitude, phase)
+    object (reference generate.py:45)."""
+    sy, sx = np.asarray(amp).shape
+    y, x = np.mgrid[0:sy, 0:sx].astype(np.float64)
+    f_angle_rad = np.deg2rad(f_angle)
+    carrier = 2 * np.pi / sampling * (
+        x * np.cos(f_angle_rad) + y * np.sin(f_angle_rad)
+    )
+    holo = counts / 2 * (
+        1.0 + np.asarray(amp) ** 2 + 2 * np.asarray(amp)
+        * visibility * np.cos(carrier - np.asarray(phi))
+    )
+    rng = np.random.default_rng(42)
+    if gaussian_noise:
+        holo = holo + rng.normal(0, gaussian_noise, holo.shape)
+    if poisson_noise:
+        holo = rng.poisson(
+            np.clip(holo, 0, None) * poisson_noise
+        ) / poisson_noise
+    return holo.astype(np.float64)
+
+
+def gradient_data(nav_dims, sig_dims):
+    """Linearly increasing values — deterministic test input."""
+    data = np.linspace(
+        start=5, stop=30, num=int(np.prod(nav_dims))
+        * int(np.prod(sig_dims)), dtype=np.float32,
+    )
+    return data.reshape(tuple(nav_dims) + tuple(sig_dims))
+
+
+def exclude_pixels(sig_dims, num_excluded):
+    """Reproducible set of excluded-pixel coordinates, (ndim, n)."""
+    if num_excluded == 0:
+        return None
+    rng = np.random.default_rng(9)
+    coords = set()
+    while len(coords) < num_excluded:
+        coords.add(tuple(
+            int(rng.integers(0, s)) for s in sig_dims
+        ))
+    return np.array(sorted(coords)).T

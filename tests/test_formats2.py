@@ -1,0 +1,176 @@
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from libertem_tpu.udf import SumUDF
+
+from conftest import _mk_random
+
+
+def _write_ser(path, frames):
+    """Minimal SER writer (version 0x0220, 2D elements)."""
+    n, h, w = frames.shape
+    dtype_code = 2  # uint16
+    head = struct.pack(
+        "<hhhiiii", 0x4949, 0x0197, 0x0220, 0x4122, 0x4152, n, n
+    )
+    # header(22) + offset_array_offset(8) + ndims(4) = 34; dims record
+    dim_record = struct.pack("<i", n) + struct.pack(
+        "<ddi", 0.0, 1.0, 0
+    ) + struct.pack("<i", 0) + struct.pack("<i", 0)
+    data_start = 34 + len(dim_record)
+    elem_bytes = 50 + h * w * 2
+    offsets = [data_start + 16 * n + i * elem_bytes for i in range(n)]
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(struct.pack("<qi", data_start, 1))
+        f.write(dim_record)
+        f.write(np.array(offsets, dtype="<i8").tobytes())
+        f.write(np.zeros(n, dtype="<i8").tobytes())  # tag offsets
+        for fr in frames:
+            f.write(struct.pack("<ddi", 0.0, 1.0, 0))
+            f.write(struct.pack("<ddi", 0.0, 1.0, 0))
+            f.write(struct.pack("<hii", dtype_code, w, h))
+            f.write(fr.astype("<u2").tobytes())
+
+
+def test_ser(lt_ctx, tmp_path):
+    frames = _mk_random((6, 10, 12), dtype="uint16")
+    path = str(tmp_path / "t.ser")
+    _write_ser(path, frames)
+    ds = lt_ctx.load("ser", path=path, nav_shape=(2, 3))
+    assert tuple(ds.shape) == (2, 3, 10, 12)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        frames.astype(np.float32).sum(axis=0), rtol=1e-4,
+    )
+
+
+def _write_dm4(path, data):
+    """Minimal DM4 writer: root group with ImageList.0.ImageData
+    holding Data (array) and Dimensions."""
+    import io
+
+    def tag_data_simple(name, value, code, fmt, size):
+        payload = b"%%%%" + struct.pack(">q", 1) + struct.pack(
+            ">q", code
+        ) + struct.pack("<" + fmt, value)
+        return (
+            bytes([0x15]) + struct.pack(">h", len(name))
+            + name.encode() + struct.pack(">q", len(payload))
+            + payload
+        )
+
+    def tag_data_array(name, arr, code, npdtype):
+        body = arr.astype(npdtype).tobytes()
+        payload = b"%%%%" + struct.pack(">q", 3) + struct.pack(
+            ">qqq", 20, code, arr.size
+        ) + body
+        return (
+            bytes([0x15]) + struct.pack(">h", len(name))
+            + name.encode() + struct.pack(">q", len(payload))
+            + payload
+        )
+
+    def tag_group(name, children):
+        inner = bytes([1, 0]) + struct.pack(">q", len(children))
+        inner += b"".join(children)
+        return (
+            bytes([0x14]) + struct.pack(">h", len(name))
+            + name.encode() + struct.pack(">q", len(inner)) + inner
+        )
+
+    n, h, w = data.shape
+    dims = tag_group("Dimensions", [
+        tag_data_simple("0", w, 3, "i", 4),
+        tag_data_simple("1", h, 3, "i", 4),
+        tag_data_simple("2", n, 3, "i", 4),
+    ])
+    image_data = tag_group("ImageData", [
+        tag_data_array("Data", data.reshape(-1), 4, "<u2"),
+        dims,
+    ])
+    img0 = tag_group("0", [image_data])
+    image_list = tag_group("ImageList", [img0])
+    root_children = [image_list]
+    root = bytes([1, 0]) + struct.pack(
+        ">q", len(root_children)
+    ) + b"".join(root_children)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">i", 4))
+        f.write(struct.pack(">q", len(root)))
+        f.write(struct.pack(">i", 1))  # little-endian data
+        f.write(root)
+
+
+def test_dm4(lt_ctx, tmp_path):
+    data = _mk_random((12, 8, 10), dtype="uint16")
+    path = str(tmp_path / "t.dm4")
+    _write_dm4(path, data)
+    ds = lt_ctx.load("dm", path=path, nav_shape=(3, 4))
+    assert tuple(ds.shape) == (3, 4, 8, 10)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        data.astype(np.float32).sum(axis=0), rtol=1e-4,
+    )
+
+
+def _write_frms6(path, folded_frames, num_frames_field=None):
+    n, h, w = folded_frames.shape
+    head = bytearray(1024)
+    head[0:4] = struct.pack("<HH", 1024, 64)
+    head[7] = 6
+    head[88:92] = struct.pack("<HH", w, h)
+    head[1020:1024] = struct.pack(
+        "<I", num_frames_field if num_frames_field is not None else n
+    )
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        for fr in folded_frames:
+            f.write(b"\x00" * 64)
+            f.write(fr.astype("<u2").tobytes())
+
+
+def test_frms6(lt_ctx, tmp_path):
+    from libertem_tpu.io.dataset.frms6 import unfold
+    rng = np.random.default_rng(3)
+    # stored folded frames: (h=6, w=16) -> unfolded (12, 8)
+    dark = rng.integers(0, 50, (2, 6, 16)).astype(np.uint16)
+    data = rng.integers(100, 1000, (12, 6, 16)).astype(np.uint16)
+    _write_frms6(str(tmp_path / "acq_000.frms6"), dark)
+    _write_frms6(str(tmp_path / "acq_001.frms6"), data)
+    ds = lt_ctx.load(
+        "frms6", path=str(tmp_path / "acq_001.frms6"),
+        nav_shape=(3, 4),
+    )
+    assert tuple(ds.shape) == (3, 4, 12, 8)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    unfolded = unfold(data).astype(np.float64)
+    dark_mean = unfold(dark).astype(np.float64).mean(axis=0)
+    expected = (unfolded - dark_mean).sum(axis=0)
+    assert np.allclose(
+        res["intensity"].data, expected, rtol=1e-3, atol=1e-2
+    )
+
+
+def test_convert_transposed(tmp_path):
+    from libertem_tpu.contrib.convert_transposed import (
+        convert_transposed_to_npy,
+    )
+    rng = np.random.default_rng(4)
+    nav, sig = (3, 4), (5, 6)
+    c_order = rng.random(nav + sig).astype(np.float32)
+    transposed = np.moveaxis(
+        c_order.reshape(12, 30), 0, 1
+    )  # (sig_flat, nav_flat)
+    src = str(tmp_path / "transposed.bin")
+    np.ascontiguousarray(transposed).tofile(src)
+    out = str(tmp_path / "converted.npy")
+    convert_transposed_to_npy(
+        src, out, nav_shape=nav, sig_shape=sig, dtype=np.float32
+    )
+    assert np.array_equal(np.load(out), c_order)
