@@ -32,16 +32,40 @@ class Context:
         self.executor = executor
 
     @classmethod
-    def make_with(cls, executor_spec: str = "inline", /, **kwargs) -> "Context":
+    def make_with(
+        cls, executor_spec: str = "inline", /, *,
+        cpus=None, gpus=None, tpus=None, plot_class=None,
+        snooze_timeout=None, **kwargs,
+    ) -> "Context":
         """Create a Context with a named executor
-        (reference api.py:238).  Specs: 'inline' | 'synchronous' |
-        'sharded' (all devices) | 'tpu'.
+        (reference api.py:238).  All of the reference's distributed
+        specs map onto the device mesh:
+
+        'inline' | 'synchronous' | 'threads' | 'concurrent'
+            -> single-device InlineJobExecutor
+        'sharded' | 'tpu' | 'dask' | 'dask-make-default' |
+        'dask-integration' | 'pipelined'
+            -> ShardedJobExecutor over all devices
+        'delayed' -> DelayedJobExecutor (requires dask)
         """
-        if executor_spec in ("inline", "synchronous", "threads"):
+        if executor_spec in (
+            "inline", "synchronous", "threads", "concurrent",
+        ):
             return cls(executor=InlineJobExecutor())
-        elif executor_spec in ("sharded", "tpu", "pipelined", "dask"):
+        elif executor_spec in (
+            "sharded", "tpu", "pipelined", "dask",
+            "dask-make-default", "dask-integration",
+        ):
             from .executor.sharded import ShardedJobExecutor
-            return cls(executor=ShardedJobExecutor(**kwargs))
+            devices = None
+            if tpus is not None:
+                import jax
+                all_devices = jax.devices()
+                devices = [all_devices[i] for i in tpus]
+            return cls(executor=ShardedJobExecutor(devices=devices))
+        elif executor_spec == "delayed":
+            from .executor.compat import DelayedJobExecutor
+            return cls(executor=DelayedJobExecutor(**kwargs))
         raise ValueError(f"unknown executor spec {executor_spec!r}")
 
     # -- datasets -----------------------------------------------------------
@@ -121,6 +145,37 @@ class Context:
             devices=self._run_devices(),
         ):
             yield results
+
+    async def run_udf_async(
+        self, dataset, udf, roi=None, corrections=None,
+        progress=False,
+    ):
+        """Awaitable variant of run_udf (the reference's
+        ``run_udf(..., sync=False)``, api.py:914)."""
+        from .common.async_utils import sync_to_async
+        return await sync_to_async(
+            self.run_udf, dataset, udf, roi=roi,
+            corrections=corrections, progress=progress,
+        )
+
+    def inspect_udf(self, udf, dataset, roi=None):
+        """Buffer declarations without running
+        (reference udf/base.py:2397 inspect_udf)."""
+        runner = UDFRunner([udf])
+        results = runner.dry_run(dataset, roi)
+        return SingleUDFResults(results.buffers[0], results.damage)
+
+    def display(self, dataset, udf, roi=None):
+        """Repr-style summary of what a UDF would produce
+        (reference api.py:1543)."""
+        res = self.inspect_udf(udf, dataset, roi)
+        lines = [f"{type(udf).__name__} on {dataset}:"]
+        for name, buf in res.items():
+            lines.append(
+                f"  {name}: kind={buf.kind} dtype={buf.dtype} "
+                f"extra_shape={buf.extra_shape}"
+            )
+        return "\n".join(lines)
 
     def map(self, dataset: DataSet, f, roi=None, progress=False):
         """Apply ``f(frame) -> ndarray`` to every frame

@@ -240,6 +240,18 @@ class UDF:
             f"implement merge(dest, src)"
         )
 
+    def merge_all(self, ordered_results: Sequence[UDFData]) -> dict:
+        """Tree-reduce a sequence of partial sig/single states
+        (reference udf/base.py:943 + _default_merge_all:985): default
+        folds pairwise with merge(); override for a vectorized
+        combine.  Used by the sharded executor's cross-device fold."""
+        if not ordered_results:
+            return {}
+        acc = UDFData(dict(ordered_results[0].items()))
+        for src in ordered_results[1:]:
+            self.merge(acc, src)
+        return acc.as_dict()
+
     def get_results(self) -> dict:
         return {}
 

@@ -1,0 +1,167 @@
+"""Jupyter notebook generation: every GUI analysis can be exported as
+runnable notebook code
+(reference: web/notebook_generator/notebook_generator.py:27,
+code_template.py:15, per-analysis GeneratorHelper subclasses in
+analysis/*.py).
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+
+def _code_cell(source: str) -> dict:
+    return {
+        "cell_type": "code",
+        "execution_count": None,
+        "metadata": {},
+        "outputs": [],
+        "source": source.splitlines(keepends=True),
+    }
+
+
+def _md_cell(source: str) -> dict:
+    return {
+        "cell_type": "markdown",
+        "metadata": {},
+        "source": source.splitlines(keepends=True),
+    }
+
+
+# analysisType -> (title, code template using {params} dict)
+ANALYSIS_TEMPLATES = {
+    "SUM_FRAMES": (
+        "Sum of all frames",
+        "analysis = ctx.create_sum_analysis(dataset=ds)\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "SUM_SIG": (
+        "Sum over the detector",
+        "analysis = ctx.create_sumsig_analysis(dataset=ds)\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "SD_FRAMES": (
+        "Standard deviation",
+        "analysis = ctx.create_sd_analysis(dataset=ds)\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.std.raw_data)\n",
+    ),
+    "APPLY_DISK_MASK": (
+        "Disk (bright field) virtual detector",
+        "analysis = ctx.create_disk_analysis(dataset=ds, "
+        "cx={cx}, cy={cy}, r={r})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "APPLY_RING_MASK": (
+        "Ring (dark field) virtual detector",
+        "analysis = ctx.create_ring_analysis(dataset=ds, "
+        "cx={cx}, cy={cy}, ri={ri}, ro={ro})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "APPLY_POINT_SELECTOR": (
+        "Point selector",
+        "analysis = ctx.create_point_analysis(dataset=ds, "
+        "x={cx}, y={cy})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "CENTER_OF_MASS": (
+        "Center of mass",
+        "analysis = ctx.create_com_analysis(dataset=ds, "
+        "cx={cx}, cy={cy}, mask_radius={r})\n"
+        "result = ctx.run(analysis)\n"
+        "fig, axes = plt.subplots(1, 3, figsize=(12, 4))\n"
+        "axes[0].imshow(result.magnitude.raw_data)\n"
+        "axes[1].imshow(result.divergence.raw_data)\n"
+        "axes[2].imshow(result.curl.raw_data)\n",
+    ),
+    "RADIAL_FOURIER": (
+        "Radial Fourier series",
+        "analysis = ctx.create_radial_fourier_analysis(dataset=ds, "
+        "cx={cx}, cy={cy}, ri={ri}, ro={ro}, n_bins={n_bins}, "
+        "max_order={max_order})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.dominant_0.raw_data)\n",
+    ),
+    "PICK_FRAME": (
+        "Pick a single frame",
+        "analysis = ctx.create_pick_analysis(dataset=ds, "
+        "x={x}, y={y})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "FEM": (
+        "Fluctuation EM",
+        "analysis = ctx.create_fem_analysis(dataset=ds, "
+        "cx={cx}, cy={cy}, ri={ri}, ro={ro})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+}
+
+
+def dataset_cell(ds_type: str, ds_params: dict) -> str:
+    args = ", ".join(
+        f"{k}={v!r}" for k, v in ds_params.items()
+        if k not in ("type",) and v is not None
+    )
+    return f'ds = ctx.load("{ds_type.lower()}", {args})\n'
+
+
+def notebook_for(
+    ds_type: str,
+    ds_params: dict,
+    analyses: Sequence[dict],
+) -> dict:
+    """Build the notebook JSON for a dataset + list of
+    {analysisType, parameters} entries."""
+    cells = [
+        _md_cell("# libertem_tpu analysis notebook\n"
+                 "Generated from the web GUI."),
+        _code_cell(
+            "import matplotlib.pyplot as plt\n"
+            "import numpy as np\n"
+            "from libertem_tpu import Context\n"
+        ),
+        _code_cell('ctx = Context.make_with("sharded")\n'),
+        _code_cell(dataset_cell(ds_type, ds_params)),
+    ]
+    for entry in analyses:
+        a_type = entry["analysisType"]
+        params = dict(entry.get("parameters", {}))
+        tpl = ANALYSIS_TEMPLATES.get(a_type)
+        if tpl is None:
+            cells.append(_md_cell(
+                f"*(no template for analysis type {a_type})*"
+            ))
+            continue
+        title, code = tpl
+
+        class _Defaults(dict):
+            def __missing__(self, key):
+                return "None"
+
+        cells.append(_md_cell(f"## {title}"))
+        cells.append(_code_cell(
+            code.format_map(_Defaults(**params))
+        ))
+    return {
+        "cells": cells,
+        "metadata": {
+            "kernelspec": {
+                "display_name": "Python 3",
+                "language": "python",
+                "name": "python3",
+            },
+        },
+        "nbformat": 4,
+        "nbformat_minor": 4,
+    }
+
+
+def notebook_to_bytes(nb: dict) -> bytes:
+    return json.dumps(nb, indent=1).encode("utf-8")

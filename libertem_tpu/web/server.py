@@ -292,6 +292,41 @@ class ResultDownloadHandler(_BaseHandler):
         self.write(buf.read())
 
 
+class NotebookDownloadHandler(_BaseHandler):
+    async def get(self, compound_uuid: str):
+        comp = self.state.compound_analyses.get(compound_uuid)
+        if comp is None:
+            raise tornado.web.HTTPError(404)
+        ds_uuid = comp["dataset"]
+        entry = self.state.dataset_state.datasets[ds_uuid]
+        analyses = []
+        for uuid_ in comp["details"].get("analyses", []):
+            if uuid_ in self.state.analysis_state:
+                analyses.append(
+                    self.state.analysis_state[uuid_]["details"]
+                )
+        if not analyses:
+            analyses = [
+                e["details"]
+                for e in
+                self.state.analysis_state.analyses.values()
+                if e["dataset"] == ds_uuid
+            ]
+        from .notebook_generator import notebook_for, notebook_to_bytes
+        nb = notebook_for(
+            entry["params"].get("type", "memory"),
+            {k: v for k, v in entry["params"].items()
+             if k != "type"},
+            analyses,
+        )
+        self.set_header("Content-Type", "application/x-ipynb+json")
+        self.set_header(
+            "Content-Disposition",
+            'attachment; filename="analysis.ipynb"',
+        )
+        self.write(notebook_to_bytes(nb))
+
+
 class BrowseHandler(_BaseHandler):
     def get(self):
         path = self.get_argument("path")
@@ -384,6 +419,8 @@ def make_app(state: Optional[SharedState] = None,
         (r"/api/datasets/([^/]+)/", DataSetDetailHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/",
          AnalysisDetailHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/download/notebook/",
+         NotebookDownloadHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/", CompoundAnalysisHandler,
          common),
         (r"/api/jobs/([^/]+)/download/", ResultDownloadHandler,

@@ -1,0 +1,173 @@
+import json
+
+import numpy as np
+import pytest
+
+from libertem_tpu.api import Context
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import StdDevUDF, SumSigUDF, SumUDF
+
+from conftest import _mk_random
+
+
+@pytest.fixture
+def ds():
+    return MemoryDataSet(
+        data=_mk_random((6, 6, 10, 10), dtype="float32"),
+        sig_dims=2, num_partitions=2,
+    ).initialize()
+
+
+def test_make_with_specs():
+    for spec in ("inline", "synchronous", "threads", "concurrent"):
+        ctx = Context.make_with(spec)
+        assert len(ctx.executor.devices) == 1
+    for spec in ("sharded", "dask", "pipelined", "tpu"):
+        ctx = Context.make_with(spec)
+        assert len(ctx.executor.devices) >= 1
+    with pytest.raises(ValueError):
+        Context.make_with("bogus")
+
+
+def test_executor_compat_names():
+    from libertem_tpu.executor import (
+        ConcurrentJobExecutor, DaskJobExecutor, PipelinedExecutor,
+    )
+    assert ConcurrentJobExecutor().devices
+    assert DaskJobExecutor().devices
+    assert PipelinedExecutor().devices
+
+
+def test_inspect_and_display(lt_ctx, ds):
+    res = lt_ctx.inspect_udf(SumUDF(), ds)
+    assert "intensity" in res
+    assert res["intensity"].kind == "sig"
+    text = lt_ctx.display(ds, SumSigUDF())
+    assert "intensity" in text and "nav" in text
+
+
+def test_run_udf_async_via_loop(lt_ctx, ds):
+    import asyncio
+    res = asyncio.run(lt_ctx.run_udf_async(ds, SumUDF()))
+    assert res["intensity"].data.shape == (10, 10)
+
+
+def test_merge_all(ds):
+    from libertem_tpu.udf.base import UDFData
+    udf = StdDevUDF()
+    parts = []
+    rng = np.random.default_rng(0)
+    chunks = [rng.normal(size=(5, 4, 4)) for _ in range(3)]
+    for c in chunks:
+        parts.append(UDFData({
+            "num_frames": np.float32(c.shape[0]),
+            "sum": c.sum(axis=0).astype(np.float32),
+            "varsum": (
+                (c - c.mean(axis=0)) ** 2
+            ).sum(axis=0).astype(np.float32),
+        }))
+    merged = udf.merge_all(parts)
+    allc = np.concatenate(chunks, axis=0)
+    assert np.allclose(merged["sum"], allc.sum(axis=0), rtol=1e-4)
+    assert np.allclose(
+        merged["varsum"],
+        ((allc - allc.mean(axis=0)) ** 2).sum(axis=0),
+        rtol=1e-3,
+    )
+
+
+def test_message_converter():
+    from libertem_tpu.common.messageconverter import (
+        MessageConverter, ValidationError,
+    )
+
+    class Conv(MessageConverter):
+        SCHEMA = {
+            "type": "object",
+            "properties": {
+                "type": {"const": "RAW"},
+                "nav_shape": {
+                    "type": "array",
+                    "items": {"type": "number", "minimum": 1},
+                    "minItems": 2, "maxItems": 2,
+                },
+            },
+            "required": ["type"],
+        }
+
+    conv = Conv()
+    assert conv.to_python(
+        {"type": "RAW", "nav_shape": [4, 5]}
+    )["type"] == "RAW"
+    with pytest.raises(ValidationError):
+        conv.to_python({"type": "MIB"})
+    with pytest.raises(ValidationError):
+        conv.to_python({"type": "RAW", "nav_shape": [4]})
+
+
+def test_notebook_generator():
+    from libertem_tpu.web.notebook_generator import (
+        notebook_for, notebook_to_bytes,
+    )
+    nb = notebook_for(
+        "raw",
+        {"path": "/data/x.raw", "dtype": "uint16",
+         "nav_shape": (32, 32), "sig_shape": (128, 128)},
+        [
+            {"analysisType": "APPLY_DISK_MASK",
+             "parameters": {"cx": 64, "cy": 64, "r": 32}},
+            {"analysisType": "CENTER_OF_MASS",
+             "parameters": {"cx": 64, "cy": 64, "r": 32}},
+        ],
+    )
+    raw = notebook_to_bytes(nb)
+    parsed = json.loads(raw)
+    assert parsed["nbformat"] == 4
+    src = "".join(
+        "".join(c["source"]) for c in parsed["cells"]
+    )
+    assert "create_disk_analysis" in src
+    assert "create_com_analysis" in src
+    assert 'ctx.load("raw"' in src
+
+
+def test_progress_and_snooze(lt_ctx, ds, capsys):
+    # progress smoke test
+    res = lt_ctx.run_udf(ds, SumUDF(), progress=True)
+    assert res["intensity"].data is not None
+    # snooze manager triggers down/up callbacks
+    import time
+
+    from libertem_tpu.common.snooze import SnoozeManager
+    events = []
+    m = SnoozeManager(
+        up=lambda: events.append("up"),
+        down=lambda: events.append("down"),
+        timeout=0.01,
+    )
+    time.sleep(0.1)
+    m._check()
+    assert "down" in events
+    m.touch()
+    assert "up" in events
+    m.close()
+
+
+def test_utils_devices_generate():
+    from libertem_tpu.utils.devices import detect
+    from libertem_tpu.utils.generate import (
+        cbed_frame, exclude_pixels, gradient_data, hologram_frame,
+    )
+    d = detect()
+    assert len(d["cpus"]) >= 1
+    frame, indices, peaks = cbed_frame(fy=64, fx=64, radius=3)
+    assert frame.shape == (64, 64)
+    assert frame.max() > 0
+    holo = hologram_frame(
+        np.ones((32, 32)), np.zeros((32, 32))
+    )
+    assert holo.shape == (32, 32)
+    g = gradient_data((4, 4), (8, 8))
+    assert g.shape == (4, 4, 8, 8)
+    ex = exclude_pixels((16, 16), 5)
+    assert ex.shape[1] == 5
