@@ -26,6 +26,7 @@ filetypes = {
     "frms6": "libertem_tpu.io.dataset.frms6:FRMS6DataSet",
     "k2is": "libertem_tpu.io.dataset.k2is:K2ISDataSet",
     "ser": "libertem_tpu.io.dataset.ser:SERDataSet",
+    "dask": "libertem_tpu.io.dataset.dask:DaskDataSet",
 }
 
 

@@ -1,0 +1,255 @@
+"""Gatan K2 IS dataset
+(reference: libertem/io/dataset/k2is.py:727 — 8 sector .bin files;
+each is a stream of 0x5758-byte blocks: a 40-byte big-endian header
+[sync 0xFFFF0055, version u1, flags u1 (bit0 = shutter active),
+block_count u4, width u2 (256), height u2 (1860), frame_id u4,
+pixel_x_start/y_start/x_end/y_end u2, block_size u4] followed by
+930x16 pixels packed as 12-bit little-endian (k2is.py:27–34, 582).
+
+A frame is 1860x2048: 8 sectors of 256 columns, each sector receiving
+32 blocks per frame (16 x-positions x 2 y-halves).  Sector streams
+may start mid-frame and at different frames ("multi-sector sync",
+reference K2Syncer:315); here all block headers are scanned
+vectorized via memmap and grouped by frame_id — frames with a
+complete 8x32 block set are the usable ones, starting at the first
+shutter-active frame.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.shape import Shape
+from ...native import decode_uint12_le
+from .base import (
+    DataSet,
+    DataSetException,
+    DataSetMeta,
+    Partition,
+)
+
+HEADER_SIZE = 40
+BLOCK_SIZE = 0x5758
+DATA_SIZE = BLOCK_SIZE - HEADER_SIZE
+BLOCK_SHAPE = (930, 16)
+BLOCKS_PER_SECTOR_PER_FRAME = 32
+NUM_SECTORS = 8
+SECTOR_SIZE = (2 * 930, 256)
+SHUTTER_ACTIVE_MASK = 0x1
+SYNC_MAGIC = 0xFFFF0055
+
+
+def _sector_files(path: str) -> list:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gtg":
+        pattern = glob.escape(path[:-4]) + "*.bin"
+    elif ext == ".bin":
+        stem = re.sub(r"\d+$", "", os.path.splitext(path)[0])
+        pattern = glob.escape(stem) + "*.bin"
+    else:
+        raise DataSetException(f"unrecognized k2is path {path}")
+    files = sorted(glob.glob(pattern))
+    if len(files) != NUM_SECTORS:
+        raise DataSetException(
+            f"expected {NUM_SECTORS} sector files, found "
+            f"{len(files)} for {pattern}"
+        )
+    return files
+
+
+def _scan_sector(path: str) -> dict:
+    """Vectorized block-header scan of one sector file.
+
+    Returns arrays (per block): offset, frame_id, x_start, y_start,
+    shutter.
+    """
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    # find the first valid block: search for the sync magic on any
+    # byte offset (robust against truncated stream starts)
+    first = 0
+    magic = np.array([0xFF, 0xFF, 0x00, 0x55], dtype=np.uint8)
+    limit = min(len(mm) - BLOCK_SIZE, 2 * BLOCK_SIZE)
+    for off in range(0, max(1, limit)):
+        if np.array_equal(mm[off:off + 4], magic):
+            first = off
+            break
+    n_blocks = (len(mm) - first) // BLOCK_SIZE
+    if n_blocks <= 0:
+        raise DataSetException(f"{path}: no complete blocks")
+    blocks = np.lib.stride_tricks.as_strided(
+        mm[first:], shape=(n_blocks, HEADER_SIZE),
+        strides=(BLOCK_SIZE, 1),
+    )
+
+    def be(col, width):
+        v = np.zeros(n_blocks, dtype=np.uint32)
+        for i in range(width):
+            v = (v << 8) | blocks[:, col + i]
+        return v
+
+    sync = be(0, 4)
+    flags = blocks[:, 9].astype(np.uint32)
+    frame_id = be(16, 4)
+    x_start = be(20, 2)
+    y_start = be(22, 2)
+    width = be(12, 2)
+    height = be(14, 2)
+    valid = (
+        (sync == SYNC_MAGIC)
+        & (width == SECTOR_SIZE[1])
+        & (height == SECTOR_SIZE[0])
+    )
+    offsets = first + np.arange(n_blocks, dtype=np.int64) * BLOCK_SIZE
+    return {
+        "offset": offsets[valid],
+        "frame_id": frame_id[valid],
+        "x_start": x_start[valid],
+        "y_start": y_start[valid],
+        "shutter": (flags[valid] & SHUTTER_ACTIVE_MASK) == 1,
+    }
+
+
+class K2ISPartition(Partition):
+    def __init__(self, files, frame_table, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._files = files
+        # frame_table: (n_frames, NUM_SECTORS,
+        #               BLOCKS_PER_SECTOR_PER_FRAME) block offsets
+        self._table = frame_table
+        self._mmaps = {}
+
+    def _get_mmap(self, s):
+        if s not in self._mmaps:
+            self._mmaps[s] = np.memmap(
+                self._files[s], dtype=np.uint8, mode="r"
+            )
+        return self._mmaps[s]
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        h, w = SECTOR_SIZE
+        out = np.empty(
+            (stop - start, h, NUM_SECTORS * w), dtype=np.uint16
+        )
+        bh, bw = BLOCK_SHAPE
+        for fi in range(start, stop):
+            frame = out[fi - start]
+            for s in range(NUM_SECTORS):
+                mm = self._get_mmap(s)
+                x0_sector = s * w
+                for off, xs, ys in self._table[fi][s]:
+                    payload = mm[
+                        off + HEADER_SIZE:off + BLOCK_SIZE
+                    ]
+                    pixels = decode_uint12_le(payload)[
+                        :bh * bw
+                    ].reshape(bh, bw)
+                    frame[
+                        ys:ys + bh,
+                        x0_sector + xs:x0_sector + xs + bw,
+                    ] = pixels
+        return out
+
+
+class K2ISDataSet(DataSet):
+    def __init__(
+        self,
+        path: str,
+        nav_shape: Optional[Sequence[int]] = None,
+        sig_shape: Optional[Sequence[int]] = None,
+        sync_offset: int = 0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self._path = path
+        self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sync_offset = int(sync_offset)
+
+    def initialize(self, executor=None) -> "K2ISDataSet":
+        files = _sector_files(self._path)
+        scans = [_scan_sector(f) for f in files]
+        # group blocks per frame_id per sector
+        frame_ids = None
+        per_sector: list = []
+        for scan in scans:
+            groups: dict = {}
+            for off, fid, xs, ys, sh in zip(
+                scan["offset"], scan["frame_id"], scan["x_start"],
+                scan["y_start"], scan["shutter"],
+            ):
+                groups.setdefault(int(fid), []).append(
+                    (int(off), int(xs), int(ys), bool(sh))
+                )
+            complete = {
+                fid: blocks for fid, blocks in groups.items()
+                if len(blocks) == BLOCKS_PER_SECTOR_PER_FRAME
+            }
+            per_sector.append(complete)
+            ids = set(complete)
+            frame_ids = ids if frame_ids is None else (
+                frame_ids & ids
+            )
+        if not frame_ids:
+            raise DataSetException("no complete frames found")
+        ordered = sorted(frame_ids)
+        # start at the first frame with the shutter-active flag
+        start_idx = 0
+        for i, fid in enumerate(ordered):
+            if any(b[3] for b in per_sector[0][fid]):
+                start_idx = i
+                break
+        ordered = ordered[start_idx:]
+        table = []
+        for fid in ordered:
+            row = []
+            for s in range(NUM_SECTORS):
+                row.append([
+                    (off, xs, ys)
+                    for off, xs, ys, _ in per_sector[s][fid]
+                ])
+            table.append(row)
+        self._files = files
+        self._table = table
+        image_count = len(table)
+        nav_shape = self._nav_shape
+        if not nav_shape:
+            side = int(np.sqrt(image_count))
+            nav_shape = (
+                (side, side) if side * side == image_count
+                else (image_count,)
+            )
+        sig_shape = (SECTOR_SIZE[0], NUM_SECTORS * SECTOR_SIZE[1])
+        self._meta = DataSetMeta(
+            shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
+            raw_dtype=np.dtype(np.uint16),
+            sync_offset=self._sync_offset,
+            image_count=image_count,
+        )
+        return self
+
+    def get_partitions(self) -> Iterator[K2ISPartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield K2ISPartition(
+                self._files, self._table,
+                self.meta, start, stop - start, idx=idx,
+            )
+
+    @classmethod
+    def detect_params(cls, path: str, executor=None):
+        if not path.lower().endswith((".gtg", ".bin")):
+            return False
+        try:
+            files = _sector_files(path)
+            scan = _scan_sector(files[0])
+            if len(scan["offset"]) == 0:
+                return False
+        except Exception:
+            return False
+        return {"path": path}
+
+    @classmethod
+    def get_supported_extensions(cls) -> set:
+        return {"gtg", "bin"}

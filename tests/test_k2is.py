@@ -1,0 +1,93 @@
+"""K2IS format test with synthetic sector files."""
+import struct
+
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.k2is import (
+    BLOCK_SHAPE,
+    BLOCK_SIZE,
+    BLOCKS_PER_SECTOR_PER_FRAME,
+    DATA_SIZE,
+    HEADER_SIZE,
+    NUM_SECTORS,
+    SECTOR_SIZE,
+)
+from libertem_tpu.udf import PickUDF, SumSigUDF
+
+
+def _pack_uint12_le(vals: np.ndarray) -> bytes:
+    vals = vals.astype(np.uint16).reshape(-1)
+    assert len(vals) % 2 == 0
+    a, b = vals[0::2].astype(np.uint32), vals[1::2].astype(np.uint32)
+    out = np.empty(len(vals) // 2 * 3, dtype=np.uint8)
+    out[0::3] = a & 0xFF
+    out[1::3] = ((a >> 8) & 0x0F) | ((b & 0x0F) << 4)
+    out[2::3] = (b >> 4) & 0xFF
+    return out.tobytes()
+
+
+def _block_header(frame_id, xs, ys, shutter=True):
+    head = bytearray(HEADER_SIZE)
+    head[0:4] = struct.pack(">I", 0xFFFF0055)
+    head[8] = 1  # version
+    head[9] = 0x1 if shutter else 0x0
+    head[12:14] = struct.pack(">H", SECTOR_SIZE[1])
+    head[14:16] = struct.pack(">H", SECTOR_SIZE[0])
+    head[16:20] = struct.pack(">I", frame_id)
+    head[20:22] = struct.pack(">H", xs)
+    head[22:24] = struct.pack(">H", ys)
+    head[24:26] = struct.pack(">H", xs + BLOCK_SHAPE[1] - 1)
+    head[26:28] = struct.pack(">H", ys + BLOCK_SHAPE[0] - 1)
+    head[28:32] = struct.pack(">I", BLOCK_SIZE)
+    return bytes(head)
+
+
+@pytest.fixture(scope="module")
+def k2_data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("k2is")
+    rng = np.random.default_rng(11)
+    n_frames = 3
+    h, w = SECTOR_SIZE
+    frames = rng.integers(
+        0, 4096, (n_frames, h, NUM_SECTORS * w)
+    ).astype(np.uint16)
+    bh, bw = BLOCK_SHAPE
+    n_px_block = bh * bw
+    pad = DATA_SIZE - (n_px_block * 3 // 2)
+    for s in range(NUM_SECTORS):
+        path = tmp / f"testfile{s}.bin"
+        with open(path, "wb") as f:
+            for fi in range(n_frames):
+                frame_id = 100 + fi
+                for ys in (0, bh):
+                    for xi in range(w // bw):
+                        xs = xi * bw
+                        block = frames[
+                            fi, ys:ys + bh,
+                            s * w + xs:s * w + xs + bw,
+                        ]
+                        f.write(_block_header(frame_id, xs, ys))
+                        f.write(_pack_uint12_le(block))
+                        f.write(b"\x00" * pad)
+    return str(tmp / "testfile0.bin"), frames
+
+
+def test_k2is(lt_ctx, k2_data):
+    path, frames = k2_data
+    ds = lt_ctx.load("k2is", path=path, nav_shape=(3,))
+    assert tuple(ds.shape) == (3,) + (1860, 2048)
+    roi = np.zeros(3, dtype=bool)
+    roi[1] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data[0], frames[1])
+
+
+def test_k2is_sumsig(lt_ctx, k2_data):
+    path, frames = k2_data
+    ds = lt_ctx.load("k2is", path=path, nav_shape=(3,))
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    expected = frames.astype(np.float64).sum(axis=(1, 2))
+    assert np.allclose(
+        res["intensity"].data, expected, rtol=1e-4
+    )
