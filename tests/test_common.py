@@ -1,0 +1,130 @@
+import numpy as np
+import pytest
+
+from libertem_tpu.common.shape import Shape
+from libertem_tpu.common.slice import Slice
+
+
+def test_shape_basics():
+    s = Shape((16, 16, 128, 128), sig_dims=2)
+    assert tuple(s.nav) == (16, 16)
+    assert tuple(s.sig) == (128, 128)
+    assert s.size == 16 * 16 * 128 * 128
+    assert s.dims == 4 and s.nav_dims == 2 and s.sig_dims == 2
+    assert tuple(s.flatten_nav()) == (256, 128, 128)
+    assert tuple(s.flatten_sig()) == (16, 16, 128 * 128)
+    assert s == Shape((16, 16, 128, 128), sig_dims=2)
+    assert s != Shape((16, 16, 128, 128), sig_dims=1)
+    assert hash(s) == hash(Shape((16, 16, 128, 128), sig_dims=2))
+    with pytest.raises(ValueError):
+        Shape((4, 4), sig_dims=3)
+
+
+def test_slice_intersection():
+    s1 = Slice((0, 0), Shape((10, 10), sig_dims=1))
+    s2 = Slice((5, 5), Shape((10, 10), sig_dims=1))
+    inter = s1.intersection_with(s2)
+    assert inter.origin == (5, 5)
+    assert tuple(inter.shape) == (5, 5)
+    s3 = Slice((20, 20), Shape((5, 5), sig_dims=1))
+    assert s1.intersection_with(s3).is_null()
+
+
+def test_slice_shift_get():
+    s = Slice((4, 2), Shape((3, 5), sig_dims=1))
+    base = Slice((2, 0), Shape((10, 10), sig_dims=1))
+    shifted = s.shift_by(base)
+    assert shifted.origin == (2, 2)
+    arr = np.arange(100).reshape(10, 10)
+    sub = s.get(arr)
+    assert sub.shape == (3, 5)
+    assert sub[0, 0] == arr[4, 2]
+
+
+def test_slice_subslices():
+    s = Slice((0, 0), Shape((4, 6), sig_dims=1))
+    subs = list(s.subslices((2, 4)))
+    assert len(subs) == 2 * 2
+    total = sum(sub.shape.size for sub in subs)
+    assert total == 24
+    # tail subslices are clipped
+    shapes = sorted(tuple(sub.shape) for sub in subs)
+    assert (2, 2) in shapes and (2, 4) in shapes
+
+
+def test_slice_flatten_nav():
+    ds_shape = Shape((4, 6, 8, 8), sig_dims=2)
+    s = Slice((2, 0, 0, 0), Shape((1, 6, 8, 8), sig_dims=2))
+    flat = s.flatten_nav(ds_shape)
+    assert flat.origin == (12, 0, 0)
+    assert tuple(flat.shape) == (6, 8, 8)
+
+
+def test_slice_adjust_for_roi():
+    roi = np.zeros(24, dtype=bool)
+    roi[[3, 5, 10, 15, 20]] = True
+    s = Slice((8, 0, 0), Shape((8, 4, 4), sig_dims=2))
+    adj = s.adjust_for_roi(roi)
+    # selected before frame 8: 3, 5 -> origin 2
+    assert adj.origin[0] == 2
+    # selected in [8, 16): 10, 15 -> size 2
+    assert adj.shape[0] == 2
+
+
+def test_negotiator_depth():
+    from libertem_tpu.io.tiling import Negotiator
+    from libertem_tpu.udf import SumUDF
+    udf = SumUDF()
+    udf.meta = None
+    shape = Shape((100, 100, 64, 64), sig_dims=2)
+    scheme = Negotiator().get_scheme(
+        [udf], shape, np.float32, max_partition_frames=1000
+    )
+    assert scheme.depth % 8 == 0
+    assert scheme.depth >= 8
+    assert len(scheme) == 1  # whole-frame sig
+
+
+def test_negotiator_sig_split():
+    from libertem_tpu.io.tiling import Negotiator
+    from libertem_tpu.udf.base import UDF
+
+    class TinyTileUDF(UDF):
+        def get_result_buffers(self):
+            return {}
+
+        def process_tile(self, tile):
+            pass
+
+        def get_tiling_preferences(self):
+            return {"depth": 16, "total_size": 2048}
+
+    shape = Shape((10, 64, 64), sig_dims=2)
+    scheme = Negotiator().get_scheme(
+        [TinyTileUDF()], shape, np.float32,
+        max_partition_frames=10,
+    )
+    assert len(scheme) > 1  # sig got split
+    # sig slices tile the full signal exactly
+    covered = np.zeros((64, 64), dtype=int)
+    for _, sl in scheme.slices:
+        covered[sl.get()] += 1
+    assert (covered == 1).all()
+
+
+def test_buffer_wrapper_decl():
+    from libertem_tpu.common.buffers import BufferWrapper
+    b = BufferWrapper("nav", extra_shape=(3,), dtype="float32")
+    b.set_shape_ds(Shape((4, 5, 8, 8), sig_dims=2), None)
+    assert b.shape == (20, 3)
+    roi = np.zeros(20, dtype=bool)
+    roi[:7] = True
+    b2 = BufferWrapper("nav", dtype="float32")
+    b2.set_shape_ds(Shape((4, 5, 8, 8), sig_dims=2), roi)
+    assert b2.shape == (7,)
+    b2.set_result(np.arange(7, dtype=np.float32))
+    data = b2.data
+    assert data.shape == (4, 5)
+    assert np.isnan(data.reshape(-1)[7:]).all()
+    masked = b2.masked_data
+    assert masked.count() == 7

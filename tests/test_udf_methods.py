@@ -1,0 +1,232 @@
+"""Coverage for the runner's less-common lowering paths: sig-tiled
+schemes, frame-mode with sig accumulation (lax.scan), frame-mode
+nav-only (vmap), PARTITION method, shifts, sparse mask factories,
+coordinates metadata."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import ApplyMasksUDF, SumUDF
+from libertem_tpu.udf.base import UDF
+
+from conftest import _mk_random
+
+
+@pytest.fixture
+def data():
+    return _mk_random((5, 6, 16, 16), dtype="float32")
+
+
+@pytest.fixture
+def ds(data):
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+
+
+class TiledSumUDF(UDF):
+    """Sum with forced sig tiling to exercise the K>1 path."""
+
+    def get_result_buffers(self):
+        return {"intensity": self.buffer(kind="sig",
+                                         dtype="float32")}
+
+    def get_tiling_preferences(self):
+        # 16x16 f32 frame = 1024 B; forcing 512 splits sig in half
+        return {"depth": 8, "total_size": 512}
+
+    def process_tile(self, tile):
+        self.results.intensity += tile.sum(axis=0)
+
+    def merge(self, dest, src):
+        dest.intensity = dest.intensity + src.intensity
+
+
+def test_sig_tiled_scheme(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, TiledSumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+
+
+class TiledNavUDF(UDF):
+    """nav output accumulated across sig tiles (per-tile partial
+    sums into the same nav rows)."""
+
+    def get_result_buffers(self):
+        return {"intensity": self.buffer(kind="nav",
+                                         dtype="float32")}
+
+    def get_tiling_preferences(self):
+        return {"depth": 8, "total_size": 512}
+
+    def process_tile(self, tile):
+        self.results.intensity += tile.sum(
+            axis=tuple(range(1, tile.ndim))
+        )
+
+
+def test_sig_tiled_nav(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, TiledNavUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+class FrameStatsUDF(UDF):
+    """frame mode writing BOTH nav and sig buffers -> scan path."""
+
+    def get_result_buffers(self):
+        return {
+            "maxes": self.buffer(kind="nav", dtype="float32"),
+            "total": self.buffer(kind="sig", dtype="float32"),
+        }
+
+    def process_frame(self, frame):
+        self.results.maxes = frame.max()
+        self.results.total += frame
+
+    def merge(self, dest, src):
+        dest.total = dest.total + src.total
+
+
+def test_frame_scan_path(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, FrameStatsUDF())
+    flat = data.reshape(-1, 16, 16)
+    assert np.allclose(
+        res["maxes"].data.reshape(-1), flat.max(axis=(1, 2))
+    )
+    assert np.allclose(
+        res["total"].data, flat.sum(axis=0), rtol=1e-4
+    )
+
+
+class FrameNavUDF(UDF):
+    """frame mode, nav-only -> vmap path."""
+
+    def get_result_buffers(self):
+        return {"com_y": self.buffer(kind="nav", dtype="float32")}
+
+    def process_frame(self, frame):
+        h = frame.shape[0]
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        self.results.com_y = (
+            (frame * ys).sum() / frame.sum()
+        )
+
+
+def test_frame_vmap_path(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, FrameNavUDF())
+    flat = data.reshape(-1, 16, 16).astype(np.float64)
+    ys = np.arange(16)[:, None]
+    expected = (flat * ys).sum(axis=(1, 2)) / flat.sum(axis=(1, 2))
+    assert np.allclose(
+        res["com_y"].data.reshape(-1), expected, rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+class PartitionSumUDF(UDF):
+    def get_result_buffers(self):
+        return {"intensity": self.buffer(kind="sig",
+                                         dtype="float32")}
+
+    def process_partition(self, partition):
+        vmask = self.meta.tile_valid.reshape(
+            (-1,) + (1,) * (partition.ndim - 1)
+        )
+        self.results.intensity += (partition * vmask).sum(axis=0)
+
+    def merge(self, dest, src):
+        dest.intensity = dest.intensity + src.intensity
+
+
+def test_partition_method(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, PartitionSumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+
+
+def test_apply_masks_shifts_constant(lt_ctx, ds, data):
+    m = np.zeros((16, 16), dtype=np.float32)
+    m[4, 4] = 1.0
+    udf = ApplyMasksUDF(
+        mask_factories=[lambda: m],
+        shifts=np.array([1, 2]),
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    # frame rolled by (-1,-2): mask at (4,4) sees original (5,6)
+    expected = data[..., 5, 6].reshape(-1)
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_apply_masks_shifts_aux(lt_ctx, ds, data):
+    m = np.zeros((16, 16), dtype=np.float32)
+    m[4, 4] = 1.0
+    n = 5 * 6
+    rng = np.random.default_rng(2)
+    shifts = rng.integers(-3, 4, (n, 2)).astype(np.float32)
+    udf = ApplyMasksUDF(
+        mask_factories=[lambda: m],
+        shifts=UDF.aux_data(
+            shifts, kind="nav", extra_shape=(2,), dtype="float32"
+        ),
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    flat = data.reshape(n, 16, 16)
+    expected = np.array([
+        flat[i, (4 + int(shifts[i, 0])) % 16,
+             (4 + int(shifts[i, 1])) % 16]
+        for i in range(n)
+    ])
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_sparse_mask_factory(lt_ctx, ds, data):
+    import scipy.sparse as sp
+    dense = np.zeros((16, 16), dtype=np.float32)
+    dense[3:6, 8:11] = 2.0
+    sparse_mask = sp.csr_matrix(dense)
+    udf = ApplyMasksUDF(mask_factories=[lambda: sparse_mask])
+    res = lt_ctx.run_udf(ds, udf)
+    expected = (
+        data.reshape(-1, 16, 16) * dense
+    ).sum(axis=(1, 2))
+    assert np.allclose(
+        res["intensity"].data.reshape(-1), expected, rtol=1e-3
+    )
+
+
+class CoordsUDF(UDF):
+    """Verifies meta.coordinates delivers original nav coords."""
+
+    def get_result_buffers(self):
+        return {
+            "coords": self.buffer(
+                kind="nav", extra_shape=(2,), dtype="float32"
+            ),
+        }
+
+    def process_tile(self, tile):
+        self.results.coords = self.meta.coordinates.astype(
+            jnp.float32
+        )
+
+
+def test_coordinates(lt_ctx, ds):
+    rng = np.random.default_rng(1)
+    roi = rng.random(30) > 0.4
+    res = lt_ctx.run_udf(ds, CoordsUDF(), roi=roi)
+    out = res["coords"].data.reshape(-1, 2)
+    ys, xs = np.unravel_index(np.flatnonzero(roi), (5, 6))
+    sel = roi
+    assert np.allclose(out[sel][:, 0], ys)
+    assert np.allclose(out[sel][:, 1], xs)
