@@ -163,12 +163,15 @@ def _fused_moments_pallas(
 
 
 def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
-    """Reference/fallback implementation with plain XLA ops."""
+    """Reference/fallback implementation with plain XLA ops.
+
+    Padding rows are zero-filled by the host streaming layer
+    (Partition.gen_blocks), so the matmul and colsum need no row
+    masking — only the variance's centered term does (padded rows
+    would otherwise contribute mean² each).
+    """
     depth = x.shape[0]
-    row_valid = (
-        jnp.arange(depth, dtype=jnp.int32) < valid_count
-    ).astype(jnp.float32)[:, None]
-    xt = x.astype(jnp.float32) * row_valid
+    xt = x.astype(jnp.float32)
     y = jax.lax.dot_general(
         xt, masks_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -176,6 +179,9 @@ def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
     )
     colsum = xt.sum(axis=0)
     if compute_var:
+        row_valid = (
+            jnp.arange(depth, dtype=jnp.int32) < valid_count
+        ).astype(jnp.float32)[:, None]
         n = jnp.maximum(valid_count.astype(jnp.float32), 1.0)
         mean = colsum / n
         diff = (xt - mean) * row_valid
