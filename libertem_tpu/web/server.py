@@ -292,6 +292,81 @@ class ResultDownloadHandler(_BaseHandler):
         self.write(buf.read())
 
 
+class ConnectionHandler(_BaseHandler):
+    """Executor lifecycle over REST
+    (reference: web/connect.py:76 — here 'connecting a cluster' means
+    choosing single-device vs mesh execution)."""
+
+    def get(self):
+        ctx = self.state.executor_state.get_context()
+        self.write_json({
+            "status": "ok",
+            "messageType": "EXECUTOR_STATE",
+            "connection": {
+                "type": type(ctx.executor).__name__,
+                "numWorkers": len(ctx.executor.devices),
+            },
+        })
+
+    async def put(self):
+        data = tornado.escape.json_decode(self.request.body)
+        conn = data.get("connection", {})
+        ctype = conn.get("type", "LOCAL").upper()
+        from ..api import Context
+        if ctype in ("LOCAL", "TCP", "SHARDED"):
+            ctx = Context.make_with("sharded")
+        else:
+            ctx = Context.make_with("inline")
+        self.state.executor_state.set_context(ctx)
+        msg = {
+            "status": "ok",
+            "messageType": "CLUSTER_CONNECTED",
+            "connection": {
+                "type": ctype,
+                "numWorkers": len(ctx.executor.devices),
+            },
+        }
+        await self.registry.broadcast(msg)
+        self.write_json(msg)
+
+
+class AnalysisRPCHandler(_BaseHandler):
+    """Per-analysis RPC procedures, e.g. CoM parameter guessing
+    (reference: web/rpc.py:1–103)."""
+
+    async def put(self, compound_uuid: str, analysis_uuid: str,
+                  proc_name: str):
+        entry = self.state.analysis_state[analysis_uuid]
+        dataset = self.state.dataset_state[entry["dataset"]]
+        from ..analysis.base import Analysis
+        cls = Analysis.get_analysis_by_type(
+            entry["details"]["analysisType"]
+        )
+        procs = cls.get_rpc_definitions()
+        if proc_name not in procs:
+            raise tornado.web.HTTPError(
+                404, f"no rpc {proc_name} for this analysis"
+            )
+        analysis = cls(
+            dataset=dataset,
+            parameters=entry["details"].get("parameters", {}),
+        )
+        ctx = self.state.executor_state.get_context()
+
+        class RpcContext:
+            def get_analysis(self):
+                return analysis
+
+            def run_analysis_default(self, a):
+                return ctx.run(a)
+
+        proc = procs[proc_name]()
+        result = await proc(RpcContext())
+        self.write_json(result)
+
+    get = put
+
+
 class NotebookDownloadHandler(_BaseHandler):
     async def get(self, compound_uuid: str):
         comp = self.state.compound_analyses.get(compound_uuid)
@@ -415,6 +490,9 @@ def make_app(state: Optional[SharedState] = None,
     )
     app = tornado.web.Application([
         (r"/api/config/", ConfigHandler, common),
+        (r"/api/config/connection/", ConnectionHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/rpc/"
+         r"([^/]+)/", AnalysisRPCHandler, common),
         (r"/api/datasets/detect/", DataSetDetectHandler, common),
         (r"/api/datasets/([^/]+)/", DataSetDetailHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/",

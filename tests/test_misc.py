@@ -171,3 +171,49 @@ def test_utils_devices_generate():
     assert g.shape == (4, 4, 8, 8)
     ex = exclude_pixels((16, 16), 5)
     assert ex.shape[1] == 5
+
+
+def test_parity_modules():
+    from libertem_tpu.common.scheduler import Scheduler
+    from libertem_tpu.common.sparse import (
+        is_sparse, to_dense, to_sparse,
+    )
+    from libertem_tpu.common.backend import (
+        get_pinned_device, set_use_device, get_use_device,
+    )
+    from libertem_tpu.common.threading import (
+        set_num_threads, set_num_threads_env,
+    )
+    from libertem_tpu.executor.inline import InlineJobExecutor
+    import scipy.sparse as sp
+
+    ex = InlineJobExecutor()
+    sched = Scheduler(ex.get_available_workers())
+    assert sched.effective_worker_count() >= 1
+
+    class FakeTask:
+        def get_resources(self):
+            return {"compute": 1}
+
+    assert len(sched.workers_for_task(FakeTask())) >= 1
+
+    m = sp.csr_matrix(np.eye(4, dtype=np.float32))
+    assert is_sparse(m)
+    assert not is_sparse(np.eye(4))
+    assert np.allclose(to_dense(m), np.eye(4))
+    assert is_sparse(to_sparse(np.eye(4)))
+
+    set_use_device(0)
+    assert get_use_device() == 0
+
+    with set_num_threads(1):
+        pass
+    with set_num_threads_env(1):
+        import os
+        assert os.environ["OMP_NUM_THREADS"] == "1"
+
+
+def test_preload(monkeypatch):
+    from libertem_tpu.preload import do_preloads
+    monkeypatch.setenv("LIBERTEM_TPU_PRELOAD", "json;nonexistent_xyz")
+    do_preloads()  # imports json, warns about the other

@@ -157,3 +157,74 @@ class TestEvents(WebTestBase):
             conn.close()
 
         self.io_loop.run_sync(go)
+
+
+class TestConnectionAndRPC(WebTestBase):
+    def test_connection(self):
+        data = self.fetch_json("/api/config/connection/")
+        assert data["messageType"] == "EXECUTOR_STATE"
+        data = self.fetch_json(
+            "/api/config/connection/", method="PUT",
+            body={"connection": {"type": "LOCAL"}},
+        )
+        assert data["messageType"] == "CLUSTER_CONNECTED"
+        assert data["connection"]["numWorkers"] >= 1
+
+    def test_com_guess_rpc(self):
+        data = _mk_random((5, 5, 16, 16), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=1
+        ).initialize()
+        self.state.dataset_state.register(
+            "ds-rpc", ds, {"type": "MEMORY"}
+        )
+        self.fetch_json(
+            "/api/compoundAnalyses/ca/analyses/an-rpc/",
+            method="PUT",
+            body={
+                "dataset": "ds-rpc",
+                "details": {
+                    "analysisType": "CENTER_OF_MASS",
+                    "parameters": {"cx": 8, "cy": 8},
+                },
+            },
+        )
+        resp = self.fetch_json(
+            "/api/compoundAnalyses/ca/analyses/an-rpc/rpc/"
+            "guess_parameters/",
+            method="PUT", body={},
+        )
+        assert resp["status"] == "ok"
+        guess = resp["guess"]
+        assert set(guess) == {
+            "scan_rotation", "flip_y", "cy", "cx"
+        }
+
+    def test_notebook_download(self):
+        data = _mk_random((4, 4, 8, 8), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=1
+        ).initialize()
+        self.state.dataset_state.register(
+            "ds-nb", ds, {"type": "MEMORY"}
+        )
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-nb/", method="PUT",
+            body={"details": {"dataset": "ds-nb",
+                              "analyses": ["an-nb"]}},
+        )
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-nb/analyses/an-nb/",
+            method="PUT",
+            body={
+                "dataset": "ds-nb",
+                "details": {"analysisType": "SUM_FRAMES",
+                            "parameters": {}},
+            },
+        )
+        resp = self.fetch(
+            "/api/compoundAnalyses/ca-nb/download/notebook/"
+        )
+        assert resp.code == 200
+        nb = json.loads(resp.body)
+        assert nb["nbformat"] == 4
