@@ -23,6 +23,28 @@ from .udf.base import (
 )
 
 
+class ResultGenerator:
+    """Iterator of partial UDFResults with mid-run parameter patching
+    (reference: api.py:73 ResultGenerator +
+    update_parameters_experimental api.py:99)."""
+
+    def __init__(self, gen, runner: UDFRunner):
+        self._gen = gen
+        self._runner = runner
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._gen)
+
+    def update_parameters_experimental(self, patches):
+        self._runner.update_parameters_experimental(patches)
+
+    def close(self):
+        self._gen.close()
+
+
 class Context:
     """Entry point: load datasets, run UDFs and analyses."""
 
@@ -110,9 +132,11 @@ class Context:
             for results in runner.run_for_dataset_iter(
                 dataset, roi=roi, corrections=corrections,
                 progress=progress,
+                device=self.executor.main_device,
+                devices=self._run_devices(),
             ):
-                self._update_plots(plots, results)
-            self._update_plots(plots, results, final=True)
+                self._update_plots(plots, results, udfs)
+            self._update_plots(plots, results, udfs, final=True)
         else:
             results = runner.run_for_dataset(
                 dataset, roi=roi, corrections=corrections,
@@ -133,18 +157,20 @@ class Context:
         roi: Optional[np.ndarray] = None,
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
-    ):
+    ) -> "ResultGenerator":
         """Generator of partial results, one per merged partition
-        (reference api.py:1053)."""
+        (reference api.py:1053).  The returned generator supports
+        ``update_parameters_experimental([{...}, ...])`` to patch UDF
+        parameters mid-run."""
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
         runner = UDFRunner(udfs)
-        for results in runner.run_for_dataset_iter(
+        gen = runner.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections, progress=progress,
             device=self.executor.main_device,
             devices=self._run_devices(),
-        ):
-            yield results
+        )
+        return ResultGenerator(gen, runner)
 
     async def run_udf_async(
         self, dataset, udf, roi=None, corrections=None,
@@ -314,18 +340,45 @@ class Context:
         ]
 
     def _prepare_plots(self, plots, dataset, udfs, roi):
+        """Normalize the ``plots=`` argument (reference api.py:1477):
+        True -> one default live plot per UDF; a list of channel-name
+        lists -> plots for those channels; Live2DPlot instances pass
+        through."""
         if not plots:
             return None
         from .viz.base import Live2DPlot
+        from .viz.mpl import MPLLive2DPlot
         prepared = []
-        for p in plots:
+        if plots is True:
+            for udf in udfs:
+                p = MPLLive2DPlot(dataset, udf, roi=roi)
+                p.display()
+                prepared.append(p)
+            return prepared
+        for i, p in enumerate(plots):
             if isinstance(p, Live2DPlot):
                 prepared.append(p)
+            elif isinstance(p, (list, tuple)):
+                for channel in p:
+                    lp = MPLLive2DPlot(
+                        dataset, udfs[min(i, len(udfs) - 1)],
+                        roi=roi, channel=channel,
+                    )
+                    lp.display()
+                    prepared.append(lp)
         return prepared or None
 
-    def _update_plots(self, plots, results, final=False):
+    def _update_plots(self, plots, results, udfs, final=False):
+        from .udf.base import SingleUDFResults
         for p in plots:
-            p.new_data(results, force=final)
+            try:
+                idx = udfs.index(p.udf)
+            except ValueError:
+                idx = 0
+            wrapped = SingleUDFResults(
+                results.buffers[idx], results.damage
+            )
+            p.new_data(wrapped, force=final)
 
     def close(self):
         self.executor.close()

@@ -310,6 +310,33 @@ class UDF:
         return type(self).merge is not UDF.merge
 
 
+# Mixin markers for reference-API familiarity (udf/base.py:805–943).
+# Method detection is duck-typed here (get_method inspects which
+# process_* the subclass defines), so these carry no behavior.
+class UDFFrameMixin:
+    """Declare process_frame(frame)."""
+
+
+class UDFTileMixin:
+    """Declare process_tile(tile)."""
+
+
+class UDFPartitionMixin:
+    """Declare process_partition(partition)."""
+
+
+class UDFPreprocessMixin:
+    """Declare preprocess()."""
+
+
+class UDFPostprocessMixin:
+    """Declare postprocess()."""
+
+
+class UDFMergeAllMixin:
+    """Declare merge_all(ordered_results)."""
+
+
 class NoOpUDF(UDF):
     """Reads tiles, does nothing — I/O benchmark
     (reference udf/base.py:1735)."""
@@ -388,6 +415,37 @@ class UDFRunner:
     def __init__(self, udfs: Sequence[UDF], debug: bool = False):
         self._udfs = list(udfs)
         self._debug = debug
+        self._params_patched = False
+
+    def update_parameters_experimental(
+        self, patches: Sequence[dict]
+    ) -> None:
+        """Patch UDF constructor kwargs mid-run (reference:
+        udf/base.py:96); applied from the next partition on.  Params
+        baked into the traced step (mask operands etc.) force a
+        re-trace at the partition boundary."""
+        for udf, patch in zip(self._udfs, patches):
+            if not patch:
+                continue
+            udf._kwargs.update(patch)
+            udf.params = UDFParams(udf._kwargs)
+            # drop cached operands derived from params
+            for attr in ("_container", "_operand_cache", "_mask",
+                         "_ring_idx"):
+                if hasattr(udf, attr):
+                    cache = getattr(udf, attr)
+                    if isinstance(cache, dict):
+                        cache.clear()
+                    elif attr == "_container":
+                        from .masks import MaskContainer
+                        udf._container = MaskContainer(
+                            udf._kwargs["mask_factories"],
+                            dtype=udf._kwargs.get("mask_dtype"),
+                            count=udf._kwargs.get("mask_count"),
+                        )
+                    else:
+                        setattr(udf, attr, None)
+        self._params_patched = True
 
     # -- public entry points ---------------------------------------------
 
@@ -1037,6 +1095,17 @@ class UDFRunner:
 
         any_partition = False
         for partition in partitions:
+            if self._params_patched:
+                # runtime parameter update (reference:
+                # ResultsForDataSet.update_parameters_experimental,
+                # udf/base.py:96): rebuild the traced step + fused
+                # plan at the next partition boundary
+                self._params_patched = False
+                prep["fused"] = self._build_fused_plan(
+                    prep["plan"], scheme, prep["meta"]
+                )
+                step = self._make_step(prep)
+                merge = self._make_merge(prep)
             n_sel = partition.frames_in_roi(roi)
             if n_sel == 0:
                 continue

@@ -217,3 +217,95 @@ def test_preload(monkeypatch):
     from libertem_tpu.preload import do_preloads
     monkeypatch.setenv("LIBERTEM_TPU_PRELOAD", "json;nonexistent_xyz")
     do_preloads()  # imports json, warns about the other
+
+
+def test_update_parameters_experimental(lt_ctx):
+    """Mid-run parameter patching: swap the mask between partitions
+    and observe later partitions using the new mask."""
+    from libertem_tpu.udf import ApplyMasksUDF
+    data = np.ones((8, 4, 8, 8), dtype=np.float32)
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    m1 = np.ones((8, 8), dtype=np.float32)
+    m2 = 2 * np.ones((8, 8), dtype=np.float32)
+    udf = ApplyMasksUDF(mask_factories=[lambda: m1])
+    gen = lt_ctx.run_udf_iter(ds, udf)
+    partials = []
+    for i, res in enumerate(gen):
+        partials.append(res)
+        if i == 1:
+            gen.update_parameters_experimental([
+                {"mask_factories": [lambda: m2]},
+            ])
+    final = partials[-1].buffers[0]["intensity"].data.reshape(-1)
+    # first two partitions (16 frames) used m1 (sum=64), later m2
+    assert np.allclose(final[:16], 64.0)
+    assert np.allclose(final[16:], 128.0)
+
+
+def test_plots_dummy(lt_ctx):
+    from libertem_tpu.viz.base import Dummy2DPlot
+    data = _mk_random((4, 4, 8, 8), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    udf = SumSigUDF()
+    plot = Dummy2DPlot(ds, udf, min_delta=0.0)
+    res = lt_ctx.run_udf(ds, udf, plots=[plot])
+    assert plot.data is not None
+    assert np.allclose(
+        np.nan_to_num(plot.data), data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_plots_mpl(lt_ctx):
+    import matplotlib
+    matplotlib.use("Agg")
+    data = _mk_random((4, 4, 8, 8), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run_udf(ds, SumSigUDF(), plots=True)
+    assert res["intensity"].data.shape == (4, 4)
+
+
+def test_dtype_matrix(lt_ctx):
+    for dtype in ("uint8", "int32", "float32", "uint16"):
+        data = _mk_random((4, 4, 8, 8), dtype=dtype)
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=2
+        ).initialize()
+        res = lt_ctx.run_udf(ds, SumUDF())
+        assert np.allclose(
+            res["intensity"].data,
+            data.astype(np.float64).sum(axis=(0, 1)),
+            rtol=1e-4,
+        )
+
+
+def test_complex_input(lt_ctx):
+    data = _mk_random((4, 4, 8, 8), dtype="complex64")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_mixin_markers():
+    from libertem_tpu.udf.base import (
+        UDF, UDFFrameMixin, UDFTileMixin, UDFPartitionMixin,
+    )
+
+    class MyUDF(UDFTileMixin, UDF):
+        def get_result_buffers(self):
+            return {}
+
+        def process_tile(self, tile):
+            pass
+
+    assert MyUDF().get_method() == "tile"
