@@ -7,12 +7,22 @@ from .base import (
     UDFRunner,
 )
 from .auto import AutoUDF
+from .blobfinder import (
+    BackgroundSubtraction,
+    Disk,
+    FullFrameCorrelationUDF,
+    MatchPattern,
+    RadialGradient,
+    SparseCorrelationUDF,
+    run_blobfinder,
+)
 from .com import CoMParams, CoMUDF, RegressionOptions, guess_corrections
 from .crystallinity import CrystallinityUDF
 from .FEM import FEMUDF
 from .logsum import LogsumUDF
 from .masks import ApplyMasksUDF, MaskContainer
 from .raw import PickUDF
+from .record import RecordUDF
 from .stddev import StdDevUDF, run_stddev
 from .sum import SumUDF
 from .sumsigudf import SumSigUDF
@@ -23,4 +33,7 @@ __all__ = [
     "guess_corrections", "CrystallinityUDF", "FEMUDF", "LogsumUDF",
     "ApplyMasksUDF", "MaskContainer", "PickUDF", "StdDevUDF",
     "run_stddev", "SumUDF", "SumSigUDF",
+    "MatchPattern", "Disk", "RadialGradient",
+    "BackgroundSubtraction", "FullFrameCorrelationUDF",
+    "SparseCorrelationUDF", "run_blobfinder", "RecordUDF",
 ]
