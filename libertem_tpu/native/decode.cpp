@@ -20,19 +20,26 @@
 extern "C" {
 
 // inp: (n_frames, n_pix/8) packed bits; out: (n_frames, n_pix) u8
+//
+// 8 bits expand to 8 output bytes (LSB first) branch-free: spread the
+// byte into all 8 lanes of a u64, select bit j in lane j, normalize
+// to 0/1 via the +0x7F carry trick — one u64 store per input byte.
 void decode_r1(const uint8_t* inp, uint8_t* out,
                int64_t n_frames, int64_t n_pix) {
     const int64_t n_bytes = n_pix / 8;
+    const uint64_t SPREAD = 0x0101010101010101ULL;
+    const uint64_t SELECT = 0x8040201008040201ULL;
+    const uint64_t CARRY = 0x7F7F7F7F7F7F7F7FULL;
     for (int64_t f = 0; f < n_frames; f++) {
         const uint8_t* src = inp + f * n_bytes;
         uint8_t* dst = out + f * n_pix;
         for (int64_t stripe = 0; stripe < n_bytes / 8; stripe++) {
             for (int64_t byte = 0; byte < 8; byte++) {
-                const uint8_t v = src[stripe * 8 + (7 - byte)];
-                uint8_t* o = dst + stripe * 64 + byte * 8;
-                for (int bit = 0; bit < 8; bit++) {
-                    o[bit] = (v >> bit) & 1;
-                }
+                const uint64_t v = src[stripe * 8 + (7 - byte)];
+                const uint64_t sel = (v * SPREAD) & SELECT;
+                const uint64_t bits =
+                    ((sel + CARRY) >> 7) & SPREAD;
+                memcpy(dst + stripe * 64 + byte * 8, &bits, 8);
             }
         }
     }

@@ -1074,6 +1074,37 @@ class UDFRunner:
 
     # -- main loop -----------------------------------------------------------
 
+    @staticmethod
+    def _prefetch(iterable, transform, depth: int = 2):
+        """Double-buffered pipeline: a background thread reads + H2D-
+        transfers the next blocks while the device computes (the
+        TPU-native replacement for the reference's shm-queue worker
+        feed, executor/utils/shmqueue.py)."""
+        import queue as queue_mod
+        import threading
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        DONE = object()
+
+        def worker():
+            try:
+                for item in iterable:
+                    q.put(("item", transform(item)))
+                q.put(("done", DONE))
+            except BaseException as e:  # propagate to consumer
+                q.put(("error", e))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                break
+            if kind == "error":
+                raise payload
+            yield payload
+        t.join()
+
     def _run_loop(self, prep, dataset, roi, progress, yield_partial):
         scheme = prep["scheme"]
         device = prep["device"]
@@ -1114,13 +1145,20 @@ class UDFRunner:
                 udf.preprocess()
             part_state = self._init_part_state(prep)
             goff0 = partition.roi_offset(roi)
-            for block in partition.gen_blocks(scheme, roi):
-                dev_block = jax.device_put(block.data, device)
-                state, part_state = step(
-                    state, part_state, dev_block,
+
+            def to_device(block):
+                return (
+                    jax.device_put(block.data, device),
                     jnp.int32(block.global_offset),
                     jax.device_put(block.coords, device),
                     jnp.int32(block.valid),
+                )
+
+            for dev_block, goff, coords, valid in self._prefetch(
+                partition.gen_blocks(scheme, roi), to_device
+            ):
+                state, part_state = step(
+                    state, part_state, dev_block, goff, coords, valid
                 )
             state = merge(state, part_state)
             for udf in self._udfs:
