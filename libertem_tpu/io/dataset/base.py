@@ -310,3 +310,44 @@ def nav_shape_from_kwargs(
         return tuple(int(x) for x in nav_shape)
     n_frames = total_size // prod(sig_shape)
     return (int(n_frames),)
+
+
+# -- io backend selection (API compat) ----------------------------------
+#
+# The reference exposes pluggable read strategies (io/dataset/base/
+# backend.py:12 IOBackend registry, backend_mmap.py:68 MMapBackend,
+# backend_buffered.py:208 BufferedBackend, backend_direct.py:7
+# DirectBackend).  Here the host read path is memmap-based throughout
+# (the page cache handles warm data; decode happens in native/), so
+# these classes carry selection intent + parameters for API parity and
+# future tuning rather than separate code paths.
+
+class IOBackend:
+    registry: dict = {}
+    id_: str = "base"
+
+    def __init_subclass__(cls, id_=None, **kw):
+        super().__init_subclass__(**kw)
+        if id_ is not None:
+            cls.id_ = id_
+            IOBackend.registry[id_] = cls
+
+    @classmethod
+    def from_json(cls, data: dict) -> "IOBackend":
+        kind = data.get("id", "mmap")
+        return cls.registry[kind]()
+
+
+class MMapBackend(IOBackend, id_="mmap"):
+    def __init__(self, enable_readahead_hints: bool = False):
+        self.enable_readahead_hints = enable_readahead_hints
+
+
+class BufferedBackend(IOBackend, id_="buffered"):
+    def __init__(self, max_buffer_size: int = 16 * 1024 * 1024):
+        self.max_buffer_size = max_buffer_size
+
+
+class DirectBackend(IOBackend, id_="direct"):
+    def __init__(self, max_buffer_size: int = 16 * 1024 * 1024):
+        self.max_buffer_size = max_buffer_size

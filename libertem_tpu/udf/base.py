@@ -1277,6 +1277,7 @@ class UDFRunner:
             ),
             donate_argnums=(0,),
         )
+        fold = self._make_sharded_fold(prep, mesh)
 
         damage_host = np.zeros(n_nav, dtype=bool)
         pm = None
@@ -1336,7 +1337,7 @@ class UDFRunner:
                 yield self._wrap_results(
                     prep,
                     self._collapse_sharded(prep, state, bounds,
-                                           shard_max),
+                                           shard_max, fold=fold),
                     damage_host.copy(),
                 )
 
@@ -1347,41 +1348,40 @@ class UDFRunner:
         if not yield_partial:
             yield self._wrap_results(
                 prep,
-                self._collapse_sharded(prep, state, bounds, shard_max),
+                self._collapse_sharded(prep, state, bounds,
+                                       shard_max, fold=fold),
                 damage_host,
             )
 
-    def _collapse_sharded(self, prep, state, bounds, shard_max):
-        """Gather per-device states to host: concatenate nav shards,
-        fold sig/single shards with the UDFs' merge()."""
-        n_nav = prep["n_nav"]
-        depth = prep["scheme"].depth
-        out = []
-        for ui, entry in enumerate(prep["plan"]):
-            bufs = {}
-            host = {
-                n: np.asarray(state[ui][n]) for n in state[ui]
-            }
-            for name in entry.nav_names:
-                arr = host[name]  # (n_dev, shard_max+depth, ...)
-                full = np.zeros(
-                    (n_nav + depth,) + arr.shape[2:], arr.dtype
-                )
-                for d in range(arr.shape[0]):
-                    size_d = int(bounds[d + 1] - bounds[d])
-                    full[bounds[d]:bounds[d + 1]] = arr[d][:size_d]
-                bufs[name] = full
-            if entry.part_names:
-                udf = entry.udf
-                n_dev = host[entry.part_names[0]].shape[0]
-                acc = {
-                    n: jnp.asarray(host[n][0])
+    def _make_sharded_fold(self, prep, mesh):
+        """Jitted on-device cross-device reduction of the sig/single
+        states: all_gather over the mesh axis (ICI on TPU pods) +
+        a traced sequential fold with each UDF's merge() — the mesh
+        equivalent of the reference's main-node merge loop
+        (udf/base.py:2340)."""
+        from jax.sharding import PartitionSpec as P
+
+        plan = prep["plan"]
+        n_dev = len(mesh.devices.reshape(-1))
+
+        def inner(state):
+            out = []
+            for ui, entry in enumerate(plan):
+                if not entry.part_names:
+                    out.append({})
+                    continue
+                gathered = {
+                    n: jax.lax.all_gather(
+                        state[ui][n][0], "workers"
+                    )
                     for n in entry.part_names
                 }
+                acc = {n: gathered[n][0] for n in entry.part_names}
+                udf = entry.udf
                 for d in range(1, n_dev):
                     dest = UDFData(acc)
                     src = UDFData({
-                        n: jnp.asarray(host[n][d])
+                        n: gathered[n][d]
                         for n in entry.part_names
                     })
                     udf.merge(dest, src)
@@ -1389,8 +1389,71 @@ class UDFRunner:
                         n: dest[n].astype(entry.decls[n].dtype)
                         for n in entry.part_names
                     }
-                for n in entry.part_names:
-                    bufs[n] = np.asarray(acc[n])
+                out.append(acc)
+            return out
+
+        return jax.jit(jax.shard_map(
+            inner, mesh=mesh, in_specs=(P("workers"),),
+            out_specs=P(),
+            # outputs are replicated by construction (every device
+            # folds the same all_gathered values); skip the static
+            # replication check
+            check_vma=False,
+        ))
+
+    def _collapse_sharded(self, prep, state, bounds, shard_max,
+                          fold=None):
+        """Per-device states -> one global state: nav shards
+        concatenate positionally (host side — result-sized data);
+        sig/single shards reduce on-device via _make_sharded_fold."""
+        n_nav = prep["n_nav"]
+        depth = prep["scheme"].depth
+        folded = None
+        if fold is not None and any(
+            e.part_names for e in prep["plan"]
+        ):
+            folded = fold(state)
+        out = []
+        for ui, entry in enumerate(prep["plan"]):
+            bufs = {}
+            for name in entry.nav_names:
+                arr = np.asarray(state[ui][name])
+                full = np.zeros(
+                    (n_nav + depth,) + arr.shape[2:], arr.dtype
+                )
+                for d in range(arr.shape[0]):
+                    full[bounds[d]:bounds[d + 1]] = arr[d][
+                        :int(bounds[d + 1] - bounds[d])
+                    ]
+                bufs[name] = full
+            if entry.part_names:
+                if folded is not None:
+                    for n in entry.part_names:
+                        bufs[n] = np.asarray(folded[ui][n])
+                else:  # host fallback fold
+                    host = {
+                        n: np.asarray(state[ui][n])
+                        for n in entry.part_names
+                    }
+                    udf = entry.udf
+                    n_dev = host[entry.part_names[0]].shape[0]
+                    acc = {
+                        n: jnp.asarray(host[n][0])
+                        for n in entry.part_names
+                    }
+                    for d in range(1, n_dev):
+                        dest = UDFData(acc)
+                        src = UDFData({
+                            n: jnp.asarray(host[n][d])
+                            for n in entry.part_names
+                        })
+                        udf.merge(dest, src)
+                        acc = {
+                            n: dest[n].astype(entry.decls[n].dtype)
+                            for n in entry.part_names
+                        }
+                    for n in entry.part_names:
+                        bufs[n] = np.asarray(acc[n])
             out.append(bufs)
         return out
 

@@ -83,3 +83,42 @@ def test_sharded_partial_iter(ds, data):
         partials[-1].buffers[0]["intensity"].data,
         data.sum(axis=(2, 3)), rtol=1e-4,
     )
+
+
+def test_sharded_roi_corrections(ds, data):
+    from libertem_tpu.io.corrections import CorrectionSet
+    rng = np.random.default_rng(8)
+    dark = rng.normal(size=(24, 24)).astype(np.float32)
+    gain = (1 + 0.05 * rng.random((24, 24))).astype(np.float32)
+    ex = np.zeros((24, 24), dtype=bool)
+    ex[5, 7] = True
+    corr = CorrectionSet(dark=dark, gain=gain, excluded_pixels=ex)
+    roi = rng.random(16 * 16) > 0.3
+    res = UDFRunner([SumUDF(), SumSigUDF()]).run_for_dataset(
+        ds, roi=roi, corrections=corr, devices=devices()
+    )
+    flat = data.reshape(-1, 24, 24)[roi]
+    expected = corr.apply_numpy(flat)
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, expected.sum(axis=0),
+        rtol=1e-3, atol=1e-2,
+    )
+    out = res.buffers[1]["intensity"].data.reshape(-1)
+    assert np.allclose(
+        out[roi], expected.sum(axis=(1, 2)), rtol=1e-3,
+    )
+
+
+def test_io_backend_compat():
+    from libertem_tpu.io.dataset.base import (
+        BufferedBackend, DirectBackend, IOBackend, MMapBackend,
+    )
+    assert isinstance(
+        IOBackend.from_json({"id": "mmap"}), MMapBackend
+    )
+    assert isinstance(
+        IOBackend.from_json({"id": "buffered"}), BufferedBackend
+    )
+    assert isinstance(
+        IOBackend.from_json({"id": "direct"}), DirectBackend
+    )
