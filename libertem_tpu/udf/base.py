@@ -664,8 +664,13 @@ class UDFRunner:
 
     # -- traced step construction -------------------------------------------
 
-    def _apply_corrections(self, block, prep):
-        """Cast to input dtype and apply corrections, on device."""
+    def _apply_corrections(self, block, prep, valid_count=None):
+        """Cast to input dtype and apply corrections, on device.
+
+        With corrections active, zero-padded tail rows become
+        ``(0 - dark) * gain`` garbage — they are re-zeroed afterwards
+        (``valid_count``) so downstream reductions stay exact.
+        """
         x = block.astype(prep["input_dtype"])
         cp = prep["corr_plan"]
         if cp is None:
@@ -683,6 +688,11 @@ class UDFRunner:
             )
             flat = flat.at[:, cp["repair_idx"]].set(mean)
             x = flat.reshape(x.shape)
+        if valid_count is not None:
+            row_valid = (
+                jnp.arange(x.shape[0], dtype=jnp.int32) < valid_count
+            ).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+            x = x * row_valid
         return x
 
     def _build_fused_plan(self, plan, scheme, meta):
@@ -770,7 +780,7 @@ class UDFRunner:
         plan = prep["plan"]
         depth = raw_block.shape[0]
         sig_shape = tuple(prep["meta"].dataset_shape.sig)
-        block = self._apply_corrections(raw_block, prep)
+        block = self._apply_corrections(raw_block, prep, valid_count)
         flat = block.reshape(depth, -1)
         y, colsum, colvar = fused_moments(
             flat, jnp.asarray(fused["masks_t"]), valid_count,
@@ -848,7 +858,7 @@ class UDFRunner:
         meta = prep["meta"]
         depth = scheme.depth
         aux_all = prep["aux"]
-        block = self._apply_corrections(raw_block, prep)
+        block = self._apply_corrections(raw_block, prep, valid_count)
         valid_mask = (
             jnp.arange(depth, dtype=jnp.int32) < valid_count
         )
