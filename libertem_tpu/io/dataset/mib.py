@@ -11,9 +11,9 @@ CSV fields used: [2]=header size bytes, [3]=number of chips,
 
 Processed ('U') data is big-endian unsigned; RAW ('R64') data is
 bit-packed at 1/6/12/24 bits and decoded by the native C++ kernels in
-:mod:`libertem_tpu.native` (numpy fallback included).  The 2x2-quad
-RAW layout (four chips with per-quadrant flips) is not implemented
-yet; processed quad data works since it is stored assembled.
+:mod:`libertem_tpu.native` (numpy fallback included), including the
+2x2-quad RAW layout (stored rows [Q4|Q3|Q2|Q1], bottom quadrants
+rotated 180 degrees — see assemble_quad).
 """
 from __future__ import annotations
 
@@ -72,6 +72,14 @@ def parse_mib_header(path: str) -> dict:
     else:
         raise DataSetException(f"unknown MIB dtype {dtype_str}")
     frame_size = header_bytes + payload
+    # RAW 2x2 quad: the stream stores rows of width 4*chip as
+    # [Q4 | Q3 | Q2 | Q1]; the assembled frame is (2h, w/2) with the
+    # bottom quadrants flipped in x and y (reference mib.py:262-291)
+    quad = kind == "r" and num_chips == 4 and layout == "2x2"
+    if quad:
+        sig_shape = (2 * height, width // 2)
+    else:
+        sig_shape = (height, width)
     return {
         "header_bytes": header_bytes,
         "num_chips": num_chips,
@@ -84,6 +92,8 @@ def parse_mib_header(path: str) -> dict:
         "num_images": filesize // frame_size,
         "out_dtype": out_dtype,
         "layout": layout,
+        "quad": quad,
+        "sig_shape": sig_shape,
     }
 
 
@@ -106,6 +116,22 @@ def parse_hdr_sidecar(path: str) -> dict:
         else:
             result["nav_shape"] = (total,)
     return result
+
+
+def assemble_quad(decoded: np.ndarray) -> np.ndarray:
+    """(n, h, 4h) decoded stream rows -> (n, 2h, 2h) assembled quad
+    frames (layout: stored [Q4|Q3|Q2|Q1], bottom quadrants rotated
+    180 degrees)."""
+    n, h, w4 = decoded.shape
+    half = w4 // 4
+    out = np.empty((n, 2 * h, 2 * half), dtype=decoded.dtype)
+    out[:, :h, :half] = decoded[:, :, 3 * half:4 * half]   # Q1
+    out[:, :h, half:] = decoded[:, :, 2 * half:3 * half]   # Q2
+    out[:, h:, :half] = decoded[:, ::-1, 1 * half:2 * half][
+        :, :, ::-1
+    ]                                                       # Q3
+    out[:, h:, half:] = decoded[:, ::-1, 0:half][:, :, ::-1]  # Q4
+    return out
 
 
 class MIBPartition(Partition):
@@ -140,7 +166,7 @@ class MIBPartition(Partition):
         if h["kind"] == "u":
             bpx = int(h["out_dtype"].itemsize)
             arr = payloads.view(f">u{bpx}").astype(h["out_dtype"])
-            return arr.reshape(n, ht, w)
+            return arr.reshape((n,) + h["sig_shape"])
         bd = h["bit_depth"]
         if bd == 1:
             out = decode_r1(payloads, n_pix)
@@ -152,6 +178,8 @@ class MIBPartition(Partition):
             out = decode_r24(payloads, n_pix)
         else:
             raise DataSetException(f"unsupported bit depth {bd}")
+        if h["quad"]:
+            return assemble_quad(out.reshape(n, ht, w))
         return out.reshape(n, ht, w)
 
 
@@ -194,9 +222,13 @@ class MIBDataSet(DataSet):
     def initialize(self, executor=None) -> "MIBDataSet":
         files = self._discover_files()
         hdr = parse_mib_header(files[0])
-        if hdr["kind"] == "r" and hdr["layout"] not in ("1x1", "Nx1"):
+        if (
+            hdr["kind"] == "r"
+            and hdr["layout"] not in ("1x1", "Nx1")
+            and not hdr["quad"]
+        ):
             raise DataSetException(
-                "RAW 2x2-quad MIB layout is not supported yet"
+                f"unsupported RAW MIB layout {hdr['layout']}"
             )
         self._hdr = hdr
         self._files = []
@@ -221,7 +253,7 @@ class MIBDataSet(DataSet):
                     nav_shape = (side, side)
                 else:
                     nav_shape = (image_count,)
-        sig_shape = self._sig_shape or (hdr["height"], hdr["width"])
+        sig_shape = self._sig_shape or hdr["sig_shape"]
         self._meta = DataSetMeta(
             shape=Shape(
                 tuple(nav_shape) + tuple(sig_shape),

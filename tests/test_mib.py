@@ -141,3 +141,39 @@ def test_mib_r1_autodetect(lt_ctx, tmp_path):
     assert np.allclose(
         res["intensity"].data, flat.astype(np.float32).sum(axis=0)
     )
+
+
+def test_mib_r6_quad(lt_ctx, tmp_path):
+    """RAW 2x2 quad: stored rows are [Q4|Q3|Q2|Q1] at 4x chip width;
+    bottom quadrants rotate 180 degrees on assembly."""
+    rng = np.random.default_rng(12)
+    h = 8  # chip height (stored rows); assembled frame (16, 16)
+    frames = rng.integers(0, 64, (6, 2 * h, 2 * h)).astype(np.uint8)
+
+    def disassemble(fr):
+        half = h
+        stored = np.empty((h, 4 * h), dtype=fr.dtype)
+        stored[:, 3 * half:] = fr[:h, :half]                 # Q1
+        stored[:, 2 * half:3 * half] = fr[:h, half:]         # Q2
+        stored[:, 1 * half:2 * half] = fr[h:, :half][::-1, ::-1]
+        stored[:, 0:half] = fr[h:, half:][::-1, ::-1]        # Q4
+        return stored
+
+    path = str(tmp_path / "quad.mib")
+    header_bytes = 384
+    with open(path, "wb") as f:
+        for i, fr in enumerate(frames):
+            stored = disassemble(fr).reshape(1, -1)
+            payload = _encode_r6(stored).tobytes()
+            head = (
+                f"MQ1,{i + 1},{header_bytes},4,"
+                f"{4 * h},{h},R64,2x2,2x2,6"
+            ).encode("ascii")
+            f.write(head.ljust(header_bytes, b"\x00"))
+            f.write(payload)
+    ds = lt_ctx.load("mib", path=path, nav_shape=(2, 3))
+    assert tuple(ds.shape) == (2, 3, 16, 16)
+    roi = np.zeros(6, dtype=bool)
+    roi[[1, 4]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data, frames[[1, 4]])
