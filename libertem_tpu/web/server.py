@@ -507,6 +507,12 @@ def make_app(state: Optional[SharedState] = None,
         (r"/api/browse/localfs/", BrowseHandler, common),
         (r"/api/shutdown/", ShutdownHandler, common),
         (r"/api/events/", EventsHandler, common),
+        (r"/()", tornado.web.StaticFileHandler, {
+            "path": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "client"
+            ),
+            "default_filename": "index.html",
+        }),
     ])
     app.shared_state = state
     app.event_registry = registry

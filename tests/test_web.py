@@ -228,3 +228,11 @@ class TestConnectionAndRPC(WebTestBase):
         assert resp.code == 200
         nb = json.loads(resp.body)
         assert nb["nbformat"] == 4
+
+
+class TestClientPage(WebTestBase):
+    def test_index(self):
+        resp = self.fetch("/")
+        assert resp.code == 200
+        assert b"libertem_tpu" in resp.body
+        assert b"/api/events/" in resp.body
