@@ -279,17 +279,106 @@ class SingleDMDataSet(DataSet):
         return {"dm3", "dm4"}
 
 
-class DMDataSet(SingleDMDataSet):
-    """Entry point matching the reference's 'dm' filetype: either a
-    single-file stack or (TODO) a stack of single-frame DM files
+class StackedDMPartition(Partition):
+    """One frame (or sub-stack) per DM file
     (reference dm.py:159 StackedDMDataSet)."""
+
+    def __init__(self, file_infos, sig_shape, *args, **kw):
+        super().__init__(*args, **kw)
+        # [(path, first_frame, n_frames, offset, dtype)]
+        self._infos = file_infos
+        self._sig_shape = tuple(sig_shape)
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        px = int(np.prod(self._sig_shape))
+        out = np.empty(
+            (stop - start,) + self._sig_shape,
+            dtype=self.meta.raw_dtype,
+        )
+        for path, first, count, offset, dtype in self._infos:
+            lo, hi = max(start, first), min(stop, first + count)
+            if hi <= lo:
+                continue
+            mm = np.memmap(
+                path, dtype=dtype, mode="r", offset=offset,
+                shape=(count * px,),
+            )
+            chunk = mm[
+                (lo - first) * px:(hi - first) * px
+            ].reshape((hi - lo,) + self._sig_shape)
+            out[lo - start:hi - start] = chunk
+        return out
+
+
+class StackedDMDataSet(DataSet):
+    """A stack of DM3/DM4 files, one or more frames each
+    (reference: dm.py:159)."""
+
+    def __init__(self, files=None, nav_shape=None, sig_shape=None,
+                 sync_offset: int = 0, sig_dims: int = 2, **kwargs):
+        super().__init__(**kwargs)
+        if not files:
+            raise DataSetException("files list is required")
+        self._file_paths = list(files)
+        self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
+        self._sig_dims = sig_dims
+        self._sync_offset = int(sync_offset)
+
+    def initialize(self, executor=None) -> "StackedDMDataSet":
+        infos = []
+        first = 0
+        sig_shape = None
+        dtype = None
+        for path in self._file_paths:
+            info = parse_dm(path)
+            shape = info["shape"]
+            f_sig = shape[len(shape) - self._sig_dims:]
+            n = int(np.prod(
+                shape[:len(shape) - self._sig_dims]
+            )) if len(shape) > self._sig_dims else 1
+            if sig_shape is None:
+                sig_shape = f_sig
+                dtype = info["dtype"]
+            elif f_sig != sig_shape:
+                raise DataSetException(
+                    f"{path}: sig shape {f_sig} != {sig_shape}"
+                )
+            infos.append(
+                (path, first, n, info["offset"], info["dtype"])
+            )
+            first += n
+        self._infos = infos
+        nav_shape = self._nav_shape or (first,)
+        self._meta = DataSetMeta(
+            shape=Shape(
+                tuple(nav_shape) + tuple(sig_shape),
+                sig_dims=len(sig_shape),
+            ),
+            raw_dtype=np.dtype(dtype).newbyteorder("="),
+            sync_offset=self._sync_offset,
+            image_count=first,
+        )
+        return self
+
+    def get_partitions(self) -> Iterator[StackedDMPartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield StackedDMPartition(
+                self._infos, tuple(self.meta.shape.sig),
+                self.meta, start, stop - start, idx=idx,
+            )
+
+
+class DMDataSet(SingleDMDataSet):
+    """Entry point matching the reference's 'dm' filetype: a single
+    3D/4D stack file, or a stack of DM files via ``files=[...]``."""
+
+    def __new__(cls, path=None, files=None, **kwargs):
+        if path is None and files and len(files) > 1:
+            return StackedDMDataSet(files=files, **kwargs)
+        return super().__new__(cls)
 
     def __init__(self, path=None, files=None, **kwargs):
         if path is None and files:
             path = files[0]
-            if len(files) > 1:
-                raise DataSetException(
-                    "stacks of single-frame DM files are not "
-                    "supported yet; pass a single 3D/4D file"
-                )
         super().__init__(path=path, **kwargs)

@@ -137,9 +137,16 @@ class Negotiator:
         max_partition_frames: int,
         approx_partition_shape: Optional[Shape] = None,
         corrections=None,
+        max_io_size: Optional[int] = None,
     ) -> TilingScheme:
         itemsize = np.dtype(read_dtype).itemsize
         frame_bytes = dataset_shape.sig.size * itemsize
+        if max_io_size is not None:
+            # dataset-imposed IO ceiling (reference:
+            # dataset.py:332 get_max_io_size), e.g. chunked HDF5
+            self.TARGET_BLOCK_BYTES = min(
+                type(self).TARGET_BLOCK_BYTES, int(max_io_size)
+            )
 
         methods = [u.get_method() for u in udfs]
         prefs = [u.get_tiling_preferences() for u in udfs]

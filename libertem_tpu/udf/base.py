@@ -537,7 +537,21 @@ class UDFRunner:
             input_dtype,
             max_partition_frames=max_part_frames,
             corrections=corrections,
+            max_io_size=dataset.get_max_io_size(),
         )
+        # dataset veto on the tile shape (reference:
+        # dataset.py:301 adjust_tileshape)
+        adjusted = dataset.adjust_tileshape(
+            tuple(scheme.shape), roi
+        )
+        if adjusted is not None and tuple(adjusted) != tuple(
+            scheme.shape
+        ):
+            scheme = TilingScheme.make_for_shape(
+                Shape(tuple(adjusted),
+                      sig_dims=meta0.shape.sig.dims),
+                meta0.shape, intent=scheme.intent,
+            )
 
         device_class = "tpu"
         if device is None:

@@ -174,3 +174,20 @@ def test_convert_transposed(tmp_path):
         src, out, nav_shape=nav, sig_shape=sig, dtype=np.float32
     )
     assert np.array_equal(np.load(out), c_order)
+
+
+def test_dm_stack(lt_ctx, tmp_path):
+    """Stack of single-frame DM4 files via files=[...]."""
+    frames = _mk_random((6, 8, 10), dtype="uint16")
+    paths = []
+    for i, fr in enumerate(frames):
+        p = str(tmp_path / f"frame_{i:03d}.dm4")
+        _write_dm4(p, fr[None])
+        paths.append(p)
+    ds = lt_ctx.load("dm", files=paths, nav_shape=(2, 3))
+    assert tuple(ds.shape) == (2, 3, 8, 10)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        frames.astype(np.float32).sum(axis=0), rtol=1e-4,
+    )

@@ -252,3 +252,64 @@ def test_damage_partial_results(lt_ctx, ds, data):
     buf = partials[0].buffers[0]["intensity"]
     vm = buf.valid_mask
     assert vm.sum() == d0.sum()
+
+
+def test_com_regression_and_guess(lt_ctx):
+    """A pure linear-ramp CoM field is fully removed by the linear
+    regression deskew; guess_corrections finds a sensible rotation."""
+    from libertem_tpu.udf.com import (
+        CoMUDF, RegressionOptions, guess_corrections,
+    )
+    nav = (8, 8)
+    h = w = 16
+    frames = np.zeros(nav + (h, w), dtype=np.float32)
+    for i in range(nav[0]):
+        for j in range(nav[1]):
+            cy = 7.5 + 0.1 * i
+            cx = 7.5 + 0.2 * j
+            y, x = np.mgrid[0:h, 0:w]
+            frames[i, j] = np.exp(
+                -((y - cy) ** 2 + (x - cx) ** 2) / 4
+            )
+    ds = MemoryDataSet(
+        data=frames, sig_dims=2, num_partitions=2
+    ).initialize()
+    udf = CoMUDF.with_params(
+        cy=7.5, cx=7.5,
+        regression=RegressionOptions.SUBTRACT_LINEAR,
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    # after linear deskew the field is ~zero
+    assert np.abs(res["field_y"].data).max() < 1e-2
+    assert np.abs(res["field_x"].data).max() < 1e-2
+    reg = res["regression"].data
+    assert abs(reg[1, 0] - 0.1) < 1e-2  # d(shift_y)/d(row)
+    assert abs(reg[2, 1] - 0.2) < 1e-2  # d(shift_x)/d(col)
+
+    udf2 = CoMUDF.with_params(cy=7.5, cx=7.5)
+    res2 = lt_ctx.run_udf(ds, udf2)
+    guess = guess_corrections(
+        res2["raw_com"].data[..., 0], res2["raw_com"].data[..., 1]
+    )
+    assert "scan_rotation" in guess and "cy" in guess
+
+
+def test_h5_max_io_size_respected(lt_ctx, tmp_path):
+    import h5py
+    from libertem_tpu.udf.base import UDFRunner
+    data = _mk_random((20, 8, 16, 16), dtype="float32")
+    path = str(tmp_path / "chunked.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data, chunks=(1, 2, 16, 16))
+    ds = lt_ctx.load("hdf5", path=path)
+    assert ds.get_max_io_size() is not None
+    runner = UDFRunner([SumUDF()])
+    prep = runner._prepare(ds, None, None, None)
+    depth_bytes = prep["scheme"].depth * 16 * 16 * 4
+    assert depth_bytes <= max(
+        ds.get_max_io_size(), 8 * 16 * 16 * 4
+    )
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
