@@ -230,3 +230,64 @@ def test_coordinates(lt_ctx, ds):
     sel = roi
     assert np.allclose(out[sel][:, 0], ys)
     assert np.allclose(out[sel][:, 1], xs)
+
+
+def test_1d_nav(lt_ctx):
+    data = _mk_random((30, 12, 12), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=3
+    ).initialize()
+    from libertem_tpu.udf import SumSigUDF, SumUDF
+    r1, r2 = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()])
+    assert np.allclose(
+        r1["intensity"].data, data.sum(axis=0), rtol=1e-4
+    )
+    assert r2["intensity"].data.shape == (30,)
+
+
+def test_3d_nav(lt_ctx):
+    data = _mk_random((3, 4, 5, 8, 8), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    from libertem_tpu.udf import SumSigUDF
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    assert res["intensity"].data.shape == (3, 4, 5)
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(3, 4)), rtol=1e-4
+    )
+
+
+def test_missing_merge_raises(lt_ctx, ds):
+    from libertem_tpu.udf.base import UDFException
+
+    class BadUDF(UDF):
+        def get_result_buffers(self):
+            return {"x": self.buffer(kind="sig", dtype="float32")}
+
+        def process_tile(self, tile):
+            self.results.x += tile.sum(axis=0)
+
+    with pytest.raises(UDFException):
+        lt_ctx.run_udf(ds, BadUDF())
+
+
+def test_bad_roi_raises(lt_ctx, ds):
+    from libertem_tpu.udf import SumUDF
+    with pytest.raises(ValueError):
+        lt_ctx.run_udf(
+            ds, SumUDF(), roi=np.ones(7, dtype=bool)
+        )
+
+
+def test_utils_vectors():
+    from libertem_tpu.utils import (
+        make_cartesian, make_polar, rotate_deg,
+    )
+    v = np.array([[3.0, 4.0], [0.0, 1.0]])
+    p = make_polar(v)
+    assert np.allclose(p[0, 0], 5.0)
+    back = make_cartesian(p)
+    assert np.allclose(back, v)
+    y, x = rotate_deg(0.0, 1.0, 90.0)
+    assert np.allclose([y, x], [1.0, 0.0], atol=1e-12)
