@@ -28,10 +28,11 @@ def make_polar(cartesian: np.ndarray) -> np.ndarray:
 
 
 def rotate_deg(y, x, degrees: float):
-    """Rotate (y, x) clockwise (in pixel coords) by ``degrees``."""
+    """Rotate (y, x) clockwise in pixel coordinates (y down, x right)
+    by ``degrees``: +x rotates towards +y."""
     rad = np.deg2rad(degrees)
     c, s = np.cos(rad), np.sin(rad)
-    return c * y - s * x, s * y + c * x
+    return s * x + c * y, c * x - s * y
 
 
 def frame_peaks_polar(zero, a, b, indices):
