@@ -37,7 +37,7 @@ import numpy as np
 def _pick_row_tile(depth: int, pixels: int, itemsize: int = 4) -> int:
     """Largest row-tile (multiple of 8, dividing depth) whose VMEM
     footprint stays within budget."""
-    budget = 6 * 1024 * 1024
+    budget = 10 * 1024 * 1024
     td = max(8, (budget // max(1, pixels * itemsize)) // 8 * 8)
     td = min(td, depth)
     while depth % td != 0 and td > 8:
