@@ -1317,46 +1317,70 @@ class UDFRunner:
         for udf in self._udfs:
             udf.preprocess()
 
-        for s in range(n_steps):
-            blk = np.zeros((n_dev, depth) + sig, dtype=meta0.raw_dtype)
-            loffs = np.zeros(n_dev, dtype=np.int32)
-            goffs = np.zeros(n_dev, dtype=np.int32)
-            valids = np.zeros(n_dev, dtype=np.int32)
-            coords = np.zeros(
-                (n_dev, depth, len(nav_shape)), dtype=np.int32
-            )
-            for d in range(n_dev):
-                off = s * depth
-                size_d = int(shard_sizes[d])
-                if off >= size_d:
-                    continue
-                chunk = ids_all[
-                    bounds[d] + off:
-                    min(bounds[d] + off + depth, bounds[d + 1])
-                ]
-                lo, hi = int(chunk[0]), int(chunk[-1]) + 1
-                cover = read_ds_range(lo, hi)
-                data = cover[chunk - lo]
-                blk[d, :len(chunk)] = data
-                loffs[d] = off
-                goffs[d] = bounds[d] + off
-                valids[d] = len(chunk)
-                if len(nav_shape):
-                    unr = np.unravel_index(chunk, nav_shape)
-                    for dim, u in enumerate(unr):
-                        coords[d, :len(chunk), dim] = u
-                damage_host[bounds[d] + off:
-                            bounds[d] + off + len(chunk)] = True
-            dev_blk = jax.device_put(blk, shard_spec)
-            state = step(
-                state, dev_blk,
+        def assemble_steps():
+            """Host-side super-step assembly (runs ahead in the
+            prefetch thread; damage spans applied only after the
+            device step executed)."""
+            for s in range(n_steps):
+                blk = np.zeros(
+                    (n_dev, depth) + sig, dtype=meta0.raw_dtype
+                )
+                loffs = np.zeros(n_dev, dtype=np.int32)
+                goffs = np.zeros(n_dev, dtype=np.int32)
+                valids = np.zeros(n_dev, dtype=np.int32)
+                coords = np.zeros(
+                    (n_dev, depth, len(nav_shape)), dtype=np.int32
+                )
+                spans = []
+                for d in range(n_dev):
+                    off = s * depth
+                    size_d = int(shard_sizes[d])
+                    if off >= size_d:
+                        continue
+                    chunk = ids_all[
+                        bounds[d] + off:
+                        min(bounds[d] + off + depth, bounds[d + 1])
+                    ]
+                    lo, hi = int(chunk[0]), int(chunk[-1]) + 1
+                    cover = read_ds_range(lo, hi)
+                    data = cover[chunk - lo]
+                    blk[d, :len(chunk)] = data
+                    loffs[d] = off
+                    goffs[d] = bounds[d] + off
+                    valids[d] = len(chunk)
+                    if len(nav_shape):
+                        unr = np.unravel_index(chunk, nav_shape)
+                        for dim, u in enumerate(unr):
+                            coords[d, :len(chunk), dim] = u
+                    spans.append((
+                        int(bounds[d] + off),
+                        int(bounds[d] + off + len(chunk)),
+                    ))
+                yield blk, loffs, goffs, valids, coords, spans
+
+        def to_device(item):
+            blk, loffs, goffs, valids, coords, spans = item
+            return (
+                jax.device_put(blk, shard_spec),
                 jax.device_put(loffs, shard_spec),
                 jax.device_put(goffs, shard_spec),
                 jax.device_put(valids, shard_spec),
                 jax.device_put(coords, shard_spec),
+                int(valids.sum()),
+                spans,
             )
+
+        for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
+             n_valid, spans) in self._prefetch(
+            assemble_steps(), to_device
+        ):
+            state = step(
+                state, dev_blk, d_loffs, d_goffs, d_valids, d_coords,
+            )
+            for lo, hi in spans:
+                damage_host[lo:hi] = True
             if pm is not None:
-                pm.frames_done(int(valids.sum()))
+                pm.frames_done(n_valid)
             if yield_partial:
                 yield self._wrap_results(
                     prep,
