@@ -272,3 +272,60 @@ def run_blobfinder(
             match_pattern=match_pattern, peaks=peaks, steps=steps,
         )
     return ctx.run_udf(dataset, udf, roi=roi)
+
+
+def fit_lattice(refineds, peaks, zero, a, b):
+    """Per-frame affine lattice fit from refined peak positions.
+
+    For each scan position, solve least squares for (zero', a', b')
+    in  pos_k = zero' + h_k * a' + k_k * b'  where (h_k, k_k) are the
+    integer indices of ``peaks`` relative to the nominal lattice
+    (zero, a, b).  Returns a dict of per-frame arrays:
+    zero / a / b (each (..., 2)) and the 2x2 strain-related gradient
+    components da_rel, db_rel (relative length changes) and rotation.
+
+    This is the strain-mapping step on top of SparseCorrelationUDF
+    (the reference hosts the equivalent in LiberTEM-blobfinder).
+    """
+    refineds = np.asarray(refineds, dtype=np.float64)
+    peaks = np.asarray(peaks, dtype=np.float64)
+    zero = np.asarray(zero, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    nav_shape = refineds.shape[:-2]
+    n_peaks = refineds.shape[-2]
+    flat = refineds.reshape(-1, n_peaks, 2)
+
+    # integer lattice indices of the nominal peaks
+    M = np.stack([a, b], axis=-1)  # (2, 2), columns a and b
+    hk = np.linalg.solve(M, (peaks - zero).T).T  # (n_peaks, 2)
+    hk = np.round(hk)
+
+    # design matrix: pos = A @ [zero_y zero_x a_y a_x b_y b_x]
+    A = np.zeros((n_peaks * 2, 6))
+    for k in range(n_peaks):
+        h, kk = hk[k]
+        A[2 * k] = [1, 0, h, 0, kk, 0]
+        A[2 * k + 1] = [0, 1, 0, h, 0, kk]
+    rhs = flat.reshape(-1, n_peaks * 2).T  # (n_peaks*2, n_frames)
+    sol, *_ = np.linalg.lstsq(A, rhs, rcond=None)  # (6, n_frames)
+    sol = sol.T  # (n_frames, 6)
+    zero_f = sol[:, 0:2].reshape(nav_shape + (2,))
+    a_f = sol[:, 2:4].reshape(nav_shape + (2,))
+    b_f = sol[:, 4:6].reshape(nav_shape + (2,))
+    la = np.linalg.norm(a)
+    lb = np.linalg.norm(b)
+    da_rel = (
+        np.linalg.norm(sol[:, 2:4], axis=-1) / max(la, 1e-12) - 1.0
+    ).reshape(nav_shape)
+    db_rel = (
+        np.linalg.norm(sol[:, 4:6], axis=-1) / max(lb, 1e-12) - 1.0
+    ).reshape(nav_shape)
+    rot_a = (
+        np.arctan2(sol[:, 2], sol[:, 3])
+        - np.arctan2(a[0], a[1])
+    ).reshape(nav_shape)
+    return {
+        "zero": zero_f, "a": a_f, "b": b_f,
+        "da_rel": da_rel, "db_rel": db_rel, "rotation": rot_a,
+    }

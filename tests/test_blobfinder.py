@@ -97,3 +97,27 @@ def test_patterns_and_wrapper(lt_ctx, cbed_data):
     ):
         res = run_blobfinder(lt_ctx, ds, pattern)
         assert res["centers"].data.shape == (3, 3, 2)
+
+
+def test_fit_lattice():
+    from libertem_tpu.udf.blobfinder import fit_lattice
+    rng = np.random.default_rng(3)
+    zero = np.array([32.0, 32.0])
+    a = np.array([8.0, 0.0])
+    b = np.array([0.0, 8.0])
+    hk = np.array([
+        [0, 0], [1, 0], [0, 1], [-1, 0], [0, -1], [1, 1],
+    ])
+    peaks = zero + hk @ np.stack([a, b])
+    # frames with 1% a-stretch and small rotation
+    nav = (2, 3)
+    refineds = np.zeros(nav + (len(peaks), 2))
+    for i in np.ndindex(nav):
+        stretch = 1.0 + 0.01 * (i[0] + 1)
+        a_i = a * stretch
+        refineds[i] = zero + hk @ np.stack([a_i, b])
+    fit = fit_lattice(refineds, peaks, zero, a, b)
+    assert np.allclose(fit["da_rel"][0], 0.01, atol=1e-6)
+    assert np.allclose(fit["da_rel"][1], 0.02, atol=1e-6)
+    assert np.allclose(fit["db_rel"], 0.0, atol=1e-9)
+    assert np.allclose(fit["zero"][..., 0], 32.0, atol=1e-9)

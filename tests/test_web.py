@@ -236,3 +236,42 @@ class TestClientPage(WebTestBase):
         assert resp.code == 200
         assert b"libertem_tpu" in resp.body
         assert b"/api/events/" in resp.body
+
+
+class TestJobError(WebTestBase):
+    def test_job_error_broadcast(self):
+        # analysis referencing a dataset that raises during the run
+        data = _mk_random((4, 4, 8, 8), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=1
+        ).initialize()
+        self.state.dataset_state.register(
+            "ds-err", ds, {"type": "MEMORY"}
+        )
+        self.fetch_json(
+            "/api/compoundAnalyses/ca/analyses/an-err/",
+            method="PUT",
+            body={
+                "dataset": "ds-err",
+                "details": {
+                    "analysisType": "FEM",
+                    # ring selecting no pixels -> ValueError
+                    "parameters": {"cx": 4, "cy": 4, "ri": 7,
+                                   "ro": 7.1},
+                },
+            },
+        )
+        self.fetch_json(
+            "/api/jobs/job-err/", method="PUT",
+            body={"job": {"analysis": "an-err"}},
+        )
+        deadline = 100
+        while (
+            self.state.job_state["job-err"]["running"]
+            and deadline > 0
+        ):
+            self.io_loop.run_sync(
+                lambda: tornado.gen.sleep(0.05)
+            )
+            deadline -= 1
+        assert not self.state.job_state["job-err"]["running"]
