@@ -10,7 +10,9 @@ matmuls on the MXU.
 """
 __version__ = "0.1.0"
 
-from .api import Context
+from . import masks
+from .api import Context, ResultGenerator
+from .common.analysis import AnalysisResult, AnalysisResultSet
 from .common.buffers import AuxBufferWrapper, BufferWrapper
 from .common.shape import Shape
 from .common.slice import Slice
@@ -18,6 +20,7 @@ from .io.corrections import CorrectionSet
 from .udf.base import UDF
 
 __all__ = [
-    "Context", "UDF", "Shape", "Slice", "BufferWrapper",
-    "AuxBufferWrapper", "CorrectionSet", "__version__",
+    "Context", "ResultGenerator", "UDF", "Shape", "Slice",
+    "BufferWrapper", "AuxBufferWrapper", "CorrectionSet",
+    "AnalysisResult", "AnalysisResultSet", "masks", "__version__",
 ]
