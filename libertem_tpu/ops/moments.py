@@ -21,8 +21,11 @@ across tiles — numerically equivalent to the reference's parallel
 variance (udf/stddev.py:12) and stable for narrow distributions with
 large means, unlike a naive sum-of-squares.
 
-Padding rows (block tails) are masked via the ``valid_count`` scalar.
-On non-TPU backends a jnp fallback computes the same values.
+Contract: rows >= ``valid_count`` MUST be zero on input (the host
+streaming layer zero-pads tails; corrections re-zero them) — the
+matmul and colsum rely on it, and only the variance's centered term
+applies an explicit row mask.  On non-TPU backends a jnp fallback
+computes the same values.
 """
 from __future__ import annotations
 
@@ -71,13 +74,10 @@ def _fused_moments_pallas(
                colvar_ref):
         d = pl.program_id(0)
         valid = valid_ref[0]
+        # padding rows are zero on entry (host zero-pads; corrections
+        # re-zero) — matmul and colsum need no masking, only the
+        # variance's centered term does
         xt = x_ref[:].astype(jnp.float32)  # (td, P)
-        row_ids = (
-            d * td
-            + jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
-        )
-        row_valid = (row_ids < valid).astype(jnp.float32)  # (td,1)
-        xt = xt * row_valid  # zero out padding rows
 
         # ---- mask projections (MXU), contracting over lanes ----
         y_ref[:] = jax.lax.dot_general(
@@ -94,6 +94,11 @@ def _fused_moments_pallas(
 
         if compute_var:
             # two-pass over the VMEM-resident tile
+            row_ids = (
+                d * td
+                + jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
+            )
+            row_valid = (row_ids < valid).astype(jnp.float32)
             local_mean = local_sum / jnp.maximum(n1, 1.0)
             diff = (xt - local_mean) * row_valid
             local_var = jnp.sum(diff * diff, axis=0, keepdims=True)

@@ -1,0 +1,35 @@
+"""Fused moments op: Pallas (interpret mode) vs XLA fallback parity
++ zero-padding contract."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libertem_tpu.ops.moments import (
+    _fused_moments_pallas,
+    _fused_moments_xla,
+)
+
+
+@pytest.mark.parametrize("valid", [96, 64, 17])
+def test_pallas_interpret_matches_xla(valid):
+    rng = np.random.default_rng(0)
+    D, P, M = 96, 1024, 5
+    x = rng.normal(loc=50, scale=2, size=(D, P)).astype(np.float32)
+    x[valid:] = 0  # zero-padding contract
+    masks = rng.normal(size=(M, P)).astype(np.float32)
+    y1, cs1, cv1 = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), jnp.int32(valid),
+        interpret=True,
+    )
+    y2, cs2, cv2 = _fused_moments_xla(
+        jnp.asarray(x), jnp.asarray(masks), jnp.int32(valid)
+    )
+    assert np.allclose(y1, y2, rtol=1e-5, atol=1e-2)
+    assert np.allclose(cs1, cs2, rtol=1e-5, atol=1e-2)
+    assert np.allclose(cv1, cv2, rtol=1e-4, atol=1e-1)
+    # against float64 reference
+    xv = x[:valid].astype(np.float64)
+    assert np.allclose(cs2, xv.sum(axis=0), rtol=1e-4)
+    ref_var = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
+    assert np.allclose(cv2, ref_var, rtol=1e-3, atol=1e-1)
