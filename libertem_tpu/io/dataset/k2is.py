@@ -61,6 +61,31 @@ def _sector_files(path: str) -> list:
     return files
 
 
+def _gtg_path(path: str):
+    base, ext = os.path.splitext(path)
+    if ext.lower() == ".gtg":
+        return path
+    return re.sub(r"\d+$", "", base) + ".gtg"
+
+
+def _nav_shape_from_gtg(path: str):
+    """Scan shape from the .gtg metadata file (a DM3 container;
+    reference k2is.py:272 reads '.SI Dimensions.Size X/Y')."""
+    gtg = _gtg_path(path)
+    if not os.path.exists(gtg):
+        return None
+    try:
+        from .dm import _DMParser
+        p = _DMParser(gtg).parse()
+        y = p.tags.get("SI Dimensions.Size Y")
+        x = p.tags.get("SI Dimensions.Size X")
+        if y is not None and x is not None:
+            return (int(y), int(x))
+    except Exception:
+        return None
+    return None
+
+
 def _scan_sector(path: str) -> dict:
     """Vectorized block-header scan of one sector file.
 
@@ -215,6 +240,8 @@ class K2ISDataSet(DataSet):
         self._table = table
         image_count = len(table)
         nav_shape = self._nav_shape
+        if not nav_shape:
+            nav_shape = _nav_shape_from_gtg(self._path)
         if not nav_shape:
             side = int(np.sqrt(image_count))
             nav_shape = (

@@ -157,3 +157,30 @@ def test_masks_analysis_registry():
                 "RADIAL_FOURIER", "FEM", "CLUST", "APPLY_FFT_MASK",
                 "PICK_FFT_FRAME", "FFTSUM_FRAMES"):
         assert Analysis.get_analysis_by_type(id_) is not None
+
+
+def test_radial_fourier_numeric(lt_ctx, ds, data):
+    """Radial Fourier coefficients vs a brute-force numpy oracle."""
+    from libertem_tpu.analysis.radialfourier import (
+        radial_fourier_masks,
+    )
+    from libertem_tpu.masks import polar_map, radial_bins
+    analysis = lt_ctx.create_radial_fourier_analysis(
+        dataset=ds, cx=11, cy=10, ri=0, ro=9, n_bins=2, max_order=2
+    )
+    res = lt_ctx.run(analysis)
+    flat = data.reshape(-1, 20, 22).astype(np.float64)
+    bins = radial_bins(11, 10, 22, 20, radius=9, radius_inner=0,
+                       n_bins=2)
+    _, phi = polar_map(11, 10, 22, 20)
+    for b in range(2):
+        mask = bins[b]
+        norm = mask / mask.sum()
+        for o in range(3):
+            coeff = (
+                flat * (norm * np.exp(1j * o * phi))
+            ).sum(axis=(1, 2)).reshape(8, 9)
+            got = res[f"absolute_{b}_{o}"].raw_data
+            assert np.allclose(
+                got, np.abs(coeff), rtol=1e-3, atol=1e-4
+            ), (b, o)
