@@ -62,3 +62,11 @@ def default_ds(default_raw_data):
     return MemoryDataSet(
         data=default_raw_data, sig_dims=2, num_partitions=4
     ).initialize()
+
+
+import sys as _sys
+
+# make bench.py importable from tests
+_sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)

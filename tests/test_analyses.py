@@ -184,3 +184,37 @@ def test_radial_fourier_numeric(lt_ctx, ds, data):
             assert np.allclose(
                 got, np.abs(coeff), rtol=1e-3, atol=1e-4
             ), (b, o)
+
+
+def test_com_plus_radial_fourier_live(lt_ctx, ds, data):
+    """BASELINE config #3: CoM + radial Fourier in ONE pass with
+    live partial merges."""
+    from libertem_tpu.analysis.radialfourier import (
+        RadialFourierAnalysis,
+    )
+    from libertem_tpu.analysis.com import COMAnalysis
+    com_a = COMAnalysis(dataset=ds, parameters={})
+    rf_a = RadialFourierAnalysis(
+        dataset=ds,
+        parameters={"cx": 11, "cy": 10, "ri": 0, "ro": 9,
+                    "n_bins": 2, "max_order": 2},
+    )
+    udfs = [com_a.get_udf(), rf_a.get_udf()]
+    partials = list(lt_ctx.run_udf_iter(ds, udfs))
+    assert len(partials) == 2  # one per partition
+    mid = partials[0]
+    assert not mid.damage.data.all()
+    final = partials[-1]
+    assert final.damage.data.all()
+    # post-process both analyses from the shared final pass
+    from libertem_tpu.udf.base import SingleUDFResults
+    com_res = com_a.get_udf_results(
+        SingleUDFResults(final.buffers[0], final.damage),
+        None, final.damage,
+    )
+    rf_res = rf_a.get_udf_results(
+        SingleUDFResults(final.buffers[1], final.damage),
+        None, final.damage,
+    )
+    assert com_res.magnitude.raw_data.shape == (8, 9)
+    assert rf_res["absolute_0_0"].raw_data.shape == (8, 9)

@@ -309,3 +309,18 @@ def test_mixin_markers():
             pass
 
     assert MyUDF().get_method() == "tile"
+
+
+def test_bench_smoke(monkeypatch):
+    """bench.py machinery runs end-to-end on small shapes (CPU)."""
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "NAV", (8, 8))
+    monkeypatch.setattr(bench_mod, "SIG", (32, 32))
+    rng = np.random.default_rng(0)
+    data = rng.normal(
+        size=(8, 8, 32, 32)
+    ).astype(np.float32)
+    bps = bench_mod.bench_tpu(data, repeats=1)
+    assert bps > 0
+    cpu = bench_mod.bench_cpu_baseline(data)
+    assert cpu > 0
