@@ -1,0 +1,144 @@
+"""Live-stream dataset: process frames while a detector pushes them.
+
+TPU-native counterpart of the reference's live-processing hooks
+(common/executor.py:694 TaskCommHandler + the LiberTEM-live sibling
+package): an acquisition source ``push_frames()``-es into a bounded
+ring buffer while the UDF runner's prefetch thread pulls fixed-shape
+blocks out — frames stream through host RAM into the device without
+landing on disk.
+
+The nav shape (total frame budget) is declared up front, keeping the
+jit-compiled step static; acquisitions that stop early call
+``finish()`` and the remaining frames are zero-filled with the damage
+mask marking what actually arrived (same validity machinery as ROI).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...common.shape import Shape
+from .base import DataSet, DataSetMeta, Partition
+
+
+class FrameRing:
+    """Bounded, ordered frame buffer: producers push chunks of frames,
+    consumers read contiguous ranges (blocking until available)."""
+
+    def __init__(self, n_total: int, sig_shape, dtype,
+                 capacity: int = 1024):
+        self._n_total = n_total
+        self._sig = tuple(sig_shape)
+        self._dtype = np.dtype(dtype)
+        self._buf = np.zeros((capacity,) + self._sig, self._dtype)
+        self._capacity = capacity
+        self._written = 0   # frames pushed so far
+        self._consumed = 0  # frames the reader is done with
+        self._finished = False
+        self._cv = threading.Condition()
+
+    def push_frames(self, frames: np.ndarray):
+        frames = np.asarray(frames, dtype=self._dtype).reshape(
+            (-1,) + self._sig
+        )
+        i = 0
+        while i < len(frames):
+            with self._cv:
+                self._cv.wait_for(
+                    lambda: self._written - self._consumed
+                    < self._capacity
+                )
+                space = self._capacity - (
+                    self._written - self._consumed
+                )
+                take = min(space, len(frames) - i)
+                for k in range(take):
+                    self._buf[
+                        (self._written + k) % self._capacity
+                    ] = frames[i + k]
+                self._written += take
+                i += take
+                self._cv.notify_all()
+
+    def finish(self):
+        with self._cv:
+            self._finished = True
+            self._cv.notify_all()
+
+    @property
+    def frames_received(self) -> int:
+        with self._cv:
+            return self._written
+
+    def read(self, start: int, stop: int) -> np.ndarray:
+        """Frames [start, stop); blocks until pushed (zeros for
+        frames that never arrive before finish())."""
+        out = np.zeros((stop - start,) + self._sig, self._dtype)
+        with self._cv:
+            self._cv.wait_for(
+                lambda: self._written >= stop or self._finished
+            )
+            hi = min(stop, self._written)
+            for idx in range(start, hi):
+                out[idx - start] = self._buf[idx % self._capacity]
+            # reader consumes in order: free the ring up to `stop`
+            self._consumed = max(self._consumed, min(stop, hi))
+            self._cv.notify_all()
+        return out
+
+
+class LivePartition(Partition):
+    def __init__(self, ring: FrameRing, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._ring = ring
+
+    def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        return self._ring.read(start, stop)
+
+
+class LiveDataSet(DataSet):
+    """Declare the acquisition shape up front, then feed frames with
+    ``push_frames`` (from any thread) while a UDF run consumes them.
+
+    The runner processes partitions in order, so pushes must be in
+    acquisition order; backpressure comes from the bounded ring.
+    """
+
+    def __init__(
+        self,
+        nav_shape: Sequence[int],
+        sig_shape: Sequence[int],
+        dtype="float32",
+        ring_capacity: int = 1024,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        nav_shape = tuple(int(x) for x in nav_shape)
+        sig_shape = tuple(int(x) for x in sig_shape)
+        self._meta = DataSetMeta(
+            shape=Shape(nav_shape + sig_shape,
+                        sig_dims=len(sig_shape)),
+            raw_dtype=np.dtype(dtype),
+            sync_offset=0,
+        )
+        n_total = self._meta.shape.nav.size
+        self.ring = FrameRing(
+            n_total, sig_shape, dtype, capacity=ring_capacity
+        )
+
+    def initialize(self, executor=None) -> "LiveDataSet":
+        return self
+
+    def push_frames(self, frames: np.ndarray):
+        self.ring.push_frames(frames)
+
+    def finish(self):
+        self.ring.finish()
+
+    def get_partitions(self) -> Iterator[LivePartition]:
+        for idx, (start, stop) in enumerate(self.get_partition_ranges()):
+            yield LivePartition(
+                self.ring, self.meta, start, stop - start, idx=idx,
+            )

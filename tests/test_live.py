@@ -1,0 +1,56 @@
+"""Live-stream dataset: frames pushed concurrently with the run."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.live import LiveDataSet
+from libertem_tpu.udf import SumSigUDF, SumUDF
+
+from conftest import _mk_random
+
+
+def test_live_stream(lt_ctx):
+    nav, sig = (6, 8), (16, 16)
+    data = _mk_random(nav + sig, dtype="float32")
+    flat = data.reshape((-1,) + sig)
+    ds = LiveDataSet(
+        nav_shape=nav, sig_shape=sig, dtype="float32",
+        ring_capacity=16, num_partitions=3,
+    ).initialize()
+
+    def producer():
+        for off in range(0, len(flat), 5):
+            ds.push_frames(flat[off:off + 5])
+            time.sleep(0.002)
+        ds.finish()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    res = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()])
+    t.join()
+    assert np.allclose(
+        res[0]["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        res[1]["intensity"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_live_stream_early_finish(lt_ctx):
+    nav, sig = (4, 4), (8, 8)
+    data = _mk_random(nav + sig, dtype="float32")
+    flat = data.reshape((-1,) + sig)
+    ds = LiveDataSet(
+        nav_shape=nav, sig_shape=sig, dtype="float32",
+        num_partitions=2,
+    ).initialize()
+    # only half the frames arrive
+    ds.push_frames(flat[:8])
+    ds.finish()
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    out = res["intensity"].data.reshape(-1)
+    assert np.allclose(out[:8], flat[:8].sum(axis=(1, 2)),
+                       rtol=1e-4)
+    assert np.allclose(out[8:], 0.0)
