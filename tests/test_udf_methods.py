@@ -291,3 +291,48 @@ def test_utils_vectors():
     assert np.allclose(back, v)
     y, x = rotate_deg(0.0, 1.0, 90.0)
     assert np.allclose([y, x], [1.0, 0.0], atol=1e-12)
+
+
+def test_1d_sig_spectra(lt_ctx):
+    """EELS-style data: 2D nav, 1D signal."""
+    data = _mk_random((6, 7, 64), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=1, num_partitions=2
+    ).initialize()
+    from libertem_tpu.udf import StdDevUDF, SumSigUDF, SumUDF
+    r1, r2, r3 = lt_ctx.run_udf(
+        ds, [SumUDF(), SumSigUDF(), StdDevUDF()]
+    )
+    assert np.allclose(
+        r1["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        r2["intensity"].data, data.sum(axis=2), rtol=1e-4
+    )
+    flat = data.reshape(-1, 64)
+    assert np.allclose(
+        r3["var"].data, flat.var(axis=0), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_viz_functions():
+    from libertem_tpu.viz import (
+        encode_image, rgb_from_2dvector, visualize_simple,
+    )
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 20))
+    rgba = visualize_simple(img)
+    assert rgba.shape == (16, 20, 4) and rgba.dtype == np.uint8
+    rgba_log = visualize_simple(img, logarithmic=True)
+    assert rgba_log.shape == (16, 20, 4)
+    damage = np.zeros((16, 20), dtype=bool)
+    damage[:8] = True
+    rgba_dmg = visualize_simple(img, damage=damage)
+    assert rgba_dmg.shape == (16, 20, 4)
+    # complex input -> magnitude
+    rgba_c = visualize_simple(img + 1j * img)
+    assert rgba_c.shape == (16, 20, 4)
+    rgb = rgb_from_2dvector(img - 0.5, img.T[:16, :20] - 0.5)
+    assert rgb.shape == (16, 20, 3)
+    png = encode_image(rgba)
+    assert png.read(8)[1:4] == b"PNG"
