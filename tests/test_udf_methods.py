@@ -332,7 +332,7 @@ def test_viz_functions():
     # complex input -> magnitude
     rgba_c = visualize_simple(img + 1j * img)
     assert rgba_c.shape == (16, 20, 4)
-    rgb = rgb_from_2dvector(img - 0.5, img.T[:16, :20] - 0.5)
+    rgb = rgb_from_2dvector(img - 0.5, img[::-1] - 0.5)
     assert rgb.shape == (16, 20, 3)
     png = encode_image(rgba)
     assert png.read(8)[1:4] == b"PNG"
