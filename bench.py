@@ -23,7 +23,9 @@ import numpy as np
 
 NAV = (256, 64)
 SIG = (128, 128)
-DTYPE = np.float32
+# uint16 counting-detector data, like the reference's medium_raw
+# benchmark fixture (conftest.py:417) — cast to f32 happens in VMEM
+DTYPE = np.uint16
 
 
 def make_udfs():
@@ -45,15 +47,16 @@ def make_udfs():
     ]
 
 
-def bench_tpu(data: np.ndarray, repeats: int = 5) -> float:
+def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
     """Return steady-state bytes/sec of the fused pipeline.
 
-    The whole per-pass loop (init + lax.scan over all blocks) compiles
-    to ONE XLA program, so the measurement reflects on-device
-    throughput, not host dispatch.  Blocks are generated on device
-    (over the development tunnel, H2D runs at ~20 MB/s, which would
-    otherwise dominate; on a directly-attached TPU the streaming
-    pipeline feeds from the host instead).
+    ALL ``repeats`` passes run inside ONE jitted lax.fori_loop (each
+    pass's initial state is salted with the previous pass's result so
+    nothing hoists out of the loop): one dispatch + one sync for the
+    whole measurement, immune to host/tunnel jitter.  Blocks are
+    generated on device (over the development tunnel H2D runs at
+    ~20 MB/s; on directly-attached TPUs the streaming pipeline feeds
+    from the host instead).
     """
     import jax
     import jax.numpy as jnp
@@ -69,13 +72,15 @@ def bench_tpu(data: np.ndarray, repeats: int = 5) -> float:
     assert prep["fused"] is not None, "bench UDFs must hit fused path"
     depth = prep["scheme"].depth
     n_blocks = max(1, data.reshape((-1,) + SIG).shape[0] // depth)
-    total_bytes = n_blocks * depth * int(np.prod(SIG)) * 4
+    itemsize = data.dtype.itemsize
+    total_bytes = n_blocks * depth * int(np.prod(SIG)) * itemsize
 
     @jax.jit
     def make_blocks(key):
-        return jax.random.normal(
-            key, (n_blocks, depth) + SIG, dtype=jnp.float32
-        ) + 1.0
+        vals = jax.random.poisson(
+            key, 8.0, (n_blocks, depth) + SIG
+        )
+        return vals.astype(DTYPE)
 
     blocks = make_blocks(jax.random.PRNGKey(0))
     goffs = jnp.arange(n_blocks, dtype=jnp.int32) * depth
@@ -85,13 +90,13 @@ def bench_tpu(data: np.ndarray, repeats: int = 5) -> float:
     def one_pass(blocks, goffs, valids, salt):
         state = runner._init_state(prep)
         part_state = runner._init_part_state(prep)
+        state = jax.tree.map(lambda x: x + salt, state)
 
         def body(carry, xs):
             state, part_state = carry
             blk, goff, valid = xs
             state, part_state = runner._step_body(
-                prep, state, part_state,
-                blk + salt * jnp.float32(1e-30),
+                prep, state, part_state, blk,
                 goff, goff, coords, valid,
             )
             return (state, part_state), None
@@ -101,25 +106,20 @@ def bench_tpu(data: np.ndarray, repeats: int = 5) -> float:
         )
         return state, part_state
 
-    pass_jit = jax.jit(one_pass)
+    def many_passes(blocks, goffs, valids, n):
+        def body(i, salt):
+            _, part_state = one_pass(blocks, goffs, valids, salt)
+            leaf = jax.tree.leaves(part_state)[0]
+            return leaf.ravel()[0].astype(jnp.float32) * 1e-37
 
-    def run_passes(r):
-        salt = jnp.float32(0)
-        out = None
-        for _ in range(r):
-            out = pass_jit(blocks, goffs, valids, salt)
-            # chain: next pass depends on this one's result
-            salt = jax.tree.leaves(out[1])[0].ravel()[0] * jnp.float32(1e-30)
-        # ONE real sync for the whole timed region
-        return float(jax.tree.leaves(out[1])[0].ravel()[0])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    run_passes(1)  # compile + warm
-    # best of 3 timing regions: the development tunnel adds multi-ms
-    # jitter; the best region reflects actual device throughput
+    many_jit = jax.jit(many_passes, static_argnames=("n",))
+    float(many_jit(blocks, goffs, valids, n=1))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        run_passes(repeats)
+        float(many_jit(blocks, goffs, valids, n=repeats))
         best = min(best, (time.perf_counter() - t0) / repeats)
     return total_bytes / best
 
@@ -137,7 +137,7 @@ def bench_cpu_baseline(data: np.ndarray) -> float:
         y, x,
     ], axis=0)
     operand = mask_stack.reshape(5, -1).T.astype(np.float32)
-    flat = data.reshape(-1, h * w)
+    flat = data.reshape(-1, h * w).astype(np.float32)
     n = flat.shape[0]
     depth = 512
     t0 = time.perf_counter()
@@ -172,7 +172,7 @@ def bench_cpu_baseline(data: np.ndarray) -> float:
 
 def main():
     rng = np.random.default_rng(7)
-    data = rng.normal(loc=1.0, scale=2.0, size=NAV + SIG).astype(DTYPE)
+    data = rng.poisson(8.0, size=NAV + SIG).astype(DTYPE)
     tpu_bps = bench_tpu(data)
     cpu_bps = bench_cpu_baseline(data)
     frames = int(np.prod(NAV))

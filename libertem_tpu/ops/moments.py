@@ -37,17 +37,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pick_row_tile(depth: int, pixels: int, itemsize: int = 4) -> int:
-    """Largest row-tile (multiple of 8, dividing depth) whose VMEM
-    footprint stays within budget."""
+def _pick_row_tile(
+    depth: int, pixels: int, itemsize: int = 4, sublane: int = 8,
+) -> int:
+    """Largest row-tile (multiple of the dtype's sublane requirement,
+    dividing depth) whose VMEM footprint stays within budget."""
     budget = 10 * 1024 * 1024
-    td = max(8, (budget // max(1, pixels * itemsize)) // 8 * 8)
+    td = max(
+        sublane,
+        (budget // max(1, pixels * itemsize))
+        // sublane * sublane,
+    )
     td = min(td, depth)
-    while depth % td != 0 and td > 8:
-        td -= 8
+    while depth % td != 0 and td > sublane:
+        td -= sublane
     if depth % td != 0:
         td = depth  # tiny depths: single tile
     return td
+
+
+_SUBLANE = {1: 32, 2: 16, 4: 8, 8: 8}
+
+
+def _cast_f32(x):
+    """VMEM cast to f32; Mosaic lacks direct small-uint -> f32."""
+    if x.dtype == jnp.float32:
+        return x
+    if np.dtype(x.dtype).kind in "ui" and np.dtype(
+        x.dtype
+    ).itemsize < 4:
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
 
 
 @functools.partial(
@@ -67,7 +87,11 @@ def _fused_moments_pallas(
 
     depth, pixels = x.shape
     n_masks = masks_t.shape[0]
-    td = _pick_row_tile(depth, pixels, 4)
+    itemsize = np.dtype(x.dtype).itemsize
+    td = _pick_row_tile(
+        depth, pixels, max(4, itemsize),
+        sublane=_SUBLANE.get(itemsize, 8),
+    )
     n_steps = depth // td
 
     def kernel(valid_ref, x_ref, masks_ref, y_ref, colsum_ref,
@@ -77,7 +101,7 @@ def _fused_moments_pallas(
         # padding rows are zero on entry (host zero-pads; corrections
         # re-zero) — matmul and colsum need no masking, only the
         # variance's centered term does
-        xt = x_ref[:].astype(jnp.float32)  # (td, P)
+        xt = _cast_f32(x_ref[:])  # (td, P)
 
         # ---- mask projections (MXU), contracting over lanes ----
         y_ref[:] = jax.lax.dot_general(

@@ -794,7 +794,16 @@ class UDFRunner:
         plan = prep["plan"]
         depth = raw_block.shape[0]
         sig_shape = tuple(prep["meta"].dataset_shape.sig)
-        block = self._apply_corrections(raw_block, prep, valid_count)
+        if prep["corr_plan"] is None:
+            # skip the up-front cast: fused_moments converts in VMEM,
+            # so narrow integer blocks are read from HBM at their raw
+            # width (a pre-cast would materialize an f32 copy — 5x the
+            # HBM traffic for uint16 detector data)
+            block = raw_block
+        else:
+            block = self._apply_corrections(
+                raw_block, prep, valid_count
+            )
         flat = block.reshape(depth, -1)
         y, colsum, colvar = fused_moments(
             flat, jnp.asarray(fused["masks_t"]), valid_count,
