@@ -122,3 +122,33 @@ def test_io_backend_compat():
     assert isinstance(
         IOBackend.from_json({"id": "direct"}), DirectBackend
     )
+
+
+def test_sharded_partition_method(ds, data):
+    """PARTITION-method UDFs run on the mesh (each device block plays
+    the partition role)."""
+    from libertem_tpu.udf.base import UDF
+
+    class PartSum(UDF):
+        def get_result_buffers(self):
+            return {"intensity": self.buffer(kind="sig",
+                                             dtype="float32")}
+
+        def process_partition(self, partition):
+            vmask = self.meta.tile_valid.reshape(
+                (-1,) + (1,) * (partition.ndim - 1)
+            )
+            self.results.intensity += (
+                partition * vmask
+            ).sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.intensity = dest.intensity + src.intensity
+
+    res = UDFRunner([PartSum()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, data.sum(axis=(0, 1)),
+        rtol=1e-4,
+    )
