@@ -16,10 +16,20 @@ import numpy as np
 
 def write_dataset_npy(ctx, dataset, path: str, progress=False) -> None:
     """Stream a dataset to a .npy file via the RecordUDF-equivalent
-    (reference: udf/record.py, contrib/convert_transposed.py)."""
+    (reference: udf/record.py, contrib/convert_transposed.py).
+
+    Always runs single-device: RecordUDF's ordered io_callback writes
+    frames in order, which a shard_mapped multi-device run would
+    interleave.
+    """
+    from ..api import Context
+    from ..executor.inline import InlineJobExecutor
     from ..udf.record import RecordUDF
     udf = RecordUDF(filename=path)
-    ctx.run_udf(dataset, udf, progress=progress)
+    inline_ctx = Context(executor=InlineJobExecutor(
+        device=ctx.executor.main_device
+    ))
+    inline_ctx.run_udf(dataset, udf, progress=progress)
 
 
 class WriteHandle:

@@ -126,3 +126,16 @@ def test_dataset_registry_unknown(lt_ctx):
     from libertem_tpu.io.dataset.base import DataSetException
     with pytest.raises(DataSetException):
         lt_ctx.load("nosuchformat", path="/nonexistent")
+
+
+def test_export_from_sharded_context(tmp_path, data):
+    """export_dataset works from a multi-device Context (records
+    run single-device to preserve frame order)."""
+    from libertem_tpu.api import Context
+    ctx = Context.make_with("sharded")
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=2)
+    ds.initialize()
+    out = str(tmp_path / "exported.npy")
+    ctx.export_dataset(ds, path=out)
+    written = np.load(out)
+    assert np.array_equal(written, data.reshape(-1, 19, 21))
