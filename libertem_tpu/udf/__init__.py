@@ -16,6 +16,11 @@ from .blobfinder import (
     SparseCorrelationUDF,
     run_blobfinder,
 )
+from .holography import (
+    HoloReconstructUDF,
+    estimate_sideband_position,
+    estimate_sideband_size,
+)
 from .com import CoMParams, CoMUDF, RegressionOptions, guess_corrections
 from .crystallinity import CrystallinityUDF
 from .FEM import FEMUDF
@@ -36,4 +41,6 @@ __all__ = [
     "MatchPattern", "Disk", "RadialGradient",
     "BackgroundSubtraction", "FullFrameCorrelationUDF",
     "SparseCorrelationUDF", "run_blobfinder", "RecordUDF",
+    "HoloReconstructUDF", "estimate_sideband_position",
+    "estimate_sideband_size",
 ]

@@ -192,23 +192,36 @@ class ApplyMasksUDF(UDF):
         ).astype(self.results.intensity.dtype)
 
     def _shift_tile(self, tile, shifts):
-        """Per-frame integer shifts: roll each frame by (-dy, -dx) so a
-        static mask sees the shifted frame (equivalent to shifting the
-        masks as in the reference's process_frame_shifted, with
-        wrap-around instead of zero truncation at the border)."""
+        """Per-frame integer shifts: roll each frame by (-dy, -dx) so
+        a static mask sees the shifted frame, then zero the wrapped
+        border region — matching the reference's truncating overlap
+        slicing (udf/masks.py:85 process_frame_shifted)."""
         shifts = jnp.asarray(shifts)
         if shifts.ndim == 1:
             shifts = jnp.broadcast_to(
                 shifts, (tile.shape[0],) + shifts.shape
             )
         import jax
+        h, w = tile.shape[-2:]
+        rows = jnp.arange(h)
+        cols = jnp.arange(w)
 
         def roll_one(frame, sh):
-            return jnp.roll(
-                frame, (-sh[0].astype(jnp.int32),
-                        -sh[1].astype(jnp.int32)),
-                axis=(0, 1),
+            dy = sh[0].astype(jnp.int32)
+            dx = sh[1].astype(jnp.int32)
+            rolled = jnp.roll(frame, (-dy, -dx), axis=(0, 1))
+            # rows/cols that wrapped around carry data from the other
+            # edge: zero them (a frame shifted by dy>0 exposes the
+            # last dy rows, dy<0 the first |dy| rows)
+            row_ok = jnp.where(
+                dy >= 0, rows < (h - dy), rows >= (-dy)
             )
+            col_ok = jnp.where(
+                dx >= 0, cols < (w - dx), cols >= (-dx)
+            )
+            return rolled * (
+                row_ok[:, None] & col_ok[None, :]
+            ).astype(rolled.dtype)
 
         return jax.vmap(roll_one)(tile, shifts)
 

@@ -179,11 +179,15 @@ def test_apply_masks_shifts_aux(lt_ctx, ds, data):
     )
     res = lt_ctx.run_udf(ds, udf)
     flat = data.reshape(n, 16, 16)
-    expected = np.array([
-        flat[i, (4 + int(shifts[i, 0])) % 16,
-             (4 + int(shifts[i, 1])) % 16]
-        for i in range(n)
-    ])
+
+    def truncated(i):
+        y = 4 + int(shifts[i, 0])
+        x = 4 + int(shifts[i, 1])
+        if 0 <= y < 16 and 0 <= x < 16:
+            return flat[i, y, x]
+        return 0.0  # shifted outside the frame -> zero (truncation)
+
+    expected = np.array([truncated(i) for i in range(n)])
     assert np.allclose(
         res["intensity"].data.reshape(-1), expected,
         rtol=1e-4, atol=1e-4,
