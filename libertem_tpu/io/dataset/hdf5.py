@@ -147,6 +147,13 @@ class H5DataSet(DataSet):
             return 16 * prod(self._chunks) * self.meta.raw_dtype.itemsize
         return None
 
+    @property
+    def diagnostics(self):
+        return [
+            {"name": "ds_path", "value": str(self._ds_path)},
+            {"name": "chunks", "value": str(self._chunks)},
+        ]
+
     def get_partitions(self) -> Iterator[H5Partition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield H5Partition(

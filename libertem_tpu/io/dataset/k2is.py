@@ -257,6 +257,18 @@ class K2ISDataSet(DataSet):
         )
         return self
 
+    @property
+    def diagnostics(self):
+        return [
+            {"name": "sectors", "value": str(NUM_SECTORS)},
+            {"name": "complete frames",
+             "value": str(self.meta.image_count)},
+            {"name": "blocks per frame",
+             "value": str(
+                 NUM_SECTORS * BLOCKS_PER_SECTOR_PER_FRAME
+             )},
+        ]
+
     def get_partitions(self) -> Iterator[K2ISPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield K2ISPartition(

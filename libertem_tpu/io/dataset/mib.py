@@ -265,6 +265,19 @@ class MIBDataSet(DataSet):
         )
         return self
 
+    @property
+    def diagnostics(self):
+        h = self._hdr or {}
+        return [
+            {"name": "kind", "value": h.get("kind", "?")},
+            {"name": "bit depth",
+             "value": str(h.get("bit_depth", "?"))},
+            {"name": "layout", "value": h.get("layout", "?")},
+            {"name": "files", "value": str(len(self._files))},
+            {"name": "frames on disk",
+             "value": str(self.meta.image_count)},
+        ]
+
     def get_partitions(self) -> Iterator[MIBPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield MIBPartition(
