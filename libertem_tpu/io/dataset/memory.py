@@ -15,11 +15,18 @@ from .base import DataSet, DataSetMeta, Partition
 
 
 class MemPartition(Partition):
-    def __init__(self, data_flat: np.ndarray, *args, **kwargs):
+    def __init__(self, data_flat: np.ndarray, tiledelay=None,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._data = data_flat  # (n_frames, *sig)
+        self._tiledelay = tiledelay
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
+        if self._tiledelay:
+            # simulate slow I/O for live-plot / pipelining tests
+            # (reference memory.py tiledelay)
+            import time
+            time.sleep(self._tiledelay)
         return self._data[start:stop]
 
 
@@ -32,7 +39,9 @@ class MemoryDataSet(DataSet):
         sig_shape: Optional[Sequence[int]] = None,
         num_partitions: Optional[int] = None,
         tileshape=None,  # accepted for reference-API compat; advisory
+        tiledelay=None,  # artificial per-read delay (tests)
         sync_offset: int = 0,
+        **kwargs,  # accept remaining reference-API knobs
     ):
         super().__init__(num_partitions=num_partitions)
         data = np.asarray(data)
@@ -54,6 +63,7 @@ class MemoryDataSet(DataSet):
             image_count=self._data.shape[0],
         )
         self._tileshape = tileshape
+        self._tiledelay = tiledelay
 
     @property
     def data(self) -> np.ndarray:
@@ -70,5 +80,6 @@ class MemoryDataSet(DataSet):
     def get_partitions(self) -> Iterator[MemPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield MemPartition(
-                self._data, self.meta, start, stop - start, idx=idx
+                self._data, self._tiledelay,
+                self.meta, start, stop - start, idx=idx,
             )
