@@ -208,6 +208,7 @@ class UDF:
         self.results: Optional[UDFData] = None
         self.meta: Optional[UDFMeta] = None
         self.task_data: Optional[UDFData] = None
+        self._host_mode = False
 
     def copy(self) -> "UDF":
         return type(self)(**self._kwargs)
@@ -292,7 +293,7 @@ class UDF:
 
     @property
     def xp(self):
-        return jnp
+        return np if self._host_mode else jnp
 
     def forbuf(self, arr, target=None):
         """Backend-coercion helper (reference udf/base.py:1563); identity
@@ -407,6 +408,13 @@ class _UDFPlanEntry:
             n for n, b in decls.items() if b.use == "result_only"
         ]
         self.method = udf.get_method()
+        backends = udf.get_backends()
+        # numpy-only UDFs run on the host with mutable-view semantics
+        # (see udf/host.py)
+        self.host = (
+            UDF.BACKEND_NUMPY in backends
+            and UDF.BACKEND_JAX not in backends
+        )
         # frame-mode UDFs that only write nav buffers can be vmapped
         self.frame_navonly = self.method == "frame" and not self.part_names
 
@@ -489,6 +497,12 @@ class UDFRunner:
         """
         if devices is not None and len(devices) > 1:
             prep = self._prepare(dataset, roi, corrections, devices[0])
+            if any(e.host for e in prep["plan"]):
+                raise UDFException(
+                    "numpy-backend UDFs run on the host and are not "
+                    "supported on the sharded executor; use an "
+                    "InlineJobExecutor / single-device Context"
+                )
             yield from self._run_loop_sharded(
                 prep, dataset, roi, progress, yield_partial, devices
             )
@@ -592,8 +606,10 @@ class UDFRunner:
 
         # aux buffers: compress by roi, keep as host arrays for now
         aux_arrays = []
+        aux_host = []
         for udf in udfs:
             entry = {}
+            host_entry = {}
             for k, v in udf._kwargs.items():
                 if isinstance(v, AuxBufferWrapper):
                     data = v.aux_data
@@ -616,7 +632,9 @@ class UDFRunner:
                     entry[k] = jax.device_put(
                         jnp.asarray(data), device
                     )
+                    host_entry[k] = data
             aux_arrays.append(entry)
+            aux_host.append(host_entry)
 
         corr_plan = (
             corrections.make_plan(tuple(meta0.shape.sig))
@@ -627,6 +645,8 @@ class UDFRunner:
 
         return {
             "fused": fused_plan,
+            "aux_host": aux_host,
+            "host_global": None,
             "meta": meta,
             "plan": plan,
             "scheme": scheme,
@@ -652,17 +672,18 @@ class UDFRunner:
         state = []
         for entry in prep["plan"]:
             bufs = {}
-            for name in entry.nav_names:
-                b = entry.decls[name]
-                shape = (prep["n_nav"] + depth,) + b.extra_shape
-                bufs[name] = jax.device_put(
-                    jnp.zeros(shape, dtype=b.dtype), device
-                )
-            for name in entry.part_names:
-                b = entry.decls[name]
-                bufs[name] = jax.device_put(
-                    jnp.zeros(b.shape, dtype=b.dtype), device
-                )
+            if not entry.host:
+                for name in entry.nav_names:
+                    b = entry.decls[name]
+                    shape = (prep["n_nav"] + depth,) + b.extra_shape
+                    bufs[name] = jax.device_put(
+                        jnp.zeros(shape, dtype=b.dtype), device
+                    )
+                for name in entry.part_names:
+                    b = entry.decls[name]
+                    bufs[name] = jax.device_put(
+                        jnp.zeros(b.shape, dtype=b.dtype), device
+                    )
             state.append(bufs)
         return state
 
@@ -670,9 +691,10 @@ class UDFRunner:
         state = []
         for entry in prep["plan"]:
             bufs = {}
-            for name in entry.part_names:
-                b = entry.decls[name]
-                bufs[name] = jnp.zeros(b.shape, dtype=b.dtype)
+            if not entry.host:
+                for name in entry.part_names:
+                    b = entry.decls[name]
+                    bufs[name] = jnp.zeros(b.shape, dtype=b.dtype)
             state.append(bufs)
         return state
 
@@ -727,6 +749,8 @@ class UDFRunner:
         need_colsum = False
         col_off = 0
         for entry in plan:
+            if entry.host:
+                return None
             spec_fn = getattr(entry.udf, "fused_moments_spec", None)
             if spec_fn is None:
                 return None
@@ -893,6 +917,8 @@ class UDFRunner:
             else:
                 tile = block[(slice(None),) + sig_slice.get()]
             for ui, entry in enumerate(plan):
+                if entry.host:
+                    continue
                 aux_views = {
                     name: jax.lax.dynamic_slice_in_dim(
                         arr, global_off, depth, axis=0
@@ -1086,7 +1112,7 @@ class UDFRunner:
         def merge_fn(state, part_state):
             new_state = [dict(s) for s in state]
             for ui, entry in enumerate(plan):
-                if not entry.part_names:
+                if not entry.part_names or entry.host:
                     continue
                 udf = entry.udf
                 dest = UDFData({
@@ -1146,6 +1172,30 @@ class UDFRunner:
         merge = self._make_merge(prep)
         damage_host = np.zeros(prep["n_nav"], dtype=bool)
 
+        host_entries = [
+            (ui, e) for ui, e in enumerate(prep["plan"]) if e.host
+        ]
+        host_runner = None
+        host_global = None
+        if host_entries:
+            from .host import HostUDFRunner
+            host_runner = HostUDFRunner(
+                [e for _, e in host_entries], prep
+            )
+            # aux arrays for host udfs come from the host copies
+            host_runner.prep = dict(prep)
+            host_runner.prep["aux"] = [
+                prep["aux_host"][ui] for ui, _ in host_entries
+            ]
+            host_global = host_runner.init_global()
+            prep["host_global"] = {
+                ui: host_global[i]
+                for i, (ui, _) in enumerate(host_entries)
+            }
+        device_entries_exist = any(
+            not e.host for e in prep["plan"]
+        )
+
         partitions = prep["partitions"]
         pm = None
         if progress:
@@ -1177,23 +1227,40 @@ class UDFRunner:
             for udf in self._udfs:
                 udf.preprocess()
             part_state = self._init_part_state(prep)
+            host_part = (
+                host_runner.init_partition() if host_runner else None
+            )
             goff0 = partition.roi_offset(roi)
 
             def to_device(block):
-                return (
-                    jax.device_put(block.data, device),
-                    jnp.int32(block.global_offset),
-                    jax.device_put(block.coords, device),
-                    jnp.int32(block.valid),
-                )
+                dev = None
+                if device_entries_exist:
+                    dev = (
+                        jax.device_put(block.data, device),
+                        jnp.int32(block.global_offset),
+                        jax.device_put(block.coords, device),
+                        jnp.int32(block.valid),
+                    )
+                return dev, block
 
-            for dev_block, goff, coords, valid in self._prefetch(
+            for dev, block in self._prefetch(
                 partition.gen_blocks(scheme, roi), to_device
             ):
-                state, part_state = step(
-                    state, part_state, dev_block, goff, coords, valid
-                )
+                if dev is not None:
+                    dev_block, goff, coords, valid = dev
+                    state, part_state = step(
+                        state, part_state, dev_block, goff, coords,
+                        valid,
+                    )
+                if host_runner is not None:
+                    host_runner.process_block(
+                        host_global, host_part, block.data,
+                        block.global_offset, block.coords,
+                        block.valid,
+                    )
             state = merge(state, part_state)
+            if host_runner is not None:
+                host_runner.merge_partition(host_global, host_part)
             for udf in self._udfs:
                 udf.postprocess()
             damage_host[goff0:goff0 + n_sel] = True
@@ -1520,35 +1587,66 @@ class UDFRunner:
         n_nav = prep["n_nav"]
         meta = prep["meta"]
         all_buffers = []
+        host_global = prep.get("host_global") or {}
         for ui, entry in enumerate(prep["plan"]):
             udf = entry.udf
             raw = {}
+            if entry.host:
+                src_bufs = host_global.get(ui, {})
+                for name in (
+                    entry.nav_names + entry.part_names
+                ):
+                    raw[name] = np.asarray(
+                        src_bufs.get(
+                            name,
+                            np.zeros(
+                                entry.decls[name].shape
+                                if entry.decls[name].kind != "nav"
+                                else (n_nav,)
+                                + entry.decls[name].extra_shape,
+                                entry.decls[name].dtype,
+                            ),
+                        )
+                    )
+                all_buffers.append(
+                    self._wrap_one(
+                        prep, entry, udf, raw, damage_host, meta
+                    )
+                )
+                continue
             for name in entry.nav_names:
                 raw[name] = np.asarray(state[ui][name])[:n_nav]
             for name in entry.part_names:
                 raw[name] = np.asarray(state[ui][name])
-            # bind results for get_results post-processing
-            udf.meta = meta
-            udf.results = UDFData(raw)
-            derived = udf.get_results() or {}
-            buffers = {}
-            for name, decl in entry.decls.items():
-                if decl.use == "private":
-                    continue
-                out = BufferWrapper(
-                    decl.kind, decl.extra_shape, decl.dtype
-                )
-                out.set_shape_ds(meta.dataset_shape, prep["roi"])
-                if name in derived:
-                    data = np.asarray(derived[name])
-                elif decl.use == "result_only":
-                    continue  # not produced
-                else:
-                    data = raw[name]
-                out.set_result(data, valid_nav_mask=damage_host)
-                buffers[name] = out
-            all_buffers.append(buffers)
+            all_buffers.append(
+                self._wrap_one(prep, entry, udf, raw, damage_host,
+                               meta)
+            )
         damage_buf = BufferWrapper("nav", (), bool)
         damage_buf.set_shape_ds(meta.dataset_shape, prep["roi"])
         damage_buf.set_result(damage_host, valid_nav_mask=damage_host)
         return UDFResults(all_buffers, damage_buf)
+
+    def _wrap_one(self, prep, entry, udf, raw, damage_host, meta):
+        """Raw storage arrays -> {name: BufferWrapper} for one UDF
+        (runs get_results post-processing)."""
+        udf.meta = meta
+        udf.results = UDFData(raw)
+        derived = udf.get_results() or {}
+        buffers = {}
+        for name, decl in entry.decls.items():
+            if decl.use == "private":
+                continue
+            out = BufferWrapper(
+                decl.kind, decl.extra_shape, decl.dtype
+            )
+            out.set_shape_ds(meta.dataset_shape, prep["roi"])
+            if name in derived:
+                data = np.asarray(derived[name])
+            elif decl.use == "result_only":
+                continue  # not produced
+            else:
+                data = raw[name]
+            out.set_result(data, valid_nav_mask=damage_host)
+            buffers[name] = out
+        return buffers

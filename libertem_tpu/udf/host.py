@@ -1,0 +1,173 @@
+"""Host execution path for numpy-backend UDFs.
+
+UDFs migrated from the reference often use numpy/scipy code that is
+not jax-traceable (in-place slice mutation, data-dependent Python
+control flow, scipy calls).  Declaring
+
+    def get_backends(self):
+        return (self.BACKEND_NUMPY,)
+
+routes a UDF through this runner: blocks are processed on the host
+CPU with the reference's *mutable-view* semantics
+(``self.results.intensity[:] += ...`` works), while jax-backend UDFs
+in the same ``run_udf`` call keep running on the device — one shared
+read pass, two execution engines.
+
+This mirrors the reference's CPU worker loop
+(udf/base.py:2100 UDFPartRunner) but scoped to the block stream of
+the TPU runner.  Restrictions: whole-frame sig (no sig tiling) and
+single-device runs (the sharded loop raises for numpy UDFs).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class HostUDFRunner:
+    def __init__(self, entries, prep):
+        """entries: the _UDFPlanEntry objects of numpy-backend UDFs."""
+        self.entries = entries
+        self.prep = prep
+        self.input_dtype = prep["input_dtype"]
+        self.n_nav = prep["n_nav"]
+        self.sig_shape = tuple(prep["meta"].dataset_shape.sig)
+
+    # -- buffers ---------------------------------------------------------
+
+    def init_global(self) -> list:
+        out = []
+        for entry in self.entries:
+            bufs = {}
+            for name in entry.nav_names:
+                b = entry.decls[name]
+                bufs[name] = np.zeros(
+                    (self.n_nav,) + b.extra_shape, dtype=b.dtype
+                )
+            for name in entry.part_names:
+                b = entry.decls[name]
+                bufs[name] = np.zeros(b.shape, dtype=b.dtype)
+            out.append(bufs)
+        return out
+
+    def init_partition(self) -> list:
+        out = []
+        for entry in self.entries:
+            bufs = {}
+            for name in entry.part_names:
+                b = entry.decls[name]
+                bufs[name] = np.zeros(b.shape, dtype=b.dtype)
+            out.append(bufs)
+        return out
+
+    # -- processing ------------------------------------------------------
+
+    def process_block(
+        self, global_bufs, part_bufs, block, goff: int,
+        coords: np.ndarray, valid: int,
+    ):
+        from .base import UDFData, UDFParams
+
+        meta = self.prep["meta"]
+        corrections = meta.corrections
+        x = block[:valid].astype(self.input_dtype)
+        if corrections is not None and corrections.have_corrections():
+            x = corrections.apply_numpy(block[:valid]).astype(
+                self.input_dtype
+            )
+        coords = coords[:valid]
+        for ei, entry in enumerate(self.entries):
+            udf = entry.udf
+            udf._host_mode = True
+            views = {}
+            for name in entry.nav_names:
+                views[name] = global_bufs[ei][name][
+                    goff:goff + valid
+                ]
+            for name in entry.part_names:
+                views[name] = part_bufs[ei][name]
+            aux_views = {}
+            for k, arr in self.prep["aux"][ei].items():
+                aux_views[k] = np.asarray(
+                    arr[goff:goff + valid]
+                )
+            meta.tile_valid = np.ones(valid, dtype=bool)
+            meta.valid_frames = valid
+            meta.global_offset = goff
+            meta.sig_slice = self.prep["scheme"][0]
+            udf.params = UDFParams(udf._kwargs, aux_views)
+            try:
+                if entry.method in ("tile", "partition"):
+                    udf.results = UDFData(views)
+                    meta.coordinates = coords
+                    if entry.method == "tile":
+                        udf.process_tile(x)
+                    else:
+                        udf.process_partition(x)
+                    self._writeback(
+                        entry, udf.results, global_bufs[ei],
+                        part_bufs[ei], goff, valid,
+                    )
+                else:  # frame mode
+                    for i in range(valid):
+                        frame_views = {
+                            n: views[n][i]
+                            for n in entry.nav_names
+                        }
+                        for n in entry.part_names:
+                            frame_views[n] = views[n]
+                        frame_aux = {
+                            k: v[i] for k, v in aux_views.items()
+                        }
+                        udf.params = UDFParams(
+                            udf._kwargs, frame_aux
+                        )
+                        udf.results = UDFData(frame_views)
+                        meta.coordinates = coords[i]
+                        udf.process_frame(x[i])
+                        res = udf.results
+                        # rebinding assignments (rather than in-place
+                        # mutation of the views) need explicit
+                        # write-back
+                        for n in entry.nav_names:
+                            if n in res._touched:
+                                global_bufs[ei][n][goff + i] = (
+                                    res[n]
+                                )
+                        for n in entry.part_names:
+                            if n in res._touched:
+                                part_bufs[ei][n][...] = res[n]
+            finally:
+                udf._host_mode = False
+
+    def _writeback(self, entry, res, global_u, part_u, goff, valid):
+        for n in entry.nav_names:
+            if n in res._touched:
+                global_u[n][goff:goff + valid] = res[n]
+        for n in entry.part_names:
+            if n in res._touched:
+                part_u[n][...] = res[n]
+
+    def merge_partition(self, global_bufs, part_bufs):
+        from .base import UDFData
+        for ei, entry in enumerate(self.entries):
+            if not entry.part_names:
+                continue
+            udf = entry.udf
+            udf._host_mode = True
+            try:
+                dest = UDFData({
+                    n: global_bufs[ei][n]
+                    for n in entry.part_names
+                })
+                src = UDFData({
+                    n: part_bufs[ei][n]
+                    for n in entry.part_names
+                })
+                udf.merge(dest, src)
+                for n in entry.part_names:
+                    if n in dest._touched:
+                        global_bufs[ei][n][...] = dest[n]
+            finally:
+                udf._host_mode = False

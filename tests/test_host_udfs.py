@@ -1,0 +1,124 @@
+"""Host execution path: numpy-backend UDFs with reference-style
+mutable views (in-place slice mutation, scipy calls, Python control
+flow), sharing one pass with device UDFs."""
+import numpy as np
+import pytest
+
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import SumSigUDF, SumUDF
+from libertem_tpu.udf.base import UDF, UDFException
+
+from conftest import _mk_random
+
+
+class NumpySumUDF(UDF):
+    """Reference-style UDF: in-place mutation, numpy only."""
+
+    def get_backends(self):
+        return (self.BACKEND_NUMPY,)
+
+    def get_result_buffers(self):
+        return {
+            "intensity": self.buffer(kind="sig", dtype="float32"),
+        }
+
+    def process_tile(self, tile):
+        assert isinstance(tile, np.ndarray)
+        assert self.xp is np
+        self.results.intensity[:] += tile.sum(axis=0)
+
+    def merge(self, dest, src):
+        dest.intensity[:] += src.intensity
+
+
+class NumpyMedianUDF(UDF):
+    """Per-frame scipy/numpy work that jax couldn't trace the same
+    way (data-dependent percentile)."""
+
+    def get_backends(self):
+        return (self.BACKEND_NUMPY,)
+
+    def get_result_buffers(self):
+        return {
+            "median": self.buffer(kind="nav", dtype="float32"),
+            "n_above": self.buffer(kind="nav", dtype="float32"),
+        }
+
+    def process_frame(self, frame):
+        med = float(np.median(frame))
+        self.results.median = med
+        # data-dependent python control flow
+        if med > 0:
+            self.results.n_above = float((frame > med).sum())
+        else:
+            self.results.n_above = -1.0
+
+
+@pytest.fixture
+def data():
+    return _mk_random((5, 6, 12, 12), dtype="float32")
+
+
+@pytest.fixture
+def ds(data):
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+
+
+def test_host_tile_udf(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, NumpySumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+
+
+def test_host_frame_udf(lt_ctx, ds, data):
+    res = lt_ctx.run_udf(ds, NumpyMedianUDF())
+    flat = data.reshape(-1, 12, 12)
+    med = np.median(flat, axis=(1, 2))
+    assert np.allclose(
+        res["median"].data.reshape(-1), med, rtol=1e-5
+    )
+    expected_above = np.array([
+        (flat[i] > med[i]).sum() if med[i] > 0 else -1.0
+        for i in range(len(flat))
+    ])
+    assert np.allclose(
+        res["n_above"].data.reshape(-1), expected_above
+    )
+
+
+def test_mixed_host_device_pass(lt_ctx, ds, data):
+    """numpy and jax UDFs share one read pass."""
+    res_np, res_sum, res_ss = lt_ctx.run_udf(
+        ds, [NumpySumUDF(), SumUDF(), SumSigUDF()]
+    )
+    assert np.allclose(
+        res_np["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        res_sum["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    assert np.allclose(
+        res_ss["intensity"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )
+
+
+def test_host_roi(lt_ctx, ds, data):
+    rng = np.random.default_rng(1)
+    roi = rng.random(30) > 0.5
+    res = lt_ctx.run_udf(ds, NumpySumUDF(), roi=roi)
+    flat = data.reshape(-1, 12, 12)
+    assert np.allclose(
+        res["intensity"].data, flat[roi].sum(axis=0), rtol=1e-4
+    )
+
+
+def test_host_rejected_on_sharded(ds):
+    import jax
+    from libertem_tpu.udf.base import UDFRunner
+    with pytest.raises(UDFException):
+        UDFRunner([NumpySumUDF()]).run_for_dataset(
+            ds, devices=jax.devices()
+        )
