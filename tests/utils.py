@@ -19,3 +19,39 @@ def naive_mask_apply(masks, data):
             @ md.reshape(-1).astype(np.float64)
         )
     return out.reshape(nav_shape + (len(masks),))
+
+
+from libertem_tpu.udf.base import UDF as _UDF
+
+
+class ValidationUDF(_UDF):
+    """Compares the tile stream against the raw source array
+    (counterpart of the reference's ValidationUDF,
+    tests/utils.py:167).  Runs on the host path so it can assert with
+    real numpy inside process_tile."""
+
+    def __init__(self, ref_flat, rtol=1e-6):
+        # ref_flat: (n_frames_after_roi, *sig) expected input-dtype
+        # values in roi-compressed order
+        super().__init__(ref_flat=ref_flat, rtol=rtol)
+
+    def get_backends(self):
+        return (self.BACKEND_NUMPY,)
+
+    def get_result_buffers(self):
+        return {
+            "seen": self.buffer(kind="nav", dtype="float32"),
+        }
+
+    def process_tile(self, tile):
+        goff = int(self.meta.global_offset)
+        n = tile.shape[0]
+        expected = self.params.ref_flat[goff:goff + n]
+        assert expected.shape == tile.shape, (
+            expected.shape, tile.shape
+        )
+        assert np.allclose(
+            tile, expected.astype(tile.dtype),
+            rtol=self.params.rtol, atol=1e-4,
+        ), f"tile mismatch at offset {goff}"
+        self.results.seen[:] = 1.0
