@@ -126,6 +126,11 @@ class Context:
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
         plots = self._prepare_plots(plots, dataset, udfs, roi)
+        if backends is not None:
+            if isinstance(backends, str):
+                backends = (backends,)
+            for u in udfs:
+                u._backend_restriction = tuple(backends)
         runner = UDFRunner(udfs)
         if plots:
             results = None

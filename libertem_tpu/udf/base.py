@@ -409,6 +409,16 @@ class _UDFPlanEntry:
         ]
         self.method = udf.get_method()
         backends = udf.get_backends()
+        restriction = getattr(udf, "_backend_restriction", None)
+        if restriction is not None:
+            allowed = set(backends) & set(restriction)
+            if not allowed:
+                raise UDFException(
+                    f"{type(udf).__name__} supports backends "
+                    f"{backends}, none of which are in the "
+                    f"requested restriction {restriction}"
+                )
+            backends = tuple(allowed)
         # numpy-only UDFs run on the host with mutable-view semantics
         # (see udf/host.py)
         self.host = (

@@ -122,3 +122,44 @@ def test_host_rejected_on_sharded(ds):
         UDFRunner([NumpySumUDF()]).run_for_dataset(
             ds, devices=jax.devices()
         )
+
+
+class DualBackendSumUDF(UDF):
+    """Supports both backends — xp-agnostic math."""
+
+    def get_backends(self):
+        return (self.BACKEND_JAX, self.BACKEND_NUMPY)
+
+    def get_result_buffers(self):
+        return {"intensity": self.buffer(kind="sig",
+                                         dtype="float32")}
+
+    def process_tile(self, tile):
+        if self.xp is np:
+            self.results.intensity[:] += tile.sum(axis=0)
+        else:
+            self.results.intensity += tile.sum(axis=0)
+
+    def merge(self, dest, src):
+        if isinstance(dest.intensity, np.ndarray):
+            dest.intensity[:] += src.intensity
+        else:
+            dest.intensity = dest.intensity + src.intensity
+
+
+def test_backend_restriction(lt_ctx, ds, data):
+    # default: runs on device
+    res = lt_ctx.run_udf(ds, DualBackendSumUDF())
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    # restricted to numpy: runs on host
+    res = lt_ctx.run_udf(
+        ds, DualBackendSumUDF(), backends=("numpy",)
+    )
+    assert np.allclose(
+        res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+    )
+    # impossible restriction raises
+    with pytest.raises(UDFException):
+        lt_ctx.run_udf(ds, NumpySumUDF(), backends=("jax",))
