@@ -40,11 +40,12 @@ class FEMUDF(UDF):
         idx = np.flatnonzero(sel.reshape(-1))
         if len(idx) == 0:
             raise ValueError("FEM ring selects no pixels")
-        self._ring_idx = jnp.asarray(idx, dtype=jnp.int32)
+        # numpy cache (tracer-safe)
+        self._ring_idx = idx.astype(np.int32)
         return self._ring_idx
 
     def process_tile(self, tile):
-        idx = self._get_ring_idx()
+        idx = jnp.asarray(self._get_ring_idx())
         flat = tile.reshape(tile.shape[0], -1)
         vals = flat[:, idx].astype(jnp.float32)  # (depth, ring)
         self.results.intensity += jnp.std(vals, axis=1)

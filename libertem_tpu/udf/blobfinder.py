@@ -130,12 +130,13 @@ class FullFrameCorrelationUDF(UDF):
 
     def _get_spectrum(self):
         if self._spectrum is None:
-            self._spectrum = jnp.asarray(
+            # numpy cache (tracer-safe)
+            self._spectrum = (
                 self.params.match_pattern.get_template_spectrum(
                     self.meta.sig_shape
                 )
             )
-        return self._spectrum
+        return jnp.asarray(self._spectrum)
 
     def process_tile(self, tile):
         spec = self._get_spectrum()
@@ -195,7 +196,7 @@ class SparseCorrelationUDF(UDF):
 
     def _get_plan(self):
         if self._spectrum is None:
-            self._spectrum = jnp.asarray(
+            self._spectrum = (
                 self.params.match_pattern.get_template_spectrum(
                     self.meta.sig_shape
                 )
@@ -216,14 +217,17 @@ class SparseCorrelationUDF(UDF):
                 ], 0, w - 1,
             )
             self._windows = (
-                jnp.asarray(np.broadcast_to(
+                np.ascontiguousarray(np.broadcast_to(
                     win_y, (len(peaks), size, size)
                 )),
-                jnp.asarray(np.broadcast_to(
+                np.ascontiguousarray(np.broadcast_to(
                     win_x, (len(peaks), size, size)
                 )),
             )
-        return self._spectrum, self._windows
+        return jnp.asarray(self._spectrum), (
+            jnp.asarray(self._windows[0]),
+            jnp.asarray(self._windows[1]),
+        )
 
     def process_tile(self, tile):
         spec, (wy, wx) = self._get_plan()

@@ -122,19 +122,18 @@ class CoMUDF(UDF):
         return cy, cx
 
     def _operand(self):
+        # numpy cache (tracer-safe); converted per trace
         key = (self.meta.sig_slice.origin,
                tuple(self.meta.sig_slice.shape))
-        if key in self._operand_cache:
-            return self._operand_cache[key]
-        p: CoMParams = self.params.com_params
-        cy, cx = self._center()
-        stack = com_masks(self.meta.sig_shape, cy, cx, p.r, p.ri)
-        sub = stack[(slice(None),) + self.meta.sig_slice.get()]
-        flat = jnp.asarray(
-            np.ascontiguousarray(sub.reshape(3, -1).T), dtype=jnp.float32
-        )
-        self._operand_cache[key] = flat
-        return flat
+        if key not in self._operand_cache:
+            p: CoMParams = self.params.com_params
+            cy, cx = self._center()
+            stack = com_masks(self.meta.sig_shape, cy, cx, p.r, p.ri)
+            sub = stack[(slice(None),) + self.meta.sig_slice.get()]
+            self._operand_cache[key] = np.ascontiguousarray(
+                sub.reshape(3, -1).T
+            ).astype(np.float32)
+        return jnp.asarray(self._operand_cache[key])
 
     def process_tile(self, tile):
         masks = self._operand()

@@ -39,13 +39,12 @@ class CrystallinityUDF(UDF):
         d = np.sqrt((y - cy) ** 2 + (x - cx) ** 2)
         sel = (d >= self.params.rad_in) & (d < self.params.rad_out)
         # pre-apply ifftshift so we skip the shift on the FFT output
-        self._mask = jnp.asarray(
-            np.fft.ifftshift(sel).astype(np.float32)
-        )
+        # (numpy cache — tracer-safe)
+        self._mask = np.fft.ifftshift(sel).astype(np.float32)
         return self._mask
 
     def process_tile(self, tile):
-        mask = self._get_mask()
+        mask = jnp.asarray(self._get_mask())
         spec = jnp.abs(jnp.fft.fft2(tile.astype(jnp.float32)))
         self.results.intensity += (spec * mask).sum(axis=(1, 2))
 

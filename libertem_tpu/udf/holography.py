@@ -118,12 +118,12 @@ class HoloReconstructUDF(UDF):
     def _get_plan(self):
         if self._plan is None:
             oh, ow = self._get_out_shape()
-            ap = _aperture(
+            # numpy cache (tracer-safe)
+            self._plan = _aperture(
                 (oh, ow), self.params.sb_size,
                 self.params.sb_smoothness,
             )
-            self._plan = jnp.asarray(ap)
-        return self._plan
+        return jnp.asarray(self._plan)
 
     def process_tile(self, tile):
         sy, sx = self.params.sb_position

@@ -98,16 +98,20 @@ class MaskContainer:
         return np.result_type(mdt, input_dtype)
 
     def get_for_sig_slice(self, sig_slice: Slice, sig_shape, dtype):
-        """Flattened (tile_pixels, n_masks) operand for one sig tile."""
+        """Flattened (tile_pixels, n_masks) operand for one sig tile.
+
+        The cache holds NUMPY arrays — caching jnp values created
+        inside a trace would leak tracers across traces; jnp.asarray
+        at use time folds into a compile-time constant anyway."""
         key = (sig_slice.origin, tuple(sig_slice.shape), np.dtype(dtype))
-        if key in self._cache:
-            return self._cache[key]
-        stack = self._compute_stack(sig_shape)
-        sub = stack[(slice(None),) + sig_slice.get()]
-        flat = sub.reshape(sub.shape[0], -1).T  # (pixels, n_masks)
-        operand = jnp.asarray(np.ascontiguousarray(flat), dtype=dtype)
-        self._cache[key] = operand
-        return operand
+        if key not in self._cache:
+            stack = self._compute_stack(sig_shape)
+            sub = stack[(slice(None),) + sig_slice.get()]
+            flat = sub.reshape(sub.shape[0], -1).T
+            self._cache[key] = np.ascontiguousarray(flat).astype(
+                dtype
+            )
+        return jnp.asarray(self._cache[key])
 
 
 class ApplyMasksUDF(UDF):

@@ -340,3 +340,31 @@ def test_viz_functions():
     assert rgb.shape == (16, 20, 3)
     png = encode_image(rgba)
     assert png.read(8)[1:4] == b"PNG"
+
+
+def test_udf_instance_reuse(lt_ctx, ds, data):
+    """Reusing a UDF instance across runs must not leak tracers from
+    lazily-built operand caches (regression: caches must hold numpy,
+    not traced constants)."""
+    from libertem_tpu.udf import (
+        ApplyMasksUDF, CoMUDF, CrystallinityUDF, FEMUDF,
+    )
+    m = np.ones((16, 16), dtype=np.float32)
+    udfs = [
+        ApplyMasksUDF(mask_factories=[lambda: m]),
+        CoMUDF.with_params(),
+        FEMUDF(center=(8, 8), rad_in=2, rad_out=6),
+        CrystallinityUDF(rad_in=1, rad_out=5),
+    ]
+    first = lt_ctx.run_udf(ds, udfs)
+    # second run with the SAME instances over a different dataset
+    data2 = _mk_random((4, 4, 16, 16), dtype="float32", seed=9)
+    ds2 = MemoryDataSet(
+        data=data2, sig_dims=2, num_partitions=2
+    ).initialize()
+    second = lt_ctx.run_udf(ds2, udfs)
+    flat2 = data2.reshape(-1, 16, 16)
+    assert np.allclose(
+        second[0]["intensity"].data.reshape(-1),
+        flat2.sum(axis=(1, 2)), rtol=1e-3,
+    )
