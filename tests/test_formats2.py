@@ -191,3 +191,64 @@ def test_dm_stack(lt_ctx, tmp_path):
         res["intensity"].data,
         frames.astype(np.float32).sum(axis=0), rtol=1e-4,
     )
+
+
+def _write_dm3(path, data):
+    """Minimal DM3 writer (4-byte lengths, no per-tag byte counts)."""
+    def tag_data_simple(name, value, code):
+        payload = b"%%%%" + struct.pack(">i", 1) + struct.pack(
+            ">i", code
+        ) + struct.pack("<i", value)
+        return (
+            bytes([0x15]) + struct.pack(">h", len(name))
+            + name.encode() + payload
+        )
+
+    def tag_data_array(name, arr, code, npdtype):
+        body = arr.astype(npdtype).tobytes()
+        payload = b"%%%%" + struct.pack(">i", 3) + struct.pack(
+            ">iii", 20, code, arr.size
+        ) + body
+        return (
+            bytes([0x15]) + struct.pack(">h", len(name))
+            + name.encode() + payload
+        )
+
+    def tag_group(name, children):
+        inner = bytes([1, 0]) + struct.pack(">i", len(children))
+        inner += b"".join(children)
+        return (
+            bytes([0x14]) + struct.pack(">h", len(name))
+            + name.encode() + inner
+        )
+
+    n, h, w = data.shape
+    dims = tag_group("Dimensions", [
+        tag_data_simple("0", w, 3),
+        tag_data_simple("1", h, 3),
+        tag_data_simple("2", n, 3),
+    ])
+    image_data = tag_group("ImageData", [
+        tag_data_array("Data", data.reshape(-1), 4, "<u2"),
+        dims,
+    ])
+    image_list = tag_group("ImageList", [tag_group("0", [image_data])])
+    root = bytes([1, 0]) + struct.pack(">i", 1) + image_list
+    with open(path, "wb") as f:
+        f.write(struct.pack(">i", 3))
+        f.write(struct.pack(">i", len(root)))
+        f.write(struct.pack(">i", 1))
+        f.write(root)
+
+
+def test_dm3(lt_ctx, tmp_path):
+    data = _mk_random((6, 9, 11), dtype="uint16")
+    path = str(tmp_path / "t.dm3")
+    _write_dm3(path, data)
+    ds = lt_ctx.load("dm", path=path, nav_shape=(2, 3))
+    assert tuple(ds.shape) == (2, 3, 9, 11)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        data.astype(np.float32).sum(axis=0), rtol=1e-4,
+    )
