@@ -288,7 +288,10 @@ class DataSet:
 
     @classmethod
     def get_msg_converter(cls):
-        return None
+        """The GUI parameter schema class for this format
+        (reference: per-format MessageConverter)."""
+        from .converters import CLASS_CONVERTERS
+        return CLASS_CONVERTERS.get(cls.__name__)
 
     @classmethod
     def get_supported_extensions(cls) -> set:

@@ -138,13 +138,22 @@ class DataSetDetectHandler(_BaseHandler):
 class DataSetDetailHandler(_BaseHandler):
     async def put(self, uuid: str):
         request_data = tornado.escape.json_decode(self.request.body)
-        params = dict(request_data["dataset"]["params"])
-        ds_type = params.pop("type").lower()
+        raw_params = dict(request_data["dataset"]["params"])
+        ds_type = raw_params["type"].lower()
         ctx = self.state.executor_state.get_context()
-        for key in ("nav_shape", "sig_shape"):
-            if key in params and params[key] is not None:
-                params[key] = tuple(params[key])
+        from ..io.dataset.converters import get_converter
+        conv_cls = get_converter(ds_type)
         try:
+            if conv_cls is not None:
+                params = conv_cls().to_python(raw_params)
+            else:
+                params = {
+                    k: v for k, v in raw_params.items()
+                    if k != "type"
+                }
+                for key in ("nav_shape", "sig_shape"):
+                    if params.get(key) is not None:
+                        params[key] = tuple(params[key])
             ds = ctx.load(ds_type, **params)
         except Exception as e:
             self.write_json({

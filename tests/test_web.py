@@ -275,3 +275,20 @@ class TestJobError(WebTestBase):
             )
             deadline -= 1
         assert not self.state.job_state["job-err"]["running"]
+
+
+class TestParamValidation(WebTestBase):
+    def test_invalid_raw_params_rejected(self):
+        resp = self.fetch_json(
+            "/api/datasets/ds-bad/", method="PUT",
+            body={
+                "dataset": {
+                    "params": {
+                        "type": "RAW",
+                        "path": "/nonexistent.raw",
+                        # missing dtype + shapes -> schema error
+                    },
+                },
+            },
+        )
+        assert resp["status"] == "error"
