@@ -152,3 +152,32 @@ def test_sharded_partition_method(ds, data):
         res.buffers[0]["intensity"].data, data.sum(axis=(0, 1)),
         rtol=1e-4,
     )
+
+
+def test_sharded_fewer_frames_than_devices():
+    """8-device mesh, 3 frames: most shards are empty."""
+    data = _mk_random((3, 10, 10), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2).initialize()
+    res = UDFRunner([SumUDF(), SumSigUDF()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, data.sum(axis=0),
+        rtol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[1]["intensity"].data, data.sum(axis=(1, 2)),
+        rtol=1e-4,
+    )
+    assert res.buffers[1]["intensity"].data.shape == (3,)
+
+
+def test_sharded_single_frame():
+    data = _mk_random((1, 8, 8), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2).initialize()
+    res = UDFRunner([SumUDF()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, data[0], rtol=1e-5
+    )

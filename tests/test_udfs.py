@@ -313,3 +313,19 @@ def test_h5_max_io_size_respected(lt_ctx, tmp_path):
     assert np.allclose(
         res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
     )
+
+
+def test_many_tiny_partitions(lt_ctx):
+    """Partitions smaller than the block depth: heavy padding."""
+    data = _mk_random((30, 8, 8), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=11
+    ).initialize()
+    res = lt_ctx.run_udf(ds, [SumUDF(), StdDevUDF()])
+    assert np.allclose(
+        res[0]["intensity"].data, data.sum(axis=0), rtol=1e-4
+    )
+    assert float(res[1]["num_frames"].data) == 30
+    assert np.allclose(
+        res[1]["var"].data, data.var(axis=0), rtol=1e-3, atol=1e-4
+    )
