@@ -177,6 +177,20 @@ class Context:
         )
         return ResultGenerator(gen, runner)
 
+    async def run_udf_iter_async(
+        self, dataset, udf, roi=None, corrections=None,
+        progress=False,
+    ):
+        """Async generator of partial results (reference:
+        run_for_dataset_async udf/base.py:2735 via AsyncAdapter)."""
+        from .common.async_utils import async_generator_eager
+        gen = self.run_udf_iter(
+            dataset, udf, roi=roi, corrections=corrections,
+            progress=progress,
+        )
+        async for item in async_generator_eager(iter(gen)):
+            yield item
+
     async def run_udf_async(
         self, dataset, udf, roi=None, corrections=None,
         progress=False,
