@@ -340,6 +340,8 @@ class Context:
         tuples (reference api.py _normalize_roi)."""
         if roi is None:
             return None
+        if hasattr(roi, "toarray"):  # scipy.sparse mask
+            roi = np.asarray(roi.toarray())
         if isinstance(roi, np.ndarray) and roi.dtype == bool:
             return roi.reshape(-1)
         if isinstance(roi, np.ndarray):

@@ -1144,6 +1144,23 @@ class UDFRunner:
     # -- main loop -----------------------------------------------------------
 
     @staticmethod
+    def _make_progress(progress, n_frames, n_parts, prep):
+        """progress may be False, True (tqdm), or a ProgressReporter
+        instance (e.g. the web engine's)."""
+        if not progress:
+            return None
+        from ..common.progress import (
+            ProgressManager, ProgressReporter, TQDMProgressReporter,
+        )
+        reporter = (
+            progress if isinstance(progress, ProgressReporter)
+            else TQDMProgressReporter()
+        )
+        return ProgressManager(
+            n_frames, n_parts, reporter, progress_id=str(id(prep)),
+        )
+
+    @staticmethod
     def _prefetch(iterable, transform, depth: int = 2):
         """Double-buffered pipeline: a background thread reads + H2D-
         transfers the next blocks while the device computes (the
@@ -1207,15 +1224,9 @@ class UDFRunner:
         )
 
         partitions = prep["partitions"]
-        pm = None
-        if progress:
-            from ..common.progress import (
-                ProgressManager, TQDMProgressReporter,
-            )
-            pm = ProgressManager(
-                prep["n_nav"], len(partitions),
-                TQDMProgressReporter(), progress_id=str(id(prep)),
-            )
+        pm = self._make_progress(
+            progress, prep["n_nav"], len(partitions), prep
+        )
 
         any_partition = False
         for partition in partitions:
@@ -1390,15 +1401,7 @@ class UDFRunner:
         fold = self._make_sharded_fold(prep, mesh)
 
         damage_host = np.zeros(n_nav, dtype=bool)
-        pm = None
-        if progress:
-            from ..common.progress import (
-                ProgressManager, TQDMProgressReporter,
-            )
-            pm = ProgressManager(
-                n_nav, n_steps, TQDMProgressReporter(),
-                progress_id=str(id(prep)),
-            )
+        pm = self._make_progress(progress, n_nav, n_steps, prep)
 
         for udf in self._udfs:
             udf.preprocess()

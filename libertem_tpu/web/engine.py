@@ -20,6 +20,40 @@ log = logging.getLogger(__name__)
 RESULT_THROTTLE = 0.3  # seconds between TASK_RESULT pushes
 
 
+class WebProgressReporter:
+    """Streams JOB_PROGRESS websocket messages
+    (reference: web/engine.py:30)."""
+
+    def __init__(self, loop, registry, job_uuid):
+        self._loop = loop
+        self._registry = registry
+        self._job = job_uuid
+
+    def _send(self, event, state):
+        msg = {
+            "status": "ok", "messageType": "JOB_PROGRESS",
+            "job": self._job, "event": event,
+            "details": {
+                "numFrames": state.num_frames_total,
+                "numFramesComplete": state.num_frames_complete,
+            },
+        }
+        self._loop.call_soon_threadsafe(
+            lambda: self._loop.create_task(
+                self._registry.broadcast(msg)
+            )
+        )
+
+    def start(self, state):
+        self._send("start", state)
+
+    def update(self, state):
+        self._send("update", state)
+
+    def end(self, state):
+        self._send("end", state)
+
+
 def _encode_channel(result) -> dict:
     vis = result.visualized
     png_b64 = None
@@ -77,9 +111,14 @@ class JobEngine:
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
 
+        reporter = WebProgressReporter(loop, self.event_registry,
+                                       job_uuid)
+
         def producer():
             try:
-                for partial in ctx.run_udf_iter(dataset, udf, roi=roi):
+                for partial in ctx.run_udf_iter(
+                    dataset, udf, roi=roi, progress=reporter,
+                ):
                     if self.state.job_state.is_cancelled(job_uuid):
                         loop.call_soon_threadsafe(
                             queue.put_nowait, ("cancelled", None)

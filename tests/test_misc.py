@@ -324,3 +324,32 @@ def test_bench_smoke(monkeypatch):
     assert bps > 0
     cpu = bench_mod.bench_cpu_baseline(data)
     assert cpu > 0
+
+
+def test_progress_reporter_object(lt_ctx, ds):
+    from libertem_tpu.common.progress import ProgressReporter
+
+    events = []
+
+    class Rec(ProgressReporter):
+        def start(self, state):
+            events.append(("start", state.num_frames_total))
+
+        def update(self, state):
+            events.append(("update", state.num_frames_complete))
+
+        def end(self, state):
+            events.append(("end", state.num_frames_complete))
+
+    res = lt_ctx.run_udf(ds, SumUDF(), progress=Rec())
+    assert events[0][0] == "start"
+    assert events[-1] == ("end", 36)
+
+
+def test_scipy_sparse_roi(lt_ctx, ds):
+    import scipy.sparse as sp
+    mask = np.zeros((6, 6), dtype=bool)
+    mask[1, 2] = mask[4, 4] = True
+    roi = sp.coo_matrix(mask)
+    res = lt_ctx.run_udf(ds, SumUDF(), roi=roi)
+    assert res.damage.raw_data.shape == (2,)
