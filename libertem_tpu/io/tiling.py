@@ -160,6 +160,18 @@ class Negotiator:
         # --- depth -----------------------------------------------------
         if intent == "partition":
             depth = max(1, int(max_partition_frames))
+            # PARTITION-method UDFs get whole partitions as one
+            # device block; refuse silently OOM-ing the device
+            block_bytes = depth * frame_bytes
+            budget = 2 * 1024 * 1024 * 1024
+            if block_bytes > budget:
+                raise ValueError(
+                    f"a PARTITION-method UDF needs whole partitions "
+                    f"on the device, but the largest partition is "
+                    f"{block_bytes / 1e9:.1f} GB "
+                    f"({depth} frames); increase the dataset's "
+                    f"num_partitions (or use process_tile)"
+                )
         else:
             depth = self._negotiate_depth(prefs, frame_bytes)
             depth = min(depth, max(1, int(max_partition_frames)))

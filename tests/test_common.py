@@ -128,3 +128,23 @@ def test_buffer_wrapper_decl():
     assert np.isnan(data.reshape(-1)[7:]).all()
     masked = b2.masked_data
     assert masked.count() == 7
+
+
+def test_partition_method_oom_guard():
+    from libertem_tpu.io.tiling import Negotiator
+    from libertem_tpu.udf.base import UDF
+
+    class PartUDF(UDF):
+        def get_result_buffers(self):
+            return {}
+
+        def process_partition(self, partition):
+            pass
+
+    # 1M frames x 256x256 f32 in one partition = way over budget
+    shape = Shape((1024, 1024, 256, 256), sig_dims=2)
+    with pytest.raises(ValueError, match="PARTITION-method"):
+        Negotiator().get_scheme(
+            [PartUDF()], shape, np.float32,
+            max_partition_frames=1024 * 1024,
+        )
