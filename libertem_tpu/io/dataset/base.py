@@ -214,6 +214,7 @@ class DataSet:
         self._meta: Optional[DataSetMeta] = None
         self._cores = 1
         self._num_partitions = num_partitions
+        self._io_backend = io_backend
 
     def initialize(self, executor=None) -> "DataSet":
         raise NotImplementedError()

@@ -139,3 +139,22 @@ def test_export_from_sharded_context(tmp_path, data):
     ctx.export_dataset(ds, path=out)
     written = np.load(out)
     assert np.array_equal(written, data.reshape(-1, 19, 21))
+
+
+def test_raw_buffered_backend(lt_ctx, tmp_path, data):
+    from libertem_tpu.io.dataset.base import (
+        BufferedBackend, DirectBackend,
+    )
+    path = str(tmp_path / "buf.raw")
+    data.tofile(path)
+    for backend in (BufferedBackend(), DirectBackend()):
+        ds = lt_ctx.load(
+            "raw", path=path, dtype="uint16",
+            nav_shape=(13, 17), sig_shape=(19, 21),
+            io_backend=backend,
+        )
+        res = lt_ctx.run_udf(ds, SumUDF())
+        assert np.allclose(
+            res["intensity"].data,
+            data.astype(np.float32).sum(axis=(0, 1)), rtol=1e-4,
+        )
