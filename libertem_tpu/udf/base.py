@@ -758,9 +758,12 @@ class UDFRunner:
         need_var = False
         need_colsum = False
         col_off = 0
-        for entry in plan:
-            if entry.host:
-                return None
+        device_entries = [
+            (ui, e) for ui, e in enumerate(plan) if not e.host
+        ]
+        if not device_entries:
+            return None
+        for ui, entry in device_entries:
             spec_fn = getattr(entry.udf, "fused_moments_spec", None)
             if spec_fn is None:
                 return None
@@ -777,23 +780,26 @@ class UDFRunner:
                     return None
                 mask_rows.append(op)
                 specs.append({
-                    "mode": "masks", "name": s["name"],
+                    "ui": ui, "mode": "masks", "name": s["name"],
                     "off": col_off, "n": op.shape[0],
                 })
                 col_off += op.shape[0]
             elif mode == "sumsig":
                 specs.append({
-                    "mode": "sumsig", "name": s["name"], "off": None,
+                    "ui": ui, "mode": "sumsig", "name": s["name"],
+                    "off": None,
                 })
             elif mode == "colsum":
                 need_colsum = True
-                specs.append({"mode": "colsum", "name": s["name"]})
+                specs.append({
+                    "ui": ui, "mode": "colsum", "name": s["name"],
+                })
             elif mode == "stats":
                 need_var = True
                 need_colsum = True
-                specs.append({"mode": "stats"})
+                specs.append({"ui": ui, "mode": "stats"})
             elif mode == "noop":
-                specs.append({"mode": "noop"})
+                specs.append({"ui": ui, "mode": "noop"})
             else:
                 return None
         sumsig_col = None
@@ -848,7 +854,9 @@ class UDFRunner:
         )
         new_state = [dict(s) for s in state]
         new_part = [dict(s) for s in part_state]
-        for ui, (entry, spec) in enumerate(zip(plan, fused["specs"])):
+        for spec in fused["specs"]:
+            ui = spec["ui"]
+            entry = plan[ui]
             mode = spec["mode"]
             if mode == "noop":
                 continue

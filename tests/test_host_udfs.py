@@ -163,3 +163,29 @@ def test_backend_restriction(lt_ctx, ds, data):
     # impossible restriction raises
     with pytest.raises(UDFException):
         lt_ctx.run_udf(ds, NumpySumUDF(), backends=("jax",))
+
+
+def test_mixed_pass_keeps_fusion(lt_ctx, ds, data):
+    """A host UDF in the set must not disable fusion for the device
+    subset."""
+    from libertem_tpu.udf import StdDevUDF
+    from libertem_tpu.udf.base import UDFRunner
+    udfs = [NumpySumUDF(), SumUDF(), StdDevUDF()]
+    runner = UDFRunner(udfs)
+    prep = runner._prepare(ds, None, None, None)
+    assert prep["fused"] is not None
+    assert [s["ui"] for s in prep["fused"]["specs"]] == [1, 2]
+    res = runner.run_for_dataset(ds)
+    flat = data.reshape(-1, 12, 12)
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, flat.sum(axis=0),
+        rtol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[1]["intensity"].data, flat.sum(axis=0),
+        rtol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[2]["var"].data, flat.var(axis=0),
+        rtol=1e-3, atol=1e-4,
+    )
