@@ -154,3 +154,29 @@ def test_matrix(fmt, executor, lt_ctx, tmp_path, data):
         res2.buffers[0]["intensity"].data,
         data.reshape((-1,) + SIG)[[2, 9]],
     )
+
+
+def test_streaming_soak(lt_ctx, tmp_path):
+    """A few hundred MB through the full file->blocks->device->merge
+    pipeline: exercises prefetch, partitioning and memory behavior
+    at a realistic scale (scaled-down soak)."""
+    path = str(tmp_path / "soak.raw")
+    nav, sig = (64, 64), (128, 128)
+    n = nav[0] * nav[1]
+    rng = np.random.default_rng(0)
+    chunk = rng.poisson(8.0, size=(1024,) + sig).astype(np.uint16)
+    with open(path, "wb") as f:
+        for off in range(0, n, 1024):
+            f.write(chunk[:min(1024, n - off)].tobytes())
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=nav, sig_shape=sig,
+    )
+    from libertem_tpu.udf import StdDevUDF, SumUDF
+    res = lt_ctx.run_udf(ds, [SumUDF(), StdDevUDF()])
+    reps = n // 1024
+    expected = chunk.astype(np.float64).sum(axis=0) * reps
+    assert np.allclose(
+        res[0]["intensity"].data, expected, rtol=1e-3
+    )
+    assert float(res[1]["num_frames"].data) == n
