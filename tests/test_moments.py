@@ -33,3 +33,20 @@ def test_pallas_interpret_matches_xla(valid):
     assert np.allclose(cs2, xv.sum(axis=0), rtol=1e-4)
     ref_var = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
     assert np.allclose(cv2, ref_var, rtol=1e-3, atol=1e-1)
+
+
+def test_pallas_interpret_u16():
+    """Narrow integer input exercises the VMEM cast chain."""
+    rng = np.random.default_rng(1)
+    D, P, M = 32, 256, 3
+    x = rng.integers(0, 4096, (D, P)).astype(np.uint16)
+    masks = rng.normal(size=(M, P)).astype(np.float32)
+    y1, cs1, cv1 = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), jnp.int32(D),
+        interpret=True,
+    )
+    xv = x.astype(np.float64)
+    assert np.allclose(y1, xv @ masks.T, rtol=1e-4, atol=1e-1)
+    assert np.allclose(cs1, xv.sum(axis=0), rtol=1e-5)
+    ref_cv = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
+    assert np.allclose(cv1, ref_cv, rtol=1e-3, atol=1e-1)
