@@ -65,6 +65,13 @@ def parse_mib_header(path: str) -> dict:
         out_dtype = np.dtype(f"uint{int(dtype_str[1:])}")
     elif kind == "r":
         factor = {1: 1 / 8, 6: 1, 12: 2, 24: 4}[bit_depth]
+        if bit_depth == 24:
+            # a 24-bit RAW frame is two 12-bit sub-frames (MSB frame
+            # first) each already at the *final* frame size; the
+            # header declares the sub-frame width, so the real frame
+            # is half as wide (reference mib.py:836-838) and the
+            # payload is h*(w/2)*4 bytes.
+            width = width // 2
         payload = int(width * height * factor)
         out_dtype = np.dtype({
             1: np.uint8, 6: np.uint8, 12: np.uint16, 24: np.uint32,
@@ -76,6 +83,10 @@ def parse_mib_header(path: str) -> dict:
     # [Q4 | Q3 | Q2 | Q1]; the assembled frame is (2h, w/2) with the
     # bottom quadrants flipped in x and y (reference mib.py:262-291)
     quad = kind == "r" and num_chips == 4 and layout == "2x2"
+    if quad and bit_depth == 24:
+        # reference mib.py:848: 2x2 RAW at 24 bit is unsupported there
+        # too ("Support for 24bit TBD")
+        raise DataSetException("RAW 2x2 quad at 24 bit not supported")
     if quad:
         sig_shape = (2 * height, width // 2)
     else:

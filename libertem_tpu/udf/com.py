@@ -38,6 +38,19 @@ class CoMParams:
     regression: int = RegressionOptions.NO_REGRESSION
 
 
+def apply_com_correction(sy, sx, scan_rotation, flip_y):
+    """Flip-then-rotate shift correction matching the reference
+    (apply_correction com.py:110 + corrections/coordinates.py:11):
+    flip_y negates the y component first, then the (y, x) vector is
+    rotated with R = [[cos, sin], [-sin, cos]]."""
+    theta = np.deg2rad(scan_rotation)
+    if flip_y:
+        sy = -sy
+    y_corr = sy * np.cos(theta) + sx * np.sin(theta)
+    x_corr = -sy * np.sin(theta) + sx * np.cos(theta)
+    return y_corr, x_corr
+
+
 def com_masks(sig_shape, cy, cx, r=None, ri=None) -> np.ndarray:
     """(3, *sig) stack: [total, y-weighted, x-weighted]
     (reference com_masks_factory com.py:47)."""
@@ -159,11 +172,9 @@ class CoMUDF(UDF):
         ).astype(np.float32)
 
         # rotation / flip correction (reference apply_correction com.py:110)
-        theta = np.deg2rad(p.scan_rotation)
-        y_corr = shifts_y * np.cos(theta) - shifts_x * np.sin(theta)
-        x_corr = shifts_y * np.sin(theta) + shifts_x * np.cos(theta)
-        if p.flip_y:
-            y_corr = -y_corr
+        y_corr, x_corr = apply_com_correction(
+            shifts_y, shifts_x, p.scan_rotation, p.flip_y
+        )
 
         # regression deskew on the 2D nav grid (com.py:600)
         regression = np.zeros((3, 2), dtype=np.float32)
@@ -215,7 +226,8 @@ class CoMUDF(UDF):
         dy_dy, dy_dx = np.gradient(y2d)
         dx_dy, dx_dx = np.gradient(x2d)
         div = (dy_dy + dx_dx).astype(np.float32)
-        curl = (dx_dy - dy_dx).astype(np.float32)
+        # curl_2d = dFy/dx - dFx/dy (reference com.py:134)
+        curl = (dy_dx - dx_dy).astype(np.float32)
         return (
             self._compress_nav2d(div).astype(np.float32),
             self._compress_nav2d(curl).astype(np.float32),
@@ -274,35 +286,45 @@ class CoMUDF(UDF):
 
 def guess_corrections(y_centers, x_centers, roi=None):
     """Guess scan_rotation / flip_y / center from CoM fields
-    (reference com.py:207): pick the (rotation, flip) minimizing curl.
-    Returns dict(scan_rotation, flip_y, cy, cx).
+    (reference guess_corrections com.py:207 + coordinate_check):
+    sweep rotation 0..359 for both flip states, pick the combination
+    minimizing the RMS curl, then resolve the 180-degree ambiguity via
+    the divergence-histogram polarity (beam deflects toward nuclei, so
+    divergence skews negative).  Returns dict(scan_rotation, flip_y,
+    cy, cx).
     """
-    best = None
     y2d = np.asarray(y_centers, dtype=np.float64)
     x2d = np.asarray(x_centers, dtype=np.float64)
-    if roi is not None:
-        y2d = np.where(roi, y2d, np.nan)
-        x2d = np.where(roi, x2d, np.nan)
-    cy = np.nanmean(y2d)
-    cx = np.nanmean(x2d)
+    if roi is None:
+        # the last row/column of a scan usually carry flyback artifacts
+        roi = (slice(0, -1), slice(0, -1))
+    cy = np.nanmean(y2d[roi])
+    cx = np.nanmean(x2d[roi])
     sy = y2d - cy
     sx = x2d - cx
+
+    def _rms_curl(ry, rx):
+        curl = np.gradient(ry, axis=1) - np.gradient(rx, axis=0)
+        return np.sqrt(np.nanmean(curl[roi] ** 2))
+
+    best = None
     for flip in (False, True):
-        fy = -sy if flip else sy
-        for rot in np.linspace(-180, 175, 72):
-            t = np.deg2rad(rot)
-            ry = fy * np.cos(t) - sx * np.sin(t)
-            rx = fy * np.sin(t) + sx * np.cos(t)
-            dyy, _ = np.gradient(ry)
-            dxy, _ = np.gradient(rx)
-            _, dyx = np.gradient(ry)
-            _, dxx = np.gradient(rx)
-            curl = np.nansum(np.abs(dxy - dyx))
-            div = np.nansum(dyy + dxx)
-            score = curl - div  # prefer positive divergence, low curl
+        for rot in range(360):
+            ry, rx = apply_com_correction(sy, sx, rot, flip)
+            score = _rms_curl(ry, rx)
             if best is None or score < best[0]:
                 best = (score, rot, flip)
     _, rot, flip = best
+    ry, rx = apply_com_correction(sy, sx, rot, flip)
+    div = (np.gradient(ry, axis=0) + np.gradient(rx, axis=1))[roi]
+    div = div[np.isfinite(div)]
+    if div.size:
+        rng = max(-div.min(), div.max())
+        hist, _ = np.histogram(div, range=(-rng, rng), bins=5)
+        if hist[0] < hist[-1]:  # polarity off: rotate by 180
+            rot += 180
+    if rot > 180:
+        rot -= 360
     return {
         "scan_rotation": float(rot),
         "flip_y": bool(flip),

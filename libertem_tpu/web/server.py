@@ -468,7 +468,13 @@ class EventsHandler(tornado.websocket.WebSocketHandler):
         self.token = token
 
     def check_origin(self, origin):
-        return True
+        # Tornado-default same-origin check (reference web/events.py:49
+        # keeps it too): without it any website open in the browser
+        # could connect cross-origin to the localhost GUI websocket.
+        # A configured token is an explicit cross-origin credential.
+        if self.token is not None:
+            return True
+        return super().check_origin(origin)
 
     def open(self):
         if self.token is not None and self.get_argument(

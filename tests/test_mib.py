@@ -127,6 +127,42 @@ def test_mib_r12(lt_ctx, tmp_path):
     )
 
 
+def test_mib_r24(lt_ctx, tmp_path):
+    """Real R64 24-bit layout: the header declares the 12-bit
+    sub-frame width (2x the final width); the payload is two r12
+    sub-frames (MSB first) of the final frame size, h*(w/2)*4 bytes
+    per frame (reference mib.py:836-838, decode_r24_swap)."""
+    rng = np.random.default_rng(7)
+    h, w = 16, 16
+    flat = rng.integers(0, 1 << 24, (12, h, w)).astype(np.uint32)
+    path = str(tmp_path / "r24.mib")
+    header_bytes = 384
+    with open(path, "wb") as f:
+        for i, fr in enumerate(flat):
+            payload = _encode_r24(fr.reshape(1, -1)).tobytes()
+            assert len(payload) == h * w * 4
+            # header declares width 2*w (the sub-frame width)
+            head = (
+                f"MQ1,{i + 1},{header_bytes},1,"
+                f"{2 * w},{h},R64,1x1,2x2,24"
+            ).encode("ascii")
+            f.write(head.ljust(header_bytes, b"\x00"))
+            f.write(payload)
+    ds = lt_ctx.load("mib", path=path, nav_shape=(3, 4))
+    # frame count and sig shape derive from the halved width
+    assert tuple(ds.shape) == (3, 4, h, w)
+    assert ds.meta.image_count == 12
+    roi = np.zeros(12, dtype=bool)
+    roi[[0, 5, 11]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data, flat[[0, 5, 11]])
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data, flat.astype(np.float64).sum(axis=0),
+        rtol=1e-6,
+    )
+
+
 def test_mib_r1_autodetect(lt_ctx, tmp_path):
     rng = np.random.default_rng(6)
     flat = rng.integers(0, 2, (9, 16, 16)).astype(np.uint8)

@@ -294,6 +294,61 @@ def test_com_regression_and_guess(lt_ctx):
     assert "scan_rotation" in guess and "cy" in guess
 
 
+def test_com_correction_matches_reference_transform():
+    """apply_com_correction must equal the reference's matrix form:
+    transform = rotate_deg(theta) @ (flip_y | identity), applied to
+    the (y, x) shift vector, with R = [[cos, sin], [-sin, cos]]
+    (reference com.py:110 + corrections/coordinates.py:11,30)."""
+    from libertem_tpu.udf.com import apply_com_correction
+    rng = np.random.default_rng(3)
+    sy = rng.normal(size=(5, 7))
+    sx = rng.normal(size=(5, 7))
+    for rot in (0.0, 23.0, -90.0, 180.0, 311.5):
+        t = np.deg2rad(rot)
+        rot_m = np.array([
+            [np.cos(t), np.sin(t)],
+            [-np.sin(t), np.cos(t)],
+        ])
+        for flip in (False, True):
+            flip_m = np.array([[-1.0, 0.0], [0.0, 1.0]]) if flip \
+                else np.eye(2)
+            m = rot_m @ flip_m
+            ey, ex = m @ (sy.ravel(), sx.ravel())
+            gy, gx = apply_com_correction(sy, sx, rot, flip)
+            assert np.allclose(gy.ravel(), ey, atol=1e-12), (rot, flip)
+            assert np.allclose(gx.ravel(), ex, atol=1e-12), (rot, flip)
+
+
+def test_com_curl_sign(lt_ctx):
+    """curl = dFy/dx - dFx/dy (reference curl_2d com.py:134): a field
+    rotating counter-clockwise in (y, x) frame coordinates, F =
+    (y', x') = (col_offset, -row_offset), has positive curl ~= 2."""
+    from libertem_tpu.udf.com import CoMUDF
+    nav = (8, 8)
+    h = w = 32
+    frames = np.zeros(nav + (h, w), dtype=np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(nav[0]):
+        for j in range(nav[1]):
+            # CoM shift: dy = +0.2*(j - 3.5), dx = -0.2*(i - 3.5)
+            cy = (h - 1) / 2 + 0.2 * (j - 3.5)
+            cx = (w - 1) / 2 - 0.2 * (i - 3.5)
+            frames[i, j] = np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / 6
+            )
+    ds = MemoryDataSet(
+        data=frames, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run_udf(ds, CoMUDF.with_params())
+    curl = res["curl"].data
+    # interior points: dFy/dx = +0.2, dFx/dy = -0.2 -> curl = +0.4
+    interior = curl[2:-2, 2:-2]
+    assert np.all(interior > 0.3), interior.min()
+    assert np.allclose(interior, 0.4, atol=0.05)
+    div = res["divergence"].data[2:-2, 2:-2]
+    assert np.allclose(div, 0.0, atol=0.05)
+
+
 def test_h5_max_io_size_respected(lt_ctx, tmp_path):
     import h5py
     from libertem_tpu.udf.base import UDFRunner

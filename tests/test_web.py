@@ -158,6 +158,29 @@ class TestEvents(WebTestBase):
 
         self.io_loop.run_sync(go)
 
+    def test_cross_origin_ws_rejected(self):
+        """Without a token, the events websocket enforces Tornado's
+        same-origin policy (reference web/events.py:49-51): a browser
+        page from another origin must not be able to connect."""
+        async def go():
+            port = self.get_http_port()
+            url = f"ws://127.0.0.1:{port}/api/events/"
+            req = tornado.httpclient.HTTPRequest(
+                url, headers={"Origin": "http://evil.example"}
+            )
+            with pytest.raises(tornado.httpclient.HTTPClientError):
+                await tornado.websocket.websocket_connect(req)
+            # same-origin connects fine
+            req2 = tornado.httpclient.HTTPRequest(
+                url, headers={"Origin": f"http://127.0.0.1:{port}"}
+            )
+            conn = await tornado.websocket.websocket_connect(req2)
+            msg = json.loads(await conn.read_message())
+            assert msg["messageType"] == "INITIAL_STATE"
+            conn.close()
+
+        self.io_loop.run_sync(go)
+
 
 class TestConnectionAndRPC(WebTestBase):
     def test_connection(self):
