@@ -23,25 +23,24 @@ from .base import BaseAnalysis
 def radial_fourier_masks(
     sig_shape, cx, cy, ri, ro, n_bins, max_order,
 ):
-    """(n_bins*(max_order+1), *sig) complex64 stack; normalized per
-    bin so order-0 equals the mean intensity in the bin."""
+    """(n_bins*(max_order+1), *sig) complex64 stack: antialiased ring
+    b modulated by exp(i*order*phi), matching the reference's
+    radial_mask_factory (radialfourier.py:106) — unnormalized; display
+    normalization happens in get_udf_results like the reference."""
     h, w = sig_shape
     bins = radial_bins(
         cx, cy, w, h, radius=ro, radius_inner=ri, n_bins=n_bins
     )
     _, phi = polar_map(cx, cy, w, h)
-    stack = np.empty(
-        (n_bins * (max_order + 1), h, w), dtype=np.complex64
+    orders = np.arange(max_order + 1, dtype=np.complex64)
+    modulator = np.exp(
+        phi.astype(np.complex64)
+        * orders[:, None, None] * 1j
     )
-    for b in range(n_bins):
-        mask = bins[b]
-        total = mask.sum()
-        norm = mask / total if total > 0 else mask
-        for o in range(max_order + 1):
-            stack[b * (max_order + 1) + o] = (
-                norm * np.exp(1j * o * phi)
-            ).astype(np.complex64)
-    return stack
+    stack = (
+        bins[:, None, :, :].astype(np.complex64) * modulator[None]
+    )
+    return stack.reshape(-1, h, w).astype(np.complex64)
 
 
 class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
@@ -84,12 +83,19 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         nav_shape = data.shape[:-1]
         coeffs = data.reshape(nav_shape + (n_bins, max_order + 1))
         absolute = np.abs(coeffs)
-        # normalize higher orders by order 0 before picking dominant
-        with np.errstate(invalid="ignore", divide="ignore"):
-            normalized = absolute[..., 1:] / (
-                absolute[..., 0:1] + 1e-30
-            )
-        dominant = np.argmax(normalized, axis=-1) + 1.0
+        # reference display normalization (radialfourier.py:193-214):
+        # higher orders relative to max(1, |c0|); positions where all
+        # higher orders are below 20% of the bin max get dominant=0
+        threshold = (
+            absolute[..., 1:].reshape(-1, n_bins, max_order).max(
+                axis=(0, 2)
+            ) * 0.2
+        )
+        below = np.all(
+            absolute[..., 1:] < threshold[:, None], axis=-1
+        )
+        dominant = (np.argmax(absolute[..., 1:], axis=-1) + 1.0)
+        dominant[below] = 0.0
         results = []
         for b in range(n_bins):
             dom_b = dominant[..., b, :].reshape(nav_shape) if False \

@@ -84,49 +84,70 @@ def polar_map(centerX, centerY, imageSizeX, imageSizeY,
     y, x = np.mgrid[0:imageSizeY, 0:imageSizeX].astype(np.float64)
     dy, dx = y - centerY, x - centerX
     if angle != 0.0 or stretchY != 1.0:
+        # stretch in the rotated frame, measure (r, phi) there — the
+        # reference does NOT rotate back (masks.py:248-254)
         c, s = np.cos(angle), np.sin(angle)
-        ry = c * dy - s * dx
-        rx = s * dy + c * dx
-        ry = ry / stretchY
-        dy2 = c * ry + s * rx
-        dx2 = -s * ry + c * rx
-        dy, dx = dy2, dx2
+        dy, dx = (
+            (dy * c - dx * s) / stretchY,
+            dx * c + dy * s,
+        )
     r = np.sqrt(dy ** 2 + dx ** 2)
-    phi = np.arctan2(dy, dx) % (2 * np.pi)
+    # reference convention: arctan2(dy, dx) in [-pi, pi]
+    phi = np.arctan2(dy, dx)
     return r, phi
+
+
+def bounding_radius(centerX, centerY, imageSizeX, imageSizeY):
+    """Radius around the center covering the whole frame
+    (reference masks.py:282)."""
+    dy = max(centerY, imageSizeY - centerY)
+    dx = max(centerX, imageSizeX - centerX)
+    return int(np.ceil(np.sqrt(dy ** 2 + dx ** 2))) + 1
 
 
 def radial_bins(
     centerX, centerY, imageSizeX, imageSizeY,
     radius=None, radius_inner=0, n_bins=None,
-    normalize=False, use_sparse=None, stretchY=1.0, angle=0.0,
+    normalize=False, use_sparse=None, dtype=None,
 ):
-    """Stack of concentric ring masks (reference masks.py:290).
+    """Antialiased stack of concentric ring masks
+    (reference masks.py:290): each ring has a trapezoid radial profile
+    ``clip(width/2 + 0.5 - |r - r0|, 0, 1)`` so adjacent bins overlap
+    and sum to exactly 1, with the center-pixel singularity patched.
 
-    Returns a dense (n_bins, Y, X) float32 stack.
+    Returns a dense (n_bins, Y, X) stack (``use_sparse`` accepted for
+    API compatibility; the TPU path densifies mask stacks anyway).
     """
     if radius is None:
-        radius = min(imageSizeY, imageSizeX) / 2
+        radius = bounding_radius(
+            centerX, centerY, imageSizeX, imageSizeY
+        )
     if n_bins is None:
         n_bins = int(np.round(radius - radius_inner))
     n_bins = max(1, int(n_bins))
-    r, _ = polar_map(
-        centerX, centerY, imageSizeX, imageSizeY, stretchY, angle
-    )
+    r, _ = polar_map(centerX, centerY, imageSizeX, imageSizeY)
     width = (radius - radius_inner) / n_bins
-    stack = np.zeros((n_bins, imageSizeY, imageSizeX), dtype=np.float32)
-    for b in range(n_bins):
-        lo = radius_inner + b * width
-        hi = lo + width
-        sel = (r >= lo) & (r < hi) if b < n_bins - 1 else (
-            (r >= lo) & (r <= hi)
-        )
-        m = sel.astype(np.float32)
+    centers = np.linspace(
+        radius_inner, radius - width, n_bins
+    ) + width / 2
+    stack = np.empty(
+        (n_bins, imageSizeY, imageSizeX),
+        dtype=np.float32 if dtype is None else dtype,
+    )
+    for b, r0 in enumerate(centers):
+        diff = np.abs(r - r0)
+        # the 0.5 makes bins overlap and sum to exactly 1
+        vals = np.maximum(0, np.minimum(1, width / 2 + 0.5 - diff))
         if normalize:
-            total = m.sum()
-            if total > 0:
-                m = m / total
-        stack[b] = m
+            s = vals.sum()
+            if not np.isclose(s, 0):
+                vals = vals / s
+        stack[b] = vals
+    if radius_inner < 0.5:
+        yy = int(np.round(centerY))
+        xx = int(np.round(centerX))
+        if 0 <= yy < imageSizeY and 0 <= xx < imageSizeX:
+            stack[0, yy, xx] = 1 - radius_inner
     return stack
 
 

@@ -14,9 +14,14 @@ from .base import UDF
 
 
 class CrystallinityUDF(UDF):
-    def __init__(self, rad_in=None, rad_out=None, **kwargs):
-        super().__init__(rad_in=rad_in, rad_out=rad_out, **kwargs)
+    def __init__(self, rad_in=None, rad_out=None, real_center=None,
+                 real_rad=None, **kwargs):
+        super().__init__(
+            rad_in=rad_in, rad_out=rad_out, real_center=real_center,
+            real_rad=real_rad, **kwargs
+        )
         self._mask = None
+        self._real_mask = None
 
     def get_result_buffers(self):
         return {
@@ -30,23 +35,42 @@ class CrystallinityUDF(UDF):
             "total_size": self.TILE_SIZE_MAX,
         }
 
-    def _get_mask(self):
+    def _get_masks(self):
+        """Reference semantics (crystallinity.py:47-74): the Fourier
+        ring is disk(rad_out) - disk(rad_in) centered at
+        (h*0.5, w*0.5), fftshifted, restricted to the rfft2 half-plane
+        (columns 0..w//2); the optional real-space mask blanks a
+        central disk before the FFT."""
         if self._mask is not None:
-            return self._mask
+            return self._mask, self._real_mask
+        from ..masks import circular
+
         h, w = self.meta.sig_shape
-        cy, cx = h // 2, w // 2
-        y, x = np.ogrid[0:h, 0:w]
-        d = np.sqrt((y - cy) ** 2 + (x - cx) ** 2)
-        sel = (d >= self.params.rad_in) & (d < self.params.rad_out)
-        # pre-apply ifftshift so we skip the shift on the FFT output
-        # (numpy cache — tracer-safe)
-        self._mask = np.fft.ifftshift(sel).astype(np.float32)
-        return self._mask
+        out = circular(w * 0.5, h * 0.5, w, h,
+                       self.params.rad_out).astype(np.float32)
+        inn = circular(w * 0.5, h * 0.5, w, h,
+                       self.params.rad_in).astype(np.float32)
+        fmask = np.fft.fftshift(out - inn)
+        # full-plane fft2 equals rfft2 on columns 0..w//2; zero the
+        # redundant conjugate columns so the half-plane sum matches
+        fmask[:, w // 2 + 1:] = 0.0
+        self._mask = fmask
+        rc, rr = self.params.real_center, self.params.real_rad
+        if rc is not None and rr is not None:
+            self._real_mask = 1.0 - circular(
+                rc[1], rc[0], w, h, rr
+            ).astype(np.float32)
+        return self._mask, self._real_mask
 
     def process_tile(self, tile):
-        mask = jnp.asarray(self._get_mask())
-        spec = jnp.abs(jnp.fft.fft2(tile.astype(jnp.float32)))
-        self.results.intensity += (spec * mask).sum(axis=(1, 2))
+        fmask, real_mask = self._get_masks()
+        frames = tile.astype(jnp.float32)
+        if real_mask is not None:
+            frames = frames * jnp.asarray(real_mask)
+        spec = jnp.abs(jnp.fft.fft2(frames))
+        self.results.intensity += (
+            spec * jnp.asarray(fmask)
+        ).sum(axis=(1, 2))
 
 
 def run_analysis_crystall(ctx, dataset, rad_in, rad_out, roi=None):

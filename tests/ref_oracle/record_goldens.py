@@ -1,0 +1,219 @@
+"""Record golden outputs from the *reference* implementation.
+
+Runs /root/reference/src (LiberTEM) on CPU through import shims
+(./shims: numba -> pure Python, sparseconverter/sparse -> minimal
+numpy/scipy-backed stand-ins) over the BASELINE.json config family on
+fixed-seed synthetic data (tests/golden_common.py), and writes .npz
+goldens into tests/goldens/.
+
+The committed goldens gate tests/test_parity_reference.py; this script
+only needs re-running when a config is added (the reference tree is
+read-only and frozen).
+
+Usage:  python tests/ref_oracle/record_goldens.py
+"""
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TESTS = os.path.dirname(HERE)
+sys.path.insert(0, os.path.join(HERE, "shims"))
+sys.path.insert(0, "/root/reference/src")
+sys.path.insert(0, TESTS)
+
+import numpy as np  # noqa: E402
+
+import golden_common as gc  # noqa: E402
+
+GOLDEN_DIR = os.path.join(TESTS, "goldens")
+
+
+def _runner(udfs, ds, executor, roi=None, corrections=None):
+    from libertem.udf.base import UDFRunner
+
+    return UDFRunner(udfs).run_for_dataset(
+        ds, executor, roi=roi, corrections=corrections
+    )
+
+
+def main():
+    from libertem.executor.inline import InlineJobExecutor
+    from libertem.io.dataset.memory import MemoryDataSet
+    from libertem import masks as ref_masks
+    from libertem.udf.masks import ApplyMasksUDF
+    from libertem.udf.sum import SumUDF
+    from libertem.udf.sumsigudf import SumSigUDF
+    from libertem.udf.logsum import LogsumUDF
+    from libertem.udf.stddev import StdDevUDF
+    from libertem.udf.com import CoMUDF
+    from libertem.udf.raw import PickUDF
+    from libertem.udf.FEM import FEMUDF
+    from libertem.udf.crystallinity import CrystallinityUDF
+    from libertem.analysis.radialfourier import radial_mask_factory
+    from libertem.io.corrections import CorrectionSet
+    import sparse
+
+    executor = InlineJobExecutor()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    data = gc.golden_data()
+    h, w = gc.SIG
+    ds = MemoryDataSet(data=data, num_partitions=4)
+    ds = ds.initialize(executor)
+    roi = gc.golden_roi()
+
+    def save(name, **arrays):
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(path, **arrays)
+        print(f"saved {name}: " + ", ".join(
+            f"{k}{v.shape}" for k, v in arrays.items()
+        ))
+
+    mp = gc.MASK_PARAMS
+
+    # config #1: SumUDF + bright-field disk mask
+    res = _runner([
+        SumUDF(),
+        ApplyMasksUDF(mask_factories=[
+            lambda: ref_masks.circular(
+                centerX=mp["cx"], centerY=mp["cy"],
+                imageSizeX=w, imageSizeY=h, radius=mp["r_bf"],
+            )
+        ]),
+    ], ds, executor)
+    save(
+        "sum_bf",
+        sum_intensity=res.buffers[0]["intensity"].data,
+        bf_intensity=res.buffers[1]["intensity"].data,
+    )
+
+    # config #2a: dense mask stack BF/ADF/HAADF + custom gradient
+    dense_factories = [
+        lambda: ref_masks.circular(mp["cx"], mp["cy"], w, h,
+                                   mp["r_bf"]),
+        lambda: ref_masks.ring(mp["cx"], mp["cy"], w, h,
+                               mp["ro_adf"], mp["ri_adf"]),
+        lambda: ref_masks.ring(mp["cx"], mp["cy"], w, h,
+                               mp["ro_haadf"], mp["ri_haadf"]),
+        lambda: ref_masks.gradient_x(w, h),
+    ]
+    res = _runner(
+        [ApplyMasksUDF(mask_factories=dense_factories)], ds, executor
+    )
+    save("mask_stack_dense",
+         intensity=res.buffers[0]["intensity"].data)
+
+    # config #2b: same stack with an roi
+    res = _runner(
+        [ApplyMasksUDF(mask_factories=dense_factories)], ds, executor,
+        roi=roi,
+    )
+    save("mask_stack_roi",
+         intensity=res.buffers[0]["intensity"].data)
+
+    # config #2c: sparse radial-bin stack, sparse.pydata path
+    rp = gc.RADIAL_PARAMS
+
+    def sparse_bins():
+        return ref_masks.radial_bins(
+            centerX=rp["cx"], centerY=rp["cy"], imageSizeX=w,
+            imageSizeY=h, radius=rp["ro"], radius_inner=rp["ri"],
+            n_bins=rp["n_bins"], use_sparse=True,
+        )
+
+    res = _runner([
+        ApplyMasksUDF(
+            mask_factories=sparse_bins, use_sparse="sparse.pydata",
+            mask_count=rp["n_bins"],
+        )
+    ], ds, executor)
+    save("mask_stack_sparse",
+         intensity=res.buffers[0]["intensity"].data)
+
+    # config #3a: CoM with rotation+flip correction
+    cp = gc.COM_PARAMS
+    res = _runner([CoMUDF.with_params(**cp)], ds, executor)
+    b = res.buffers[0]
+    save(
+        "com",
+        raw_com=b["raw_com"].data,
+        field=b["field"].data,
+        magnitude=b["magnitude"].data,
+        divergence=b["divergence"].data,
+        curl=b["curl"].data,
+    )
+
+    # config #3b: radial Fourier mask stack (sparse, complex)
+    factory = radial_mask_factory(
+        detector_y=h, detector_x=w, cx=rp["cx"], cy=rp["cy"],
+        ri=rp["ri"], ro=rp["ro"], n_bins=rp["n_bins"],
+        max_order=rp["max_order"], use_sparse=True,
+    )
+    res = _runner([
+        ApplyMasksUDF(
+            mask_factories=factory, use_sparse="sparse.pydata",
+            mask_count=rp["n_bins"] * (rp["max_order"] + 1),
+            mask_dtype=np.complex64,
+        )
+    ], ds, executor)
+    save("radial_fourier",
+         intensity=res.buffers[0]["intensity"].data)
+
+    # statistics family
+    res = _runner(
+        [StdDevUDF(), SumSigUDF(), LogsumUDF()], ds, executor
+    )
+    save(
+        "stats",
+        var=res.buffers[0]["var"].data,
+        std=res.buffers[0]["std"].data,
+        mean=res.buffers[0]["mean"].data,
+        sumsig=res.buffers[1]["intensity"].data,
+        logsum=res.buffers[2]["logsum"].data,
+    )
+
+    # FEM + crystallinity (FFT ring integration)
+    fp = gc.FEM_PARAMS
+    kp = gc.CRYSTAL_PARAMS
+    res = _runner([
+        FEMUDF(center=fp["center"], rad_in=fp["rad_in"],
+               rad_out=fp["rad_out"]),
+        CrystallinityUDF(
+            rad_in=kp["rad_in"], rad_out=kp["rad_out"],
+            real_center=kp["real_center"], real_rad=kp["real_rad"],
+        ),
+    ], ds, executor)
+    save(
+        "fem_crystal",
+        fem=res.buffers[0]["intensity"].data,
+        crystal=res.buffers[1]["intensity"].data,
+    )
+
+    # PickUDF under a small roi
+    pick_roi = np.zeros(int(np.prod(gc.NAV)), dtype=bool)
+    pick_roi[[3, 77, 200]] = True
+    res = _runner([PickUDF()], ds, executor,
+                  roi=pick_roi.reshape(gc.NAV))
+    save("pick", intensity=res.buffers[0]["intensity"].data)
+
+    # corrections round trip on u16 data (dark/gain/excluded)
+    data_u16 = gc.golden_data_u16()
+    ds_u16 = MemoryDataSet(data=data_u16, num_partitions=4)
+    ds_u16 = ds_u16.initialize(executor)
+    dark, gain, excluded = gc.golden_corrections_arrays()
+    corr = CorrectionSet(
+        dark=dark, gain=gain,
+        excluded_pixels=sparse.COO.from_numpy(excluded),
+    )
+    res = _runner([SumUDF(), StdDevUDF()], ds_u16, executor,
+                  corrections=corr)
+    save(
+        "corrections",
+        sum_intensity=res.buffers[0]["intensity"].data,
+        var=res.buffers[1]["var"].data,
+    )
+
+    print("all goldens recorded to", GOLDEN_DIR)
+
+
+if __name__ == "__main__":
+    main()

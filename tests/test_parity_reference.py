@@ -1,0 +1,244 @@
+"""Golden-file numeric parity vs the reference implementation.
+
+The goldens in tests/goldens/*.npz were recorded by running the actual
+reference (/root/reference/src) on CPU via tests/ref_oracle/
+record_goldens.py over fixed-seed synthetic inputs built by
+tests/golden_common.py.  These tests run this framework over the SAME
+inputs and gate on allclose.
+
+Tolerances: the reference accumulates float32 partials per-tile in C
+order on the host; XLA uses different reduction trees (and float32
+matmuls may use different FMA grouping), so results agree to relative
+~1e-4 for sums/matmuls and ~1e-3 for variance-derived quantities —
+documented per-assert below.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import golden_common as gc
+from libertem_tpu import masks as mask_lib
+from libertem_tpu.io.corrections import CorrectionSet
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import (
+    ApplyMasksUDF, CoMUDF, CrystallinityUDF, FEMUDF, LogsumUDF,
+    PickUDF, StdDevUDF, SumSigUDF, SumUDF,
+)
+from libertem_tpu.udf.com import CoMParams
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not recorded")
+    return np.load(path)
+
+
+@pytest.fixture(scope="module")
+def golden_ds():
+    data = gc.golden_data()
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+
+
+H, W = gc.SIG
+MP = gc.MASK_PARAMS
+
+
+def _dense_factories():
+    return [
+        lambda: mask_lib.circular(MP["cx"], MP["cy"], W, H,
+                                  MP["r_bf"]),
+        lambda: mask_lib.ring(MP["cx"], MP["cy"], W, H,
+                              MP["ro_adf"], MP["ri_adf"]),
+        lambda: mask_lib.ring(MP["cx"], MP["cy"], W, H,
+                              MP["ro_haadf"], MP["ri_haadf"]),
+        lambda: mask_lib.gradient_x(W, H),
+    ]
+
+
+def test_parity_sum_bf(lt_ctx, golden_ds):
+    g = _golden("sum_bf")
+    res = lt_ctx.run_udf(golden_ds, [
+        SumUDF(),
+        ApplyMasksUDF(mask_factories=[
+            lambda: mask_lib.circular(MP["cx"], MP["cy"], W, H,
+                                      MP["r_bf"]),
+        ]),
+    ])
+    # float32 sum over 256 frames: reduction-order tolerance
+    assert np.allclose(
+        res[0]["intensity"].data, g["sum_intensity"],
+        rtol=1e-4, atol=1e-2,
+    )
+    assert np.allclose(
+        res[1]["intensity"].data, g["bf_intensity"],
+        rtol=1e-4, atol=1e-2,
+    )
+
+
+def test_parity_mask_stack_dense(lt_ctx, golden_ds):
+    g = _golden("mask_stack_dense")
+    res = lt_ctx.run_udf(
+        golden_ds, ApplyMasksUDF(mask_factories=_dense_factories())
+    )
+    # gradient_x mask sums ~64k values of magnitude ~600 -> atol
+    assert np.allclose(
+        res["intensity"].data, g["intensity"], rtol=1e-4, atol=1.0,
+    )
+
+
+def test_parity_mask_stack_roi(lt_ctx, golden_ds):
+    g = _golden("mask_stack_roi")
+    roi = gc.golden_roi().reshape(gc.NAV)
+    res = lt_ctx.run_udf(
+        golden_ds, ApplyMasksUDF(mask_factories=_dense_factories()),
+        roi=roi,
+    )
+    got = res["intensity"].data
+    assert got.shape == g["intensity"].shape
+    assert np.allclose(
+        got[roi], g["intensity"][roi], rtol=1e-4, atol=1.0,
+    )
+
+
+def test_parity_mask_stack_sparse(lt_ctx, golden_ds):
+    """Sparse radial-bin stack: the reference runs the sparse.pydata
+    kernel path; this framework densifies onto the MXU — results must
+    agree regardless."""
+    g = _golden("mask_stack_sparse")
+    rp = gc.RADIAL_PARAMS
+
+    def factory():
+        return mask_lib.radial_bins(
+            rp["cx"], rp["cy"], W, H, radius=rp["ro"],
+            radius_inner=rp["ri"], n_bins=rp["n_bins"],
+        )
+
+    res = lt_ctx.run_udf(
+        golden_ds,
+        ApplyMasksUDF(mask_factories=factory,
+                      mask_count=rp["n_bins"]),
+    )
+    assert np.allclose(
+        res["intensity"].data, g["intensity"], rtol=1e-4, atol=1e-2,
+    )
+
+
+def test_parity_com(lt_ctx, golden_ds):
+    g = _golden("com")
+    res = lt_ctx.run_udf(
+        golden_ds, CoMUDF(CoMParams(**gc.COM_PARAMS))
+    )
+    assert np.allclose(
+        res["raw_com"].data, g["raw_com"], rtol=1e-4, atol=1e-4,
+    )
+    assert np.allclose(
+        res["field"].data, g["field"], rtol=1e-4, atol=1e-4,
+    )
+    assert np.allclose(
+        res["magnitude"].data, g["magnitude"], rtol=1e-4, atol=1e-4,
+    )
+    # gradients of small differences: slightly looser
+    assert np.allclose(
+        res["divergence"].data, g["divergence"],
+        rtol=1e-3, atol=1e-4,
+    )
+    assert np.allclose(
+        res["curl"].data, g["curl"], rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_parity_radial_fourier(lt_ctx, golden_ds):
+    g = _golden("radial_fourier")
+    rp = gc.RADIAL_PARAMS
+    from libertem_tpu.analysis.radialfourier import (
+        radial_fourier_masks,
+    )
+
+    def factory():
+        return radial_fourier_masks(
+            (H, W), rp["cx"], rp["cy"], rp["ri"], rp["ro"],
+            rp["n_bins"], rp["max_order"],
+        )
+
+    res = lt_ctx.run_udf(golden_ds, ApplyMasksUDF(
+        mask_factories=factory,
+        mask_count=rp["n_bins"] * (rp["max_order"] + 1),
+        mask_dtype=np.complex64,
+    ))
+    # complex64 matmul: order-dependent rounding on ~4e3 magnitudes
+    assert np.allclose(
+        res["intensity"].data, g["intensity"], rtol=1e-3, atol=0.1,
+    )
+
+
+def test_parity_stats(lt_ctx, golden_ds):
+    g = _golden("stats")
+    res = lt_ctx.run_udf(
+        golden_ds, [StdDevUDF(), SumSigUDF(), LogsumUDF()]
+    )
+    # variance: catastrophic-cancellation sensitive -> 1e-3 relative
+    assert np.allclose(res[0]["var"].data, g["var"],
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(res[0]["std"].data, g["std"],
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(res[0]["mean"].data, g["mean"],
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(res[1]["intensity"].data, g["sumsig"],
+                       rtol=1e-4, atol=1e-2)
+    assert np.allclose(res[2]["logsum"].data, g["logsum"],
+                       rtol=1e-4, atol=1e-3)
+
+
+def test_parity_fem_crystallinity(lt_ctx, golden_ds):
+    g = _golden("fem_crystal")
+    fp = gc.FEM_PARAMS
+    kp = gc.CRYSTAL_PARAMS
+    res = lt_ctx.run_udf(golden_ds, [
+        FEMUDF(center=fp["center"], rad_in=fp["rad_in"],
+               rad_out=fp["rad_out"]),
+        CrystallinityUDF(
+            rad_in=kp["rad_in"], rad_out=kp["rad_out"],
+            real_center=kp["real_center"], real_rad=kp["real_rad"],
+        ),
+    ])
+    assert np.allclose(res[0]["intensity"].data, g["fem"],
+                       rtol=1e-3, atol=1e-3)
+    assert np.allclose(res[1]["intensity"].data, g["crystal"],
+                       rtol=1e-3, atol=1e-2)
+
+
+def test_parity_pick(lt_ctx, golden_ds):
+    g = _golden("pick")
+    roi = np.zeros(int(np.prod(gc.NAV)), dtype=bool)
+    roi[[3, 77, 200]] = True
+    res = lt_ctx.run_udf(golden_ds, PickUDF(),
+                         roi=roi.reshape(gc.NAV))
+    got = np.asarray(res["intensity"].data).reshape(g["intensity"].shape)
+    # pure extraction: bit-exact
+    assert np.array_equal(got, g["intensity"])
+
+
+def test_parity_corrections(lt_ctx):
+    g = _golden("corrections")
+    data = gc.golden_data_u16()
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    dark, gain, excluded = gc.golden_corrections_arrays()
+    corr = CorrectionSet(dark=dark, gain=gain,
+                         excluded_pixels=excluded)
+    res = lt_ctx.run_udf(ds, [SumUDF(), StdDevUDF()],
+                         corrections=corr)
+    assert np.allclose(
+        res[0]["intensity"].data, g["sum_intensity"],
+        rtol=1e-4, atol=1e-2,
+    )
+    assert np.allclose(
+        res[1]["var"].data, g["var"], rtol=1e-3, atol=1e-3,
+    )

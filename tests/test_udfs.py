@@ -177,16 +177,24 @@ def test_fem(lt_ctx, ds, data):
 
 
 def test_crystallinity(lt_ctx, ds, data):
-    udf = CrystallinityUDF(rad_in=2, rad_out=8)
+    """Reference semantics (crystallinity.py:47-80): disk(out) -
+    disk(in) ring centered at (h*0.5, w*0.5), |rfft2| summed over the
+    half-plane; optional real-space central blanking disk."""
+    udf = CrystallinityUDF(rad_in=2, rad_out=8,
+                           real_center=(12, 12), real_rad=3)
     res = lt_ctx.run_udf(ds, udf)
     flat = data.reshape(-1, 24, 24)
-    spec = np.abs(np.fft.fftshift(
-        np.fft.fft2(flat), axes=(1, 2)
-    ))
     y, x = np.ogrid[0:24, 0:24]
-    d = np.sqrt((y - 12) ** 2 + (x - 12) ** 2)
-    sel = (d >= 2) & (d < 8)
-    expected = (spec * sel).sum(axis=(1, 2))
+    real_mask = 1.0 - (
+        (y - 12.0) ** 2 + (x - 12.0) ** 2 <= 3.0 ** 2
+    ).astype(np.float64)
+    disk_out = ((y - 12.0) ** 2 + (x - 12.0) ** 2 <= 8.0 ** 2)
+    disk_in = ((y - 12.0) ** 2 + (x - 12.0) ** 2 <= 2.0 ** 2)
+    fmask = np.fft.fftshift(
+        disk_out.astype(np.float64) - disk_in.astype(np.float64)
+    )[:, :13]
+    spec = np.abs(np.fft.rfft2(flat * real_mask))
+    expected = (spec * fmask).sum(axis=(1, 2))
     assert np.allclose(
         res["intensity"].data.reshape(-1), expected, rtol=1e-3,
     )
