@@ -45,18 +45,8 @@ class PipelinedExecutor(ShardedJobExecutor):
     pipelined worker pool."""
 
 
-class DelayedJobExecutor(JobExecutor):
-    """reference: executor/delayed.py:211 — builds dask graphs; only
-    available when dask is installed."""
-
-    def __init__(self, **kwargs):
-        try:
-            import dask  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "DelayedJobExecutor requires dask"
-            ) from e
-        super().__init__(**kwargs)
+# real lazy-results implementation lives in executor/delayed.py
+from .delayed import DelayedJobExecutor  # noqa: F401,E402
 
 
 def get_dask_integration_executor():

@@ -141,11 +141,14 @@ class Negotiator:
     ) -> TilingScheme:
         itemsize = np.dtype(read_dtype).itemsize
         frame_bytes = dataset_shape.sig.size * itemsize
+        # dataset-imposed IO ceiling (reference: dataset.py:332
+        # get_max_io_size), e.g. chunked HDF5 — applied per call, not
+        # stored, so a Negotiator reused across datasets doesn't
+        # inherit a previous dataset's ceiling
+        target_block_bytes = self.TARGET_BLOCK_BYTES
         if max_io_size is not None:
-            # dataset-imposed IO ceiling (reference:
-            # dataset.py:332 get_max_io_size), e.g. chunked HDF5
-            self.TARGET_BLOCK_BYTES = min(
-                type(self).TARGET_BLOCK_BYTES, int(max_io_size)
+            target_block_bytes = min(
+                target_block_bytes, int(max_io_size)
             )
 
         methods = [u.get_method() for u in udfs]
@@ -173,7 +176,9 @@ class Negotiator:
                     f"num_partitions (or use process_tile)"
                 )
         else:
-            depth = self._negotiate_depth(prefs, frame_bytes)
+            depth = self._negotiate_depth(
+                prefs, frame_bytes, target_block_bytes
+            )
             depth = min(depth, max(1, int(max_partition_frames)))
         # round up to a sublane multiple for good VPU layout
         if depth > 8:
@@ -204,9 +209,13 @@ class Negotiator:
             scheme = corrections.adjust_scheme(scheme, dataset_shape)
         return scheme
 
-    def _negotiate_depth(self, prefs, frame_bytes: int) -> int:
+    def _negotiate_depth(
+        self, prefs, frame_bytes: int, target_block_bytes: int = None,
+    ) -> int:
+        if target_block_bytes is None:
+            target_block_bytes = self.TARGET_BLOCK_BYTES
         depth_default = max(
-            1, self.TARGET_BLOCK_BYTES // max(1, frame_bytes)
+            1, target_block_bytes // max(1, frame_bytes)
         )
         depth_default = int(min(4096, max(8, depth_default)))
         depths = []

@@ -112,6 +112,28 @@ def test_negotiator_sig_split():
     assert (covered == 1).all()
 
 
+def test_negotiator_reuse_not_sticky():
+    """A max_io_size from one dataset must not lower the block budget
+    for a later dataset negotiated by the same instance."""
+    from libertem_tpu.io.tiling import Negotiator
+    from libertem_tpu.udf import SumUDF
+    neg = Negotiator()
+    shape = Shape((100, 100, 64, 64), sig_dims=2)
+    baseline = neg.get_scheme(
+        [SumUDF()], shape, np.float32, max_partition_frames=5000,
+    ).depth
+    limited = neg.get_scheme(
+        [SumUDF()], shape, np.float32, max_partition_frames=5000,
+        max_io_size=1024 * 1024,
+    ).depth
+    assert limited < baseline
+    again = neg.get_scheme(
+        [SumUDF()], shape, np.float32, max_partition_frames=5000,
+    ).depth
+    assert again == baseline
+    assert Negotiator.TARGET_BLOCK_BYTES == 64 * 1024 * 1024
+
+
 def test_buffer_wrapper_decl():
     from libertem_tpu.common.buffers import BufferWrapper
     b = BufferWrapper("nav", extra_shape=(3,), dtype="float32")
