@@ -114,14 +114,38 @@ def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    # Roofline contender: the cheapest possible same-pattern consumer
+    # of the same blocks (scan over blocks, u16 -> f32 cast + full
+    # reduce).  Measured interleaved with the pipeline because the
+    # shared remote chip's effective bandwidth drifts minute-to-minute
+    # (observed 35-246 GB/s across sessions); the pipeline/roofline
+    # *fraction* is the load-invariant quality metric.
+    def roofline_passes(blocks, goffs, valids, n):
+        def body(i, salt):
+            def scan_body(carry, blk):
+                return carry + blk.astype(
+                    jnp.float32
+                ).sum() * 1e-30, None
+            out, _ = jax.lax.scan(scan_body, salt, blocks)
+            return out
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
     many_jit = jax.jit(many_passes, static_argnames=("n",))
+    roof_jit = jax.jit(roofline_passes, static_argnames=("n",))
     float(many_jit(blocks, goffs, valids, n=1))  # compile + warm
+    float(roof_jit(blocks, goffs, valids, n=1))
     best = float("inf")
+    best_roof = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         float(many_jit(blocks, goffs, valids, n=repeats))
         best = min(best, (time.perf_counter() - t0) / repeats)
-    return total_bytes / best
+        t0 = time.perf_counter()
+        float(roof_jit(blocks, goffs, valids, n=repeats))
+        best_roof = min(
+            best_roof, (time.perf_counter() - t0) / repeats
+        )
+    return total_bytes / best, total_bytes / best_roof
 
 
 def bench_cpu_baseline(data: np.ndarray) -> float:
@@ -171,19 +195,33 @@ def bench_cpu_baseline(data: np.ndarray) -> float:
 
 
 def main():
+    import os
+
     rng = np.random.default_rng(7)
     data = rng.poisson(8.0, size=NAV + SIG).astype(DTYPE)
-    tpu_bps = bench_tpu(data)
+    tpu_bps, roof_bps = bench_tpu(data)
     cpu_bps = bench_cpu_baseline(data)
     frames = int(np.prod(NAV))
     frame_bytes = data.nbytes // frames
+    ncores = os.cpu_count() or 1
+    # the BASELINE bar is ">20x an 8-core dask baseline"; this host
+    # has few cores, so extrapolate the measured per-core numpy rate
+    # linearly to 8 cores (optimistic for the CPU -> conservative for
+    # our ratio)
+    cpu8_bps = cpu_bps * max(1, 8 // ncores)
     print(json.dumps({
         "metric": "virtual-detector+CoM+stats throughput (single chip)",
         "value": round(tpu_bps / 1e9, 3),
         "unit": "GB/s",
-        "vs_baseline": round(tpu_bps / cpu_bps, 3),
+        "vs_baseline": round(tpu_bps / cpu8_bps, 3),
         "frames_per_sec": round(tpu_bps / frame_bytes, 1),
-        "cpu_baseline_gbps": round(cpu_bps / 1e9, 3),
+        "roofline_gbps": round(roof_bps / 1e9, 3),
+        "roofline_fraction": round(tpu_bps / roof_bps, 3),
+        "cpu_baseline_gbps": round(cpu_bps / 1e9, 4),
+        "cpu_baseline_cores": ncores,
+        "cpu_baseline_8core_extrapolated_gbps": round(
+            cpu8_bps / 1e9, 4
+        ),
     }))
 
 
