@@ -747,9 +747,13 @@ class UDFRunner:
         the whole pass collapses into ONE fused matmul+moments op per
         block (:func:`libertem_tpu.ops.moments.fused_moments`) —
         one HBM read instead of one per UDF.
+
+        Sig tiling does not disable fusion: device blocks always hold
+        whole frames (the scheme's sig slices only subdivide compute
+        in the generic path), and every fusible UDF is a whole-frame
+        linear op, so the fused op consumes the full flat frame
+        regardless of ``len(scheme)``.
         """
-        if len(scheme) != 1:
-            return None
         if np.dtype(meta.input_dtype).kind not in "fiu":
             return None
         pixels = int(np.prod(meta.sig_shape))
@@ -1376,36 +1380,39 @@ class UDFRunner:
                 )
             state.append(bufs)
 
-        def inner(state, blk, loff, goff, valid, coords):
-            sq = lambda t: jax.tree.map(lambda x: x[0], t)
-            nav_part = [
-                {n: s[n] for n in e.nav_names}
-                for s, e in zip(sq(state), prep["plan"])
-            ]
-            sig_part = [
-                {n: s[n] for n in e.part_names}
-                for s, e in zip(sq(state), prep["plan"])
-            ]
-            ns, nps = self._step_body(
-                prep, nav_part, sig_part, blk[0],
-                loff[0], goff[0], coords[0], valid[0],
-            )
-            merged = [
-                {**a, **b} for a, b in zip(ns, nps)
-            ]
-            return jax.tree.map(lambda x: x[None], merged)
+        def make_step():
+            def inner(state, blk, loff, goff, valid, coords):
+                sq = lambda t: jax.tree.map(lambda x: x[0], t)
+                nav_part = [
+                    {n: s[n] for n in e.nav_names}
+                    for s, e in zip(sq(state), prep["plan"])
+                ]
+                sig_part = [
+                    {n: s[n] for n in e.part_names}
+                    for s, e in zip(sq(state), prep["plan"])
+                ]
+                ns, nps = self._step_body(
+                    prep, nav_part, sig_part, blk[0],
+                    loff[0], goff[0], coords[0], valid[0],
+                )
+                merged = [
+                    {**a, **b} for a, b in zip(ns, nps)
+                ]
+                return jax.tree.map(lambda x: x[None], merged)
 
-        step = jax.jit(
-            jax.shard_map(
-                inner, mesh=mesh,
-                in_specs=(
-                    P("workers"), P("workers"), P("workers"),
-                    P("workers"), P("workers"), P("workers"),
+            return jax.jit(
+                jax.shard_map(
+                    inner, mesh=mesh,
+                    in_specs=(
+                        P("workers"), P("workers"), P("workers"),
+                        P("workers"), P("workers"), P("workers"),
+                    ),
+                    out_specs=P("workers"),
                 ),
-                out_specs=P("workers"),
-            ),
-            donate_argnums=(0,),
-        )
+                donate_argnums=(0,),
+            )
+
+        step = make_step()
         fold = self._make_sharded_fold(prep, mesh)
 
         damage_host = np.zeros(n_nav, dtype=bool)
@@ -1414,9 +1421,24 @@ class UDFRunner:
         for udf in self._udfs:
             udf.preprocess()
 
+        # Per-device reader pool: at real NVMe rates a serial read of
+        # all n_dev chunks per super-step becomes the bottleneck long
+        # before ICI does; chunks are disjoint file ranges, so they
+        # read concurrently.  ROI compaction stays host-side
+        # (cover[chunk - lo]): an on-device gather would need a
+        # static-shape cover superset, which is unbounded for sparse
+        # rois — the numpy take runs inside these reader threads.
+        from concurrent.futures import ThreadPoolExecutor
+
+        reader_pool = ThreadPoolExecutor(
+            max_workers=min(n_dev, 8),
+            thread_name_prefix="shard-reader",
+        )
+
         def assemble_steps():
             """Host-side super-step assembly (runs ahead in the
-            prefetch thread; damage spans applied only after the
+            prefetch thread; per-device chunks read concurrently in
+            the reader pool; damage spans applied only after the
             device step executed)."""
             for s in range(n_steps):
                 blk = np.zeros(
@@ -1429,11 +1451,12 @@ class UDFRunner:
                     (n_dev, depth, len(nav_shape)), dtype=np.int32
                 )
                 spans = []
-                for d in range(n_dev):
+
+                def read_device_chunk(d):
                     off = s * depth
                     size_d = int(shard_sizes[d])
                     if off >= size_d:
-                        continue
+                        return None
                     chunk = ids_all[
                         bounds[d] + off:
                         min(bounds[d] + off + depth, bounds[d + 1])
@@ -1449,10 +1472,16 @@ class UDFRunner:
                         unr = np.unravel_index(chunk, nav_shape)
                         for dim, u in enumerate(unr):
                             coords[d, :len(chunk), dim] = u
-                    spans.append((
+                    return (
                         int(bounds[d] + off),
                         int(bounds[d] + off + len(chunk)),
-                    ))
+                    )
+
+                for span in reader_pool.map(
+                    read_device_chunk, range(n_dev)
+                ):
+                    if span is not None:
+                        spans.append(span)
                 yield blk, loffs, goffs, valids, coords, spans
 
         def to_device(item):
@@ -1467,24 +1496,38 @@ class UDFRunner:
                 spans,
             )
 
-        for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
-             n_valid, spans) in self._prefetch(
-            assemble_steps(), to_device
-        ):
-            state = step(
-                state, dev_blk, d_loffs, d_goffs, d_valids, d_coords,
-            )
-            for lo, hi in spans:
-                damage_host[lo:hi] = True
-            if pm is not None:
-                pm.frames_done(n_valid)
-            if yield_partial:
-                yield self._wrap_results(
-                    prep,
-                    self._collapse_sharded(prep, state, bounds,
-                                           shard_max, fold=fold),
-                    damage_host.copy(),
+        try:
+            for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
+                 n_valid, spans) in self._prefetch(
+                assemble_steps(), to_device
+            ):
+                if self._params_patched:
+                    # mid-run parameter update at the super-step
+                    # boundary (parity with the single-device loop,
+                    # reference udf/base.py:96): rebuild fused plan +
+                    # re-trace the sharded step with the new params
+                    self._params_patched = False
+                    prep["fused"] = self._build_fused_plan(
+                        prep["plan"], scheme, prep["meta"]
+                    )
+                    step = make_step()
+                state = step(
+                    state, dev_blk, d_loffs, d_goffs, d_valids,
+                    d_coords,
                 )
+                for lo, hi in spans:
+                    damage_host[lo:hi] = True
+                if pm is not None:
+                    pm.frames_done(n_valid)
+                if yield_partial:
+                    yield self._wrap_results(
+                        prep,
+                        self._collapse_sharded(prep, state, bounds,
+                                               shard_max, fold=fold),
+                        damage_host.copy(),
+                    )
+        finally:
+            reader_pool.shutdown(wait=False)
 
         for udf in self._udfs:
             udf.postprocess()

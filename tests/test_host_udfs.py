@@ -189,3 +189,51 @@ def test_mixed_pass_keeps_fusion(lt_ctx, ds, data):
         res.buffers[2]["var"].data, flat.var(axis=0),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_sig_tiled_scheme_keeps_fusion(monkeypatch):
+    """Sig tiling (huge frames split by MAX_SIG_BYTES) must not drop
+    the pass to the generic path: device blocks hold whole frames, so
+    the fused op consumes the full flat frame regardless of the
+    scheme's sig slices."""
+    from libertem_tpu.io import tiling
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+    from libertem_tpu.udf import (
+        ApplyMasksUDF, StdDevUDF, SumSigUDF, SumUDF,
+    )
+    from libertem_tpu.udf.base import UDFRunner
+    from conftest import _mk_random
+
+    # force a sig split on a small frame
+    monkeypatch.setattr(tiling.Negotiator, "MAX_SIG_BYTES", 2048)
+    data = _mk_random((6, 5, 24, 24), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    udfs = [
+        SumUDF(), SumSigUDF(), StdDevUDF(),
+        ApplyMasksUDF(mask_factories=[
+            lambda: np.ones((24, 24), dtype=np.float32),
+        ]),
+    ]
+    runner = UDFRunner(udfs)
+    prep = runner._prepare(ds, None, None, None)
+    assert len(prep["scheme"]) > 1, "sig split must be active"
+    assert prep["fused"] is not None, "fusion must survive sig tiling"
+    res = runner.run_for_dataset(ds)
+    flat = data.reshape(-1, 24, 24)
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, flat.sum(axis=0), rtol=1e-4
+    )
+    assert np.allclose(
+        res.buffers[1]["intensity"].data.reshape(-1),
+        flat.sum(axis=(1, 2)), rtol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[2]["var"].data, flat.var(axis=0),
+        rtol=1e-3, atol=1e-4,
+    )
+    assert np.allclose(
+        res.buffers[3]["intensity"].data.reshape(-1),
+        flat.sum(axis=(1, 2)), rtol=1e-4,
+    )

@@ -320,8 +320,8 @@ def test_bench_smoke(monkeypatch):
     data = rng.normal(
         size=(8, 8, 32, 32)
     ).astype(np.float32)
-    bps = bench_mod.bench_tpu(data, repeats=1)
-    assert bps > 0
+    bps, roof_bps = bench_mod.bench_tpu(data, repeats=1)
+    assert bps > 0 and roof_bps > 0
     cpu = bench_mod.bench_cpu_baseline(data)
     assert cpu > 0
 

@@ -181,3 +181,111 @@ def test_sharded_single_frame():
     assert np.allclose(
         res.buffers[0]["intensity"].data, data[0], rtol=1e-5
     )
+
+
+def test_sharded_param_patch_mid_run(data):
+    """update_parameters_experimental applies from the next
+    super-step on the SHARDED path (parity with the single-device
+    loop): sum-weighted intensity changes weight mid-run."""
+    import jax.numpy as jnp
+    from libertem_tpu.udf.base import UDF
+
+    class ScaledSumUDF(UDF):
+        def __init__(self, scale=1.0):
+            super().__init__(scale=scale)
+
+        def get_result_buffers(self):
+            return {
+                "intensity": self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def process_tile(self, tile):
+            flat = tile.reshape(tile.shape[0], -1)
+            self.results.intensity += (
+                flat.sum(axis=1) * jnp.float32(self.params.scale)
+            )
+
+        def merge(self, dest, src):
+            pass
+
+    # depth=4 -> several super-steps per shard
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4,
+    ).initialize()
+    from libertem_tpu.io import tiling
+
+    class SmallDepthScaled(ScaledSumUDF):
+        def get_tiling_preferences(self):
+            return {"depth": 4,
+                    "total_size": tiling.TILE_SIZE_MAX}
+
+    runner = UDFRunner([SmallDepthScaled(scale=1.0)])
+    patched_at = {}
+    results = []
+    for i, part in enumerate(runner.run_for_dataset_iter(
+        ds, devices=devices()
+    )):
+        results.append(part)
+        if i == 0:
+            runner.update_parameters_experimental([{"scale": 3.0}])
+            patched_at["step"] = i
+    final = results[-1].buffers[0]["intensity"].data.reshape(-1)
+    frame_sums = data.reshape(-1, 24 * 24).sum(axis=1)
+    ratio = final / frame_sums
+    # some frames processed before the patch (scale 1), some after
+    # (scale 3); nothing else
+    assert set(np.round(ratio.astype(np.float64), 3)) <= {1.0, 3.0}
+    assert (np.isclose(ratio, 3.0, rtol=1e-3)).any(), (
+        "patch never took effect on the sharded path"
+    )
+    assert (np.isclose(ratio, 1.0, rtol=1e-3)).any()
+
+
+def test_sharded_reader_overlap():
+    """Per-device chunk reads run concurrently in the reader pool
+    (the serial-feed bottleneck fix): a dataset whose reads sleep
+    must see >1 reader thread in flight."""
+    import threading
+    import time as time_mod
+
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+
+    state = {"active": 0, "max_active": 0}
+    lock = threading.Lock()
+
+    class SlowReadDataSet(MemoryDataSet):
+        def get_partitions(self):
+            for p in super().get_partitions():
+                orig = p.read_dataset_frames
+
+                def slow_read(s, e, _orig=orig):
+                    with lock:
+                        state["active"] += 1
+                        state["max_active"] = max(
+                            state["max_active"], state["active"]
+                        )
+                    time_mod.sleep(0.02)
+                    try:
+                        return _orig(s, e)
+                    finally:
+                        with lock:
+                            state["active"] -= 1
+
+                p.read_dataset_frames = slow_read
+                yield p
+
+    data = _mk_random((16, 8, 8, 8), dtype="float32")
+    ds = SlowReadDataSet(
+        data=data, sig_dims=2, num_partitions=8
+    ).initialize()
+    res = UDFRunner([SumUDF()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    assert np.allclose(
+        res.buffers[0]["intensity"].data, data.sum(axis=(0, 1)),
+        rtol=1e-4,
+    )
+    assert state["max_active"] > 1, (
+        f"reads never overlapped (max_active="
+        f"{state['max_active']})"
+    )
