@@ -16,6 +16,7 @@ decode, backend_mmap.py:23).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
@@ -316,15 +317,14 @@ def nav_shape_from_kwargs(
     return (int(n_frames),)
 
 
-# -- io backend selection (API compat) ----------------------------------
+# -- io backends ---------------------------------------------------------
 #
-# The reference exposes pluggable read strategies (io/dataset/base/
-# backend.py:12 IOBackend registry, backend_mmap.py:68 MMapBackend,
-# backend_buffered.py:208 BufferedBackend, backend_direct.py:7
-# DirectBackend).  Here the host read path is memmap-based throughout
-# (the page cache handles warm data; decode happens in native/), so
-# these classes carry selection intent + parameters for API parity and
-# future tuning rather than separate code paths.
+# Pluggable read strategies (reference: io/dataset/base/backend.py:12
+# IOBackend registry, backend_mmap.py:68, backend_buffered.py:208,
+# backend_direct.py:7).  Formats read through :class:`RangeReader`,
+# which dispatches on the chosen backend: mmap (page cache, default),
+# buffered explicit preadv (cold-cache/HDD), or O_DIRECT aligned
+# preadv (bypass the page cache entirely).
 
 class IOBackend:
     registry: dict = {}
@@ -355,3 +355,73 @@ class BufferedBackend(IOBackend, id_="buffered"):
 class DirectBackend(IOBackend, id_="direct"):
     def __init__(self, max_buffer_size: int = 16 * 1024 * 1024):
         self.max_buffer_size = max_buffer_size
+
+
+class RangeReader:
+    """Backend-dispatching byte-range reader for one file.
+
+    mmap (default): zero-copy views out of the page cache
+    (reference backend_mmap.py:186 _get_tiles_straight).
+    buffered/direct: explicit aligned ``preadv`` into a fresh buffer
+    (reference backend_buffered.py:208, backend_direct.py:7);
+    O_DIRECT requires 4096-aligned offset/length/buffer, so the
+    covering aligned range is read and sliced.
+
+    ``strategy`` records which path is active so tests can assert the
+    requested backend was actually exercised.
+    """
+
+    ALIGN = 4096
+
+    def __init__(self, path: str, io_backend: IOBackend = None):
+        self._path = path
+        self._mmap = None
+        self._fd = None
+        if isinstance(io_backend, DirectBackend):
+            self.strategy = "direct"
+        elif isinstance(io_backend, BufferedBackend):
+            self.strategy = "buffered"
+        else:
+            self.strategy = "mmap"
+
+    def read(self, start_byte: int, nbytes: int) -> np.ndarray:
+        """uint8 array of ``nbytes`` starting at ``start_byte``; a
+        view for mmap, a fresh buffer for buffered/direct."""
+        if self.strategy == "mmap":
+            if self._mmap is None:
+                self._mmap = np.memmap(
+                    self._path, dtype=np.uint8, mode="r"
+                )
+            return self._mmap[start_byte:start_byte + nbytes]
+        if self._fd is None:
+            flags = os.O_RDONLY
+            if self.strategy == "direct" and hasattr(os, "O_DIRECT"):
+                try:
+                    self._fd = os.open(
+                        self._path, flags | os.O_DIRECT
+                    )
+                except OSError:
+                    self._fd = os.open(self._path, flags)
+            else:
+                self._fd = os.open(self._path, flags)
+        end_byte = start_byte + nbytes
+        a0 = start_byte // self.ALIGN * self.ALIGN
+        a1 = -(-end_byte // self.ALIGN) * self.ALIGN
+        size = os.fstat(self._fd).st_size
+        a1 = min(a1, -(-size // self.ALIGN) * self.ALIGN)
+        raw = np.empty(a1 - a0 + self.ALIGN, dtype=np.uint8)
+        shift = (-raw.ctypes.data) % self.ALIGN
+        view = raw[shift:shift + (a1 - a0)]
+        got = os.preadv(self._fd, [view], a0)
+        if got < end_byte - a0:
+            raise IOError(
+                f"short read: {got} bytes at aligned offset {a0}, "
+                f"needed {end_byte - a0} ({self._path})"
+            )
+        return view[start_byte - a0:end_byte - a0]
+
+    def close(self):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        self._mmap = None

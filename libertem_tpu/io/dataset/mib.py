@@ -146,18 +146,20 @@ def assemble_quad(decoded: np.ndarray) -> np.ndarray:
 
 
 class MIBPartition(Partition):
-    def __init__(self, paths_and_offsets, header, *args, **kwargs):
+    def __init__(self, paths_and_offsets, header, io_backend=None,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         # list of (path, first_frame_idx, n_frames) in order
         self._files = paths_and_offsets
         self._hdr = header
-        self._mmaps = {}
+        self._io_backend = io_backend
+        self._readers = {}
 
-    def _get_mmap(self, path):
-        if path not in self._mmaps:
-            self._mmaps[path] = np.memmap(path, dtype=np.uint8,
-                                          mode="r")
-        return self._mmaps[path]
+    def _get_reader(self, path):
+        if path not in self._readers:
+            from .base import RangeReader
+            self._readers[path] = RangeReader(path, self._io_backend)
+        return self._readers[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         h = self._hdr
@@ -170,10 +172,19 @@ class MIBPartition(Partition):
             hi = min(stop, first + count)
             if hi <= lo:
                 continue
-            mm = self._get_mmap(path)
+            reader = self._get_reader(path)
+            # one ranged read covering the frame span, then slice the
+            # per-frame payloads out (headers interleave, so the
+            # cover is frame_size*(hi-lo) contiguous bytes)
+            span0 = (lo - first) * h["frame_size"]
+            cover = reader.read(
+                span0, (hi - lo) * h["frame_size"]
+            )
             for i in range(lo, hi):
-                off = (i - first) * h["frame_size"] + h["header_bytes"]
-                payloads[i - start] = mm[off:off + h["payload"]]
+                off = (
+                    (i - lo) * h["frame_size"] + h["header_bytes"]
+                )
+                payloads[i - start] = cover[off:off + h["payload"]]
         if h["kind"] == "u":
             bpx = int(h["out_dtype"].itemsize)
             arr = payloads.view(f">u{bpx}").astype(h["out_dtype"])
@@ -292,7 +303,7 @@ class MIBDataSet(DataSet):
     def get_partitions(self) -> Iterator[MIBPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield MIBPartition(
-                self._files, self._hdr,
+                self._files, self._hdr, self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

@@ -29,28 +29,27 @@ def read_npy_info(path: str):
 
 
 class NPYPartition(Partition):
-    def __init__(self, path, offset, dtype, sig_shape, *args, **kwargs):
+    def __init__(self, path, offset, dtype, sig_shape,
+                 io_backend=None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
         self._offset = offset
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
-        self._mmap = None
-
-    def _get_mmap(self):
-        if self._mmap is None:
-            self._mmap = np.memmap(
-                self._path, dtype=self._dtype, mode="r",
-                offset=self._offset,
-            )
-        return self._mmap
+        from .base import RangeReader
+        self._reader = RangeReader(path, io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        frame_px = int(np.prod(self._sig_shape))
-        flat = self._get_mmap()
-        return flat[
-            start * frame_px:stop * frame_px
-        ].reshape((stop - start,) + self._sig_shape)
+        frame_bytes = (
+            int(np.prod(self._sig_shape)) * self._dtype.itemsize
+        )
+        buf = self._reader.read(
+            self._offset + start * frame_bytes,
+            (stop - start) * frame_bytes,
+        )
+        return np.frombuffer(buf, dtype=self._dtype).reshape(
+            (stop - start,) + self._sig_shape
+        )
 
 
 class NPYDataSet(DataSet):
@@ -99,7 +98,7 @@ class NPYDataSet(DataSet):
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield NPYPartition(
                 self._path, self._offset, self.meta.raw_dtype,
-                tuple(self.meta.shape.sig),
+                tuple(self.meta.shape.sig), self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

@@ -30,68 +30,15 @@ class RawPartition(Partition):
         self._path = path
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
-        self._io_backend = io_backend
-        self._mmap = None
-        self._file = None
-
-    def _get_mmap(self):
-        if self._mmap is None:
-            self._mmap = np.memmap(
-                self._path, dtype=self._dtype, mode="r",
-            )
-        return self._mmap
-
-    def _read_buffered(self, start: int, stop: int) -> np.ndarray:
-        """Explicit read (readinto) instead of page-cache mmap —
-        better for cold-cache / spinning storage (reference
-        backend_buffered.py:208)."""
-        import os
-        frame_px = prod(self._sig_shape)
-        itemsize = self._dtype.itemsize
-        if self._file is None:
-            flags = os.O_RDONLY
-            from .base import DirectBackend
-            if isinstance(self._io_backend, DirectBackend) and hasattr(
-                os, "O_DIRECT"
-            ):
-                try:
-                    self._file = os.open(
-                        self._path, flags | os.O_DIRECT
-                    )
-                except OSError:
-                    self._file = os.open(self._path, flags)
-            else:
-                self._file = os.open(self._path, flags)
-        n = stop - start
-        start_byte = start * frame_px * itemsize
-        end_byte = stop * frame_px * itemsize
-        # O_DIRECT requires 4096-aligned offset, length and buffer;
-        # read the aligned covering range and slice
-        ALIGN = 4096
-        a0 = start_byte // ALIGN * ALIGN
-        a1 = -(-end_byte // ALIGN) * ALIGN
-        raw = np.empty(a1 - a0 + ALIGN, dtype=np.uint8)
-        shift = (-raw.ctypes.data) % ALIGN
-        view = raw[shift:shift + (a1 - a0)]
-        got = os.preadv(self._file, [view], a0)
-        if got < end_byte - a0:
-            raise IOError(
-                f"short read: {got} bytes at aligned offset {a0}, "
-                f"needed {end_byte - a0}"
-            )
-        data = view[start_byte - a0:end_byte - a0]
-        return np.frombuffer(
-            data.tobytes(), dtype=self._dtype
-        ).reshape((n,) + self._sig_shape)
+        from .base import RangeReader
+        self._reader = RangeReader(path, io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        from .base import BufferedBackend, DirectBackend
-        if isinstance(self._io_backend,
-                      (BufferedBackend, DirectBackend)):
-            return self._read_buffered(start, stop)
-        frame_px = prod(self._sig_shape)
-        flat = self._get_mmap()
-        out = flat[start * frame_px:stop * frame_px]
+        frame_bytes = prod(self._sig_shape) * self._dtype.itemsize
+        buf = self._reader.read(
+            start * frame_bytes, (stop - start) * frame_bytes
+        )
+        out = np.frombuffer(buf, dtype=self._dtype)
         return out.reshape((stop - start,) + self._sig_shape)
 
 

@@ -52,27 +52,33 @@ def read_seq_header(path: str) -> dict:
 
 
 class SEQPartition(Partition):
-    def __init__(self, path, header, *args, **kwargs):
+    def __init__(self, path, header, io_backend=None, *args,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
         self._h = header
-        self._mmap = None
+        from .base import RangeReader
+        self._reader = RangeReader(path, io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            self._mmap = np.memmap(self._path, dtype=np.uint8,
-                                   mode="r")
         h = self._h
         w, ht = h["width"], h["height"]
         bpx = max(1, h["bit_depth"] // 8)
         dtype = np.dtype(f"<u{bpx}")
         frame_bytes = w * ht * bpx
         n = stop - start
+        # one ranged read covering the span (frames are padded to
+        # true_image_size), then slice per-frame payloads
+        span0 = h["image_offset"] + start * h["true_image_size"]
+        cover = self._reader.read(
+            span0,
+            (n - 1) * h["true_image_size"] + frame_bytes,
+        )
         out = np.empty((n, ht, w), dtype=dtype)
         for i in range(n):
-            off = h["image_offset"] + (start + i) * h["true_image_size"]
+            off = i * h["true_image_size"]
             out[i] = np.frombuffer(
-                self._mmap[off:off + frame_bytes], dtype=dtype
+                cover[off:off + frame_bytes], dtype=dtype
             ).reshape(ht, w)
         return out
 
@@ -140,7 +146,7 @@ class SEQDataSet(DataSet):
     def get_partitions(self) -> Iterator[SEQPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield SEQPartition(
-                self._path, self._h,
+                self._path, self._h, self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

@@ -77,12 +77,11 @@ def test_mrc(lt_ctx, tmp_path):
     _check_sum(lt_ctx, ds, frames.astype(np.float32))
 
 
-def test_seq(lt_ctx, tmp_path):
+def _write_seq(path, frames):
+    """Synthetic Norpix SEQ writer (u16 frames, 64 pad bytes/frame)."""
     from libertem_tpu.io.dataset.seq import _FIELDS, _HEADER_STRUCT
-    w, h, n = 16, 12, 9
-    frames = _mk_random((n, h, w), dtype="uint16")
+    n, h, w = frames.shape
     true_image_size = w * h * 2 + 64
-    vals = []
     defaults = {
         "magic": 0xFEED, "name": b"seq", "version": 5,
         "header_size": 8192, "description": b"", "width": w,
@@ -97,10 +96,8 @@ def test_seq(lt_ctx, tmp_path):
         "reference_time_s": 0, "reference_time_ms": 0,
         "reference_time_us": 0,
     }
-    for name in _FIELDS:
-        vals.append(defaults[name])
+    vals = [defaults[name] for name in _FIELDS]
     head = struct.pack(_HEADER_STRUCT, *vals)
-    path = str(tmp_path / "t.seq")
     with open(path, "wb") as f:
         f.write(head.ljust(8192, b"\x00"))
         for fr in frames:
@@ -109,6 +106,13 @@ def test_seq(lt_ctx, tmp_path):
                     true_image_size, b"\x00"
                 )
             )
+
+
+def test_seq(lt_ctx, tmp_path):
+    w, h, n = 16, 12, 9
+    frames = _mk_random((n, h, w), dtype="uint16")
+    path = str(tmp_path / "t.seq")
+    _write_seq(path, frames)
     ds = lt_ctx.load("auto", path)
     assert tuple(ds.shape) == (9, 12, 16)
     _check_sum(lt_ctx, ds, frames.astype(np.float32))

@@ -1,6 +1,10 @@
-"""Executor x dataset-format matrix: canonical UDFs over every format
+"""Executor x dataset-format matrix: canonical UDFs over EVERY format
 on both the single-device and sharded executors
 (counterpart of the reference's tests/executor/test_functional.py:40).
+
+Each maker writes a synthetic file and returns ``(ds, expected)``
+where ``expected`` is the float64 (n, *sig) frame stack the dataset
+should decode to.
 """
 import struct
 
@@ -18,28 +22,27 @@ SIG = (8, 8)
 N = 12
 
 
-def _flat(data):
-    return data.reshape((-1,) + SIG).astype(np.float64)
-
-
 def make_memory(tmp_path, lt_ctx, data):
     from libertem_tpu.io.dataset.memory import MemoryDataSet
-    return MemoryDataSet(
+    ds = MemoryDataSet(
         data=data, sig_dims=2, num_partitions=2
     ).initialize()
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_raw(tmp_path, lt_ctx, data):
     path = str(tmp_path / "t.raw")
     data.astype(np.uint16).tofile(path)
-    return lt_ctx.load("raw", path=path, dtype="uint16",
-                       nav_shape=NAV, sig_shape=SIG)
+    ds = lt_ctx.load("raw", path=path, dtype="uint16",
+                     nav_shape=NAV, sig_shape=SIG)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_npy(tmp_path, lt_ctx, data):
     path = str(tmp_path / "t.npy")
     np.save(path, data.astype(np.uint16))
-    return lt_ctx.load("npy", path=path)
+    ds = lt_ctx.load("npy", path=path)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_hdf5(tmp_path, lt_ctx, data):
@@ -47,7 +50,8 @@ def make_hdf5(tmp_path, lt_ctx, data):
     path = str(tmp_path / "t.h5")
     with h5py.File(path, "w") as f:
         f.create_dataset("data", data=data.astype(np.uint16))
-    return lt_ctx.load("hdf5", path=path)
+    ds = lt_ctx.load("hdf5", path=path)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_mib(tmp_path, lt_ctx, data):
@@ -60,46 +64,27 @@ def make_mib(tmp_path, lt_ctx, data):
             ).encode()
             f.write(head.ljust(hb, b"\x00"))
             f.write(fr.astype(">u2").tobytes())
-    return lt_ctx.load("mib", path=path, nav_shape=NAV)
+    ds = lt_ctx.load("mib", path=path, nav_shape=NAV)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_empad(tmp_path, lt_ctx, data):
     raw = np.zeros((N, 130, 128), dtype=np.float32)
-    raw[:, :128, :SIG[1]] = 0
     big = np.zeros((N, 128, 128), dtype=np.float32)
     big[:, :SIG[0], :SIG[1]] = data.reshape((-1,) + SIG)
     raw[:, :128, :] = big
     path = str(tmp_path / "t.raw")
     raw.tofile(path)
     ds = lt_ctx.load("empad", path=path, nav_shape=NAV)
-    return ds
+    return ds, big.astype(np.float64)
 
 
 def make_seq(tmp_path, lt_ctx, data):
-    from libertem_tpu.io.dataset.seq import _FIELDS, _HEADER_STRUCT
-    w, h = SIG[1], SIG[0]
-    tis = w * h * 2
-    defaults = dict(
-        magic=0xFEED, name=b"s", version=5, header_size=8192,
-        description=b"", width=w, height=h, bit_depth=16,
-        bit_depth_real=12, image_size_bytes=w * h * 2,
-        image_format=0, allocated_frames=N, origin=0,
-        true_image_size=tis, suggested_frame_rate=1.0,
-        description_format=0, reference_frame=0, fixed_size=0,
-        flags=0, bayer_pattern=0, time_offset_us=0,
-        extended_header_size=0, compression_format=0,
-        reference_time_s=0, reference_time_ms=0,
-        reference_time_us=0,
-    )
-    head = struct.pack(
-        _HEADER_STRUCT, *[defaults[k] for k in _FIELDS]
-    )
+    from test_formats import _write_seq
     path = str(tmp_path / "t.seq")
-    with open(path, "wb") as f:
-        f.write(head.ljust(8192, b"\x00"))
-        for fr in data.reshape((-1,) + SIG):
-            f.write(fr.astype("<u2").tobytes())
-    return lt_ctx.load("seq", path=path, nav_shape=NAV)
+    _write_seq(path, data.reshape((-1,) + SIG).astype(np.uint16))
+    ds = lt_ctx.load("seq", path=path, nav_shape=NAV)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 def make_mrc(tmp_path, lt_ctx, data):
@@ -109,7 +94,163 @@ def make_mrc(tmp_path, lt_ctx, data):
     with open(path, "wb") as f:
         f.write(bytes(head))
         f.write(data.astype("<u2").tobytes())
-    return lt_ctx.load("mrc", path=path, nav_shape=NAV)
+    ds = lt_ctx.load("mrc", path=path, nav_shape=NAV)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
+
+
+def make_blo(tmp_path, lt_ctx, data):
+    from libertem_tpu.io.dataset.blo import (
+        FRAME_HEADER_BYTES, blo_header_dtype,
+    )
+    frames = (data.reshape((-1,) + SIG) % 256).astype(np.uint8)
+    hdr = np.zeros(1, dtype=blo_header_dtype())
+    hdr["ID"] = b"IMGBLO"
+    hdr["MAGIC"] = 258
+    hdr["Data_offset_1"] = 1024
+    hdr["Data_offset_2"] = 2048
+    hdr["DP_SZ"] = SIG[0]
+    hdr["NX"] = NAV[1]
+    hdr["NY"] = NAV[0]
+    path = str(tmp_path / "t.blo")
+    with open(path, "wb") as f:
+        f.write(hdr.tobytes().ljust(2048, b"\x00"))
+        for fr in frames:
+            f.write(b"\x00" * FRAME_HEADER_BYTES)
+            f.write(fr.tobytes())
+    ds = lt_ctx.load("blo", path=path)
+    return ds, frames.astype(np.float64)
+
+
+def make_tvips(tmp_path, lt_ctx, data):
+    frames = data.reshape((-1,) + SIG).astype(np.uint16)
+    img_header = 12
+    head = struct.pack(
+        "<13i", 256, 2, SIG[1], SIG[0], 16, 0, 0, 1, 1, 10, 200, 1,
+        img_header,
+    )
+    path = str(tmp_path / "ser_000.tvips")
+    with open(path, "wb") as f:
+        f.write(head.ljust(256, b"\x00"))
+        for fr in frames:
+            f.write(b"\x00" * img_header)
+            f.write(fr.astype("<u2").tobytes())
+    ds = lt_ctx.load("tvips", path=path, nav_shape=NAV)
+    return ds, frames.astype(np.float64)
+
+
+def make_ser(tmp_path, lt_ctx, data):
+    from test_formats2 import _write_ser
+    frames = data.reshape((-1,) + SIG).astype(np.uint16)
+    path = str(tmp_path / "t.ser")
+    _write_ser(path, frames)
+    ds = lt_ctx.load("ser", path=path, nav_shape=NAV)
+    return ds, frames.astype(np.float64)
+
+
+def make_dm4(tmp_path, lt_ctx, data):
+    from test_formats2 import _write_dm4
+    frames = data.reshape((-1,) + SIG).astype(np.uint16)
+    path = str(tmp_path / "t.dm4")
+    _write_dm4(path, frames)
+    ds = lt_ctx.load("dm", path=path, nav_shape=NAV)
+    return ds, frames.astype(np.float64)
+
+
+def make_dm3(tmp_path, lt_ctx, data):
+    from test_formats2 import _write_dm3
+    frames = data.reshape((-1,) + SIG).astype(np.uint16)
+    path = str(tmp_path / "t.dm3")
+    _write_dm3(path, frames)
+    ds = lt_ctx.load("dm", path=path, nav_shape=NAV)
+    return ds, frames.astype(np.float64)
+
+
+def make_frms6(tmp_path, lt_ctx, data):
+    from test_formats2 import _write_frms6
+    from libertem_tpu.io.dataset.frms6 import unfold
+    # folded (h/2, 2w) storage -> unfolded SIG frames
+    folded = data.reshape(
+        (-1, SIG[0] // 2, SIG[1] * 2)
+    ).astype(np.uint16)
+    dark = np.zeros((2,) + folded.shape[1:], dtype=np.uint16)
+    _write_frms6(str(tmp_path / "acq_000.frms6"), dark)
+    _write_frms6(str(tmp_path / "acq_001.frms6"), folded)
+    ds = lt_ctx.load(
+        "frms6", path=str(tmp_path / "acq_001.frms6"),
+        nav_shape=NAV,
+    )
+    return ds, unfold(folded).astype(np.float64)
+
+
+def make_raw_csr(tmp_path, lt_ctx, data):
+    import scipy.sparse as sp
+    dense = data.reshape(N, -1).astype(np.int32)
+    dense[dense % 3 != 0] = 0  # make it sparse-ish
+    csr = sp.csr_matrix(dense)
+    (tmp_path / "rowind.dat").write_bytes(
+        csr.indptr.astype("<i4").tobytes()
+    )
+    (tmp_path / "coords.dat").write_bytes(
+        csr.indices.astype("<i4").tobytes()
+    )
+    (tmp_path / "values.dat").write_bytes(
+        csr.data.astype("<i4").tobytes()
+    )
+    toml_path = str(tmp_path / "sparse.toml")
+    with open(toml_path, "w") as f:
+        f.write(
+            '[params]\nfiletype = "raw_csr"\n'
+            f"nav_shape = [{NAV[0]}, {NAV[1]}]\n"
+            f"sig_shape = [{SIG[0]}, {SIG[1]}]\n\n"
+            '[raw_csr]\nindptr_file = "rowind.dat"\n'
+            'indptr_dtype = "<i4"\n'
+            'indices_file = "coords.dat"\nindices_dtype = "<i4"\n'
+            'data_file = "values.dat"\ndata_dtype = "<i4"\n'
+        )
+    ds = lt_ctx.load("raw_csr", path=toml_path)
+    return ds, dense.reshape((-1,) + SIG).astype(np.float64)
+
+
+def make_k2is(tmp_path, lt_ctx, data):
+    from test_k2is import _block_header, _pack_uint12_le
+    from libertem_tpu.io.dataset.k2is import (
+        BLOCK_SHAPE, DATA_SIZE, NUM_SECTORS, SECTOR_SIZE,
+    )
+    rng = np.random.default_rng(11)
+    n_frames = 4
+    h, w = SECTOR_SIZE
+    frames = rng.integers(
+        0, 4096, (n_frames, h, NUM_SECTORS * w)
+    ).astype(np.uint16)
+    bh, bw = BLOCK_SHAPE
+    pad = DATA_SIZE - (bh * bw * 3 // 2)
+    for s in range(NUM_SECTORS):
+        path = tmp_path / f"testfile{s}.bin"
+        with open(path, "wb") as f:
+            for fi in range(n_frames):
+                for ys in (0, bh):
+                    for xi in range(w // bw):
+                        xs = xi * bw
+                        block = frames[
+                            fi, ys:ys + bh,
+                            s * w + xs:s * w + xs + bw,
+                        ]
+                        f.write(_block_header(100 + fi, xs, ys))
+                        f.write(_pack_uint12_le(block))
+                        f.write(b"\x00" * pad)
+    ds = lt_ctx.load(
+        "k2is", path=str(tmp_path / "testfile0.bin"),
+        nav_shape=(2, 2),
+    )
+    return ds, frames.astype(np.float64)
+
+
+def make_dask(tmp_path, lt_ctx, data):
+    pytest.importorskip("dask")
+    import dask.array as da
+    arr = da.from_array(data, chunks=(1, NAV[1]) + SIG)
+    ds = lt_ctx.load("dask", arr, sig_dims=2)
+    return ds, data.reshape((-1,) + SIG).astype(np.float64)
 
 
 FORMATS = {
@@ -118,8 +259,18 @@ FORMATS = {
     "npy": make_npy,
     "hdf5": make_hdf5,
     "mib": make_mib,
+    "empad": make_empad,
     "seq": make_seq,
     "mrc": make_mrc,
+    "blo": make_blo,
+    "tvips": make_tvips,
+    "ser": make_ser,
+    "dm3": make_dm3,
+    "dm4": make_dm4,
+    "frms6": make_frms6,
+    "raw_csr": make_raw_csr,
+    "k2is": make_k2is,
+    "dask": make_dask,
 }
 
 
@@ -131,29 +282,27 @@ def data():
 @pytest.mark.parametrize("fmt", sorted(FORMATS))
 @pytest.mark.parametrize("executor", ["inline", "sharded"])
 def test_matrix(fmt, executor, lt_ctx, tmp_path, data):
-    ds = FORMATS[fmt](tmp_path, lt_ctx, data)
-    assert tuple(ds.shape) == NAV + SIG
+    ds, expected = FORMATS[fmt](tmp_path, lt_ctx, data)
+    n = expected.shape[0]
     devices = jax.devices() if executor == "sharded" else None
     runner = UDFRunner([SumUDF(), SumSigUDF()])
     res = runner.run_for_dataset(ds, devices=devices)
-    flat = _flat(data)
     assert np.allclose(
-        res.buffers[0]["intensity"].data, flat.sum(axis=0),
-        rtol=1e-4,
+        res.buffers[0]["intensity"].data, expected.sum(axis=0),
+        rtol=1e-4, atol=1e-2,
     )
     assert np.allclose(
         res.buffers[1]["intensity"].data.reshape(-1),
-        flat.sum(axis=(1, 2)), rtol=1e-4,
+        expected.sum(axis=(1, 2)), rtol=1e-4,
     )
-    roi = np.zeros(N, dtype=bool)
-    roi[[2, 9]] = True
+    picks = [min(2, n - 1), n - 1]
+    roi = np.zeros(n, dtype=bool)
+    roi[picks] = True
     res2 = UDFRunner([PickUDF()]).run_for_dataset(
         ds, roi=roi, devices=devices
     )
-    assert np.allclose(
-        res2.buffers[0]["intensity"].data,
-        data.reshape((-1,) + SIG)[[2, 9]],
-    )
+    got = np.asarray(res2.buffers[0]["intensity"].data, np.float64)
+    assert np.allclose(got, expected[sorted(set(picks))], rtol=1e-6)
 
 
 def test_streaming_soak(lt_ctx, tmp_path):
