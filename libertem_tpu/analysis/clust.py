@@ -103,6 +103,15 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
             ),
         ])
 
+    def controller(self, ctx, job_is_cancelled=None):
+        """Analysis-owned web job controller (reference clust.py:93 +
+        web/engine.py:176): drives the multi-pass clustering pipeline
+        (StdDev -> peak features -> AgglomerativeClustering) instead
+        of the single-UDF engine path."""
+        if job_is_cancelled is not None and job_is_cancelled():
+            return AnalysisResultSet([])
+        return self.run_clustering(ctx)
+
     def get_udf_results(self, udf_results, roi, damage):
         std = udf_results["std"].data
         return AnalysisResultSet([

@@ -38,13 +38,46 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
     def get_roi(self):
         return get_roi(self.parameters, self.dataset.shape.nav)
 
+    def need_rerun(self, old_params: dict, new_params: dict) -> bool:
+        """flip_y / scan_rotation only change the post-processing of
+        the raw mask result, so the UDF pass can be skipped (reference
+        com.py:346)."""
+        ignore = {"flip_y", "scan_rotation"}
+        strip = lambda p: {
+            k: v for k, v in p.items() if k not in ignore
+        }
+        return strip(old_params) != strip(new_params)
+
     def get_udf_results(self, udf_results, roi, damage):
+        """Derived fields are recomputed HERE from the uncorrected
+        raw shifts with THIS analysis's flip_y/scan_rotation (not
+        taken from the UDF's own post-processing) — that's what makes
+        the need_rerun short-circuit sound (reference
+        get_generic_results com.py:200)."""
+        from ..udf.com import apply_com_correction
+
+        p = self.parameters
         dmg = self.nav_damage(damage)
-        fy = udf_results["field_y"].data
-        fx = udf_results["field_x"].data
-        mag = udf_results["magnitude"].data
-        div = udf_results["divergence"].data
-        curl = udf_results["curl"].data
+        raw_shifts = np.asarray(
+            udf_results["raw_shifts"].data, dtype=np.float64
+        )
+        sy, sx = raw_shifts[..., 0], raw_shifts[..., 1]
+        fy, fx = apply_com_correction(
+            sy, sx, p["scan_rotation"], p["flip_y"]
+        )
+        fy = fy.astype(np.float32)
+        fx = fx.astype(np.float32)
+        mag = np.sqrt(fy ** 2 + fx ** 2)
+        if fy.ndim == 2 and min(fy.shape) >= 2:
+            div = (
+                np.gradient(fy, axis=0) + np.gradient(fx, axis=1)
+            ).astype(np.float32)
+            curl = (
+                np.gradient(fy, axis=1) - np.gradient(fx, axis=0)
+            ).astype(np.float32)
+        else:
+            div = np.full_like(mag, np.nan)
+            curl = np.full_like(mag, np.nan)
         return AnalysisResultSet([
             AnalysisResult(
                 raw_data=np.stack([fy, fx], axis=-1),

@@ -6,9 +6,9 @@ throttled, channels PNG-encoded).
 from __future__ import annotations
 
 import asyncio
-import base64
 import logging
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -54,25 +54,29 @@ class WebProgressReporter:
         self._send("end", state)
 
 
-def _encode_channel(result) -> dict:
+def _encode_channel(result) -> tuple[dict, Optional[bytes]]:
+    """(metadata dict, png bytes or None) — images travel as binary
+    websocket followup frames (reference engine.py:261 send_results),
+    not base64-in-JSON."""
     vis = result.visualized
-    png_b64 = None
+    png = None
     if vis is not None:
-        png_b64 = base64.b64encode(
-            encode_image(np.asarray(vis)).read()
-        ).decode("ascii")
+        png = encode_image(np.asarray(vis)).read()
     return {
         "key": result.key,
         "title": result.title,
         "desc": result.desc,
-        "image": png_b64,
-    }
+        "hasImage": png is not None,
+    }, png
 
 
 class JobEngine:
     def __init__(self, state, event_registry):
         self.state = state
         self.event_registry = event_registry
+        # analysis_uuid -> (parameters, final UDFResults) for the
+        # need_rerun re-visualization short-circuit
+        self._result_cache: dict = {}
 
     async def run_analysis(self, analysis_uuid: str, job_uuid: str):
         entry = self.state.analysis_state[analysis_uuid]
@@ -82,9 +86,9 @@ class JobEngine:
         analysis_cls = Analysis.get_analysis_by_type(
             details["analysisType"]
         )
+        parameters = details.get("parameters", {})
         analysis = analysis_cls(
-            dataset=dataset,
-            parameters=details.get("parameters", {}),
+            dataset=dataset, parameters=parameters,
         )
         self.state.job_state.register(job_uuid, analysis_uuid, ds_uuid)
         entry["jobs"].append(job_uuid)
@@ -94,7 +98,31 @@ class JobEngine:
             "details": {"id": job_uuid, "analysis": analysis_uuid},
         })
         try:
-            await self._run_udf(job_uuid, analysis, dataset)
+            # re-visualization short-circuit: if only display
+            # parameters changed, reuse the cached raw results
+            # (reference web/engine.py:189-206)
+            cached = self._result_cache.get(analysis_uuid)
+            if cached is not None and not analysis.need_rerun(
+                cached[0], parameters
+            ):
+                await self._push_results(
+                    job_uuid, analysis, cached[1], final=True,
+                )
+                await self._finish(job_uuid)
+                return
+            controller = getattr(analysis, "controller", None)
+            if controller is not None:
+                await self._run_controller(
+                    job_uuid, analysis, controller
+                )
+            else:
+                final_results = await self._run_udf(
+                    job_uuid, analysis, dataset
+                )
+                if final_results is not None:
+                    self._result_cache[analysis_uuid] = (
+                        parameters, final_results,
+                    )
         except Exception as e:
             log.exception("job %s failed", job_uuid)
             await self.event_registry.broadcast({
@@ -103,6 +131,35 @@ class JobEngine:
             })
         finally:
             self.state.job_state.finish(job_uuid)
+
+    async def _finish(self, job_uuid):
+        await self.event_registry.broadcast({
+            "status": "ok", "messageType": "FINISH_JOB",
+            "job": job_uuid,
+            "followup": {"numMessages": 0, "descriptions": []},
+        })
+
+    async def _run_controller(self, job_uuid, analysis, controller):
+        """Analysis-owned job controller (reference engine.py:176-185,
+        used by ClusterAnalysis): the analysis drives its own multi-
+        pass pipeline against the Context."""
+        loop = asyncio.get_running_loop()
+        ctx = self.state.executor_state.get_context()
+
+        def cancelled():
+            return self.state.job_state.is_cancelled(job_uuid)
+
+        result_set = await loop.run_in_executor(
+            None, lambda: controller(ctx, job_is_cancelled=cancelled)
+        )
+        if cancelled():
+            await self.event_registry.broadcast({
+                "status": "ok", "messageType": "CANCEL_JOB_DONE",
+                "job": job_uuid,
+            })
+            return
+        await self._push_result_set(job_uuid, result_set, final=True)
+        await self._finish(job_uuid)
 
     async def _run_udf(self, job_uuid, analysis, dataset):
         ctx = self.state.executor_state.get_context()
@@ -163,14 +220,10 @@ class JobEngine:
                     await self._push_results(
                         job_uuid, analysis, latest, final=True
                     )
-                await self.event_registry.broadcast({
-                    "status": "ok", "messageType": "FINISH_JOB",
-                    "job": job_uuid,
-                    "followup": {"numMessages": 0,
-                                 "descriptions": []},
-                })
+                await self._finish(job_uuid)
                 break
         await fut
+        return latest
 
     async def _push_results(self, job_uuid, analysis, udf_results,
                             final):
@@ -182,9 +235,27 @@ class JobEngine:
         result_set = analysis.get_udf_results(
             wrapped, roi, udf_results.damage
         )
-        channels = [_encode_channel(r) for r in result_set]
+        await self._push_result_set(job_uuid, result_set, final)
+
+    async def _push_result_set(self, job_uuid, result_set, final):
+        """TASK_RESULT JSON header (channel metadata + followup
+        count), then one binary websocket frame per channel image
+        (reference sends images as binary followups, engine.py:261)."""
+        encoded = [_encode_channel(r) for r in result_set]
+        channels = [meta for meta, _ in encoded]
+        images = [png for _, png in encoded if png is not None]
         await self.event_registry.broadcast({
             "status": "ok", "messageType": "TASK_RESULT",
             "job": job_uuid, "channels": channels,
             "final": final,
+            "followup": {
+                "numMessages": len(images),
+                "descriptions": [
+                    {"title": m["title"], "desc": m["desc"],
+                     "key": m["key"]}
+                    for m, p in encoded if p is not None
+                ],
+            },
         })
+        for png in images:
+            await self.event_registry.broadcast_binary(png)

@@ -64,6 +64,18 @@ class EventRegistry:
         for h in dead:
             self.handlers.discard(h)
 
+    async def broadcast_binary(self, payload: bytes):
+        """Binary websocket frame (result images follow their
+        TASK_RESULT JSON header as raw PNG frames)."""
+        dead = []
+        for h in self.handlers:
+            try:
+                h.write_message(payload, binary=True)
+            except Exception:
+                dead.append(h)
+        for h in dead:
+            self.handlers.discard(h)
+
 
 class _BaseHandler(tornado.web.RequestHandler):
     def initialize(self, state: SharedState, registry: EventRegistry,

@@ -315,3 +315,173 @@ class TestParamValidation(WebTestBase):
             },
         )
         assert resp["status"] == "error"
+
+
+class TestWebRound2(WebTestBase):
+    """Round-2 web parity: binary result frames, need_rerun
+    short-circuit, ClusterAnalysis job controller."""
+
+    def _register_memory_ds(self, uuid="ds-1", nav=(6, 7)):
+        data = _mk_random(nav + (12, 12), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=2
+        ).initialize()
+        self.state.dataset_state.register(
+            uuid, ds, {"type": "MEMORY"}
+        )
+        return data
+
+    def _mk_analysis(self, an_uuid, analysis_type, parameters=None):
+        return self.fetch_json(
+            f"/api/compoundAnalyses/ca-1/analyses/{an_uuid}/",
+            method="PUT",
+            body={
+                "dataset": "ds-1",
+                "details": {
+                    "analysisType": analysis_type,
+                    "parameters": parameters or {},
+                },
+            },
+        )
+
+    def _wait_job(self, job_uuid):
+        deadline = 400
+        while (
+            self.state.job_state[job_uuid]["running"] and deadline > 0
+        ):
+            self.io_loop.run_sync(lambda: tornado.gen.sleep(0.05))
+            deadline -= 1
+        assert not self.state.job_state[job_uuid]["running"]
+
+    def test_binary_result_frames(self):
+        """TASK_RESULT carries channel metadata + followup count; the
+        PNGs arrive as raw binary websocket frames."""
+        self._register_memory_ds()
+        self._mk_analysis("an-b", "SUM_FRAMES")
+
+        async def go():
+            url = (
+                f"ws://127.0.0.1:{self.get_http_port()}/api/events/"
+            )
+            conn = await tornado.websocket.websocket_connect(url)
+            await conn.read_message()  # INITIAL_STATE
+            resp = await tornado.httpclient.AsyncHTTPClient().fetch(
+                f"http://127.0.0.1:{self.get_http_port()}"
+                "/api/jobs/job-b/",
+                method="PUT",
+                body=json.dumps({"job": {"analysis": "an-b"}}),
+            )
+            assert resp.code == 200
+            pngs = []
+            expected = None
+            while True:
+                msg = await conn.read_message()
+                if isinstance(msg, bytes):
+                    pngs.append(msg)
+                    continue
+                data = json.loads(msg)
+                if data["messageType"] == "TASK_RESULT":
+                    for ch in data["channels"]:
+                        assert "image" not in ch
+                    expected = data["followup"]["numMessages"]
+                if data["messageType"] == "FINISH_JOB":
+                    break
+            assert expected and expected >= 1
+            assert len(pngs) >= expected
+            assert all(p.startswith(b"\x89PNG") for p in pngs)
+            conn.close()
+
+        self.io_loop.run_sync(go)
+
+    def test_need_rerun_short_circuit(self):
+        """Re-running a CoM analysis with only scan_rotation changed
+        must NOT re-run the UDF pass — results are re-visualized from
+        the cache (reference web/engine.py:189-206)."""
+        from unittest import mock
+        from libertem_tpu.udf.base import UDFRunner
+
+        self._register_memory_ds()
+        calls = {"n": 0}
+        orig = UDFRunner.run_for_dataset_iter
+
+        def counted(self, *a, **kw):
+            calls["n"] += 1
+            return orig(self, *a, **kw)
+
+        with mock.patch.object(
+            UDFRunner, "run_for_dataset_iter", counted
+        ):
+            self._mk_analysis(
+                "an-c", "CENTER_OF_MASS",
+                {"cx": 6.0, "cy": 6.0, "scan_rotation": 0.0},
+            )
+            self.fetch_json(
+                "/api/jobs/job-c1/", method="PUT",
+                body={"job": {"analysis": "an-c"}},
+            )
+            self._wait_job("job-c1")
+            assert calls["n"] == 1
+            # display-only change: rotation
+            self._mk_analysis(
+                "an-c", "CENTER_OF_MASS",
+                {"cx": 6.0, "cy": 6.0, "scan_rotation": 90.0},
+            )
+            self.fetch_json(
+                "/api/jobs/job-c2/", method="PUT",
+                body={"job": {"analysis": "an-c"}},
+            )
+            self._wait_job("job-c2")
+            assert calls["n"] == 1, "UDF must not re-run"
+            # data change: mask radius -> re-run
+            self._mk_analysis(
+                "an-c", "CENTER_OF_MASS",
+                {"cx": 6.0, "cy": 6.0, "scan_rotation": 90.0,
+                 "r": 4.0},
+            )
+            self.fetch_json(
+                "/api/jobs/job-c3/", method="PUT",
+                body={"job": {"analysis": "an-c"}},
+            )
+            self._wait_job("job-c3")
+            assert calls["n"] == 2
+
+    def test_cluster_controller_job(self):
+        """ClusterAnalysis runs as a web job via its controller
+        (reference web/engine.py:176-185)."""
+        import pytest as _pytest
+        _pytest.importorskip("sklearn")
+        self._register_memory_ds(nav=(8, 8))
+        self._mk_analysis(
+            "an-k", "CLUST", {"n_clust": 3, "n_peaks": 6},
+        )
+
+        async def go():
+            url = (
+                f"ws://127.0.0.1:{self.get_http_port()}/api/events/"
+            )
+            conn = await tornado.websocket.websocket_connect(url)
+            await conn.read_message()
+            resp = await tornado.httpclient.AsyncHTTPClient().fetch(
+                f"http://127.0.0.1:{self.get_http_port()}"
+                "/api/jobs/job-k/",
+                method="PUT",
+                body=json.dumps({"job": {"analysis": "an-k"}}),
+            )
+            assert resp.code == 200
+            saw_result = False
+            while True:
+                msg = await conn.read_message()
+                if isinstance(msg, bytes):
+                    continue
+                data = json.loads(msg)
+                if data["messageType"] == "TASK_RESULT":
+                    keys = [c["key"] for c in data["channels"]]
+                    assert "intensity" in keys
+                    saw_result = True
+                if data["messageType"] in ("FINISH_JOB", "JOB_ERROR"):
+                    assert data["messageType"] == "FINISH_JOB", data
+                    break
+            assert saw_result
+            conn.close()
+
+        self.io_loop.run_sync(go)
