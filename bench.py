@@ -47,6 +47,25 @@ def make_udfs():
     ]
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache: repeated bench invocations skip
+    the 20-200 s compiles (timings always exclude compile anyway)."""
+    import os
+
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+
+
 def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
     """Return steady-state bytes/sec of the fused pipeline.
 
@@ -64,6 +83,7 @@ def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
     from libertem_tpu.io.dataset.memory import MemoryDataSet
     from libertem_tpu.udf.base import UDFRunner
 
+    _setup_compile_cache()
     ds = MemoryDataSet(
         data=data, sig_dims=2, num_partitions=1
     ).initialize()

@@ -65,7 +65,22 @@ class Contender:
         return self.nbytes / self.best / 1e9
 
 
+
+def _cache():
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 def main():
+    _cache()
     import jax
     import jax.numpy as jnp
 

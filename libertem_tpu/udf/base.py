@@ -819,11 +819,22 @@ class UDFRunner:
             mask_rows.append(np.zeros((1, pixels), dtype=np.float32))
             col_off = 1
         masks_t = np.concatenate(mask_rows, axis=0)
+        # masks-only passes (no per-pixel colsum/var/sumsig) can run
+        # block-compacted when the stack's union support is small
+        # (ops/sparse_masks.py)
+        compaction = None
+        if (
+            not need_var and not need_colsum and sumsig_col is None
+            and masks_t.shape[0] > 0
+        ):
+            from ..ops.sparse_masks import plan_compaction
+            compaction = plan_compaction(masks_t)
         return {
             "masks_t": masks_t,
             "specs": specs,
             "need_var": need_var,
             "need_colsum": need_colsum,
+            "compaction": compaction,
         }
 
     def _fused_step(
@@ -849,8 +860,15 @@ class UDFRunner:
                 raw_block, prep, valid_count
             )
         flat = block.reshape(depth, -1)
+        comp = fused.get("compaction")
+        if comp is not None:
+            from ..ops.sparse_masks import gather_blocks
+            flat = gather_blocks(flat, comp["support"], comp["block"])
+            masks_t = jnp.asarray(comp["operand_c"].T)
+        else:
+            masks_t = jnp.asarray(fused["masks_t"])
         y, colsum, colvar = fused_moments(
-            flat, jnp.asarray(fused["masks_t"]), valid_count,
+            flat, masks_t, valid_count,
             compute_var=fused["need_var"],
         )
         valid_mask = (

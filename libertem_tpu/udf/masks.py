@@ -12,9 +12,11 @@ held in device HBM, and each tile does one MXU matmul
 ``(depth, sig_pixels) @ (sig_pixels, n_masks)`` with float32
 accumulation, fused by XLA into the tile step (cast + corrections +
 matmul in one program).  Sparse mask stacks are densified into the
-operand — on the MXU a dense matmul at these operand sizes beats any
-gather-based sparse path unless density is ~1e-3 (a Pallas blocked-ELL
-kernel is the planned escape hatch for that regime).
+operand; when the stack's union support is small (tiny-template
+stacks, point selectors) the operand is block-compacted instead —
+static column gather + a small MXU matmul over the support blocks
+(:mod:`libertem_tpu.ops.sparse_masks`), the TPU counterpart of the
+reference's scipy.sparse/pydata kernels.
 """
 from __future__ import annotations
 
@@ -113,6 +115,23 @@ class MaskContainer:
             )
         return jnp.asarray(self._cache[key])
 
+    def get_compaction(self, sig_shape, dtype):
+        """Block-compaction plan for the whole-sig operand, or None
+        when the stack's union support is too dense to pay off
+        (ops/sparse_masks.py — the TPU counterpart of the reference's
+        sparse mask kernels)."""
+        key = ("compaction", np.dtype(dtype))
+        if key not in self._cache:
+            from ..ops.sparse_masks import plan_compaction
+            stack = self._compute_stack(sig_shape)
+            flat = stack.reshape(stack.shape[0], -1)
+            if np.iscomplexobj(flat):
+                plan = plan_compaction(flat.astype(np.complex64))
+            else:
+                plan = plan_compaction(flat.astype(dtype))
+            self._cache[key] = plan
+        return self._cache[key]
+
 
 class ApplyMasksUDF(UDF):
     """Apply a stack of masks to each frame: the virtual-detector UDF.
@@ -172,28 +191,48 @@ class ApplyMasksUDF(UDF):
         }
 
     def _operand(self):
-        dtype = self.meta.input_dtype
-        mdt = self._container.dtype_for(dtype)
-        if mdt == np.complex128:
-            mdt = np.complex64
-        if mdt == np.float64:
-            mdt = np.float32
         return self._container.get_for_sig_slice(
-            self.meta.sig_slice, self.meta.sig_shape, mdt
+            self.meta.sig_slice, self.meta.sig_shape,
+            self._operand_dtype(),
         )
 
     def process_tile(self, tile):
-        masks = self._operand()
         flat = tile.reshape(tile.shape[0], -1)
         shifts = self.params.get("shifts")
         if shifts is not None:
             tile = self._shift_tile(tile, shifts)
             flat = tile.reshape(tile.shape[0], -1)
+        whole_sig = tuple(self.meta.sig_slice.shape) == tuple(
+            self.meta.sig_shape
+        )
+        comp = None
+        if whole_sig and shifts is None:
+            mdt = self._operand_dtype()
+            comp = self._container.get_compaction(
+                self.meta.sig_shape, mdt
+            )
+        if comp is not None:
+            # block-compacted path: static column gather + small MXU
+            # matmul over the stack's union support
+            from ..ops.sparse_masks import gather_blocks
+            masks = jnp.asarray(comp["operand_c"])
+            flat = gather_blocks(flat, comp["support"],
+                                 comp["block"])
+        else:
+            masks = self._operand()
         if jnp.iscomplexobj(masks) and not jnp.iscomplexobj(flat):
             flat = flat.astype(masks.dtype)
         self.results.intensity += jnp.matmul(
             flat, masks, preferred_element_type=_acc_dtype(masks.dtype)
         ).astype(self.results.intensity.dtype)
+
+    def _operand_dtype(self):
+        mdt = self._container.dtype_for(self.meta.input_dtype)
+        if mdt == np.complex128:
+            mdt = np.complex64
+        if mdt == np.float64:
+            mdt = np.float32
+        return mdt
 
     def _shift_tile(self, tile, shifts):
         """Per-frame integer shifts: roll each frame by (-dy, -dx) so
