@@ -1346,6 +1346,44 @@ class UDFRunner:
         shard_spec = NamedSharding(mesh, P("workers"))
         repl_spec = NamedSharding(mesh, P())
 
+        # Multi-host (DCN) support: under jax.distributed each process
+        # only addresses its local devices — it assembles and
+        # device_puts ONLY its own shards, and global arrays are built
+        # with make_array_from_single_device_arrays.  Collectives in
+        # the fold ride ICI within a host and DCN across hosts; every
+        # process computes the same (replicated) final results.
+        n_proc = jax.process_count()
+        multihost = n_proc > 1
+        my_proc = jax.process_index()
+        local_idx = [
+            i for i, d in enumerate(devices)
+            if not multihost or d.process_index == my_proc
+        ]
+        local_set = set(local_idx)
+
+        def put_sharded(arr):
+            """(n_dev, ...) host array -> mesh-sharded jax array;
+            only local rows are read under multihost."""
+            if not multihost:
+                return jax.device_put(arr, shard_spec)
+            shards = [
+                jax.device_put(arr[i:i + 1], devices[i])
+                for i in local_idx
+            ]
+            return jax.make_array_from_single_device_arrays(
+                arr.shape, shard_spec, shards
+            )
+
+        def put_replicated(arr):
+            if not multihost:
+                return jax.device_put(arr, repl_spec)
+            shards = [
+                jax.device_put(arr, devices[i]) for i in local_idx
+            ]
+            return jax.make_array_from_single_device_arrays(
+                arr.shape, repl_spec, shards
+            )
+
         meta0 = dataset.meta
         sig = tuple(meta0.shape.sig)
         nav_shape = tuple(meta0.shape.nav)
@@ -1354,9 +1392,7 @@ class UDFRunner:
         # replicate aux arrays over the mesh
         for entry in prep["aux"]:
             for k in entry:
-                entry[k] = jax.device_put(
-                    np.asarray(entry[k]), repl_spec
-                )
+                entry[k] = put_replicated(np.asarray(entry[k]))
 
         # selected dataset-space frame ids, split into device shards
         if roi is not None:
@@ -1383,18 +1419,14 @@ class UDFRunner:
             bufs = {}
             for name in entry.nav_names:
                 b = entry.decls[name]
-                bufs[name] = jax.device_put(
-                    np.zeros(
-                        (n_dev, shard_max + depth) + b.extra_shape,
-                        dtype=b.dtype,
-                    ),
-                    shard_spec,
-                )
+                bufs[name] = put_sharded(np.zeros(
+                    (n_dev, shard_max + depth) + b.extra_shape,
+                    dtype=b.dtype,
+                ))
             for name in entry.part_names:
                 b = entry.decls[name]
-                bufs[name] = jax.device_put(
-                    np.zeros((n_dev,) + b.shape, dtype=b.dtype),
-                    shard_spec,
+                bufs[name] = put_sharded(
+                    np.zeros((n_dev,) + b.shape, dtype=b.dtype)
                 )
             state.append(bufs)
 
@@ -1479,10 +1511,9 @@ class UDFRunner:
                         bounds[d] + off:
                         min(bounds[d] + off + depth, bounds[d + 1])
                     ]
-                    lo, hi = int(chunk[0]), int(chunk[-1]) + 1
-                    cover = read_ds_range(lo, hi)
-                    data = cover[chunk - lo]
-                    blk[d, :len(chunk)] = data
+                    # offsets/coords/spans are global knowledge (every
+                    # process computes them); only the DATA read is
+                    # skipped for devices owned by other processes
                     loffs[d] = off
                     goffs[d] = bounds[d] + off
                     valids[d] = len(chunk)
@@ -1490,6 +1521,10 @@ class UDFRunner:
                         unr = np.unravel_index(chunk, nav_shape)
                         for dim, u in enumerate(unr):
                             coords[d, :len(chunk), dim] = u
+                    if d in local_set:
+                        lo, hi = int(chunk[0]), int(chunk[-1]) + 1
+                        cover = read_ds_range(lo, hi)
+                        blk[d, :len(chunk)] = cover[chunk - lo]
                     return (
                         int(bounds[d] + off),
                         int(bounds[d] + off + len(chunk)),
@@ -1505,11 +1540,11 @@ class UDFRunner:
         def to_device(item):
             blk, loffs, goffs, valids, coords, spans = item
             return (
-                jax.device_put(blk, shard_spec),
-                jax.device_put(loffs, shard_spec),
-                jax.device_put(goffs, shard_spec),
-                jax.device_put(valids, shard_spec),
-                jax.device_put(coords, shard_spec),
+                put_sharded(blk),
+                put_sharded(loffs),
+                put_sharded(goffs),
+                put_sharded(valids),
+                put_sharded(coords),
                 int(valids.sum()),
                 spans,
             )
@@ -1607,6 +1642,23 @@ class UDFRunner:
             check_vma=False,
         ))
 
+    @staticmethod
+    def _to_host(arr) -> np.ndarray:
+        """Device array -> host numpy; under multihost, non-
+        addressable (sharded) arrays are resharded to replicated
+        first (an XLA all_gather over ICI/DCN), then read from the
+        local replica."""
+        if (
+            hasattr(arr, "is_fully_addressable")
+            and not arr.is_fully_addressable
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(arr.sharding.mesh, P())
+            arr = jax.jit(lambda x: x, out_shardings=repl)(arr)
+            return np.asarray(arr.addressable_shards[0].data)
+        return np.asarray(arr)
+
     def _collapse_sharded(self, prep, state, bounds, shard_max,
                           fold=None):
         """Per-device states -> one global state: nav shards
@@ -1623,7 +1675,7 @@ class UDFRunner:
         for ui, entry in enumerate(prep["plan"]):
             bufs = {}
             for name in entry.nav_names:
-                arr = np.asarray(state[ui][name])
+                arr = self._to_host(state[ui][name])
                 full = np.zeros(
                     (n_nav + depth,) + arr.shape[2:], arr.dtype
                 )
@@ -1635,10 +1687,10 @@ class UDFRunner:
             if entry.part_names:
                 if folded is not None:
                     for n in entry.part_names:
-                        bufs[n] = np.asarray(folded[ui][n])
+                        bufs[n] = self._to_host(folded[ui][n])
                 else:  # host fallback fold
                     host = {
-                        n: np.asarray(state[ui][n])
+                        n: self._to_host(state[ui][n])
                         for n in entry.part_names
                     }
                     udf = entry.udf
