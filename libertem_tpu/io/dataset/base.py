@@ -52,6 +52,12 @@ class Block:
     """One fixed-shape chunk of frames headed for the device.
 
     data:          (depth, *sig) raw-dtype numpy array, zero-padded
+                   (densified lazily when the block is sparse)
+    sparse:        optional (vals, rows i32, cols i32) CSR-COO triple,
+                   zero-padded to a static nnz budget — shipped to the
+                   device instead of the dense block so H2D volume
+                   scales with nnz (reference raw_csr.py:349 yields
+                   sparse tiles for the same reason)
     local_offset:  first-frame position within the partition's
                    (roi-compressed) local frame ordering
     global_offset: first-frame position within the dataset's
@@ -60,11 +66,25 @@ class Block:
     valid:         number of non-padding frames (<= depth)
     """
 
-    data: np.ndarray
     local_offset: int
     global_offset: int
     coords: np.ndarray
     valid: int
+    sparse: Optional[tuple] = None
+    block_shape: Optional[tuple] = None
+    _data: Optional[np.ndarray] = None
+
+    @property
+    def data(self) -> np.ndarray:
+        if self._data is None:
+            vals, rows, cols = self.sparse
+            depth = self.block_shape[0]
+            sig = tuple(self.block_shape[1:])
+            n_pix = int(np.prod(sig))
+            out = np.zeros((depth, n_pix), dtype=vals.dtype)
+            np.add.at(out, (rows, cols), vals)
+            self._data = out.reshape((depth,) + sig)
+        return self._data
 
 
 class Partition:
@@ -190,7 +210,7 @@ class Partition:
                 for d, u in enumerate(unr):
                     coords[:valid, d] = u
             yield Block(
-                data=data,
+                _data=data,
                 local_offset=off,
                 global_offset=goff + off,
                 coords=coords,

@@ -1283,11 +1283,39 @@ class UDFRunner:
             )
             goff0 = partition.roi_offset(roi)
 
+            densify_cache: dict = {}
+
             def to_device(block):
                 dev = None
                 if device_entries_exist:
+                    if getattr(block, "sparse", None) is not None:
+                        # sparse block: ship the CSR triple (H2D
+                        # scales with nnz) and densify on-device via
+                        # scatter-add; zero padding entries hit
+                        # (0, 0) with value 0
+                        vals, rows, cols = block.sparse
+                        key = (vals.shape[0], block.block_shape,
+                               vals.dtype)
+                        if key not in densify_cache:
+                            d, *sigdims = block.block_shape
+                            n_pix = int(np.prod(sigdims))
+
+                            def densify(v, r, c, _d=d, _p=n_pix,
+                                        _s=tuple(sigdims)):
+                                flat = jnp.zeros((_d, _p), v.dtype)
+                                flat = flat.at[r, c].add(v)
+                                return flat.reshape((_d,) + _s)
+
+                            densify_cache[key] = jax.jit(densify)
+                        dev_block = densify_cache[key](
+                            jax.device_put(vals, device),
+                            jax.device_put(rows, device),
+                            jax.device_put(cols, device),
+                        )
+                    else:
+                        dev_block = jax.device_put(block.data, device)
                     dev = (
-                        jax.device_put(block.data, device),
+                        dev_block,
                         jnp.int32(block.global_offset),
                         jax.device_put(block.coords, device),
                         jnp.int32(block.valid),
