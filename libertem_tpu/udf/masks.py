@@ -151,6 +151,7 @@ class ApplyMasksUDF(UDF):
         mask_dtype=None,
         dtype=None,
         shifts=None,
+        use_bf16=False,
         **kwargs,
     ):
         if mask_factories is None:
@@ -162,6 +163,7 @@ class ApplyMasksUDF(UDF):
             mask_dtype=mask_dtype,
             dtype=dtype,
             shifts=shifts,
+            use_bf16=use_bf16,
             **kwargs,
         )
         self._container = MaskContainer(
@@ -222,6 +224,15 @@ class ApplyMasksUDF(UDF):
             masks = self._operand()
         if jnp.iscomplexobj(masks) and not jnp.iscomplexobj(flat):
             flat = flat.astype(masks.dtype)
+        if self.params.get("use_bf16") and not jnp.iscomplexobj(masks):
+            # opt-in bf16 matmul inputs, f32 accumulation.  Precision
+            # contract: bf16 keeps 8 mantissa bits, so projections are
+            # accurate to ~0.4% of each pixel's magnitude (exact for
+            # counts <= 256); the MXU runs bf16 at up to ~4x the f32
+            # rate, which matters once the mask count makes the matmul
+            # MXU-bound (>~60 f32 columns).
+            flat = flat.astype(jnp.bfloat16)
+            masks = masks.astype(jnp.bfloat16)
         self.results.intensity += jnp.matmul(
             flat, masks, preferred_element_type=_acc_dtype(masks.dtype)
         ).astype(self.results.intensity.dtype)
@@ -275,6 +286,11 @@ class ApplyMasksUDF(UDF):
         """Join the cross-UDF fused moments pass: contribute the mask
         stack as matmul columns (real-valued, unshifted masks only)."""
         if self.params.get("shifts") is not None:
+            return None
+        if self.params.get("use_bf16"):
+            # bf16 mode runs through process_tile (the fused op is
+            # f32; mixing precisions per-UDF inside one fused matmul
+            # isn't possible)
             return None
         try:
             stack = self._container._compute_stack(self.meta.sig_shape)

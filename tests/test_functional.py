@@ -329,3 +329,66 @@ def test_streaming_soak(lt_ctx, tmp_path):
         res[0]["intensity"].data, expected, rtol=1e-3
     )
     assert float(res[1]["num_frames"].data) == n
+
+
+@pytest.mark.slow
+def test_large_nav_stress(lt_ctx):
+    """BASELINE config #5 nav scale (512x512 = 262144 frames) through
+    the full streaming loop with a generate-on-read dataset: exercises
+    nav bookkeeping, damage, partitioning and offsets at scale without
+    materializing the 34 GB dataset (sig reduced to 64x64)."""
+    from libertem_tpu.common.shape import Shape
+    from libertem_tpu.io.dataset.base import (
+        DataSet, DataSetMeta, Partition,
+    )
+    from libertem_tpu.udf import StdDevUDF, SumSigUDF, SumUDF
+
+    NAVS = (512, 512)
+    SIGS = (64, 64)
+
+    class GenPartition(Partition):
+        def _read_raw_frames(self, start, stop):
+            # frame i has constant value (i % 7) + 1
+            ids = np.arange(start, stop, dtype=np.int64)
+            vals = (ids % 7 + 1).astype(np.uint16)
+            return np.broadcast_to(
+                vals[:, None, None], (stop - start,) + SIGS
+            ).copy()
+
+    class GenDataSet(DataSet):
+        def initialize(self, executor=None):
+            self._meta = DataSetMeta(
+                shape=Shape(NAVS + SIGS, sig_dims=2),
+                raw_dtype=np.dtype(np.uint16),
+                sync_offset=0,
+                image_count=int(np.prod(NAVS)),
+            )
+            return self
+
+        def get_partitions(self):
+            for idx, (start, stop) in enumerate(
+                self.get_partition_ranges()
+            ):
+                yield GenPartition(
+                    self.meta, start, stop - start, idx=idx
+                )
+
+    ds = GenDataSet(num_partitions=16).initialize()
+    res = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF(), StdDevUDF()])
+    n = int(np.prod(NAVS))
+    ids = np.arange(n, dtype=np.float64)
+    vals = ids % 7 + 1
+    # SumUDF: every pixel = sum of all per-frame constants
+    assert np.allclose(
+        res[0]["intensity"].data, vals.sum(), rtol=1e-6
+    )
+    # SumSigUDF: per-frame constant x n_pix
+    sumsig = np.asarray(res[1]["intensity"].data).reshape(-1)
+    assert np.allclose(
+        sumsig, vals * np.prod(SIGS), rtol=1e-4,
+    )
+    # StdDev across frames: variance of the 1..7 cycle
+    assert np.allclose(
+        res[2]["var"].data, vals.var(), rtol=1e-3,
+    )
+    assert int(res[2]["num_frames"].data) == n

@@ -161,3 +161,24 @@ def test_compacted_generic_path_with_pydata_style_masks(lt_ctx):
     assert np.allclose(
         res["intensity"].data.reshape(-1), expected, rtol=1e-4,
     )
+
+
+def test_apply_masks_bf16_optin(lt_ctx):
+    """use_bf16=True: matmul inputs in bfloat16, f32 accumulation —
+    results within the documented ~0.4% precision contract."""
+    h = w = 32
+    data = _mk_random((4, 4, h, w), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    mask = np.random.default_rng(0).random((h, w)).astype(np.float32)
+    res16 = lt_ctx.run_udf(ds, ApplyMasksUDF(
+        mask_factories=[lambda: mask], use_bf16=True,
+    ))
+    res32 = lt_ctx.run_udf(ds, ApplyMasksUDF(
+        mask_factories=[lambda: mask],
+    ))
+    a = np.asarray(res16["intensity"].data, np.float64).reshape(-1)
+    b = np.asarray(res32["intensity"].data, np.float64).reshape(-1)
+    assert np.allclose(a, b, rtol=1e-2)
+    assert not np.allclose(a, b, rtol=1e-7)  # really ran in bf16
