@@ -195,8 +195,18 @@ class Partition:
                 )
             else:
                 lo, hi = int(chunk[0]), int(chunk[-1]) + 1
-                cover = self.read_dataset_frames(lo, hi)
-                data = cover[chunk - lo]
+                # sparse roi fast path: when the selected frames cover
+                # less than half the span, read them individually if
+                # the partition supports it (reference: H5Partition's
+                # roi fast path, hdf5.py:875)
+                if (
+                    valid * 2 < hi - lo
+                    and hasattr(self, "read_selected_frames")
+                ):
+                    data = self.read_selected_frames(chunk)
+                else:
+                    cover = self.read_dataset_frames(lo, hi)
+                    data = cover[chunk - lo]
             if valid < depth:
                 pad = np.zeros(
                     (depth - valid,) + sig, dtype=data.dtype

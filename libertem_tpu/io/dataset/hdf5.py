@@ -68,6 +68,21 @@ class H5Partition(Partition):
                 i += run
         return out
 
+    def read_selected_frames(self, ids) -> np.ndarray:
+        """Sparse-roi fast path (reference hdf5.py:875): read only the
+        selected frames instead of the covering span — for chunked/
+        compressed files the cover read decompresses every chunk in
+        range, which dominates at low roi density."""
+        ds = self._get_ds()
+        sig_dims = self._sig_dims
+        sig_shape = tuple(ds.shape[len(ds.shape) - sig_dims:])
+        nav_shape = tuple(ds.shape[:len(ds.shape) - sig_dims])
+        out = np.empty((len(ids),) + sig_shape, dtype=ds.dtype)
+        for i, fid in enumerate(ids):
+            c = np.unravel_index(int(fid), nav_shape)
+            out[i] = ds[tuple(int(cc) for cc in c)]
+        return out
+
     def __del__(self):
         if self._file is not None:
             try:

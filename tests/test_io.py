@@ -230,3 +230,44 @@ def test_backend_strategies_mib_seq_npy(lt_ctx, tmp_path):
                     rd = next(iter(p._readers.values()))
                 strategies.add(rd.strategy)
             assert strategies == {want}, (fmt, want, strategies)
+
+
+def test_h5_sparse_roi_fast_path(lt_ctx, tmp_path, monkeypatch):
+    """A sparse roi on HDF5 reads only the selected frames
+    (reference hdf5.py:875 roi fast path), not covering spans."""
+    import h5py
+    from libertem_tpu.io.dataset.hdf5 import H5Partition
+    data = _mk_random((10, 10, 8, 8), dtype="float32")
+    path = str(tmp_path / "roi.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data, chunks=(1, 10, 8, 8))
+    calls = {"selected": 0, "cover": 0}
+    orig_sel = H5Partition.read_selected_frames
+    orig_cover = H5Partition._read_raw_frames
+
+    def sel(self, ids):
+        calls["selected"] += 1
+        return orig_sel(self, ids)
+
+    def cover(self, start, stop):
+        calls["cover"] += 1
+        return orig_cover(self, start, stop)
+
+    monkeypatch.setattr(H5Partition, "read_selected_frames", sel)
+    monkeypatch.setattr(H5Partition, "_read_raw_frames", cover)
+    ds = lt_ctx.load("hdf5", path=path)
+    roi = np.zeros(100, dtype=bool)
+    # several sparse frames within one partition's span so a
+    # single block covers a wide gap
+    roi[[3, 22, 47, 68, 91]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    picked = np.asarray(res["intensity"].data)
+    flat = data.reshape(-1, 8, 8)
+    assert np.array_equal(picked, flat[[3, 22, 47, 68, 91]])
+    assert calls["selected"] >= 1
+    # nD-nav check: 4D nav file also works with the fast path
+    res2 = lt_ctx.run_udf(ds, SumUDF(), roi=roi)
+    assert np.allclose(
+        res2["intensity"].data,
+        flat[[3, 22, 47, 68, 91]].astype(np.float64).sum(axis=0), rtol=1e-5,
+    )
