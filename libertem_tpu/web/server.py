@@ -237,6 +237,17 @@ class AnalysisDetailHandler(_BaseHandler):
         else:
             self.state.analysis_state.create(uuid, ds_uuid, details)
             message_type = "ANALYSIS_CREATED"
+        # auto-register the containing compound analysis so notebook
+        # download works without a separate compound PUT
+        comp = self.state.compound_analyses.get(compound_uuid)
+        if comp is None:
+            comp = {
+                "dataset": ds_uuid,
+                "details": {"analyses": []},
+            }
+            self.state.compound_analyses[compound_uuid] = comp
+        if uuid not in comp["details"]["analyses"]:
+            comp["details"]["analyses"].append(uuid)
         msg = {
             "status": "ok",
             "messageType": message_type,
