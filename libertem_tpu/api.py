@@ -138,7 +138,9 @@ class Context:
                 backends = (backends,)
             for u in udfs:
                 u._backend_restriction = tuple(backends)
-        runner = UDFRunner(udfs)
+        runner = UDFRunner(
+            udfs, debug=getattr(self.executor, '_debug', False)
+        )
         if plots:
             results = None
             for results in runner.run_for_dataset_iter(
@@ -176,7 +178,9 @@ class Context:
         parameters mid-run."""
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
-        runner = UDFRunner(udfs)
+        runner = UDFRunner(
+            udfs, debug=getattr(self.executor, '_debug', False)
+        )
         gen = runner.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections, progress=progress,
             device=self.executor.main_device,

@@ -435,6 +435,25 @@ class UDFRunner:
         self._debug = debug
         self._params_patched = False
 
+    def _debug_check_picklable(self):
+        """debug=True semantics (reference: debug executors force
+        pickle round-trips every run, udf/base.py:2325): catch UDFs
+        whose parameters or state can't cross a process boundary —
+        important for code that later moves to multi-host meshes,
+        where each process must construct identical UDFs."""
+        import pickle
+
+        for udf in self._udfs:
+            try:
+                clone_kwargs = pickle.loads(pickle.dumps(udf._kwargs))
+                pickle.loads(pickle.dumps(type(udf)))
+                type(udf)(**clone_kwargs)
+            except Exception as e:
+                raise UDFException(
+                    f"{type(udf).__name__} is not pickle-safe "
+                    f"(debug=True check): {e}"
+                ) from e
+
     def update_parameters_experimental(
         self, patches: Sequence[dict]
     ) -> None:
@@ -533,6 +552,8 @@ class UDFRunner:
 
     def _prepare(self, dataset, roi, corrections, device):
         udfs = self._udfs
+        if self._debug:
+            self._debug_check_picklable()
         meta0 = dataset.meta
         if roi is not None:
             roi = np.asarray(roi).reshape(-1).astype(bool)

@@ -135,8 +135,18 @@ def notebook_for(
         params = dict(entry.get("parameters", {}))
         tpl = ANALYSIS_TEMPLATES.get(a_type)
         if tpl is None:
-            cells.append(_md_cell(
-                f"*(no template for analysis type {a_type})*"
+            # generic fallback: any registered analysis runs through
+            # the registry (covers FFT / cluster / custom analyses)
+            cells.append(_md_cell(f"## {a_type}"))
+            cells.append(_code_cell(
+                "from libertem_tpu.analysis import Analysis\n"
+                f"cls = Analysis.get_analysis_by_type({a_type!r})\n"
+                f"analysis = cls(dataset=ds, parameters={params!r})\n"
+                "res = ctx.run(analysis)\n"
+                "for r in res:\n"
+                "    plt.figure()\n"
+                "    plt.title(r.title)\n"
+                "    plt.imshow(np.asarray(r.visualized))\n"
             ))
             continue
         title, code = tpl

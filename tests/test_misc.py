@@ -353,3 +353,101 @@ def test_scipy_sparse_roi(lt_ctx, ds):
     roi = sp.coo_matrix(mask)
     res = lt_ctx.run_udf(ds, SumUDF(), roi=roi)
     assert res.damage.raw_data.shape == (2,)
+
+
+def test_debug_executor_pickle_safety(ds):
+    """InlineJobExecutor(debug=True) forces a pickle round-trip of the
+    UDFs every run (reference: debug executors, udf/base.py:2325) —
+    unpicklable parameters fail fast with a clear error."""
+    import threading
+
+    import pytest
+
+    from libertem_tpu.api import Context
+    from libertem_tpu.executor.inline import InlineJobExecutor
+    from libertem_tpu.udf import SumUDF
+    from libertem_tpu.udf.base import UDF, UDFException
+
+    ctx = Context(executor=InlineJobExecutor(debug=True))
+    # a picklable UDF passes
+    res = ctx.run_udf(ds, SumUDF())
+    assert res["intensity"].data is not None
+
+    class Unpicklable(UDF):
+        def __init__(self, **kwargs):
+            kwargs.setdefault("lock", threading.Lock())
+            super().__init__(**kwargs)
+
+        def get_result_buffers(self):
+            return {"x": self.buffer(kind="nav", dtype="float32")}
+
+        def process_tile(self, tile):
+            pass
+
+    with pytest.raises(UDFException, match="pickle-safe"):
+        ctx.run_udf(ds, Unpicklable())
+    # without debug, the run is permitted (single-process semantics)
+    ctx2 = Context(executor=InlineJobExecutor())
+    ctx2.run_udf(ds, Unpicklable())
+
+
+def test_notebook_generator_generic_fallback():
+    """Analyses without a dedicated template (FFT family, CLUST)
+    still produce runnable registry-based notebook cells."""
+    from libertem_tpu.web.notebook_generator import (
+        notebook_for, notebook_to_bytes,
+    )
+    nb = notebook_for(
+        "raw", {"path": "/x.raw", "dtype": "uint16",
+                "nav_shape": (8, 8), "sig_shape": (16, 16)},
+        [{"analysisType": "FFTSUM_FRAMES", "parameters": {}},
+         {"analysisType": "CLUST",
+          "parameters": {"n_clust": 4}}],
+    )
+    src = "".join(
+        "".join(c["source"]) for c in json.loads(
+            notebook_to_bytes(nb)
+        )["cells"]
+    )
+    assert "get_analysis_by_type('FFTSUM_FRAMES')" in src
+    assert "get_analysis_by_type('CLUST')" in src
+    assert "'n_clust': 4" in src
+    assert "no template" not in src
+
+
+def test_generated_notebook_executes(tmp_path):
+    """The reference runs generated notebooks under nbval
+    (tests/template/): here every code cell of a generated notebook
+    is exec'd in order against a real raw file."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from libertem_tpu.web.notebook_generator import notebook_for
+
+    data = _mk_random((4, 4, 8, 8), dtype="uint16")
+    path = str(tmp_path / "nb.raw")
+    data.tofile(path)
+    nb = notebook_for(
+        "raw",
+        {"path": path, "dtype": "uint16",
+         "nav_shape": [4, 4], "sig_shape": [8, 8]},
+        [
+            {"analysisType": "SUM_FRAMES", "parameters": {}},
+            {"analysisType": "APPLY_DISK_MASK",
+             "parameters": {"cx": 4, "cy": 4, "r": 3}},
+            {"analysisType": "CENTER_OF_MASS",
+             "parameters": {"cx": 4, "cy": 4}},
+            {"analysisType": "FFTSUM_FRAMES", "parameters": {}},
+        ],
+    )
+    ns: dict = {}
+    n_code = 0
+    for cell in nb["cells"]:
+        if cell["cell_type"] != "code":
+            continue
+        src = "".join(cell["source"])
+        # notebooks default to the sharded executor; tests run inline
+        src = src.replace('make_with("sharded")', 'make_with("inline")')
+        exec(src, ns)  # noqa: S102 - that's the point of the test
+        n_code += 1
+    assert n_code >= 6
+    assert "res" in ns
