@@ -212,6 +212,48 @@ def main():
         var=res.buffers[1]["var"].data,
     )
 
+    # per-frame mask shifts (aux data): the reference shifts the MASK
+    # with truncating overlap slicing (masks.py:85) — subtle semantics
+    # worth a golden
+    from libertem.udf.base import UDF as RefUDF
+    rng = np.random.default_rng(46)
+    shift_vals = rng.integers(-5, 6, (int(np.prod(gc.NAV)), 2)).astype(
+        np.int64
+    )
+    shifts_aux = RefUDF.aux_data(
+        shift_vals, kind="nav", extra_shape=(2,), dtype=np.int64
+    )
+    res = _runner([
+        ApplyMasksUDF(
+            mask_factories=[
+                lambda: ref_masks.circular(
+                    mp["cx"], mp["cy"], w, h, mp["r_bf"]
+                )
+            ],
+            shifts=shifts_aux, use_torch=False,
+        )
+    ], ds, executor)
+    save("mask_shifts", intensity=res.buffers[0]["intensity"].data,
+         shift_vals=shift_vals)
+
+    # sync_offset on a raw file (positive and negative)
+    import tempfile
+    from libertem.io.dataset.raw import RawFileDataSet
+
+    tmpdir = tempfile.mkdtemp()
+    raw_path = os.path.join(tmpdir, "sync.raw")
+    data.astype(np.float32).tofile(raw_path)
+    outs = {}
+    for name, off in (("pos", 3), ("neg", -3)):
+        ds_s = RawFileDataSet(
+            path=raw_path, dtype="float32",
+            nav_shape=gc.NAV, sig_shape=gc.SIG, sync_offset=off,
+        ).initialize(executor)
+        r = _runner([SumUDF(), SumSigUDF()], ds_s, executor)
+        outs[f"sum_{name}"] = r.buffers[0]["intensity"].data
+        outs[f"sumsig_{name}"] = r.buffers[1]["intensity"].data
+    save("sync_offset", **outs)
+
     print("all goldens recorded to", GOLDEN_DIR)
 
 

@@ -242,3 +242,50 @@ def test_parity_corrections(lt_ctx):
     assert np.allclose(
         res[1]["var"].data, g["var"], rtol=1e-3, atol=1e-3,
     )
+
+
+def test_parity_mask_shifts(lt_ctx, golden_ds):
+    """Per-frame mask shifts: the reference shifts the MASK with
+    truncating overlap slicing (masks.py:85); this framework rolls the
+    frame the other way and zeroes the wrap — must agree exactly."""
+    from libertem_tpu.udf.base import UDF
+    g = _golden("mask_shifts")
+    shift_vals = g["shift_vals"]
+    shifts_aux = UDF.aux_data(
+        shift_vals, kind="nav", extra_shape=(2,), dtype=np.int64
+    )
+    res = lt_ctx.run_udf(golden_ds, ApplyMasksUDF(
+        mask_factories=[
+            lambda: mask_lib_circular()
+        ],
+        shifts=shifts_aux,
+    ))
+    assert np.allclose(
+        res["intensity"].data, g["intensity"], rtol=1e-4, atol=1e-2,
+    )
+
+
+def mask_lib_circular():
+    return mask_lib.circular(MP["cx"], MP["cy"], W, H, MP["r_bf"])
+
+
+def test_parity_sync_offset(lt_ctx, tmp_path):
+    """sync_offset (positive: skip leading frames; negative: pad)
+    must match the reference's bookkeeping (dataset.py:70)."""
+    g = _golden("sync_offset")
+    data = gc.golden_data()
+    path = str(tmp_path / "sync.raw")
+    data.astype(np.float32).tofile(path)
+    for name, off in (("pos", 3), ("neg", -3)):
+        ds = lt_ctx.load(
+            "raw", path=path, dtype="float32",
+            nav_shape=gc.NAV, sig_shape=gc.SIG, sync_offset=off,
+        )
+        res = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()])
+        assert np.allclose(
+            res[0]["intensity"].data, g[f"sum_{name}"],
+            rtol=1e-4, atol=1e-2,
+        ), name
+        got = np.nan_to_num(res[1]["intensity"].data)
+        want = np.nan_to_num(g[f"sumsig_{name}"])
+        assert np.allclose(got, want, rtol=1e-4, atol=1e-2), name
