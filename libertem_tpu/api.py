@@ -117,12 +117,20 @@ class Context:
         progress: bool = False,
         backends=None,
         plots=None,
+        sync: bool = True,
     ):
         """Run one or more UDFs over a dataset in a single pass.
 
         Returns a dict of result buffers for a single UDF, or a list of
         dicts when given a sequence of UDFs (reference api.py:914).
+        With ``sync=False``, returns an awaitable instead (the
+        reference's async variant).
         """
+        if not sync:
+            return self.run_udf_async(
+                dataset, udf, roi=roi, corrections=corrections,
+                progress=progress,
+            )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
         if getattr(self.executor, "is_delayed", False) and not plots:

@@ -451,3 +451,12 @@ def test_generated_notebook_executes(tmp_path):
         n_code += 1
     assert n_code >= 6
     assert "res" in ns
+
+
+def test_run_udf_sync_false(lt_ctx, ds):
+    """run_udf(sync=False) returns an awaitable (reference api.py:914
+    sync parameter)."""
+    import asyncio
+    coro = lt_ctx.run_udf(ds, SumUDF(), sync=False)
+    res = asyncio.run(coro)
+    assert res["intensity"].data.shape == (10, 10)
