@@ -132,14 +132,18 @@ class BufferWrapper:
         self,
         data: np.ndarray,
         valid_nav_mask: Optional[np.ndarray] = None,
+        custom_mask: Optional[np.ndarray] = None,
     ) -> None:
         """Install the final (host) result array.
 
         ``valid_nav_mask`` is the roi-compressed flat-nav damage mask
-        (True where data has been merged).
+        (True where data has been merged).  ``custom_mask`` (from
+        ``UDF.with_mask``, reference udf/base.py:1611) overrides the
+        default validity computation for this buffer.
         """
         self._data = np.asarray(data)
         self._valid_nav_mask = valid_nav_mask
+        self._custom_mask = custom_mask
 
     @property
     def raw_data(self) -> Optional[np.ndarray]:
@@ -179,6 +183,11 @@ class BufferWrapper:
         """Boolean mask over ``.data``: which entries hold merged results."""
         if self._data is None:
             return None
+        custom = getattr(self, "_custom_mask", None)
+        if custom is not None:
+            return np.broadcast_to(
+                np.asarray(custom, dtype=bool), self.data.shape
+            )
         if self._kind == "nav":
             nav_shape = tuple(self._ds_shape.nav)
             full = np.zeros(self._ds_shape.nav.size, dtype=bool)
@@ -216,6 +225,22 @@ class BufferWrapper:
             f"<BufferWrapper kind={self._kind} extra_shape="
             f"{self._extra_shape} dtype={self._dtype} use={self._use}>"
         )
+
+
+class ArrayWithMask:
+    """A result array bundled with an explicit validity mask
+    (reference: common/buffers.py:195) — returned from
+    ``UDF.get_results`` via ``UDF.with_mask``."""
+
+    def __init__(self, arr, mask):
+        self.arr = np.asarray(arr)
+        if isinstance(mask, bool):
+            mask = np.full(self.arr.shape, mask, dtype=bool)
+        self.mask = np.asarray(mask, dtype=bool)
+
+    def __array__(self, dtype=None):
+        a = self.arr
+        return a.astype(dtype) if dtype is not None else a
 
 
 class AuxBufferWrapper(BufferWrapper):

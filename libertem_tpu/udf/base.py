@@ -228,6 +228,14 @@ class UDF:
     def aux_data(cls, data, kind="nav", extra_shape=(), dtype="float32"):
         return AuxBufferWrapper(kind, extra_shape, dtype, data=data)
 
+    @staticmethod
+    def with_mask(data, mask):
+        """Mark the valid region of a ``get_results`` value
+        (reference: udf/base.py:1611).  ``mask`` is a bool array
+        broadcastable to ``data`` (or a plain True/False)."""
+        from ..common.buffers import ArrayWithMask
+        return ArrayWithMask(data, mask)
+
     # -- hooks -----------------------------------------------------------
 
     def merge(self, dest: UDFData, src: UDFData):
@@ -1824,12 +1832,21 @@ class UDFRunner:
                 decl.kind, decl.extra_shape, decl.dtype
             )
             out.set_shape_ds(meta.dataset_shape, prep["roi"])
+            custom_mask = None
             if name in derived:
-                data = np.asarray(derived[name])
+                from ..common.buffers import ArrayWithMask
+                value = derived[name]
+                if isinstance(value, ArrayWithMask):
+                    custom_mask = value.mask
+                    value = value.arr
+                data = np.asarray(value)
             elif decl.use == "result_only":
                 continue  # not produced
             else:
                 data = raw[name]
-            out.set_result(data, valid_nav_mask=damage_host)
+            out.set_result(
+                data, valid_nav_mask=damage_host,
+                custom_mask=custom_mask,
+            )
             buffers[name] = out
         return buffers

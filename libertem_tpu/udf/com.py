@@ -195,7 +195,13 @@ class CoMUDF(UDF):
             "magnitude": magnitude,
             "divergence": div,
             "curl": curl,
-            "regression": regression,
+            # regression coefficients are only meaningful when a
+            # regression was requested (reference marks validity via
+            # with_mask, udf/base.py:1611)
+            "regression": self.with_mask(
+                regression,
+                mask=p.regression != RegressionOptions.NO_REGRESSION,
+            ),
         }
 
     def _embed_nav2d(self, flat):

@@ -392,3 +392,21 @@ def test_many_tiny_partitions(lt_ctx):
     assert np.allclose(
         res[1]["var"].data, data.var(axis=0), rtol=1e-3, atol=1e-4
     )
+
+
+def test_with_mask_custom_validity(lt_ctx):
+    """UDF.with_mask marks explicit validity on get_results values
+    (reference udf/base.py:1611): CoM's regression buffer is invalid
+    unless a regression was requested."""
+    from libertem_tpu.udf.com import CoMUDF, RegressionOptions
+    data = _mk_random((6, 6, 16, 16), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run_udf(ds, CoMUDF.with_params())
+    assert not res["regression"].valid_mask.any()
+    assert res["regression"].masked_data.count() == 0
+    res2 = lt_ctx.run_udf(ds, CoMUDF.with_params(
+        regression=RegressionOptions.SUBTRACT_LINEAR,
+    ))
+    assert res2["regression"].valid_mask.all()
