@@ -41,6 +41,9 @@ class ResultGenerator:
     def update_parameters_experimental(self, patches):
         self._runner.update_parameters_experimental(patches)
 
+    def throw(self, *args):
+        return self._gen.throw(*args)
+
     def close(self):
         self._gen.close()
 
@@ -48,10 +51,25 @@ class ResultGenerator:
 class Context:
     """Entry point: load datasets, run UDFs and analyses."""
 
-    def __init__(self, executor: Optional[JobExecutor] = None):
+    def __init__(self, executor: Optional[JobExecutor] = None,
+                 plot_class=None):
         if executor is None:
             executor = InlineJobExecutor()
         self.executor = executor
+        self._plot_class = plot_class
+
+    @property
+    def plot_class(self):
+        """Default live-plot class for ``plots=True``
+        (reference api.py:436)."""
+        if self._plot_class is None:
+            from .viz.mpl import MPLLive2DPlot
+            self._plot_class = MPLLive2DPlot
+        return self._plot_class
+
+    @plot_class.setter
+    def plot_class(self, value):
+        self._plot_class = value
 
     @classmethod
     def make_with(
@@ -73,7 +91,8 @@ class Context:
         if executor_spec in (
             "inline", "synchronous", "threads", "concurrent",
         ):
-            return cls(executor=InlineJobExecutor())
+            return cls(executor=InlineJobExecutor(),
+                       plot_class=plot_class)
         elif executor_spec in (
             "sharded", "tpu", "pipelined", "dask",
             "dask-make-default", "dask-integration",
@@ -84,7 +103,8 @@ class Context:
                 import jax
                 all_devices = jax.devices()
                 devices = [all_devices[i] for i in tpus]
-            return cls(executor=ShardedJobExecutor(devices=devices))
+            return cls(executor=ShardedJobExecutor(devices=devices),
+                       plot_class=plot_class)
         elif executor_spec == "delayed":
             from .executor.compat import DelayedJobExecutor
             return cls(executor=DelayedJobExecutor(**kwargs))
@@ -391,7 +411,7 @@ class Context:
         prepared = []
         if plots is True:
             for udf in udfs:
-                p = MPLLive2DPlot(dataset, udf, roi=roi)
+                p = self.plot_class(dataset, udf, roi=roi)
                 p.display()
                 prepared.append(p)
             return prepared

@@ -270,6 +270,11 @@ class UDF:
     def postprocess(self):
         pass
 
+    def cleanup(self):
+        """Lifecycle hook called after the run completes (reference
+        udf/base.py:1607) — release task_data resources here."""
+        pass
+
     def get_preferred_input_dtype(self):
         return np.float32
 
@@ -1376,6 +1381,8 @@ class UDFRunner:
                 pm.partition_done(n_sel)
             if yield_partial:
                 yield self._wrap_results(prep, state, damage_host.copy())
+        for udf in self._udfs:
+            udf.cleanup()
         if pm is not None:
             pm.close()
         if not any_partition or not yield_partial:
@@ -1641,6 +1648,7 @@ class UDFRunner:
 
         for udf in self._udfs:
             udf.postprocess()
+            udf.cleanup()
         if pm is not None:
             pm.close()
         if not yield_partial:

@@ -368,3 +368,38 @@ def test_udf_instance_reuse(lt_ctx, ds, data):
         second[0]["intensity"].data.reshape(-1),
         flat2.sum(axis=(1, 2)), rtol=1e-3,
     )
+
+
+def test_cleanup_hook_and_plot_class(lt_ctx):
+    """UDF.cleanup runs after the pass (reference udf/base.py:1607);
+    Context.plot_class selects the default live-plot implementation
+    (reference api.py:436)."""
+    from libertem_tpu.api import Context
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+    from libertem_tpu.udf.base import UDF
+    from libertem_tpu.viz.base import Dummy2DPlot
+
+    events = []
+
+    class CleanupUDF(UDF):
+        def get_result_buffers(self):
+            return {"x": self.buffer(kind="nav", dtype="float32")}
+
+        def process_tile(self, tile):
+            pass
+
+        def cleanup(self):
+            events.append("cleanup")
+
+    import numpy as np
+    data = np.zeros((4, 4, 8, 8), dtype=np.float32)
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    lt_ctx.run_udf(ds, CleanupUDF())
+    assert events == ["cleanup"]
+
+    ctx = Context(plot_class=Dummy2DPlot)
+    assert ctx.plot_class is Dummy2DPlot
+    res = ctx.run_udf(ds, CleanupUDF(), plots=True)
+    assert res is not None
