@@ -10,7 +10,41 @@ matmuls on the MXU.
 """
 __version__ = "0.1.0"
 
-from . import masks
+
+def _setup_compile_cache():
+    """Enable jax's persistent compilation cache by default
+    (~/.cache/libertem_tpu/jax): the fused tile step takes 20-200 s to
+    compile on TPU, and GUI/notebook sessions re-create identical
+    programs constantly.  Opt out with LIBERTEM_TPU_NO_COMPILE_CACHE=1
+    or override the location with LIBERTEM_TPU_COMPILE_CACHE=<dir>.
+    No-op if jax is already configured or initialization fails."""
+    import os
+
+    if os.environ.get("LIBERTEM_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # user/test harness already configured one
+        cache = os.environ.get(
+            "LIBERTEM_TPU_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache",
+                "libertem_tpu", "jax",
+            ),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+
+
+_setup_compile_cache()
+
+from . import masks  # noqa: E402
 from .api import Context, ResultGenerator
 from .common.analysis import AnalysisResult, AnalysisResultSet
 from .common.buffers import AuxBufferWrapper, BufferWrapper

@@ -235,3 +235,61 @@ def test_raw_csr_sparse_blocks(lt_ctx, tmp_path):
         dense[roi].astype(np.float64).sum(axis=0).reshape(sig),
         rtol=1e-5,
     )
+
+
+def test_hdf5_3d_nav_and_3d_sig(lt_ctx, tmp_path):
+    """nD nav (3 nav dims) and sig_dims != 2 through the HDF5 path
+    (the reference supports arbitrary nav/sig splits, hdf5.py:224)."""
+    import h5py
+    rng = np.random.default_rng(4)
+    # 5D: (3, 4, 5) nav x (6, 7) sig
+    data = rng.random((3, 4, 5, 6, 7)).astype(np.float32)
+    path = str(tmp_path / "nd.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("g/data5", data=data)
+    ds = lt_ctx.load("hdf5", path=path, ds_path="g/data5")
+    assert tuple(ds.shape) == (3, 4, 5, 6, 7)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        data.reshape(-1, 6, 7).astype(np.float64).sum(axis=0),
+        rtol=1e-5,
+    )
+    # sig_dims=3: (4, 5) nav x (3, 6, 7) sig
+    with h5py.File(path, "a") as f:
+        f.create_dataset("sig3", data=data.reshape(4, 5, 3, 6, 7))
+    ds3 = lt_ctx.load("hdf5", path=path, ds_path="sig3", sig_dims=3)
+    assert tuple(ds3.shape.sig) == (3, 6, 7)
+    res3 = lt_ctx.run_udf(ds3, SumSigUDF())
+    expected = data.reshape(20, -1).astype(np.float64).sum(axis=1)
+    assert np.allclose(
+        res3["intensity"].data.reshape(-1), expected, rtol=1e-5,
+    )
+
+
+def test_mib_multifile_acquisition(lt_ctx, tmp_path):
+    """Multi-file MIB acquisitions (one .hdr + N numbered .mib files)
+    stitch into one dataset in file order."""
+    rng = np.random.default_rng(6)
+    flat = rng.integers(0, 4096, (12, 8, 8)).astype(np.uint16)
+    hb = 384
+    # 3 files x 4 frames
+    for fi in range(3):
+        with open(tmp_path / f"acq_{fi + 1:02d}.mib", "wb") as f:
+            for i in range(4):
+                head = (
+                    f"MQ1,{fi * 4 + i + 1},{hb},1,8,8,U16,1x1,2x2,12"
+                ).encode()
+                f.write(head.ljust(hb, b"\x00"))
+                f.write(flat[fi * 4 + i].astype(">u2").tobytes())
+    hdr = tmp_path / "acq_.hdr"
+    hdr.write_text(
+        "HDR,\nFrames in Acquisition (Number):\t12\n"
+        "Frames per Trigger (Number):\t4\nEnd\t\n"
+    )
+    ds = lt_ctx.load("mib", path=str(hdr))
+    assert tuple(ds.shape) == (3, 4, 8, 8)
+    roi = np.zeros(12, dtype=bool)
+    roi[[0, 5, 11]] = True  # one frame from each file
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data, flat[[0, 5, 11]])
