@@ -35,8 +35,10 @@ def _setup_compile_cache():
             ),
         )
         jax.config.update("jax_compilation_cache_dir", cache)
+        # note: remote-PJRT plugins without executable serialization
+        # (e.g. the dev tunnel) silently skip the cache
         jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1.0
+            "jax_persistent_cache_min_compile_time_secs", 0.5
         )
     except Exception:
         pass
