@@ -156,7 +156,10 @@ def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
     float(roof_jit(blocks, goffs, valids, n=1))
     best = float("inf")
     best_roof = float("inf")
-    for _ in range(3):
+    # 5 interleaved attempts: the shared chip's effective bandwidth
+    # drifts minute-to-minute; more attempts raise the chance of
+    # catching a representative window
+    for _ in range(5):
         t0 = time.perf_counter()
         float(many_jit(blocks, goffs, valids, n=repeats))
         best = min(best, (time.perf_counter() - t0) / repeats)
@@ -228,7 +231,7 @@ def main():
     # has few cores, so extrapolate the measured per-core numpy rate
     # linearly to 8 cores (optimistic for the CPU -> conservative for
     # our ratio)
-    cpu8_bps = cpu_bps * max(1, 8 // ncores)
+    cpu8_bps = cpu_bps * max(1.0, 8.0 / ncores)
     print(json.dumps({
         "metric": "virtual-detector+CoM+stats throughput (single chip)",
         "value": round(tpu_bps / 1e9, 3),

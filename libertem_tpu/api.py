@@ -147,9 +147,14 @@ class Context:
         reference's async variant).
         """
         if not sync:
+            if plots:
+                raise ValueError(
+                    "plots= is not supported with sync=False; drive "
+                    "run_udf_iter_async and update plots yourself"
+                )
             return self.run_udf_async(
                 dataset, udf, roi=roi, corrections=corrections,
-                progress=progress,
+                progress=progress, backends=backends,
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
@@ -232,7 +237,7 @@ class Context:
 
     async def run_udf_async(
         self, dataset, udf, roi=None, corrections=None,
-        progress=False,
+        progress=False, backends=None,
     ):
         """Awaitable variant of run_udf (the reference's
         ``run_udf(..., sync=False)``, api.py:914)."""

@@ -29,10 +29,13 @@ class DelayedBuffer:
     """Lazy proxy for one result buffer: shape/dtype available
     immediately, data triggers the shared computation."""
 
-    def __init__(self, name: str, decl, compute: Callable[[], dict]):
+    def __init__(self, name: str, decl, compute: Callable[[], dict],
+                 data_shape=None, data_dtype=None):
         self._name = name
         self._decl = decl
         self._compute = compute
+        self._data_shape = data_shape
+        self._data_dtype = data_dtype
 
     @property
     def kind(self):
@@ -70,15 +73,18 @@ class DelayedBuffer:
         return arr.astype(dtype) if dtype is not None else arr
 
     def to_dask(self):
-        """dask.array view; computing it runs the UDF pass once."""
+        """dask.array view; shape/dtype come from the dry-run
+        declaration so building the graph stays lazy — only computing
+        the dask array runs the UDF pass (once)."""
         import dask
         import dask.array as da
 
-        target = self._materialized()
-        shape = tuple(target.data.shape)
-        dtype = target.data.dtype
-        lazy = dask.delayed(lambda: np.asarray(self._materialized().data))()
-        return da.from_delayed(lazy, shape=shape, dtype=dtype)
+        lazy = dask.delayed(
+            lambda: np.asarray(self._materialized().data)
+        )()
+        return da.from_delayed(
+            lazy, shape=self._data_shape, dtype=self._data_dtype
+        )
 
     def __repr__(self):
         return (
@@ -140,7 +146,11 @@ def make_delayed_results(context, dataset, udfs, single, roi,
             return run_once().buffers[i]
 
         bufs = {
-            name: DelayedBuffer(name, b, compute)
+            name: DelayedBuffer(
+                name, b, compute,
+                data_shape=tuple(np.asarray(b.data).shape),
+                data_dtype=np.asarray(b.data).dtype,
+            )
             for name, b in decl.items()
         }
         out.append(DelayedResults(bufs, compute))

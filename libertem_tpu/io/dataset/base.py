@@ -148,6 +148,21 @@ class Partition:
             out[c0 - d0:c1 - d0] = self._read_raw_frames(c0, c1)
         return out
 
+    def _read_selected_with_offset(self, ids: np.ndarray) -> np.ndarray:
+        """Apply sync_offset + out-of-range zero-fill around a
+        partition's ``read_selected_frames(stored_ids)`` fast path —
+        the same mapping read_dataset_frames performs for spans."""
+        sig = tuple(self.meta.shape.sig)
+        so = self.meta.sync_offset
+        stored = np.asarray(ids, dtype=np.int64) + so
+        ok = (stored >= 0) & (stored < self.meta.image_count)
+        if ok.all():
+            return self.read_selected_frames(stored)
+        out = np.zeros((len(ids),) + sig, dtype=self.meta.raw_dtype)
+        if ok.any():
+            out[ok] = self.read_selected_frames(stored[ok])
+        return out
+
     def local_frame_ids(self, roi: Optional[np.ndarray]) -> np.ndarray:
         """Dataset-space flat-nav ids of the frames this partition
         contributes (roi-filtered), in order."""
@@ -203,7 +218,7 @@ class Partition:
                     valid * 2 < hi - lo
                     and hasattr(self, "read_selected_frames")
                 ):
-                    data = self.read_selected_frames(chunk)
+                    data = self._read_selected_with_offset(chunk)
                 else:
                     cover = self.read_dataset_frames(lo, hi)
                     data = cover[chunk - lo]
@@ -404,9 +419,15 @@ class RangeReader:
     ALIGN = 4096
 
     def __init__(self, path: str, io_backend: IOBackend = None):
+        import threading
+
         self._path = path
         self._mmap = None
         self._fd = None
+        # the sharded reader pool may hit one partition's reader from
+        # several threads when a partition spans multiple device
+        # shards — guard the lazy fd/mmap init
+        self._init_lock = threading.Lock()
         if isinstance(io_backend, DirectBackend):
             self.strategy = "direct"
         elif isinstance(io_backend, BufferedBackend):
@@ -419,21 +440,30 @@ class RangeReader:
         view for mmap, a fresh buffer for buffered/direct."""
         if self.strategy == "mmap":
             if self._mmap is None:
-                self._mmap = np.memmap(
-                    self._path, dtype=np.uint8, mode="r"
-                )
+                with self._init_lock:
+                    if self._mmap is None:
+                        self._mmap = np.memmap(
+                            self._path, dtype=np.uint8, mode="r"
+                        )
             return self._mmap[start_byte:start_byte + nbytes]
         if self._fd is None:
-            flags = os.O_RDONLY
-            if self.strategy == "direct" and hasattr(os, "O_DIRECT"):
-                try:
-                    self._fd = os.open(
-                        self._path, flags | os.O_DIRECT
-                    )
-                except OSError:
-                    self._fd = os.open(self._path, flags)
-            else:
-                self._fd = os.open(self._path, flags)
+            with self._init_lock:
+                if self._fd is None:
+                    flags = os.O_RDONLY
+                    fd = None
+                    if (
+                        self.strategy == "direct"
+                        and hasattr(os, "O_DIRECT")
+                    ):
+                        try:
+                            fd = os.open(
+                                self._path, flags | os.O_DIRECT
+                            )
+                        except OSError:
+                            fd = None
+                    if fd is None:
+                        fd = os.open(self._path, flags)
+                    self._fd = fd
         end_byte = start_byte + nbytes
         a0 = start_byte // self.ALIGN * self.ALIGN
         a1 = -(-end_byte // self.ALIGN) * self.ALIGN

@@ -70,7 +70,8 @@ class H5Partition(Partition):
 
     def read_selected_frames(self, ids) -> np.ndarray:
         """Sparse-roi fast path (reference hdf5.py:875): read only the
-        selected frames instead of the covering span — for chunked/
+        selected STORED frames (sync_offset/zero-fill applied by the
+        base wrapper) instead of the covering span — for chunked/
         compressed files the cover read decompresses every chunk in
         range, which dominates at low roi density."""
         ds = self._get_ds()

@@ -90,15 +90,21 @@ class RawCSRPartition(Partition):
 
     def _read_sparse_chunk(self, frame_ids, depth, nnz_pad):
         """(vals, rows, cols) zero-padded to nnz_pad for the given
-        (roi-selected) frame ids."""
+        (roi-selected, dataset-space) frame ids — sync_offset mapping
+        and out-of-range zero-fill applied like read_dataset_frames."""
         indptr, indices, data = self._get_maps()
+        so = self.meta.sync_offset
+        n_stored = len(indptr) - 1
         vals = np.zeros(nnz_pad, dtype=self.meta.raw_dtype)
         rows = np.zeros(nnz_pad, dtype=np.int32)
         cols = np.zeros(nnz_pad, dtype=np.int32)
         pos = 0
         for r, fid in enumerate(frame_ids):
-            lo = int(indptr[fid])
-            hi = int(indptr[fid + 1])
+            sid = int(fid) + so
+            if sid < 0 or sid >= n_stored:
+                continue  # zero-filled frame
+            lo = int(indptr[sid])
+            hi = int(indptr[sid + 1])
             k = hi - lo
             vals[pos:pos + k] = data[lo:hi]
             cols[pos:pos + k] = indices[lo:hi]
@@ -122,11 +128,15 @@ class RawCSRPartition(Partition):
         goff = self.roi_offset(roi)
         nav_shape = tuple(self.meta.shape.nav)
         sig = tuple(self.meta.shape.sig)
+        so = self.meta.sync_offset
+        n_stored = len(indptr) - 1
         counts = np.diff(np.asarray(indptr, dtype=np.int64))
         for off in range(0, n, depth):
             chunk = ids[off:off + depth]
             valid = len(chunk)
-            nnz = int(counts[chunk].sum())
+            stored = chunk + so
+            in_range = stored[(stored >= 0) & (stored < n_stored)]
+            nnz = int(counts[in_range].sum())
             nnz_pad = max(16, 1 << int(np.ceil(np.log2(max(nnz, 1)))))
             vals, rows, cols = self._read_sparse_chunk(
                 chunk, depth, nnz_pad

@@ -1293,6 +1293,7 @@ class UDFRunner:
         )
 
         any_partition = False
+        densify_cache: dict = {}
         for partition in partitions:
             if self._params_patched:
                 # runtime parameter update (reference:
@@ -1316,8 +1317,6 @@ class UDFRunner:
                 host_runner.init_partition() if host_runner else None
             )
             goff0 = partition.roi_offset(roi)
-
-            densify_cache: dict = {}
 
             def to_device(block):
                 dev = None
@@ -1707,20 +1706,28 @@ class UDFRunner:
             check_vma=False,
         ))
 
-    @staticmethod
-    def _to_host(arr) -> np.ndarray:
+    _reshard_cache: dict = {}
+
+    @classmethod
+    def _to_host(cls, arr) -> np.ndarray:
         """Device array -> host numpy; under multihost, non-
         addressable (sharded) arrays are resharded to replicated
         first (an XLA all_gather over ICI/DCN), then read from the
-        local replica."""
+        local replica.  The resharding program is cached per mesh so
+        repeated partial-result snapshots don't retrace."""
         if (
             hasattr(arr, "is_fully_addressable")
             and not arr.is_fully_addressable
         ):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            repl = NamedSharding(arr.sharding.mesh, P())
-            arr = jax.jit(lambda x: x, out_shardings=repl)(arr)
+            mesh = arr.sharding.mesh
+            fn = cls._reshard_cache.get(mesh)
+            if fn is None:
+                repl = NamedSharding(mesh, P())
+                fn = jax.jit(lambda x: x, out_shardings=repl)
+                cls._reshard_cache[mesh] = fn
+            arr = fn(arr)
             return np.asarray(arr.addressable_shards[0].data)
         return np.asarray(arr)
 

@@ -132,6 +132,22 @@ class JobEngine:
         finally:
             self.state.job_state.finish(job_uuid)
 
+    def invalidate_cache(self, analysis_uuid=None, ds_uuid=None):
+        """Drop cached results when an analysis is removed or its
+        dataset is closed/replaced (prevents stale re-visualization
+        and unbounded growth)."""
+        if analysis_uuid is not None:
+            self._result_cache.pop(analysis_uuid, None)
+        if ds_uuid is not None:
+            stale = [
+                uuid for uuid in self._result_cache
+                if self.state.analysis_state.analyses.get(
+                    uuid, {}
+                ).get("dataset") == ds_uuid
+            ]
+            for uuid in stale:
+                self._result_cache.pop(uuid, None)
+
     async def _finish(self, job_uuid):
         await self.event_registry.broadcast({
             "status": "ok", "messageType": "FINISH_JOB",
@@ -205,6 +221,7 @@ class JobEngine:
                     "status": "ok", "messageType": "CANCEL_JOB_DONE",
                     "job": job_uuid,
                 })
+                latest = None  # partial results must not be cached
                 break
             if kind == "partial":
                 latest = payload

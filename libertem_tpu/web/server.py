@@ -16,9 +16,8 @@ REST + websocket protocol:
   GET  /api/browse/?path=                   filesystem browser
   WS   /api/events/                         state + result stream
 
-Differences vs the reference: result images are streamed as base64
-PNG inside the JSON TASK_RESULT message (the reference sends separate
-binary websocket frames).
+Result images are streamed as binary websocket frames following a
+TASK_RESULT JSON header (matching the reference's protocol shape).
 """
 from __future__ import annotations
 
@@ -188,6 +187,7 @@ class DataSetDetailHandler(_BaseHandler):
         self.write_json(msg)
 
     async def delete(self, uuid: str):
+        self.engine.invalidate_cache(ds_uuid=uuid)
         self.state.dataset_state.remove(uuid)
         msg = {
             "status": "ok",
@@ -259,6 +259,7 @@ class AnalysisDetailHandler(_BaseHandler):
         self.write_json(msg)
 
     async def delete(self, compound_uuid: str, uuid: str):
+        self.engine.invalidate_cache(analysis_uuid=uuid)
         self.state.analysis_state.remove(uuid)
         msg = {
             "status": "ok",

@@ -293,3 +293,66 @@ def test_mib_multifile_acquisition(lt_ctx, tmp_path):
     roi[[0, 5, 11]] = True  # one frame from each file
     res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
     assert np.array_equal(res["intensity"].data, flat[[0, 5, 11]])
+
+
+def test_raw_csr_sync_offset_sparse_path(lt_ctx, tmp_path):
+    """The sparse device path honors sync_offset + zero-fill exactly
+    like the dense reader (regression: review finding)."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(30)
+    n, sig = 12, (8, 8)
+    dense = (
+        (rng.random((n, 64)) < 0.2) * rng.integers(1, 50, (n, 64))
+    ).astype(np.int32)
+    csr = sp.csr_matrix(dense)
+    (tmp_path / "rowind.dat").write_bytes(
+        csr.indptr.astype("<i4").tobytes())
+    (tmp_path / "coords.dat").write_bytes(
+        csr.indices.astype("<i4").tobytes())
+    (tmp_path / "values.dat").write_bytes(
+        csr.data.astype("<i4").tobytes())
+    toml_path = str(tmp_path / "s.toml")
+    with open(toml_path, "w") as f:
+        f.write(
+            '[params]\nfiletype = "raw_csr"\n'
+            "nav_shape = [3, 4]\nsig_shape = [8, 8]\n\n"
+            '[raw_csr]\nindptr_file = "rowind.dat"\n'
+            'indptr_dtype = "<i4"\n'
+            'indices_file = "coords.dat"\nindices_dtype = "<i4"\n'
+            'data_file = "values.dat"\ndata_dtype = "<i4"\n'
+        )
+    for off in (2, -2):
+        ds = lt_ctx.load("raw_csr", path=toml_path, sync_offset=off)
+        res = lt_ctx.run_udf(ds, SumUDF())
+        # expected: dataset frame i = stored frame i+off, zero-filled
+        # outside [0, n)
+        shifted = np.zeros((n, 64), np.float64)
+        for i in range(n):
+            sid = i + off
+            if 0 <= sid < n:
+                shifted[i] = dense[sid]
+        assert np.allclose(
+            res["intensity"].data,
+            shifted.sum(axis=0).reshape(sig), rtol=1e-6,
+        ), off
+
+
+def test_h5_sparse_roi_with_sync_offset(lt_ctx, tmp_path):
+    """The HDF5 sparse-roi fast path honors sync_offset (regression:
+    review finding — it used to index the file unshifted)."""
+    import h5py
+    data = _mk_random((20, 1, 8, 8), dtype="float32")
+    path = str(tmp_path / "so.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+    from libertem_tpu.udf import PickUDF
+    ds = lt_ctx.load("hdf5", path=path, sync_offset=2)
+    flat = data.reshape(-1, 8, 8)
+    roi = np.zeros(20, dtype=bool)
+    roi[[1, 5, 17, 19]] = True  # sparse; 19+2 out of range -> zeros
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    got = np.asarray(res["intensity"].data)
+    assert np.array_equal(got[0], flat[3])
+    assert np.array_equal(got[1], flat[7])
+    assert np.array_equal(got[2], flat[19])
+    assert not got[3].any()  # zero-filled past the end
