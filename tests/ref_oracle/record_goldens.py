@@ -254,6 +254,118 @@ def main():
         outs[f"sumsig_{name}"] = r.buffers[1]["intensity"].data
     save("sync_offset", **outs)
 
+    # ---- format-decoder goldens ----------------------------------
+    # Write synthetic detector files with OUR test encoders, decode
+    # them with the REFERENCE's readers (numba kernels as pure
+    # Python), and record the decoded frames: gates our decoders
+    # against the reference's interpretation of the same bytes (the
+    # class of bug the 24-bit MIB fix was).
+    import tempfile
+
+    # encoders duplicated from tests/test_mib.py (importing the test
+    # module would pull libertem_tpu into the oracle environment)
+    def _encode_r1(frames):
+        n, n_pix = frames.shape
+        out = np.zeros((n, n_pix // 8), dtype=np.uint8)
+        for p in range(n_pix):
+            stripe, byte, bit = p // 64, (p % 64) // 8, p % 8
+            src = frames[:, p] & 1
+            out[:, stripe * 8 + (7 - byte)] |= (
+                src.astype(np.uint8) << bit
+            )
+        return out
+
+    def _encode_r6(frames):
+        n, n_pix = frames.shape
+        return frames.reshape(n, -1, 8)[:, :, ::-1].reshape(
+            n, n_pix
+        ).astype(np.uint8)
+
+    def _encode_r12(frames):
+        n, n_pix = frames.shape
+        reordered = frames.reshape(n, -1, 4)[:, :, ::-1].reshape(
+            n, n_pix
+        )
+        return reordered.astype(">u2").view(np.uint8)
+
+    from libertem.io.dataset.mib import MIBDataSet
+    from libertem.udf.raw import PickUDF
+
+    tmpdir = tempfile.mkdtemp()
+    rng = np.random.default_rng(77)
+    hb = 384
+    mib_goldens = {}
+    def _encode_r24(frames):
+        msb = _encode_r12((frames >> 12) & 0xFFF)
+        lsb = _encode_r12(frames & 0xFFF)
+        return np.concatenate([msb, lsb], axis=1)
+
+    # r1 is excluded: the reference's own mmap File sizing (u64
+    # native dtype x full-pixel frame_size) trips its skip_end
+    # assertion on these synthetic files; our r1 decoder is covered
+    # by the independent round-trip test instead.
+    cases = [
+        ("r6", "R64", 6, 1,
+         lambda fr: _encode_r6(fr.reshape(fr.shape[0], -1))),
+        ("r12", "R64", 12, 1,
+         lambda fr: _encode_r12(fr.reshape(fr.shape[0], -1))),
+        ("r24", "R64", 24, 1,
+         lambda fr: _encode_r24(fr.reshape(fr.shape[0], -1))),
+        ("u16", "U16", 12, 1,
+         lambda fr: fr.reshape(fr.shape[0], -1).astype(">u2")),
+    ]
+    # real Merlin chip geometry (256x256) — the reference's RAW
+    # read-range machinery assumes it
+    hsz, wsz = 256, 256
+    for name, dtype_str, bd, chips, enc in cases:
+        lim = {6: 64, 12: 4096, 24: 1 << 24}[bd]
+        # 24-bit: the header declares the 12-bit sub-frame width,
+        # i.e. 2x the real frame width (reference mib.py:836)
+        real_w = wsz // 2 if bd == 24 else wsz
+        # r24: SINGLE frame only — the reference's multi-frame r24
+        # byte math is internally inconsistent (frame stride
+        # sig_size*2 bytes vs 2 sub-frames read per frame), so only
+        # frame 0 decodes correctly there; single-frame is the
+        # consistent subset both implementations must agree on.
+        n_f = 1 if bd == 24 else 4
+        frames = rng.integers(0, lim, (n_f, hsz, real_w)).astype(
+            np.uint32 if bd == 24
+            else np.uint16 if bd >= 12 else np.uint8
+        )
+        # own subdir per case: the reference's multi-file discovery
+        # globs sibling .mib files by trailing-digit pattern
+        case_dir = os.path.join(tmpdir, name)
+        os.makedirs(case_dir, exist_ok=True)
+        path = os.path.join(case_dir, "acq1.mib")
+        with open(path, "wb") as f:
+            for i, fr in enumerate(frames):
+                # trailing comma: the reference drops header parts
+                # containing NUL padding, so the bit depth must be
+                # comma-terminated to survive as parts[-1]
+                head = (
+                    f"MQ1,{i+1},{hb},{chips},{wsz},{hsz},"
+                    f"{dtype_str},1x1,2x2,{bd},"
+                ).encode("ascii")
+                f.write(head.ljust(hb, b"\x00"))
+                f.write(enc(fr[None]).tobytes())
+        ds_m = MIBDataSet(
+            path=path, nav_shape=(2, 2) if n_f == 4 else (1,)
+        ).initialize(executor)
+        if bd == 24:
+            # the reference's native dtype for r24 is uint16, so
+            # PickUDF wraps 24-bit values mod 2^16 there; the float
+            # pipeline (SumUDF) decodes true 24-bit values — gate on
+            # that instead
+            r = _runner([SumUDF()], ds_m, executor)
+            decoded = np.asarray(r.buffers[0]["intensity"].data)
+        else:
+            roi_m = np.ones((2, 2), dtype=bool)
+            r = _runner([PickUDF()], ds_m, executor, roi=roi_m)
+            decoded = np.asarray(r.buffers[0]["intensity"].data)
+        mib_goldens[f"{name}_frames"] = frames
+        mib_goldens[f"{name}_decoded"] = decoded
+    save("mib_decode", **mib_goldens)
+
     print("all goldens recorded to", GOLDEN_DIR)
 
 

@@ -289,3 +289,53 @@ def test_parity_sync_offset(lt_ctx, tmp_path):
         got = np.nan_to_num(res[1]["intensity"].data)
         want = np.nan_to_num(g[f"sumsig_{name}"])
         assert np.allclose(got, want, rtol=1e-4, atol=1e-2), name
+
+
+def test_parity_mib_decoders(lt_ctx, tmp_path):
+    """Format-decoder parity: the reference's MIB readers decoded
+    synthetic r6/r12/r24/u16 files (recorded in the golden); this
+    framework's loader must produce identical pixels from the same
+    bytes.  r24 is single-frame: the reference's multi-frame r24 byte
+    math is internally inconsistent (see record_goldens.py)."""
+    from test_mib import _encode_r6, _encode_r12, _encode_r24
+    g = _golden("mib_decode")
+    hb = 384
+    encoders = {
+        "r6": ("R64", 6, lambda fr: _encode_r6(
+            fr.reshape(fr.shape[0], -1))),
+        "r12": ("R64", 12, lambda fr: _encode_r12(
+            fr.reshape(fr.shape[0], -1))),
+        "r24": ("R64", 24, lambda fr: _encode_r24(
+            fr.reshape(fr.shape[0], -1))),
+        "u16": ("U16", 12, lambda fr: fr.reshape(
+            fr.shape[0], -1).astype(">u2")),
+    }
+    for name, (dtype_str, bd, enc) in encoders.items():
+        frames = g[f"{name}_frames"]
+        n_f, hsz, real_w = frames.shape
+        wsz = real_w * 2 if bd == 24 else real_w
+        case_dir = tmp_path / name
+        case_dir.mkdir()
+        path = str(case_dir / "acq1.mib")
+        with open(path, "wb") as f:
+            for i, fr in enumerate(frames):
+                head = (
+                    f"MQ1,{i+1},{hb},1,{wsz},{hsz},"
+                    f"{dtype_str},1x1,2x2,{bd},"
+                ).encode("ascii")
+                f.write(head.ljust(hb, b"\x00"))
+                f.write(enc(fr[None]).tobytes())
+        ds = lt_ctx.load("mib", path=path, nav_shape=(n_f,))
+        if bd == 24:
+            res = lt_ctx.run_udf(ds, SumUDF())
+            got = np.asarray(res["intensity"].data, np.float64)
+            assert np.allclose(
+                got, g[f"{name}_decoded"], rtol=1e-7,
+            ), name
+        else:
+            roi = np.ones(n_f, dtype=bool)
+            res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+            got = np.asarray(res["intensity"].data)
+            assert np.array_equal(
+                got, g[f"{name}_decoded"].astype(got.dtype)
+            ), name
