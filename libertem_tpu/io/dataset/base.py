@@ -243,6 +243,8 @@ class Partition:
             )
 
     def frames_in_roi(self, roi: Optional[np.ndarray]) -> int:
+        if roi is None:
+            return self.num_frames
         return len(self.local_frame_ids(roi))
 
 
@@ -384,7 +386,8 @@ class IOBackend:
     @classmethod
     def from_json(cls, data: dict) -> "IOBackend":
         kind = data.get("id", "mmap")
-        return cls.registry[kind]()
+        kwargs = {k: v for k, v in data.items() if k != "id"}
+        return cls.registry[kind](**kwargs)
 
 
 class MMapBackend(IOBackend, id_="mmap"):

@@ -132,6 +132,11 @@ def _fused_moments_pallas(
             colsum_ref[:] = local_sum
             if compute_var:
                 colvar_ref[:] = local_var
+            else:
+                # the output buffer is always allocated: zero it so
+                # the var-disabled path matches the XLA fallback
+                # instead of returning uninitialized memory
+                colvar_ref[:] = jnp.zeros_like(local_sum)
 
         @pl.when(d != 0)
         def _():
@@ -267,6 +272,27 @@ def _fused_moments_xla_onepass(x, masks_t, valid_count,
 USE_PALLAS = False
 
 
+def _pallas_eligible(x) -> bool:
+    """Static eligibility check for the Pallas kernel.  The dispatch
+    happens inside an outer jit trace, so a try/except around
+    pallas_call cannot catch Mosaic lowering errors (they surface at
+    the outer compile) — rule out the known-unsupported layouts
+    up front instead."""
+    depth, pixels = x.shape
+    itemsize = np.dtype(x.dtype).itemsize
+    sublane = _SUBLANE.get(itemsize, 8)
+    td = _pick_row_tile(
+        depth, pixels, max(4, itemsize), sublane=sublane
+    )
+    # the chosen row tile must satisfy the dtype's sublane minimum
+    # and lanes must fill a 128 block
+    return (
+        np.dtype(x.dtype).kind in "fiu"
+        and td % sublane == 0
+        and pixels % 128 == 0
+    )
+
+
 def fused_moments(
     x, masks_t, valid_count, compute_var: bool = True,
     force_xla: bool = False,
@@ -285,12 +311,10 @@ def fused_moments(
     if (
         not force_xla and USE_PALLAS
         and backend in ("tpu", "axon")
+        and _pallas_eligible(x)
     ):
-        try:
-            return _fused_moments_pallas(
-                x, masks_t, jnp.asarray(valid_count),
-                compute_var=compute_var,
-            )
-        except Exception:  # pragma: no cover — lowering issues
-            pass
+        return _fused_moments_pallas(
+            x, masks_t, jnp.asarray(valid_count),
+            compute_var=compute_var,
+        )
     return _fused_moments_xla(x, masks_t, valid_count, compute_var)

@@ -253,7 +253,11 @@ class UDF:
         """Tree-reduce a sequence of partial sig/single states
         (reference udf/base.py:943 + _default_merge_all:985): default
         folds pairwise with merge(); override for a vectorized
-        combine.  Used by the sharded executor's cross-device fold."""
+        combine.  Used by host-side folding (the host UDF runner and
+        delayed results); the on-device sharded fold applies merge()
+        pairwise inside one traced program and does not consult this
+        hook.
+        """
         if not ordered_results:
             return {}
         acc = UDFData(dict(ordered_results[0].items()))
@@ -549,6 +553,10 @@ class UDFRunner:
                 prep, dataset, roi, progress, yield_partial, devices
             )
         else:
+            if device is None and devices:
+                # a single-entry devices list means "run on THAT
+                # device", not the default one
+                device = devices[0]
             prep = self._prepare(dataset, roi, corrections, device)
             yield from self._run_loop(
                 prep, dataset, roi, progress, yield_partial
@@ -639,7 +647,10 @@ class UDFRunner:
             for b in decls.values():
                 b.set_shape_ds(meta0.shape, roi)
             entry = _UDFPlanEntry(udf, decls)
-            if entry.part_names and not udf._has_custom_merge():
+            if (
+                udf.requires_custom_merge(decls)
+                and not udf._has_custom_merge()
+            ):
                 raise UDFException(
                     f"{type(udf).__name__} declares non-nav buffers "
                     f"{entry.part_names} and must implement merge()"
@@ -649,6 +660,37 @@ class UDFRunner:
             plan.append(entry)
 
         # aux buffers: compress by roi, keep as host arrays for now
+        aux_arrays, aux_host = self._build_aux(
+            udfs, roi, n_nav, scheme, device
+        )
+
+        corr_plan = (
+            corrections.make_plan(tuple(meta0.shape.sig))
+            if corrections is not None else None
+        )
+
+        fused_plan = self._build_fused_plan(plan, scheme, meta)
+
+        return {
+            "fused": fused_plan,
+            "aux_host": aux_host,
+            "host_global": None,
+            "meta": meta,
+            "plan": plan,
+            "scheme": scheme,
+            "partitions": partitions,
+            "n_nav": n_nav,
+            "input_dtype": input_dtype,
+            "device": device,
+            "aux": aux_arrays,
+            "corr_plan": corr_plan,
+            "roi": roi,
+        }
+
+    def _build_aux(self, udfs, roi, n_nav, scheme, device):
+        """Device + host copies of AuxBufferWrapper params (roi-
+        compressed, one-block zero pad); rebuilt on mid-run parameter
+        patches so new aux data actually takes effect."""
         aux_arrays = []
         aux_host = []
         for udf in udfs:
@@ -679,29 +721,21 @@ class UDFRunner:
                     host_entry[k] = data
             aux_arrays.append(entry)
             aux_host.append(host_entry)
+        return aux_arrays, aux_host
 
-        corr_plan = (
-            corrections.make_plan(tuple(meta0.shape.sig))
-            if corrections is not None else None
+    def _apply_param_patch(self, prep):
+        """Mid-run parameter patch: rebuild everything derived from
+        UDF kwargs — the fused plan AND the aux arrays (patched
+        aux_data must actually be used by the re-traced step)."""
+        prep["fused"] = self._build_fused_plan(
+            prep["plan"], prep["scheme"], prep["meta"]
         )
-
-        fused_plan = self._build_fused_plan(plan, scheme, meta)
-
-        return {
-            "fused": fused_plan,
-            "aux_host": aux_host,
-            "host_global": None,
-            "meta": meta,
-            "plan": plan,
-            "scheme": scheme,
-            "partitions": partitions,
-            "n_nav": n_nav,
-            "input_dtype": input_dtype,
-            "device": device,
-            "aux": aux_arrays,
-            "corr_plan": corr_plan,
-            "roi": roi,
-        }
+        aux_arrays, aux_host = self._build_aux(
+            self._udfs, prep["roi"], prep["n_nav"], prep["scheme"],
+            prep["device"],
+        )
+        prep["aux"] = aux_arrays
+        prep["aux_host"] = aux_host
 
     # -- state construction -------------------------------------------------
 
@@ -1229,31 +1263,52 @@ class UDFRunner:
         """Double-buffered pipeline: a background thread reads + H2D-
         transfers the next blocks while the device computes (the
         TPU-native replacement for the reference's shm-queue worker
-        feed, executor/utils/shmqueue.py)."""
+        feed, executor/utils/shmqueue.py).
+
+        Abandoning the consumer (e.g. dropping a partial-results
+        iterator mid-run) signals the worker to stop, so it doesn't
+        stay blocked on a full queue pinning multi-GB block buffers.
+        """
         import queue as queue_mod
         import threading
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        stop = threading.Event()
         DONE = object()
+
+        def _put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in iterable:
-                    q.put(("item", transform(item)))
-                q.put(("done", DONE))
+                    if stop.is_set() or not _put(
+                        ("item", transform(item))
+                    ):
+                        return
+                _put(("done", DONE))
             except BaseException as e:  # propagate to consumer
-                q.put(("error", e))
+                _put(("error", e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            kind, payload = q.get()
-            if kind == "done":
-                break
-            if kind == "error":
-                raise payload
-            yield payload
-        t.join()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise payload
+                yield payload
+            t.join()
+        finally:
+            stop.set()
 
     def _run_loop(self, prep, dataset, roi, progress, yield_partial):
         scheme = prep["scheme"]
@@ -1301,9 +1356,7 @@ class UDFRunner:
                 # udf/base.py:96): rebuild the traced step + fused
                 # plan at the next partition boundary
                 self._params_patched = False
-                prep["fused"] = self._build_fused_plan(
-                    prep["plan"], scheme, prep["meta"]
-                )
+                self._apply_param_patch(prep)
                 step = self._make_step(prep)
                 merge = self._make_merge(prep)
             n_sel = partition.frames_in_roi(roi)
@@ -1476,6 +1529,27 @@ class UDFRunner:
                     out[s - lo:e - lo] = p.read_dataset_frames(s, e)
             return out
 
+        def read_ds_selected(chunk):
+            """Read the given dataset-space frame ids: per-frame fast
+            path where partitions support it (sparse rois on the
+            sharded executor otherwise read whole covering spans —
+            the same optimization gen_blocks applies)."""
+            out = np.zeros((len(chunk),) + sig, dtype=meta0.raw_dtype)
+            for p in partitions:
+                lo_p = p.start_frame
+                hi_p = p.start_frame + p.num_frames
+                sel = (chunk >= lo_p) & (chunk < hi_p)
+                if not sel.any():
+                    continue
+                ids_p = chunk[sel]
+                if hasattr(p, "read_selected_frames"):
+                    out[sel] = p._read_selected_with_offset(ids_p)
+                else:
+                    s, e = int(ids_p[0]), int(ids_p[-1]) + 1
+                    cover = p.read_dataset_frames(s, e)
+                    out[sel] = cover[ids_p - s]
+            return out
+
         # per-device state: nav arrays are shard-local (+depth pad)
         state = []
         for entry in prep["plan"]:
@@ -1586,8 +1660,15 @@ class UDFRunner:
                             coords[d, :len(chunk), dim] = u
                     if d in local_set:
                         lo, hi = int(chunk[0]), int(chunk[-1]) + 1
-                        cover = read_ds_range(lo, hi)
-                        blk[d, :len(chunk)] = cover[chunk - lo]
+                        if len(chunk) * 2 < hi - lo:
+                            # sparse roi: selective reads instead of
+                            # the covering span
+                            blk[d, :len(chunk)] = read_ds_selected(
+                                chunk
+                            )
+                        else:
+                            cover = read_ds_range(lo, hi)
+                            blk[d, :len(chunk)] = cover[chunk - lo]
                     return (
                         int(bounds[d] + off),
                         int(bounds[d] + off + len(chunk)),
@@ -1623,9 +1704,13 @@ class UDFRunner:
                     # reference udf/base.py:96): rebuild fused plan +
                     # re-trace the sharded step with the new params
                     self._params_patched = False
-                    prep["fused"] = self._build_fused_plan(
-                        prep["plan"], scheme, prep["meta"]
-                    )
+                    self._apply_param_patch(prep)
+                    # re-replicate patched aux over the mesh
+                    for entry in prep["aux"]:
+                        for k in entry:
+                            entry[k] = put_replicated(
+                                np.asarray(entry[k])
+                            )
                     step = make_step()
                 state = step(
                     state, dev_blk, d_loffs, d_goffs, d_valids,

@@ -460,3 +460,81 @@ def test_run_udf_sync_false(lt_ctx, ds):
     coro = lt_ctx.run_udf(ds, SumUDF(), sync=False)
     res = asyncio.run(coro)
     assert res["intensity"].data.shape == (10, 10)
+
+
+def test_aux_param_patch_mid_run(lt_ctx):
+    """Patching an aux-data parameter mid-run must rebuild the device
+    aux arrays (regression: review finding — patched aux was silently
+    ignored)."""
+    from libertem_tpu.udf.base import UDF
+
+    class WeightedSumSigUDF(UDF):
+        def get_result_buffers(self):
+            return {
+                "ws": self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def process_tile(self, tile):
+            flat = tile.reshape(tile.shape[0], -1)
+            self.results.ws += (
+                flat.sum(axis=1) * self.params.weights
+            )
+
+        def merge(self, dest, src):
+            pass
+
+    data = np.ones((8, 4, 8, 8), dtype=np.float32)
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    from libertem_tpu.udf.base import UDF as _UDF
+    w1 = np.ones(32, dtype=np.float32)
+    udf = WeightedSumSigUDF(
+        weights=_UDF.aux_data(w1, kind="nav", dtype="float32")
+    )
+    gen = lt_ctx.run_udf_iter(ds, udf)
+    partials = []
+    for i, res in enumerate(gen):
+        partials.append(res)
+        if i == 0:
+            w2 = 3 * np.ones(32, dtype=np.float32)
+            gen.update_parameters_experimental([{
+                "weights": _UDF.aux_data(
+                    w2, kind="nav", dtype="float32"
+                ),
+            }])
+    final = partials[-1].buffers[0]["ws"].data.reshape(-1)
+    ratio = final / 64.0
+    assert set(np.round(ratio, 3).tolist()) <= {1.0, 3.0}
+    assert (ratio > 2).any(), "patched aux data never took effect"
+
+
+def test_abandoned_iterator_releases_prefetch(lt_ctx, ds):
+    """Dropping a partial-results iterator mid-run must not leave the
+    prefetch worker blocked (regression: review finding)."""
+    import threading
+
+    before = {
+        t.name for t in threading.enumerate()
+    }
+    gen = lt_ctx.run_udf_iter(ds, SumUDF())
+    next(iter(gen))
+    gen.close()
+    del gen
+    import gc as _gc
+    import time as _time
+    _gc.collect()
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        alive = {
+            t.name for t in threading.enumerate()
+        } - before
+        if not any("Thread" in n or "worker" in n for n in alive):
+            break
+        _time.sleep(0.1)
+    leaked = {
+        t.name for t in threading.enumerate()
+    } - before
+    assert not any(
+        n.startswith("Thread-") for n in leaked
+    ), f"prefetch thread leaked: {leaked}"
