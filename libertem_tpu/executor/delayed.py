@@ -107,12 +107,13 @@ class DelayedResults(dict):
             raise AttributeError(k) from None
 
     def compute(self):
-        """Force execution; returns the eager results dict."""
+        """Force execution; returns the eager results dict (with the
+        run's damage buffer, like the eager path)."""
         from ..udf.base import SingleUDFResults
 
         materialized = self._compute()
         return SingleUDFResults(
-            materialized, getattr(self._compute, "damage", None)
+            materialized, self._compute.full_results().damage
         )
 
 
@@ -140,16 +141,30 @@ def make_delayed_results(context, dataset, udfs, single, roi,
             state["results"] = results
         return state["results"]
 
+    nav_shape = tuple(dataset.meta.shape.nav)
+    sig_shape = tuple(dataset.meta.shape.sig)
+
+    def _decl_shape(b):
+        # analytic .data shape from the declaration — touching
+        # b.data would transfer the dry-run zeros from the device
+        extra = tuple(b.extra_shape)
+        if b.kind == "nav":
+            return nav_shape + extra
+        if b.kind == "sig":
+            return sig_shape + extra
+        return extra if extra else ()
+
     out = []
     for i, decl in enumerate(decls):
         def compute(i=i):
             return run_once().buffers[i]
 
+        compute.full_results = run_once
         bufs = {
             name: DelayedBuffer(
                 name, b, compute,
-                data_shape=tuple(np.asarray(b.data).shape),
-                data_dtype=np.asarray(b.data).dtype,
+                data_shape=_decl_shape(b),
+                data_dtype=np.dtype(b.dtype),
             )
             for name, b in decl.items()
         }

@@ -116,13 +116,18 @@ def _scan_sector(path: str) -> dict:
             v = (v << 8) | blocks[:, col + i]
         return v
 
+    # real DataBlock.header_dtype layout (reference k2is.py:583):
+    # sync u4 @0, padding1 @4-7, version u1 @8, flags u1 @9,
+    # padding2 @10-15, block_count u4 @16, width u2 @20,
+    # height u2 @22, frame_id u4 @24, pixel_x_start u2 @28,
+    # pixel_y_start u2 @30, x_end @32, y_end @34, block_size u4 @36
     sync = be(0, 4)
     flags = blocks[:, 9].astype(np.uint32)
-    frame_id = be(16, 4)
-    x_start = be(20, 2)
-    y_start = be(22, 2)
-    width = be(12, 2)
-    height = be(14, 2)
+    width = be(20, 2)
+    height = be(22, 2)
+    frame_id = be(24, 4)
+    x_start = be(28, 2)
+    y_start = be(30, 2)
     valid = (
         (sync == SYNC_MAGIC)
         & (width == SECTOR_SIZE[1])

@@ -71,11 +71,12 @@ class HostUDFRunner:
 
         meta = self.prep["meta"]
         corrections = meta.corrections
-        x = block[:valid].astype(self.input_dtype)
         if corrections is not None and corrections.have_corrections():
             x = corrections.apply_numpy(block[:valid]).astype(
                 self.input_dtype
             )
+        else:
+            x = block[:valid].astype(self.input_dtype)
         coords = coords[:valid]
         for ei, entry in enumerate(self.entries):
             udf = entry.udf

@@ -13,6 +13,7 @@ from typing import Optional
 import numpy as np
 
 from ..analysis.base import Analysis
+from ..common.progress import ProgressReporter
 from ..viz.base import encode_image
 
 log = logging.getLogger(__name__)
@@ -20,9 +21,10 @@ log = logging.getLogger(__name__)
 RESULT_THROTTLE = 0.3  # seconds between TASK_RESULT pushes
 
 
-class WebProgressReporter:
+class WebProgressReporter(ProgressReporter):
     """Streams JOB_PROGRESS websocket messages
-    (reference: web/engine.py:30)."""
+    (reference: web/engine.py:30).  Must subclass ProgressReporter:
+    UDFRunner._make_progress type-checks it."""
 
     def __init__(self, loop, registry, job_uuid):
         self._loop = loop
@@ -79,25 +81,36 @@ class JobEngine:
         self._result_cache: dict = {}
 
     async def run_analysis(self, analysis_uuid: str, job_uuid: str):
-        entry = self.state.analysis_state[analysis_uuid]
-        ds_uuid = entry["dataset"]
-        dataset = self.state.dataset_state[ds_uuid]
-        details = entry["details"]
-        analysis_cls = Analysis.get_analysis_by_type(
-            details["analysisType"]
-        )
-        parameters = details.get("parameters", {})
-        analysis = analysis_cls(
-            dataset=dataset, parameters=parameters,
-        )
-        self.state.job_state.register(job_uuid, analysis_uuid, ds_uuid)
-        entry["jobs"].append(job_uuid)
-        await self.event_registry.broadcast({
-            "status": "ok", "messageType": "JOB_STARTED",
-            "job": job_uuid, "analysis": analysis_uuid,
-            "details": {"id": job_uuid, "analysis": analysis_uuid},
-        })
+        # everything (incl. setup) inside try: a deleted dataset or a
+        # bad analysis type must broadcast JOB_ERROR, not hang the
+        # GUI job forever
         try:
+            entry = self.state.analysis_state[analysis_uuid]
+            ds_uuid = entry["dataset"]
+            dataset = self.state.dataset_state[ds_uuid]
+            details = entry["details"]
+            analysis_cls = Analysis.get_analysis_by_type(
+                details["analysisType"]
+            )
+            if analysis_cls is None:
+                raise ValueError(
+                    f"unknown analysis type "
+                    f"{details['analysisType']!r}"
+                )
+            parameters = details.get("parameters", {})
+            analysis = analysis_cls(
+                dataset=dataset, parameters=parameters,
+            )
+            self.state.job_state.register(
+                job_uuid, analysis_uuid, ds_uuid
+            )
+            entry["jobs"].append(job_uuid)
+            await self.event_registry.broadcast({
+                "status": "ok", "messageType": "JOB_STARTED",
+                "job": job_uuid, "analysis": analysis_uuid,
+                "details": {"id": job_uuid,
+                            "analysis": analysis_uuid},
+            })
             # re-visualization short-circuit: if only display
             # parameters changed, reuse the cached raw results
             # (reference web/engine.py:189-206)
@@ -130,7 +143,8 @@ class JobEngine:
                 "job": job_uuid, "msg": str(e),
             })
         finally:
-            self.state.job_state.finish(job_uuid)
+            if job_uuid in self.state.job_state.jobs:
+                self.state.job_state.finish(job_uuid)
 
     def invalidate_cache(self, analysis_uuid=None, ds_uuid=None):
         """Drop cached results when an analysis is removed or its
@@ -211,7 +225,6 @@ class JobEngine:
         fut = loop.run_in_executor(None, producer)
         last_push = 0.0
         latest = None
-        from ..udf.base import SingleUDFResults
         while True:
             kind, payload = await queue.get()
             if kind == "error":

@@ -165,7 +165,13 @@ class DataSetDetailHandler(_BaseHandler):
                 for key in ("nav_shape", "sig_shape"):
                     if params.get(key) is not None:
                         params[key] = tuple(params[key])
-            ds = ctx.load(ds_type, **params)
+            import asyncio as _asyncio
+            loop = _asyncio.get_running_loop()
+            # dataset initialize can scan GBs of headers: keep it off
+            # the event loop
+            ds = await loop.run_in_executor(
+                None, lambda: ctx.load(ds_type, **params)
+            )
         except Exception as e:
             self.write_json({
                 "status": "error",
@@ -174,6 +180,9 @@ class DataSetDetailHandler(_BaseHandler):
                 "msg": str(e),
             })
             return
+        # re-opening an existing uuid replaces the dataset: stale
+        # cached analysis results must not survive
+        self.engine.invalidate_cache(ds_uuid=uuid)
         self.state.dataset_state.register(uuid, ds, {
             "type": ds_type.upper(), **params,
         })
@@ -309,7 +318,29 @@ class ResultDownloadHandler(_BaseHandler):
             parameters=entry["details"].get("parameters", {}),
         )
         ctx = self.state.executor_state.get_context()
-        result_set = ctx.run(analysis)
+        import asyncio as _asyncio
+        cached = self.engine._result_cache.get(job["analysis"])
+        loop = _asyncio.get_running_loop()
+        if cached is not None:
+            # the engine already holds the computed raw results —
+            # re-visualize without recomputing
+            from ..udf.base import SingleUDFResults
+            udf_results = cached[1]
+            wrapped = SingleUDFResults(
+                udf_results.buffers[0], udf_results.damage
+            )
+            result_set = await loop.run_in_executor(
+                None,
+                lambda: analysis.get_udf_results(
+                    wrapped, analysis.get_roi(), udf_results.damage
+                ),
+            )
+        else:
+            # recompute off the event loop so downloads don't stall
+            # every other request / websocket
+            result_set = await loop.run_in_executor(
+                None, lambda: ctx.run(analysis)
+            )
         from ..io.writers import ResultFormat
         fmt_cls = ResultFormat.registry[fmt]
         buf = io.BytesIO()

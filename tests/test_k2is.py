@@ -27,19 +27,21 @@ def _pack_uint12_le(vals: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _block_header(frame_id, xs, ys, shutter=True):
+def _block_header(frame_id, xs, ys, shutter=True, block_count=0):
+    """Real DataBlock.header_dtype layout (reference k2is.py:583)."""
     head = bytearray(HEADER_SIZE)
     head[0:4] = struct.pack(">I", 0xFFFF0055)
     head[8] = 1  # version
     head[9] = 0x1 if shutter else 0x0
-    head[12:14] = struct.pack(">H", SECTOR_SIZE[1])
-    head[14:16] = struct.pack(">H", SECTOR_SIZE[0])
-    head[16:20] = struct.pack(">I", frame_id)
-    head[20:22] = struct.pack(">H", xs)
-    head[22:24] = struct.pack(">H", ys)
-    head[24:26] = struct.pack(">H", xs + BLOCK_SHAPE[1] - 1)
-    head[26:28] = struct.pack(">H", ys + BLOCK_SHAPE[0] - 1)
-    head[28:32] = struct.pack(">I", BLOCK_SIZE)
+    head[16:20] = struct.pack(">I", block_count)
+    head[20:22] = struct.pack(">H", SECTOR_SIZE[1])   # width
+    head[22:24] = struct.pack(">H", SECTOR_SIZE[0])   # height
+    head[24:28] = struct.pack(">I", frame_id)
+    head[28:30] = struct.pack(">H", xs)               # pixel_x_start
+    head[30:32] = struct.pack(">H", ys)               # pixel_y_start
+    head[32:34] = struct.pack(">H", xs + BLOCK_SHAPE[1] - 1)
+    head[34:36] = struct.pack(">H", ys + BLOCK_SHAPE[0] - 1)
+    head[36:40] = struct.pack(">I", BLOCK_SIZE)
     return bytes(head)
 
 
