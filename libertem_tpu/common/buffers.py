@@ -279,8 +279,3 @@ class PlaceholderBufferWrapper(BufferWrapper):
         super().__init__(kind, extra_shape, dtype, use="result_only")
 
 
-def reshaped_view(arr: np.ndarray, shape) -> np.ndarray:
-    """A reshaped view that is guaranteed not to copy."""
-    out = arr.view()
-    out.shape = tuple(shape)
-    return out

@@ -67,8 +67,12 @@ class _DMParser:
         return struct.unpack(">i", self.f.read(4))[0]
 
     def parse(self):
-        self._parse_group(prefix="")
-        self.f.close()
+        try:
+            self._parse_group(prefix="")
+        finally:
+            # close on failure too: detect_params probes many files
+            # and a leaked fd per corrupt file accumulates
+            self.f.close()
         return self
 
     def _parse_group(self, prefix: str):
@@ -174,12 +178,30 @@ def parse_dm(path: str) -> dict:
             f"unsupported DM element type {elem_code}"
         )
     bo = "<" if p.little_endian else ">"
+    # C-order detection (reference dm_single.py:247-277): 2D/3D data
+    # is C-ordered; 4D STEM data is assumed transposed (sig-major)
+    # unless the 'Data Order Swapped' tag says it was rewritten in
+    # C order at save time.
+    ndims = len(dims)
+    c_order = ndims in (2, 3)
+    img_prefix = best[0].split(".ImageData.")[0]
+    for key, val in p.tags.items():
+        if (
+            key.startswith(img_prefix)
+            and key.endswith("Data Order Swapped")
+        ):
+            try:
+                c_order = bool(int(val))
+            except (TypeError, ValueError):
+                pass
+            break
     return {
         "offset": best[1],
         "dtype": np.dtype(bo + _SIMPLE_DTYPES[elem_code]),
         # DM lists x fastest; reverse into C order
         "shape": tuple(reversed(dims)),
         "count": best[3],
+        "c_order": c_order,
     }
 
 
@@ -221,7 +243,7 @@ class SingleDMDataSet(DataSet):
         sig_shape: Optional[Sequence[int]] = None,
         sync_offset: int = 0,
         sig_dims: int = 2,
-        force_c_order: bool = True,
+        force_c_order: bool = False,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -230,9 +252,20 @@ class SingleDMDataSet(DataSet):
         self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sig_dims = sig_dims
         self._sync_offset = int(sync_offset)
+        self._force_c_order = force_c_order
 
     def initialize(self, executor=None) -> "SingleDMDataSet":
         info = parse_dm(self._path)
+        if not info.get("c_order", True) and not self._force_c_order:
+            # matches the reference's refusal for sig-major files
+            # (dm_single.py:331): convert first, or force
+            raise DataSetException(
+                f"{self._path}: DM file is stored sig-major "
+                "('transposed'); convert it with "
+                "libertem_tpu.contrib.convert_transposed."
+                "convert_dm4_transposed(), or pass "
+                "force_c_order=True if the metadata is wrong"
+            )
         shape = info["shape"]
         sig_shape = self._sig_shape or shape[
             len(shape) - self._sig_dims:
@@ -288,6 +321,15 @@ class StackedDMPartition(Partition):
         # [(path, first_frame, n_frames, offset, dtype)]
         self._infos = file_infos
         self._sig_shape = tuple(sig_shape)
+        self._mmaps: dict = {}
+
+    def _get_mmap(self, path, dtype, offset, count, px):
+        if path not in self._mmaps:
+            self._mmaps[path] = np.memmap(
+                path, dtype=dtype, mode="r", offset=offset,
+                shape=(count * px,),
+            )
+        return self._mmaps[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         px = int(np.prod(self._sig_shape))
@@ -299,10 +341,7 @@ class StackedDMPartition(Partition):
             lo, hi = max(start, first), min(stop, first + count)
             if hi <= lo:
                 continue
-            mm = np.memmap(
-                path, dtype=dtype, mode="r", offset=offset,
-                shape=(count * px,),
-            )
+            mm = self._get_mmap(path, dtype, offset, count, px)
             chunk = mm[
                 (lo - first) * px:(hi - first) * px
             ].reshape((hi - lo,) + self._sig_shape)

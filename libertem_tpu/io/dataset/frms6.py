@@ -84,11 +84,19 @@ def _discover(path: str) -> tuple:
 
 
 class FRMS6Partition(Partition):
-    def __init__(self, files, stored_shape, *args, **kwargs):
+    def __init__(self, files, stored_shape, io_backend=None,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._files = files  # [(path, first, count)]
         self._stored = stored_shape  # (h, w) folded
-        self._mmaps = {}
+        self._io_backend = io_backend
+        self._readers = {}
+
+    def _get_reader(self, path):
+        if path not in self._readers:
+            from .base import RangeReader
+            self._readers[path] = RangeReader(path, self._io_backend)
+        return self._readers[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         h, w = self._stored
@@ -100,19 +108,15 @@ class FRMS6Partition(Partition):
             lo, hi = max(start, first), min(stop, first + count)
             if hi <= lo:
                 continue
-            if path not in self._mmaps:
-                self._mmaps[path] = np.memmap(
-                    path, dtype=np.uint8, mode="r"
-                )
-            mm = self._mmaps[path]
-            for i in range(lo, hi):
-                off = (
-                    FILE_HEADER_SIZE + (i - first) * stride
-                    + FRAME_HEADER_SIZE
-                )
-                folded[i - start] = np.frombuffer(
-                    mm[off:off + frame_bytes], dtype="<u2"
-                ).reshape(h, w)
+            reader = self._get_reader(path)
+            span0 = FILE_HEADER_SIZE + (lo - first) * stride
+            cover = reader.read(span0, (hi - lo) * stride)
+            folded[lo - start:hi - start] = (
+                cover.reshape(hi - lo, stride)[
+                    :, FRAME_HEADER_SIZE:FRAME_HEADER_SIZE
+                    + frame_bytes
+                ].view("<u2").reshape(hi - lo, h, w)
+            )
         return unfold(folded)
 
 
@@ -130,6 +134,7 @@ class FRMS6DataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
         self._enable_offset_correction = enable_offset_correction
         self._gain_map_path = gain_map_path
@@ -140,6 +145,13 @@ class FRMS6DataSet(DataSet):
         h0 = read_frms6_header(data_files[0])
         self._stored = (h0["height"], h0["width"])
         sig_shape = (2 * h0["height"], h0["width"] // 2)
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != sig_shape:
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the unfolded frame size {sig_shape}"
+            )
         self._files = []
         first = 0
         for f in data_files:
@@ -168,7 +180,7 @@ class FRMS6DataSet(DataSet):
             h = read_frms6_header(self._dark_file)
             part = FRMS6Partition(
                 [(self._dark_file, 0, h["num_frames"])],
-                self._stored, self.meta, 0, h["num_frames"],
+                self._stored, None, self.meta, 0, h["num_frames"],
             )
             frames = part._read_raw_frames(0, h["num_frames"])
             dark = frames.astype(np.float64).mean(axis=0).astype(
@@ -188,7 +200,7 @@ class FRMS6DataSet(DataSet):
     def get_partitions(self) -> Iterator[FRMS6Partition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield FRMS6Partition(
-                self._files, self._stored,
+                self._files, self._stored, self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

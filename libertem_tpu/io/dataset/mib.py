@@ -39,10 +39,16 @@ def parse_mib_header(path: str) -> dict:
     with open(path, "rb") as f:
         filesize = os.fstat(f.fileno()).st_size
         head = f.read(1024).decode("ascii", errors="ignore")
-    parts = head.split(",")
-    if not parts or parts[0] != "MQ1":
-        raise DataSetException(f"{path}: not a MIB file")
-    header_bytes = int(parts[2])
+        parts = head.split(",")
+        if not parts or parts[0] != "MQ1":
+            raise DataSetException(f"{path}: not a MIB file")
+        header_bytes = int(parts[2])
+        if header_bytes > 1024:
+            # extended headers (DAC/threshold sections) exceed 1 KB
+            f.seek(0)
+            head = f.read(header_bytes).decode(
+                "ascii", errors="ignore"
+            )
     # only the declared header region holds fields; the rest of the
     # first KB is already frame payload
     parts = [
@@ -180,11 +186,10 @@ class MIBPartition(Partition):
             cover = reader.read(
                 span0, (hi - lo) * h["frame_size"]
             )
-            for i in range(lo, hi):
-                off = (
-                    (i - lo) * h["frame_size"] + h["header_bytes"]
-                )
-                payloads[i - start] = cover[off:off + h["payload"]]
+            # one vectorized strided copy instead of a per-frame loop
+            payloads[lo - start:hi - start] = cover.reshape(
+                hi - lo, h["frame_size"]
+            )[:, h["header_bytes"]:h["header_bytes"] + h["payload"]]
         if h["kind"] == "u":
             bpx = int(h["out_dtype"].itemsize)
             arr = payloads.view(f">u{bpx}").astype(h["out_dtype"])

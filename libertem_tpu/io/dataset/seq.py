@@ -96,10 +96,25 @@ class SEQDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape or scan_size or ())
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "SEQDataSet":
         h = read_seq_header(self._path)
+        if h["bit_depth"] not in (8, 16):
+            raise DataSetException(
+                f"unsupported SEQ bit depth {h['bit_depth']} "
+                "(packed 10/12-bit and color formats are not "
+                "supported)"
+            )
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != (h["height"], h["width"]):
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the file's frame size "
+                f"{(h['height'], h['width'])}"
+            )
         self._h = h
         filesize = os.path.getsize(self._path)
         image_count = (

@@ -124,6 +124,21 @@ class FullFrameCorrelationUDF(UDF):
             "peak_values": self.buffer(kind="nav", dtype="float32"),
         }
 
+    def _require_whole_sig(self):
+        """Correlation needs whole frames: a sig-split scheme (e.g.
+        forced by a co-running UDF's small tile preference) would
+        correlate partial frames and clamp full-frame peak coordinates
+        silently under jit — refuse loudly instead."""
+        if tuple(self.meta.sig_slice.shape) != tuple(
+            self.meta.sig_shape
+        ):
+            from .base import UDFException
+            raise UDFException(
+                f"{type(self).__name__} needs whole frames but the "
+                "tiling scheme splits sig (a co-running UDF requested "
+                "small tiles?); run it in its own pass"
+            )
+
     def get_tiling_preferences(self):
         return {"depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
@@ -139,6 +154,7 @@ class FullFrameCorrelationUDF(UDF):
         return jnp.asarray(self._spectrum)
 
     def process_tile(self, tile):
+        self._require_whole_sig()
         spec = self._get_spectrum()
         f = jnp.fft.fft2(tile.astype(jnp.float32))
         corr = jnp.fft.ifft2(f * spec).real  # (depth, h, w)
@@ -190,6 +206,8 @@ class SparseCorrelationUDF(UDF):
             ),
         }
 
+    _require_whole_sig = FullFrameCorrelationUDF._require_whole_sig
+
     def get_tiling_preferences(self):
         return {"depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
@@ -230,6 +248,7 @@ class SparseCorrelationUDF(UDF):
         )
 
     def process_tile(self, tile):
+        self._require_whole_sig()
         spec, (wy, wx) = self._get_plan()
         steps = int(self.params.steps)
         size = 2 * steps + 1
