@@ -127,9 +127,33 @@ class GuessParametersProc:
     (reference: com.py:139 ParameterGuessProc)."""
 
     async def __call__(self, rpc_context):
+        from ..udf.com import apply_com_correction
+
         analysis = rpc_context.get_analysis()
         res = rpc_context.run_analysis_default(analysis)
         y = res["y"].raw_data
         x = res["x"].raw_data
         guess = guess_corrections(y, x)
-        return {"status": "ok", "guess": guess}
+        # the y/x fields already have the analysis's current
+        # rotation/flip applied, so the guess is *relative* to the
+        # current parameters.  Convert to absolute GUI values so a
+        # stale GUI state can't double-apply (reference com.py:166):
+        # flip composes by XOR, rotation adds, and the guessed mean
+        # center must be backtransformed into raw detector
+        # coordinates (forward is flip-then-rotate, so the inverse is
+        # rotate(-theta) then unflip).
+        old = analysis.parameters
+        old_rot = float(old.get("scan_rotation", 0.0) or 0.0)
+        old_flip = bool(old.get("flip_y", False))
+        iy, ix = apply_com_correction(
+            np.array([guess["cy"]]), np.array([guess["cx"]]),
+            -old_rot, False,
+        )
+        if old_flip:
+            iy = -iy
+        return {"status": "ok", "guess": {
+            "cy": float(old["cy"]) + float(iy[0]),
+            "cx": float(old["cx"]) + float(ix[0]),
+            "scan_rotation": old_rot + guess["scan_rotation"],
+            "flip_y": old_flip != guess["flip_y"],
+        }}

@@ -98,8 +98,7 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         dominant[below] = 0.0
         results = []
         for b in range(n_bins):
-            dom_b = dominant[..., b, :].reshape(nav_shape) if False \
-                else dominant[..., b]
+            dom_b = dominant[..., b]
             results.append(AnalysisResult(
                 raw_data=dom_b,
                 visualized=(

@@ -56,26 +56,30 @@ def read_blo_header(path: str, endianess="<"):
 
 
 class BloPartition(Partition):
-    def __init__(self, path, data_offset, dp_sz, *args, **kwargs):
+    def __init__(self, path, data_offset, dp_sz, io_backend=None,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
         self._data_offset = data_offset
         self._dp_sz = dp_sz
-        self._mmap = None
+        self._io_backend = io_backend
+        self._reader = None
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            self._mmap = np.memmap(self._path, dtype=np.uint8,
-                                   mode="r")
+        if self._reader is None:
+            from .base import RangeReader
+            self._reader = RangeReader(self._path, self._io_backend)
         sz = self._dp_sz
         stride = FRAME_HEADER_BYTES + sz * sz
         n = stop - start
-        out = np.empty((n, sz, sz), dtype=np.uint8)
-        base = self._data_offset
-        for i in range(n):
-            off = base + (start + i) * stride + FRAME_HEADER_BYTES
-            out[i] = self._mmap[off:off + sz * sz].reshape(sz, sz)
-        return out
+        # one ranged read over the span, then one vectorized strided
+        # slice dropping the 6-byte frame headers
+        cover = self._reader.read(
+            self._data_offset + start * stride, n * stride
+        )
+        return np.ascontiguousarray(
+            cover.reshape(n, stride)[:, FRAME_HEADER_BYTES:]
+        ).reshape(n, sz, sz)
 
 
 class BloDataSet(DataSet):
@@ -91,6 +95,7 @@ class BloDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
         self._endianess = endianess
 
@@ -101,6 +106,13 @@ class BloDataSet(DataSet):
                 f"unexpected blo magic {int(h['MAGIC'])}"
             )
         dp_sz = int(h["DP_SZ"])
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != (dp_sz, dp_sz):
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the file's frame size {(dp_sz, dp_sz)}"
+            )
         nav_shape = self._nav_shape or (int(h["NY"]), int(h["NX"]))
         self._data_offset = int(h["Data_offset_2"])
         self._dp_sz = dp_sz
@@ -123,6 +135,7 @@ class BloDataSet(DataSet):
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield BloPartition(
                 self._path, self._data_offset, self._dp_sz,
+                self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

@@ -76,6 +76,11 @@ class EMPADDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape or scan_size or ())
+        if sig_shape is not None and tuple(sig_shape) != DETECTOR_SIZE:
+            raise DataSetException(
+                f"sig_shape {tuple(sig_shape)} does not match the "
+                f"EMPAD detector size {DETECTOR_SIZE}"
+            )
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "EMPADDataSet":

@@ -75,6 +75,14 @@ class FrameRing:
     def read(self, start: int, stop: int) -> np.ndarray:
         """Frames [start, stop); blocks until pushed (zeros for
         frames that never arrive before finish())."""
+        if stop - start > self._capacity:
+            # the producer can't get more than `capacity` frames ahead
+            # of the reader, so this wait could never be satisfied
+            raise ValueError(
+                f"read of {stop - start} frames exceeds the ring "
+                f"capacity {self._capacity}; raise ring_capacity or "
+                "lower the block size"
+            )
         out = np.zeros((stop - start,) + self._sig, self._dtype)
         with self._cv:
             self._cv.wait_for(

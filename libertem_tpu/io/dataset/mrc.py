@@ -79,11 +79,19 @@ class MRCDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "MRCDataSet":
         h = read_mrc_header(self._path)
         sig_shape = (h["ny"], h["nx"])
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != sig_shape:
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the file's frame size {sig_shape}"
+            )
         nav_shape = self._nav_shape or (h["nz"],)
         self._h = h
         self._meta = DataSetMeta(

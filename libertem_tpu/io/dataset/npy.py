@@ -79,9 +79,23 @@ class NPYDataSet(DataSet):
             sig_shape = self._sig_shape
         else:
             sig_shape = shape[len(shape) - self._sig_dims:]
-        file_nav = shape[:len(shape) - len(sig_shape)]
-        image_count = int(np.prod(file_nav)) if file_nav else 1
-        nav_shape = self._nav_shape or file_nav or (1,)
+        total = int(np.prod(shape)) if shape else 1
+        sig_size = int(np.prod(sig_shape))
+        if sig_size == 0 or total % sig_size != 0:
+            raise DataSetException(
+                f"sig_shape {tuple(sig_shape)} does not evenly "
+                f"divide the file shape {tuple(shape)}"
+            )
+        file_nav = shape[:len(shape) - self._sig_dims]
+        image_count = total // sig_size
+        nav_shape = self._nav_shape or (
+            file_nav if (
+                self._sig_shape is None
+                or sig_size == int(np.prod(
+                    shape[len(shape) - self._sig_dims:]
+                ))
+            ) and file_nav else (image_count,)
+        )
         self._meta = DataSetMeta(
             shape=Shape(
                 tuple(nav_shape) + tuple(sig_shape),

@@ -24,7 +24,7 @@ from .base import (
 
 
 class RawPartition(Partition):
-    def __init__(self, path, frame_size_bytes, dtype, sig_shape,
+    def __init__(self, path, dtype, sig_shape,
                  io_backend=None, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
@@ -97,7 +97,6 @@ class RawFileDataSet(DataSet):
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield RawPartition(
                 self._path,
-                prod(self._sig_shape) * self._dtype.itemsize,
                 self._dtype,
                 self._sig_shape,
                 self._io_backend,

@@ -109,10 +109,18 @@ class SERDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "SERDataSet":
         idx = read_ser_index(self._path)
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != tuple(idx["sig_shape"]):
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the file's frame size {tuple(idx['sig_shape'])}"
+            )
         self._index = idx
         image_count = len(idx["offsets"])
         nav_shape = self._nav_shape

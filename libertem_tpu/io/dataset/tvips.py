@@ -61,36 +61,41 @@ def _series_files(path: str) -> list:
 
 
 class TVIPSPartition(Partition):
-    def __init__(self, files, header, *args, **kwargs):
+    def __init__(self, files, header, io_backend=None,
+                 *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._files = files  # [(path, first_idx, count, data_off)]
         self._h = header
-        self._mmaps = {}
+        self._io_backend = io_backend
+        self._readers = {}
+
+    def _get_reader(self, path):
+        if path not in self._readers:
+            from .base import RangeReader
+            self._readers[path] = RangeReader(path, self._io_backend)
+        return self._readers[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         h = self._h
         w, ht = h["xdim"], h["ydim"]
         bpx = h["bpp"] // 8
         dtype = np.dtype(f"<u{bpx}")
+        payload = w * ht * bpx
+        fb, ihb = h["frame_bytes"], h["img_header_bytes"]
         n = stop - start
         out = np.empty((n, ht, w), dtype=dtype)
         for path, first, count, data_off in self._files:
             lo, hi = max(start, first), min(stop, first + count)
             if hi <= lo:
                 continue
-            if path not in self._mmaps:
-                self._mmaps[path] = np.memmap(
-                    path, dtype=np.uint8, mode="r"
-                )
-            mm = self._mmaps[path]
-            for i in range(lo, hi):
-                off = (
-                    data_off + (i - first) * h["frame_bytes"]
-                    + h["img_header_bytes"]
-                )
-                out[i - start] = np.frombuffer(
-                    mm[off:off + w * ht * bpx], dtype=dtype
-                ).reshape(ht, w)
+            cover = self._get_reader(path).read(
+                data_off + (lo - first) * fb, (hi - lo) * fb
+            )
+            # one vectorized strided slice dropping the frame headers
+            out[lo - start:hi - start] = (
+                cover.reshape(hi - lo, fb)[:, ihb:ihb + payload]
+                .view(dtype).reshape(hi - lo, ht, w)
+            )
         return out
 
 
@@ -106,11 +111,19 @@ class TVIPSDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "TVIPSDataSet":
         files = _series_files(self._path)
         h = read_tvips_header(files[0])
+        if self._sig_shape is not None and tuple(
+            self._sig_shape
+        ) != (h["ydim"], h["xdim"]):
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the file's frame size {(h['ydim'], h['xdim'])}"
+            )
         self._h = h
         self._files = []
         first = 0
@@ -143,7 +156,7 @@ class TVIPSDataSet(DataSet):
     def get_partitions(self) -> Iterator[TVIPSPartition]:
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield TVIPSPartition(
-                self._files, self._h,
+                self._files, self._h, self._io_backend,
                 self.meta, start, stop - start, idx=idx,
             )
 

@@ -56,7 +56,3 @@ class BQLive2DPlot(Live2DPlot):
             cs = self.image.scales["image"]
             cs.min = float(valid.min())
             cs.max = float(valid.max() + 1e-30)
-
-
-class Dummy:  # keep module importable for registry checks
-    pass

@@ -417,15 +417,25 @@ class AnalysisRPCHandler(_BaseHandler):
         )
         ctx = self.state.executor_state.get_context()
 
+        loop = tornado.ioloop.IOLoop.current()
+
         class RpcContext:
             def get_analysis(self):
                 return analysis
 
             def run_analysis_default(self, a):
+                # runs on a thread via run_in_executor below; kept
+                # sync so procs can call it without awaiting
                 return ctx.run(a)
 
         proc = procs[proc_name]()
-        result = await proc(RpcContext())
+
+        # the UDF run inside the proc is CPU/TPU-bound; keep the
+        # event loop responsive (same pattern as the download handler)
+        import asyncio
+        result = await loop.run_in_executor(
+            None, lambda: asyncio.run(proc(RpcContext()))
+        )
         self.write_json(result)
 
     get = put

@@ -222,6 +222,12 @@ class TestConnectionAndRPC(WebTestBase):
         assert set(guess) == {
             "scan_rotation", "flip_y", "cy", "cx"
         }
+        # the guess is converted to ABSOLUTE GUI parameters
+        # (reference com.py:166): for near-centered random data the
+        # guessed center is near the configured (8, 8), not near the
+        # relative delta (~0)
+        assert 4.0 < guess["cy"] < 12.0
+        assert 4.0 < guess["cx"] < 12.0
 
     def test_notebook_download(self):
         data = _mk_random((4, 4, 8, 8), dtype="float32")
