@@ -214,18 +214,19 @@ class DMPartition(Partition):
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
         self._count = count
-        self._mmap = None
+        self._reader = None
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            # explicit shape: tag data after the array would otherwise
-            # break the whole-file element count
-            self._mmap = np.memmap(
-                self._path, dtype=self._dtype, mode="r",
-                offset=self._offset, shape=(self._count,),
-            )
+        if self._reader is None:
+            from .base import RangeReader
+            self._reader = RangeReader(self._path)
         px = int(np.prod(self._sig_shape))
-        out = self._mmap[start * px:stop * px].reshape(
+        item = self._dtype.itemsize
+        buf = self._reader.read(
+            self._offset + start * px * item,
+            (stop - start) * px * item,
+        )
+        out = np.frombuffer(buf, dtype=self._dtype).reshape(
             (stop - start,) + self._sig_shape
         )
         if self._dtype.byteorder == ">":
@@ -321,15 +322,13 @@ class StackedDMPartition(Partition):
         # [(path, first_frame, n_frames, offset, dtype)]
         self._infos = file_infos
         self._sig_shape = tuple(sig_shape)
-        self._mmaps: dict = {}
+        self._readers: dict = {}
 
-    def _get_mmap(self, path, dtype, offset, count, px):
-        if path not in self._mmaps:
-            self._mmaps[path] = np.memmap(
-                path, dtype=dtype, mode="r", offset=offset,
-                shape=(count * px,),
-            )
-        return self._mmaps[path]
+    def _get_reader(self, path):
+        if path not in self._readers:
+            from .base import RangeReader
+            self._readers[path] = RangeReader(path)
+        return self._readers[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         px = int(np.prod(self._sig_shape))
@@ -341,10 +340,14 @@ class StackedDMPartition(Partition):
             lo, hi = max(start, first), min(stop, first + count)
             if hi <= lo:
                 continue
-            mm = self._get_mmap(path, dtype, offset, count, px)
-            chunk = mm[
-                (lo - first) * px:(hi - first) * px
-            ].reshape((hi - lo,) + self._sig_shape)
+            item = np.dtype(dtype).itemsize
+            buf = self._get_reader(path).read(
+                offset + (lo - first) * px * item,
+                (hi - lo) * px * item,
+            )
+            chunk = np.frombuffer(buf, dtype=dtype).reshape(
+                (hi - lo,) + self._sig_shape
+            )
             out[lo - start:hi - start] = chunk
         return out
 

@@ -47,19 +47,17 @@ def params_from_xml(path: str, mode: str = "acquire"):
 
 
 class EMPADPartition(Partition):
-    def __init__(self, path, *args, **kwargs):
+    def __init__(self, path, *args, io_backend=None, **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
-        self._mmap = None
+        from .base import RangeReader
+        self._reader = RangeReader(path, io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            self._mmap = np.memmap(
-                self._path, dtype=np.float32, mode="r"
-            )
         fh, fw = RAW_FRAME_SIZE
-        px = fh * fw
-        raw = self._mmap[start * px:stop * px].reshape(-1, fh, fw)
+        fb = fh * fw * 4
+        buf = self._reader.read(start * fb, (stop - start) * fb)
+        raw = np.frombuffer(buf, dtype=np.float32).reshape(-1, fh, fw)
         return np.ascontiguousarray(raw[:, :DETECTOR_SIZE[0], :])
 
 
@@ -109,7 +107,7 @@ class EMPADDataSet(DataSet):
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield EMPADPartition(
                 self._path_raw, self.meta, start, stop - start,
-                idx=idx,
+                idx=idx, io_backend=self._io_backend,
             )
 
     @classmethod

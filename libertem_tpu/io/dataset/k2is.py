@@ -92,23 +92,53 @@ def _scan_sector(path: str) -> dict:
     Returns arrays (per block): offset, frame_id, x_start, y_start,
     shutter.
     """
-    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    size = os.path.getsize(path)
     # find the first valid block: search for the sync magic on any
     # byte offset (robust against truncated stream starts)
     first = 0
     magic = np.array([0xFF, 0xFF, 0x00, 0x55], dtype=np.uint8)
-    limit = min(len(mm) - BLOCK_SIZE, 2 * BLOCK_SIZE)
+    with open(path, "rb") as f:
+        head = np.frombuffer(
+            f.read(min(size, 2 * BLOCK_SIZE + 4)), dtype=np.uint8
+        )
+    limit = min(size - BLOCK_SIZE, 2 * BLOCK_SIZE)
     for off in range(0, max(1, limit)):
-        if np.array_equal(mm[off:off + 4], magic):
+        if np.array_equal(head[off:off + 4], magic):
             first = off
             break
-    n_blocks = (len(mm) - first) // BLOCK_SIZE
+    n_blocks = (size - first) // BLOCK_SIZE
     if n_blocks <= 0:
         raise DataSetException(f"{path}: no complete blocks")
-    blocks = np.lib.stride_tricks.as_strided(
-        mm[first:], shape=(n_blocks, HEADER_SIZE),
-        strides=(BLOCK_SIZE, 1),
-    )
+    # gather all block headers with chunked sequential preads
+    # (strided mmap faulting is 20-100x slower on virtualized hosts;
+    # see RangeReader)
+    blocks = np.empty((n_blocks, HEADER_SIZE), dtype=np.uint8)
+    per_chunk = max(1, (32 * 1024 * 1024) // BLOCK_SIZE)
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        for b0 in range(0, n_blocks, per_chunk):
+            b1 = min(n_blocks, b0 + per_chunk)
+            span0 = first + b0 * BLOCK_SIZE
+            want = (b1 - b0 - 1) * BLOCK_SIZE + HEADER_SIZE
+            raw = os.pread(fd, want, span0)
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            got = (len(buf) - HEADER_SIZE) // BLOCK_SIZE + 1 \
+                if len(buf) >= HEADER_SIZE else 0
+            got = min(got, b1 - b0)
+            if got <= 0:
+                blocks = blocks[:b0]
+                n_blocks = b0
+                break
+            blocks[b0:b0 + got] = np.lib.stride_tricks.as_strided(
+                buf, shape=(got, HEADER_SIZE),
+                strides=(BLOCK_SIZE, 1),
+            )
+            if got < b1 - b0:
+                blocks = blocks[:b0 + got]
+                n_blocks = b0 + got
+                break
+    finally:
+        os.close(fd)
 
     def be(col, width):
         v = np.zeros(n_blocks, dtype=np.uint32)
@@ -150,14 +180,13 @@ class K2ISPartition(Partition):
         # frame_table: (n_frames, NUM_SECTORS,
         #               BLOCKS_PER_SECTOR_PER_FRAME) block offsets
         self._table = frame_table
-        self._mmaps = {}
+        self._readers = {}
 
-    def _get_mmap(self, s):
-        if s not in self._mmaps:
-            self._mmaps[s] = np.memmap(
-                self._files[s], dtype=np.uint8, mode="r"
-            )
-        return self._mmaps[s]
+    def _get_reader(self, s):
+        if s not in self._readers:
+            from .base import RangeReader
+            self._readers[s] = RangeReader(self._files[s])
+        return self._readers[s]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         h, w = SECTOR_SIZE
@@ -168,12 +197,27 @@ class K2ISPartition(Partition):
         for fi in range(start, stop):
             frame = out[fi - start]
             for s in range(NUM_SECTORS):
-                mm = self._get_mmap(s)
+                reader = self._get_reader(s)
                 x0_sector = s * w
-                for off, xs, ys in self._table[fi][s]:
-                    payload = mm[
-                        off + HEADER_SIZE:off + BLOCK_SIZE
-                    ]
+                blocks = self._table[fi][s]
+                # one read for the covering span when the frame's
+                # blocks are contiguous on disk (the common case)
+                span = None
+                if len(blocks):
+                    offs = np.asarray([b[0] for b in blocks])
+                    lo, hi = int(offs.min()), int(offs.max())
+                    if hi - lo <= (len(blocks) + 2) * BLOCK_SIZE:
+                        span = reader.read(lo, hi - lo + BLOCK_SIZE)
+                for off, xs, ys in blocks:
+                    if span is not None:
+                        payload = span[
+                            off - lo + HEADER_SIZE:off - lo + BLOCK_SIZE
+                        ]
+                    else:
+                        payload = reader.read(
+                            off + HEADER_SIZE,
+                            BLOCK_SIZE - HEADER_SIZE,
+                        )
                     pixels = decode_uint12_le(payload)[
                         :bh * bw
                     ].reshape(bh, bw)

@@ -53,16 +53,19 @@ class MRCPartition(Partition):
         self._offset = offset
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
-        self._mmap = None
+        self._reader = None
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            self._mmap = np.memmap(
-                self._path, dtype=self._dtype, mode="r",
-                offset=self._offset,
-            )
+        if self._reader is None:
+            from .base import RangeReader
+            self._reader = RangeReader(self._path)
         px = int(np.prod(self._sig_shape))
-        return self._mmap[start * px:stop * px].reshape(
+        item = self._dtype.itemsize
+        buf = self._reader.read(
+            self._offset + start * px * item,
+            (stop - start) * px * item,
+        )
+        return np.frombuffer(buf, dtype=self._dtype).reshape(
             (stop - start,) + self._sig_shape
         )
 

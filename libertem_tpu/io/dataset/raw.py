@@ -1,10 +1,11 @@
 """RAW binary dataset: plain uncompressed frames on disk
 (reference: libertem/io/dataset/raw.py:62 RawFileDataSet).
 
-Host-side reads go through a persistent np.memmap (the page cache does
-the heavy lifting, like the reference's MMapBackend backend_mmap.py:68);
-dtype conversion happens on-device after the H2D copy, which moves
-fewer bytes for narrow integer data than the reference's host decode.
+Host-side reads go through RangeReader (buffered preadv by default —
+see its docstring for why mmap, the reference's default
+backend_mmap.py:68, loses on virtualized hosts); dtype conversion
+happens on-device after the H2D copy, which moves fewer bytes for
+narrow integer data than the reference's host decode.
 """
 from __future__ import annotations
 

@@ -49,6 +49,27 @@ def load_descriptor(path: str) -> dict:
     return out
 
 
+class _RangeArray:
+    """Minimal 1-D array-like over a RangeReader: ``a[lo:hi]`` preads
+    the element range and returns a numpy array."""
+
+    def __init__(self, reader, dtype):
+        self._reader = reader
+        self._dtype = np.dtype(dtype)
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            raise TypeError("only contiguous slices are supported")
+        lo, hi = int(key.start or 0), int(key.stop)
+        item = self._dtype.itemsize
+        if hi <= lo:
+            return np.empty(0, dtype=self._dtype)
+        return np.frombuffer(
+            self._reader.read(lo * item, (hi - lo) * item),
+            dtype=self._dtype,
+        )
+
+
 class RawCSRPartition(Partition):
     def __init__(self, desc, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -57,14 +78,24 @@ class RawCSRPartition(Partition):
 
     def _get_maps(self):
         if self._maps is None:
+            from .base import RangeReader
             d = self._desc
+            # indptr is tiny ((n_frames+1) x itemsize) and accessed
+            # randomly: load it whole.  indices/data are read as
+            # contiguous ranges via pread (see RangeReader on why
+            # not mmap).
+            indptr = np.fromfile(
+                d["indptr_file"], dtype=d["indptr_dtype"]
+            )
             self._maps = (
-                np.memmap(d["indptr_file"], dtype=d["indptr_dtype"],
-                          mode="r"),
-                np.memmap(d["indices_file"], dtype=d["indices_dtype"],
-                          mode="r"),
-                np.memmap(d["data_file"], dtype=d["data_dtype"],
-                          mode="r"),
+                indptr,
+                _RangeArray(
+                    RangeReader(d["indices_file"]),
+                    d["indices_dtype"],
+                ),
+                _RangeArray(
+                    RangeReader(d["data_file"]), d["data_dtype"]
+                ),
             )
         return self._maps
 
@@ -180,10 +211,10 @@ class RawCSRDataSet(DataSet):
             raise DataSetException(
                 "nav_shape and sig_shape required (TOML or kwargs)"
             )
-        indptr = np.memmap(
-            desc["indptr_file"], dtype=desc["indptr_dtype"], mode="r"
-        )
-        image_count = len(indptr) - 1
+        image_count = (
+            os.path.getsize(desc["indptr_file"])
+            // np.dtype(desc["indptr_dtype"]).itemsize
+        ) - 1
         self._desc = desc
         self._meta = DataSetMeta(
             shape=Shape(

@@ -77,12 +77,12 @@ class SERPartition(Partition):
         super().__init__(*args, **kwargs)
         self._path = path
         self._index = index
-        self._mmap = None
+        self._reader = None
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._mmap is None:
-            self._mmap = np.memmap(self._path, dtype=np.uint8,
-                                   mode="r")
+        if self._reader is None:
+            from .base import RangeReader
+            self._reader = RangeReader(self._path)
         idx = self._index
         h, w = idx["sig_shape"]
         dtype = idx["dtype"]
@@ -91,7 +91,7 @@ class SERPartition(Partition):
         for i in range(start, stop):
             off = int(idx["offsets"][i]) + idx["element_header"]
             out[i - start] = np.frombuffer(
-                self._mmap[off:off + nbytes], dtype=dtype
+                self._reader.read(off, nbytes), dtype=dtype
             ).reshape(h, w)
         return out
 

@@ -211,8 +211,12 @@ class CompoundAnalysisHandler(_BaseHandler):
     async def put(self, compound_uuid: str):
         data = tornado.escape.json_decode(self.request.body)
         details = data["details"]
+        # reference protocol puts the dataset id at the top level
+        # (web/messages.py CREATE_COMPOUND_ANALYSIS); accept a
+        # details-nested id too for robustness
+        dataset = data.get("dataset", details.get("dataset"))
         self.state.compound_analyses[compound_uuid] = {
-            "dataset": details["dataset"],
+            "dataset": dataset,
             "details": details,
         }
         msg = {

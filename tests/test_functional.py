@@ -6,6 +6,7 @@ Each maker writes a synthetic file and returns ``(ds, expected)``
 where ``expected`` is the float64 (n, *sig) frame stack the dataset
 should decode to.
 """
+import os
 import struct
 
 import jax
@@ -392,3 +393,55 @@ def test_large_nav_stress(lt_ctx):
         res[2]["var"].data, vals.var(), rtol=1e-3,
     )
     assert int(res[2]["num_frames"].data) == n
+
+
+@pytest.mark.slow
+def test_full_scale_sparse_roi_stress(lt_ctx, tmp_path):
+    """BASELINE config #5 at full single-node shape: a
+    512x512x256x256 uint16 RAW dataset (34 GB) written as a *sparse*
+    file (holes read back as zeros), streamed with a sparse ROI.
+
+    Exercises what the reduced-sig stress cannot: byte offsets past
+    2^31 (frame 200000 sits at ~26 GB), partition/ROI bookkeeping at
+    the full frame count, sig tiling at 256x256, and the selected-
+    frame sparse-ROI read path — while only physically reading the
+    ~1.5k selected frames.
+    """
+    NAV = (512, 512)
+    SIG = (256, 256)
+    n = int(np.prod(NAV))
+    frame_bytes = int(np.prod(SIG)) * 2
+    path = str(tmp_path / "huge.raw")
+    marked = {0: 3, 1: 5, 131072: 7, 200000: 11, n - 1: 13}
+    with open(path, "wb") as f:
+        f.truncate(n * frame_bytes)
+        for fid, val in marked.items():
+            f.seek(fid * frame_bytes)
+            f.write(np.full(SIG, val, np.uint16).tobytes())
+    assert os.path.getsize(path) == n * frame_bytes
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=NAV, sig_shape=SIG,
+    )
+    rng = np.random.default_rng(42)
+    roi = np.zeros(n, dtype=bool)
+    roi[rng.choice(n, size=1500, replace=False)] = True
+    for fid in marked:
+        roi[fid] = True
+    n_sel = int(roi.sum())
+    res = lt_ctx.run_udf(ds, [SumUDF(), SumSigUDF()], roi=roi)
+    # every marked frame is constant; everything else is zero
+    assert np.allclose(
+        res[0]["intensity"].data, float(sum(marked.values())),
+        rtol=1e-6,
+    )
+    sumsig = np.asarray(res[1]["intensity"].data).reshape(-1)
+    sel_ids = np.flatnonzero(roi)
+    expected = np.zeros(n_sel, dtype=np.float64)
+    for fid, val in marked.items():
+        expected[np.searchsorted(sel_ids, fid)] = (
+            float(val) * np.prod(SIG)
+        )
+    got = sumsig[roi]
+    assert np.allclose(got, expected, rtol=1e-6)
+    assert np.isnan(sumsig[~roi]).all()
