@@ -96,11 +96,15 @@ class Partition:
         start_frame: int,
         num_frames: int,
         idx: int = 0,
+        io_backend: "IOBackend" = None,
     ):
         self.meta = meta
         self.start_frame = int(start_frame)
         self.num_frames = int(num_frames)
         self.idx = int(idx)
+        # the dataset's chosen read strategy; formats creating their
+        # RangeReaders lazily pass this through
+        self.io_backend = io_backend
 
     @property
     def slice(self) -> Slice:
@@ -239,10 +243,7 @@ class Partition:
                 # less than half the span, read them individually if
                 # the partition supports it (reference: H5Partition's
                 # roi fast path, hdf5.py:875)
-                if (
-                    valid * 2 < hi - lo
-                    and hasattr(self, "read_selected_frames")
-                ):
+                if valid * 2 < hi - lo:
                     data = self._read_selected_with_offset(chunk)
                 else:
                     cover = self.read_dataset_frames(lo, hi)
@@ -394,9 +395,10 @@ def nav_shape_from_kwargs(
 # Pluggable read strategies (reference: io/dataset/base/backend.py:12
 # IOBackend registry, backend_mmap.py:68, backend_buffered.py:208,
 # backend_direct.py:7).  Formats read through :class:`RangeReader`,
-# which dispatches on the chosen backend: mmap (page cache, default),
-# buffered explicit preadv (cold-cache/HDD), or O_DIRECT aligned
-# preadv (bypass the page cache entirely).
+# which dispatches on the chosen backend: buffered explicit preadv
+# (default — see RangeReader for measurements), mmap (page-cache
+# views, opt-in), or O_DIRECT aligned preadv (bypass the page cache
+# entirely).
 
 class IOBackend:
     registry: dict = {}
@@ -410,7 +412,7 @@ class IOBackend:
 
     @classmethod
     def from_json(cls, data: dict) -> "IOBackend":
-        kind = data.get("id", "mmap")
+        kind = data.get("id", "buffered")
         kwargs = {k: v for k, v in data.items() if k != "id"}
         return cls.registry[kind](**kwargs)
 

@@ -219,7 +219,7 @@ class DMPartition(Partition):
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         if self._reader is None:
             from .base import RangeReader
-            self._reader = RangeReader(self._path)
+            self._reader = RangeReader(self._path, self.io_backend)
         px = int(np.prod(self._sig_shape))
         item = self._dtype.itemsize
         buf = self._reader.read(
@@ -296,6 +296,7 @@ class SingleDMDataSet(DataSet):
                 self._path, info["offset"], info["dtype"],
                 tuple(self.meta.shape.sig), info["count"],
                 self.meta, start, stop - start, idx=idx,
+                io_backend=self._io_backend,
             )
 
     @classmethod
@@ -327,7 +328,7 @@ class StackedDMPartition(Partition):
     def _get_reader(self, path):
         if path not in self._readers:
             from .base import RangeReader
-            self._readers[path] = RangeReader(path)
+            self._readers[path] = RangeReader(path, self.io_backend)
         return self._readers[path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
@@ -408,6 +409,7 @@ class StackedDMDataSet(DataSet):
             yield StackedDMPartition(
                 self._infos, tuple(self.meta.shape.sig),
                 self.meta, start, stop - start, idx=idx,
+                io_backend=self._io_backend,
             )
 
 

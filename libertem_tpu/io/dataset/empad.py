@@ -47,11 +47,11 @@ def params_from_xml(path: str, mode: str = "acquire"):
 
 
 class EMPADPartition(Partition):
-    def __init__(self, path, *args, io_backend=None, **kwargs):
+    def __init__(self, path, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._path = path
         from .base import RangeReader
-        self._reader = RangeReader(path, io_backend)
+        self._reader = RangeReader(path, self.io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         fh, fw = RAW_FRAME_SIZE

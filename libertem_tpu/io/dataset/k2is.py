@@ -185,7 +185,7 @@ class K2ISPartition(Partition):
     def _get_reader(self, s):
         if s not in self._readers:
             from .base import RangeReader
-            self._readers[s] = RangeReader(self._files[s])
+            self._readers[s] = RangeReader(self._files[s], self.io_backend)
         return self._readers[s]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
@@ -323,6 +323,7 @@ class K2ISDataSet(DataSet):
             yield K2ISPartition(
                 self._files, self._table,
                 self.meta, start, stop - start, idx=idx,
+                io_backend=self._io_backend,
             )
 
     @classmethod

@@ -58,7 +58,7 @@ class MRCPartition(Partition):
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         if self._reader is None:
             from .base import RangeReader
-            self._reader = RangeReader(self._path)
+            self._reader = RangeReader(self._path, self.io_backend)
         px = int(np.prod(self._sig_shape))
         item = self._dtype.itemsize
         buf = self._reader.read(
@@ -114,6 +114,7 @@ class MRCDataSet(DataSet):
                 self._path, h["data_offset"], h["dtype"],
                 (h["ny"], h["nx"]),
                 self.meta, start, stop - start, idx=idx,
+                io_backend=self._io_backend,
             )
 
     @classmethod

@@ -90,11 +90,11 @@ class RawCSRPartition(Partition):
             self._maps = (
                 indptr,
                 _RangeArray(
-                    RangeReader(d["indices_file"]),
+                    RangeReader(d["indices_file"], self.io_backend),
                     d["indices_dtype"],
                 ),
                 _RangeArray(
-                    RangeReader(d["data_file"]), d["data_dtype"]
+                    RangeReader(d["data_file"], self.io_backend), d["data_dtype"]
                 ),
             )
         return self._maps
@@ -231,6 +231,7 @@ class RawCSRDataSet(DataSet):
         for idx, (start, stop) in enumerate(self.get_partition_ranges()):
             yield RawCSRPartition(
                 self._desc, self.meta, start, stop - start, idx=idx,
+                io_backend=self._io_backend,
             )
 
     @classmethod

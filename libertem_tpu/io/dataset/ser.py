@@ -82,7 +82,7 @@ class SERPartition(Partition):
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
         if self._reader is None:
             from .base import RangeReader
-            self._reader = RangeReader(self._path)
+            self._reader = RangeReader(self._path, self.io_backend)
         idx = self._index
         h, w = idx["sig_shape"]
         dtype = idx["dtype"]
@@ -147,6 +147,7 @@ class SERDataSet(DataSet):
             yield SERPartition(
                 self._path, self._index,
                 self.meta, start, stop - start, idx=idx_,
+                io_backend=self._io_backend,
             )
 
     @classmethod

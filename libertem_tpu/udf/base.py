@@ -1542,12 +1542,7 @@ class UDFRunner:
                 if not sel.any():
                     continue
                 ids_p = chunk[sel]
-                if hasattr(p, "read_selected_frames"):
-                    out[sel] = p._read_selected_with_offset(ids_p)
-                else:
-                    s, e = int(ids_p[0]), int(ids_p[-1]) + 1
-                    cover = p.read_dataset_frames(s, e)
-                    out[sel] = cover[ids_p - s]
+                out[sel] = p._read_selected_with_offset(ids_p)
             return out
 
         # per-device state: nav arrays are shard-local (+depth pad)

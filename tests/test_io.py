@@ -271,3 +271,55 @@ def test_h5_sparse_roi_fast_path(lt_ctx, tmp_path, monkeypatch):
         res2["intensity"].data,
         flat[[3, 22, 47, 68, 91]].astype(np.float64).sum(axis=0), rtol=1e-5,
     )
+
+
+def test_backend_strategy_threaded_all_formats(lt_ctx, tmp_path):
+    """Every file-backed format honors a non-default io_backend
+    (regression for formats whose lazy RangeReaders used to ignore
+    it): load with MMapBackend and assert the partitions' readers
+    run the mmap strategy."""
+    import struct as _struct
+    from libertem_tpu.io.dataset.base import MMapBackend
+
+    # --- MRC ---
+    frames = _mk_random((4, 8, 12), dtype="int16")
+    mrc_path = str(tmp_path / "s.mrc")
+    head = bytearray(1024)
+    head[0:16] = _struct.pack("<4i", 12, 8, 4, 1)
+    with open(mrc_path, "wb") as f:
+        f.write(bytes(head))
+        f.write(frames.astype("<i2").tobytes())
+
+    # --- SER ---
+    from test_formats2 import _write_ser
+    ser_frames = _mk_random((4, 6, 8), dtype="uint16")
+    ser_path = str(tmp_path / "s.ser")
+    _write_ser(ser_path, ser_frames)
+
+    # --- DM4 ---
+    from test_formats2 import _write_dm4
+    dm_data = _mk_random((4, 6, 6), dtype="float32")
+    dm_path = str(tmp_path / "s.dm4")
+    _write_dm4(dm_path, dm_data)
+
+    cases = [
+        ("mrc", dict(path=mrc_path)),
+        ("ser", dict(path=ser_path)),
+        ("dm", dict(path=dm_path)),
+    ]
+    for fmt, kwargs in cases:
+        ds = lt_ctx.load(fmt, io_backend=MMapBackend(), **kwargs)
+        for p in ds.get_partitions():
+            p._read_raw_frames(p.start_frame, p.start_frame + 1)
+            rd = getattr(p, "_reader", None)
+            if rd is None:
+                rd = next(iter(p._readers.values()))
+            assert rd.strategy == "mmap", fmt
+
+
+def test_from_json_default_is_buffered():
+    from libertem_tpu.io.dataset.base import (
+        BufferedBackend, IOBackend,
+    )
+    backend = IOBackend.from_json({})
+    assert isinstance(backend, BufferedBackend)

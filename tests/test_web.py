@@ -491,3 +491,67 @@ class TestWebRound2(WebTestBase):
             conn.close()
 
         self.io_loop.run_sync(go)
+
+
+class TestCompoundAnalysisProtocol(WebTestBase):
+    def test_create_compound_top_level_dataset(self):
+        """The reference client sends the dataset id at the TOP level
+        of the CREATE_COMPOUND_ANALYSIS message (web/messages.py);
+        the handler must accept that shape (and a details-nested id)."""
+        data = _mk_random((4, 5, 8, 8), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=2
+        ).initialize()
+        self.state.dataset_state.register("ds-ca", ds,
+                                          {"type": "MEMORY"})
+        resp = self.fetch_json(
+            "/api/compoundAnalyses/ca-top/", method="PUT",
+            body={
+                "dataset": "ds-ca",
+                "details": {"mainType": "APPLY_RING_MASK",
+                            "analyses": []},
+            },
+        )
+        assert resp["messageType"] == "COMPOUND_ANALYSIS_CREATED"
+        assert (
+            self.state.compound_analyses["ca-top"]["dataset"]
+            == "ds-ca"
+        )
+        # details-nested id still accepted
+        resp = self.fetch_json(
+            "/api/compoundAnalyses/ca-nested/", method="PUT",
+            body={
+                "details": {"mainType": "APPLY_RING_MASK",
+                            "analyses": [], "dataset": "ds-ca"},
+            },
+        )
+        assert (
+            self.state.compound_analyses["ca-nested"]["dataset"]
+            == "ds-ca"
+        )
+
+    def test_download_all_formats(self):
+        """Every registered result format serves a non-trivial body
+        (the GUI download selector exposes all of them)."""
+        data = _mk_random((4, 5, 8, 8), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=2
+        ).initialize()
+        self.state.dataset_state.register("ds-dl", ds,
+                                          {"type": "MEMORY"})
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-dl/analyses/an-dl/",
+            method="PUT",
+            body={
+                "dataset": "ds-dl",
+                "details": {"analysisType": "SUM_FRAMES",
+                            "parameters": {}},
+            },
+        )
+        self.state.job_state.register("job-dl", "an-dl", "ds-dl")
+        for fmt in ("NPZ", "NPZ_COMPRESSED", "HDF5", "TIFF", "RAW"):
+            resp = self.fetch(
+                f"/api/jobs/job-dl/download/?fmt={fmt}"
+            )
+            assert resp.code == 200, fmt
+            assert len(resp.body) > 100, fmt
