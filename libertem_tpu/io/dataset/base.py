@@ -461,6 +461,7 @@ class RangeReader:
         self._path = path
         self._mmap = None
         self._fd = None
+        self._size = None
         # the sharded reader pool may hit one partition's reader from
         # several threads when a partition spans multiple device
         # shards — guard the lazy fd/mmap init
@@ -504,8 +505,9 @@ class RangeReader:
         end_byte = start_byte + nbytes
         a0 = start_byte // self.ALIGN * self.ALIGN
         a1 = -(-end_byte // self.ALIGN) * self.ALIGN
-        size = os.fstat(self._fd).st_size
-        a1 = min(a1, -(-size // self.ALIGN) * self.ALIGN)
+        if self._size is None:
+            self._size = os.fstat(self._fd).st_size
+        a1 = min(a1, -(-self._size // self.ALIGN) * self.ALIGN)
         raw = np.empty(a1 - a0 + self.ALIGN, dtype=np.uint8)
         shift = (-raw.ctypes.data) % self.ALIGN
         view = raw[shift:shift + (a1 - a0)]

@@ -93,3 +93,44 @@ def test_k2is_sumsig(lt_ctx, k2_data):
     assert np.allclose(
         res["intensity"].data, expected, rtol=1e-4
     )
+
+
+def test_k2is_interleaved_blocks(lt_ctx, tmp_path):
+    """Sector streams whose per-frame blocks are NOT contiguous on
+    disk (blocks round-robined across frames) must fall back from the
+    covering-span read to per-block reads and still assemble every
+    frame exactly."""
+    rng = np.random.default_rng(7)
+    n_frames = 3
+    h, w = SECTOR_SIZE
+    frames = rng.integers(
+        0, 4096, (n_frames, h, NUM_SECTORS * w)
+    ).astype(np.uint16)
+    bh, bw = BLOCK_SHAPE
+    pad = DATA_SIZE - (bh * bw * 3 // 2)
+    for s in range(NUM_SECTORS):
+        path = tmp_path / f"testfile{s}.bin"
+        with open(path, "wb") as f:
+            # iterate block positions OUTER, frames INNER: each
+            # frame's 32 blocks end up 3 blocks apart on disk
+            for ys in (0, bh):
+                for xi in range(w // bw):
+                    for fi in range(n_frames):
+                        xs = xi * bw
+                        block = frames[
+                            fi, ys:ys + bh,
+                            s * w + xs:s * w + xs + bw,
+                        ]
+                        f.write(_block_header(100 + fi, xs, ys))
+                        f.write(_pack_uint12_le(block))
+                        f.write(b"\x00" * pad)
+    ds = lt_ctx.load(
+        "k2is", path=str(tmp_path / "testfile0.bin"),
+        nav_shape=(n_frames,),
+    )
+    roi = np.zeros(n_frames, dtype=bool)
+    roi[1] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.allclose(
+        np.asarray(res["intensity"].data).squeeze(), frames[1]
+    )
