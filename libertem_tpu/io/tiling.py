@@ -188,14 +188,32 @@ class Negotiator:
         sig_shape = tuple(dataset_shape.sig)
         wanted_size = self._negotiate_size(prefs)
         sig_tile = sig_shape
-        if frame_bytes > self.MAX_SIG_BYTES or (
-            wanted_size is not None and wanted_size < frame_bytes
+        # FRAME/PARTITION-method UDFs are guaranteed whole frames
+        # (reference: tiling_scheme.py intent 'frame'/'partition'
+        # always covers the full sig): never sig-split for them, even
+        # when a co-running tile UDF asks for small tiles.  Each sig
+        # sub-rectangle would otherwise be dispatched to
+        # process_frame/process_partition as if it were a whole frame,
+        # silently overwriting results per slice.
+        whole_sig_required = any(
+            m in ("frame", "partition") for m in methods
+        )
+        if not whole_sig_required and (
+            frame_bytes > self.MAX_SIG_BYTES or (
+                wanted_size is not None and wanted_size < frame_bytes
+            )
         ):
             budget = (
                 wanted_size if wanted_size is not None
                 else self.MAX_SIG_BYTES
             )
             sig_tile = self._split_sig(sig_shape, itemsize, budget)
+        elif whole_sig_required and frame_bytes > self.MAX_SIG_BYTES:
+            # keep whole frames but shrink the block depth so the
+            # staged block still fits the device budget
+            depth = max(
+                1, min(depth, target_block_bytes // frame_bytes or 1)
+            )
 
         tileshape = Shape(
             (depth,) + sig_tile, sig_dims=dataset_shape.sig.dims

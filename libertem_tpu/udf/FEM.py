@@ -20,6 +20,9 @@ class FEMUDF(UDF):
         )
         self._ring_idx = None
 
+    def on_params_updated(self):
+        self._ring_idx = None
+
     @classmethod
     def with_params(cls, cy=None, cx=None, ri=None, ro=None):
         return cls(center=(cy, cx), rad_in=ri, rad_out=ro)

@@ -279,6 +279,13 @@ class UDF:
         udf/base.py:1607) — release task_data resources here."""
         pass
 
+    def on_params_updated(self):
+        """Invalidate caches derived from ``self.params`` after a
+        mid-run parameter patch (update_parameters_experimental).
+        Override in UDFs that precompute operands from kwargs; the
+        default is a no-op."""
+        pass
+
     def get_preferred_input_dtype(self):
         return np.float32
 
@@ -477,28 +484,22 @@ class UDFRunner:
         """Patch UDF constructor kwargs mid-run (reference:
         udf/base.py:96); applied from the next partition on.  Params
         baked into the traced step (mask operands etc.) force a
-        re-trace at the partition boundary."""
+        re-trace at the partition boundary.
+
+        Each UDF invalidates its own derived caches via
+        :meth:`UDF.on_params_updated`; the engine knows nothing about
+        subclass internals."""
+        if len(patches) != len(self._udfs):
+            raise ValueError(
+                f"got {len(patches)} patches for {len(self._udfs)} "
+                f"UDFs — pass one entry per UDF ({{}} for no change)"
+            )
         for udf, patch in zip(self._udfs, patches):
             if not patch:
                 continue
             udf._kwargs.update(patch)
             udf.params = UDFParams(udf._kwargs)
-            # drop cached operands derived from params
-            for attr in ("_container", "_operand_cache", "_mask",
-                         "_ring_idx"):
-                if hasattr(udf, attr):
-                    cache = getattr(udf, attr)
-                    if isinstance(cache, dict):
-                        cache.clear()
-                    elif attr == "_container":
-                        from .masks import MaskContainer
-                        udf._container = MaskContainer(
-                            udf._kwargs["mask_factories"],
-                            dtype=udf._kwargs.get("mask_dtype"),
-                            count=udf._kwargs.get("mask_count"),
-                        )
-                    else:
-                        setattr(udf, attr, None)
+            udf.on_params_updated()
         self._params_patched = True
 
     # -- public entry points ---------------------------------------------
@@ -542,7 +543,9 @@ class UDFRunner:
         folded across devices with the UDF's merge().
         """
         if devices is not None and len(devices) > 1:
-            prep = self._prepare(dataset, roi, corrections, devices[0])
+            # device=None: prep stays host-side; the sharded loop
+            # owns device placement (replication / NamedShardings)
+            prep = self._prepare(dataset, roi, corrections, None)
             if any(e.host for e in prep["plan"]):
                 raise UDFException(
                     "numpy-backend UDFs run on the host and are not "
@@ -715,9 +718,17 @@ class UDFRunner:
                         (scheme.depth,) + data.shape[1:], data.dtype
                     )
                     data = np.concatenate([data, pad], axis=0)
-                    entry[k] = jax.device_put(
-                        jnp.asarray(data), device
-                    )
+                    # device=None (sharded / dry-run): keep host-only —
+                    # the sharded loop replicates from the host copy
+                    # itself, and device_put to a single device would
+                    # crash under multi-host jax.distributed where
+                    # devices[0] may be non-addressable
+                    if device is not None:
+                        entry[k] = jax.device_put(
+                            jnp.asarray(data), device
+                        )
+                    else:
+                        entry[k] = data
                     host_entry[k] = data
             aux_arrays.append(entry)
             aux_host.append(host_entry)
@@ -996,11 +1007,6 @@ class UDFRunner:
         self, prep, state, part_state, raw_block,
         local_off, global_off, coords, valid_count,
     ):
-        if prep.get("fused") is not None:
-            return self._fused_step(
-                prep, state, part_state, raw_block, local_off,
-                valid_count,
-            )
         """The traced per-block step body.
 
         ``local_off``  — block's first-frame offset into the (possibly
@@ -1008,6 +1014,11 @@ class UDFRunner:
         ``global_off`` — offset into the roi-compressed global nav
                          ordering (for aux gathers and UDF metadata).
         """
+        if prep.get("fused") is not None:
+            return self._fused_step(
+                prep, state, part_state, raw_block, local_off,
+                valid_count,
+            )
         plan = prep["plan"]
         scheme = prep["scheme"]
         meta = prep["meta"]
@@ -1349,6 +1360,29 @@ class UDFRunner:
 
         any_partition = False
         densify_cache: dict = {}
+        try:
+            yield from self._run_loop_body(
+                prep, dataset, roi, yield_partial, partitions, pm,
+                host_runner, host_global, device_entries_exist,
+                densify_cache, damage_host, state, step, merge,
+            )
+        finally:
+            # always runs — including when a partial-results iterator
+            # is abandoned mid-run (GeneratorExit) — so task_data
+            # resources release and the progress reporter closes
+            for udf in self._udfs:
+                udf.cleanup()
+            if pm is not None:
+                pm.close()
+
+    def _run_loop_body(
+        self, prep, dataset, roi, yield_partial, partitions, pm,
+        host_runner, host_global, device_entries_exist,
+        densify_cache, damage_host, state, step, merge,
+    ):
+        scheme = prep["scheme"]
+        device = prep["device"]
+        any_partition = False
         for partition in partitions:
             if self._params_patched:
                 # runtime parameter update (reference:
@@ -1433,10 +1467,9 @@ class UDFRunner:
                 pm.partition_done(n_sel)
             if yield_partial:
                 yield self._wrap_results(prep, state, damage_host.copy())
-        for udf in self._udfs:
-            udf.cleanup()
-        if pm is not None:
-            pm.close()
+        # final wrap happens BEFORE cleanup (the caller's finally):
+        # UDF.get_results may consult task_data, which cleanup()
+        # releases
         if not any_partition or not yield_partial:
             yield self._wrap_results(prep, state, damage_host)
 
@@ -1505,10 +1538,11 @@ class UDFRunner:
         nav_shape = tuple(meta0.shape.nav)
         partitions = prep["partitions"]
 
-        # replicate aux arrays over the mesh
-        for entry in prep["aux"]:
+        # replicate aux arrays over the mesh from the host copies
+        # (no device round trip; multi-host safe)
+        for entry, host_entry in zip(prep["aux"], prep["aux_host"]):
             for k in entry:
-                entry[k] = put_replicated(np.asarray(entry[k]))
+                entry[k] = put_replicated(host_entry[k])
 
         # selected dataset-space frame ids, split into device shards
         if roi is not None:
@@ -1700,11 +1734,14 @@ class UDFRunner:
                     # re-trace the sharded step with the new params
                     self._params_patched = False
                     self._apply_param_patch(prep)
-                    # re-replicate patched aux over the mesh
-                    for entry in prep["aux"]:
+                    # re-replicate patched aux over the mesh from
+                    # the host copies
+                    for entry, host_entry in zip(
+                        prep["aux"], prep["aux_host"]
+                    ):
                         for k in entry:
                             entry[k] = put_replicated(
-                                np.asarray(entry[k])
+                                host_entry[k]
                             )
                     step = make_step()
                 state = step(
@@ -1722,21 +1759,25 @@ class UDFRunner:
                                                shard_max, fold=fold),
                         damage_host.copy(),
                     )
+            for udf in self._udfs:
+                udf.postprocess()
+            # final wrap BEFORE cleanup: get_results may use
+            # task_data, which cleanup() releases
+            if not yield_partial:
+                yield self._wrap_results(
+                    prep,
+                    self._collapse_sharded(prep, state, bounds,
+                                           shard_max, fold=fold),
+                    damage_host,
+                )
         finally:
+            # also runs when a partial-results iterator is abandoned
+            # mid-run (GeneratorExit)
             reader_pool.shutdown(wait=False)
-
-        for udf in self._udfs:
-            udf.postprocess()
-            udf.cleanup()
-        if pm is not None:
-            pm.close()
-        if not yield_partial:
-            yield self._wrap_results(
-                prep,
-                self._collapse_sharded(prep, state, bounds,
-                                       shard_max, fold=fold),
-                damage_host,
-            )
+            for udf in self._udfs:
+                udf.cleanup()
+            if pm is not None:
+                pm.close()
 
     def _make_sharded_fold(self, prep, mesh):
         """Jitted on-device cross-device reduction of the sig/single
@@ -1837,33 +1878,10 @@ class UDFRunner:
                     ]
                 bufs[name] = full
             if entry.part_names:
-                if folded is not None:
-                    for n in entry.part_names:
-                        bufs[n] = self._to_host(folded[ui][n])
-                else:  # host fallback fold
-                    host = {
-                        n: self._to_host(state[ui][n])
-                        for n in entry.part_names
-                    }
-                    udf = entry.udf
-                    n_dev = host[entry.part_names[0]].shape[0]
-                    acc = {
-                        n: jnp.asarray(host[n][0])
-                        for n in entry.part_names
-                    }
-                    for d in range(1, n_dev):
-                        dest = UDFData(acc)
-                        src = UDFData({
-                            n: jnp.asarray(host[n][d])
-                            for n in entry.part_names
-                        })
-                        udf.merge(dest, src)
-                        acc = {
-                            n: dest[n].astype(entry.decls[n].dtype)
-                            for n in entry.part_names
-                        }
-                    for n in entry.part_names:
-                        bufs[n] = np.asarray(acc[n])
+                # both call sites always pass fold, so folded is set
+                # whenever any entry has part_names
+                for n in entry.part_names:
+                    bufs[n] = self._to_host(folded[ui][n])
             out.append(bufs)
         return out
 

@@ -76,6 +76,9 @@ class CoMUDF(UDF):
         super().__init__(com_params=com_params)
         self._operand_cache = {}
 
+    def on_params_updated(self):
+        self._operand_cache.clear()
+
     @classmethod
     def with_params(
         cls, cy=None, cx=None, r=None, ri=None,

@@ -23,6 +23,10 @@ class CrystallinityUDF(UDF):
         self._mask = None
         self._real_mask = None
 
+    def on_params_updated(self):
+        self._mask = None
+        self._real_mask = None
+
     def get_result_buffers(self):
         return {
             "intensity": self.buffer(kind="nav", dtype="float32"),

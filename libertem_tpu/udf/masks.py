@@ -170,6 +170,14 @@ class ApplyMasksUDF(UDF):
             mask_factories, dtype=mask_dtype, count=mask_count
         )
 
+    def on_params_updated(self):
+        # rebuild mask operands from the patched factories
+        self._container = MaskContainer(
+            self._kwargs["mask_factories"],
+            dtype=self._kwargs.get("mask_dtype"),
+            count=self._kwargs.get("mask_count"),
+        )
+
     def get_preferred_input_dtype(self):
         if self._kwargs.get("dtype") is not None:
             return np.dtype(self._kwargs["dtype"])

@@ -252,3 +252,61 @@ def test_dm3(lt_ctx, tmp_path):
         res["intensity"].data,
         data.astype(np.float32).sum(axis=0), rtol=1e-4,
     )
+
+
+def test_autodetect_matrix(lt_ctx, tmp_path):
+    """detect() identifies every self-describing format from its file
+    alone (reference io/dataset/__init__.py:223 runs detect_params in
+    extension-priority order)."""
+    from libertem_tpu.io.dataset import detect
+
+    rng = np.random.default_rng(9)
+
+    # SER
+    ser_frames = rng.integers(0, 65535, (4, 6, 8)).astype("<u2")
+    ser_path = str(tmp_path / "a.ser")
+    _write_ser(ser_path, ser_frames)
+
+    # DM4
+    dm_path = str(tmp_path / "a.dm4")
+    _write_dm4(dm_path, rng.random((4, 6, 6)).astype(np.float32))
+
+    # DM3
+    dm3_path = str(tmp_path / "a.dm3")
+    _write_dm3(dm3_path, rng.random((3, 5, 5)).astype(np.float32))
+
+    # FRMS6 (needs the _000.frms6 dark sidecar convention)
+    from test_formats import _write_seq
+    seq_path = str(tmp_path / "a.seq")
+    _write_seq(
+        seq_path, rng.integers(0, 65535, (6, 8, 12)).astype("<u2")
+    )
+
+    # MRC
+    import struct as _struct
+    mrc_path = str(tmp_path / "a.mrc")
+    head = bytearray(1024)
+    head[0:16] = _struct.pack("<4i", 12, 8, 4, 1)
+    with open(mrc_path, "wb") as f:
+        f.write(bytes(head))
+        f.write(
+            rng.integers(-100, 100, (4, 8, 12)).astype("<i2")
+            .tobytes()
+        )
+
+    # NPY
+    npy_path = str(tmp_path / "a.npy")
+    np.save(npy_path, rng.random((2, 3, 6, 6)).astype(np.float32))
+
+    expected = {
+        ser_path: "ser",
+        dm_path: "dm",
+        dm3_path: "dm",
+        seq_path: "seq",
+        mrc_path: "mrc",
+        npy_path: "npy",
+    }
+    for path, want in expected.items():
+        params = detect(path)
+        assert params is not None, path
+        assert params["type"].lower() == want, (path, params)

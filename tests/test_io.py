@@ -323,3 +323,23 @@ def test_from_json_default_is_buffered():
     )
     backend = IOBackend.from_json({})
     assert isinstance(backend, BufferedBackend)
+
+
+def test_hdf5_gzip_compressed(lt_ctx, tmp_path):
+    """Compressed (gzip) chunked HDF5 reads correctly, including via
+    load('auto')."""
+    import h5py
+    data = _mk_random((4, 5, 16, 16), dtype="float32")
+    path = str(tmp_path / "c.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "data", data=data, chunks=(1, 1, 16, 16),
+            compression="gzip",
+        )
+    from libertem_tpu.udf import SumUDF
+    for load_args in (("hdf5",), ("auto",)):
+        ds = lt_ctx.load(*load_args, path=path)
+        res = lt_ctx.run_udf(ds, SumUDF())
+        assert np.allclose(
+            res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
+        )

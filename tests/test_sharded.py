@@ -289,3 +289,34 @@ def test_sharded_reader_overlap():
         f"reads never overlapped (max_active="
         f"{state['max_active']})"
     )
+
+
+def test_sharded_aux_buffers(data):
+    """Aux buffers on the sharded path: built host-side (no
+    device_put to a single device — multi-host safe) and replicated
+    over the mesh."""
+    from libertem_tpu.udf.base import UDF, UDFRunner
+
+    class AuxScaleUDF(UDF):
+        def get_result_buffers(self):
+            return {
+                "scaled": self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def process_frame(self, frame):
+            self.results.scaled = frame.sum() * self.params.weights
+
+    n = data.shape[0] * data.shape[1]
+    weights = np.linspace(1, 2, n).astype(np.float32)
+    udf = AuxScaleUDF(
+        weights=AuxScaleUDF.aux_data(weights, kind="nav",
+                                     dtype="float32"),
+    )
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=3)
+    ds.initialize()
+    runner = UDFRunner([udf])
+    res = runner.run_for_dataset(ds, devices=jax.devices()[:4])
+    flat = data.reshape(n, -1).astype(np.float64)
+    expected = flat.sum(axis=1) * weights
+    got = np.asarray(res.buffers[0]["scaled"].data).reshape(-1)
+    assert np.allclose(got, expected, rtol=1e-4)

@@ -403,3 +403,112 @@ def test_cleanup_hook_and_plot_class(lt_ctx):
     assert ctx.plot_class is Dummy2DPlot
     res = ctx.run_udf(ds, CleanupUDF(), plots=True)
     assert res is not None
+
+
+def test_frame_udf_never_sig_split(lt_ctx):
+    """FRAME-method UDFs must receive whole frames even when a
+    co-running tile UDF (or their own size preference) would sig-split
+    the scheme — each sig sub-rectangle dispatched as a 'frame' would
+    silently overwrite the previous slice's result."""
+    import jax.numpy as jnp
+    from libertem_tpu.udf.base import UDF
+
+    class TinyTileUDF(UDF):
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="sig", dtype="float32")}
+
+        def get_tiling_preferences(self):
+            return {"total_size": 128, "depth": 4}
+
+        def process_tile(self, tile):
+            self.results.s = self.results.s + tile.sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.s = dest.s + src.s
+
+    class FrameSumUDF(UDF):
+        def get_result_buffers(self):
+            return {"fsum": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            self.results.fsum = frame.sum()
+
+    data = _mk_random((2, 2, 8, 8), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=1)
+    ds.initialize()
+    res_tile, res_frame = lt_ctx.run_udf(
+        ds, [TinyTileUDF(), FrameSumUDF()]
+    )
+    flat = data.reshape(-1, 8, 8)
+    assert np.allclose(
+        res_frame["fsum"].data.reshape(-1), flat.sum(axis=(1, 2)),
+        rtol=1e-5,
+    )
+    assert np.allclose(
+        res_tile["s"].data, flat.sum(axis=0), rtol=1e-5
+    )
+
+    # a frame UDF alone with a small size preference must also keep
+    # whole frames
+    class SmallPrefFrameUDF(FrameSumUDF):
+        def get_tiling_preferences(self):
+            return {"total_size": 128, "depth": 4}
+
+    res = lt_ctx.run_udf(ds, SmallPrefFrameUDF())
+    assert np.allclose(
+        res["fsum"].data.reshape(-1), flat.sum(axis=(1, 2)),
+        rtol=1e-5,
+    )
+
+
+def test_cleanup_ordering_and_abandoned_iter(lt_ctx):
+    """cleanup() must run AFTER get_results (which may use task_data),
+    and must also run when a partial-results iterator is abandoned
+    mid-run."""
+    events = []
+
+    class LifecycleUDF(UDF):
+        def get_task_data(self):
+            return {"res": "open"}
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="sig", dtype="float32")}
+
+        def process_tile(self, tile):
+            self.results.s = self.results.s + tile.sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.s = dest.s + src.s
+
+        def get_results(self):
+            # task_data must still be alive here
+            events.append(("get_results", self.task_data.res))
+            return {"s": self.results.s}
+
+        def cleanup(self):
+            events.append(("cleanup", None))
+
+    data = _mk_random((4, 4, 8, 8), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=2)
+    ds.initialize()
+    lt_ctx.run_udf(ds, LifecycleUDF())
+    assert ("get_results", "open") in events
+    # cleanup ran, and only after the last get_results
+    assert events[-1] == ("cleanup", None)
+
+    # abandoned iterator still cleans up
+    events.clear()
+    from libertem_tpu.udf.base import UDFRunner
+    runner = UDFRunner([LifecycleUDF()])
+    it = runner.run_for_dataset_iter(ds)
+    next(it)
+    it.close()
+    assert ("cleanup", None) in events
+
+
+def test_param_patch_length_mismatch(lt_ctx):
+    from libertem_tpu.udf.base import UDFRunner
+    from libertem_tpu.udf import SumUDF, SumSigUDF
+    runner = UDFRunner([SumUDF(), SumSigUDF()])
+    with pytest.raises(ValueError, match="1 patches for 2"):
+        runner.update_parameters_experimental([{}])
