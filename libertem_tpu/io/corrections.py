@@ -121,8 +121,10 @@ class CorrectionSet:
 
     def adjust_scheme(self, scheme, dataset_shape):
         """Veto sig-tiling that would split pixel-repair environments
-        (reference corrset.py:181): fall back to whole-frame tiles."""
-        from .tiling import TilingScheme
+        (reference corrset.py:181): fall back to whole-frame tiles,
+        shrinking the block depth so the staged block stays within
+        the device budget the sig split existed to protect."""
+        from .tiling import Negotiator, TilingScheme
         from ..common.shape import Shape
         if (
             self._excluded_coords is None
@@ -130,8 +132,13 @@ class CorrectionSet:
             or len(scheme) <= 1
         ):
             return scheme
+        frame_bytes = dataset_shape.sig.size * 4  # f32 on device
+        depth = scheme.depth
+        budget = Negotiator.TARGET_BLOCK_BYTES
+        if depth * frame_bytes > budget:
+            depth = max(1, budget // frame_bytes)
         tileshape = Shape(
-            (scheme.depth,) + tuple(dataset_shape.sig),
+            (depth,) + tuple(dataset_shape.sig),
             sig_dims=dataset_shape.sig.dims,
         )
         return TilingScheme.make_for_shape(

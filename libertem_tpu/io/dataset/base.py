@@ -524,3 +524,14 @@ class RangeReader:
             os.close(self._fd)
             self._fd = None
         self._mmap = None
+
+    def __del__(self):
+        # partitions are created fresh per run (each with its own
+        # readers), so without this every lazily opened fd would leak
+        # for the life of the process — EMFILE after enough runs
+        try:
+            self.close()
+        except Exception:
+            pass
+            self._fd = None
+        self._mmap = None

@@ -214,12 +214,10 @@ class DMPartition(Partition):
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
         self._count = count
-        self._reader = None
+        from .base import RangeReader
+        self._reader = RangeReader(self._path, self.io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._reader is None:
-            from .base import RangeReader
-            self._reader = RangeReader(self._path, self.io_backend)
         px = int(np.prod(self._sig_shape))
         item = self._dtype.itemsize
         buf = self._reader.read(
@@ -277,7 +275,14 @@ class SingleDMDataSet(DataSet):
         if not nav_shape:
             nav_shape = (1,)
         self._info = info
-        image_count = int(np.prod(nav_shape))
+        # frames actually stored in the file's Data array — NOT
+        # prod(nav_shape): the user may pass a larger nav_shape or a
+        # sync_offset, and the zero-fill clamp in read_dataset_frames
+        # must clamp against the real storage, not the declared scan
+        sig_px = int(np.prod(sig_shape))
+        image_count = (
+            int(info["count"]) // sig_px if sig_px else 0
+        )
         self._meta = DataSetMeta(
             shape=Shape(
                 tuple(nav_shape) + tuple(sig_shape),

@@ -143,6 +143,17 @@ class H5DataSet(DataSet):
         sig_shape = self._sig_shape or shape[
             len(shape) - self._sig_dims:
         ]
+        # a user-supplied sig_shape must match the file's trailing
+        # dims — the partition reads frames in the file's own sig
+        # shape, so a mismatch would surface as an opaque shape error
+        # deep inside the run (other formats validate the same way)
+        file_sig = tuple(shape[len(shape) - len(sig_shape):])
+        if tuple(sig_shape) != file_sig:
+            raise DataSetException(
+                f"sig_shape {tuple(sig_shape)} does not match the "
+                f"dataset's frame shape {file_sig} "
+                f"({self._path}:{self._ds_path})"
+            )
         file_nav = shape[:len(shape) - len(sig_shape)]
         nav_shape = self._nav_shape or file_nav
         image_count = prod(file_nav) if file_nav else 1

@@ -85,6 +85,14 @@ class FrameRing:
             )
         out = np.zeros((stop - start,) + self._sig, self._dtype)
         with self._cv:
+            # reads arrive in ascending order, so everything below
+            # `start` (e.g. ROI-skipped frames or whole skipped
+            # partitions) is done with: free it NOW, before waiting —
+            # otherwise a ROI gap >= capacity deadlocks producer and
+            # consumer
+            if start > self._consumed:
+                self._consumed = start
+                self._cv.notify_all()
             self._cv.wait_for(
                 lambda: self._written >= stop or self._finished
             )
@@ -138,6 +146,15 @@ class LiveDataSet(DataSet):
 
     def initialize(self, executor=None) -> "LiveDataSet":
         return self
+
+    def get_max_io_size(self) -> int:
+        """Cap the negotiated block depth at half the ring capacity,
+        so the producer can stay a block ahead of the reader (the
+        ring hard-fails on reads larger than its capacity)."""
+        frame_bytes = (
+            self._meta.shape.sig.size * self._meta.raw_dtype.itemsize
+        )
+        return max(1, self.ring._capacity // 2) * frame_bytes
 
     def push_frames(self, frames: np.ndarray):
         self.ring.push_frames(frames)

@@ -53,12 +53,13 @@ class MRCPartition(Partition):
         self._offset = offset
         self._dtype = np.dtype(dtype)
         self._sig_shape = tuple(sig_shape)
-        self._reader = None
+        # eager: the sharded reader pool may hit one partition from
+        # several threads; construction is cheap (fd opens lazily,
+        # guarded per instance)
+        from .base import RangeReader
+        self._reader = RangeReader(self._path, self.io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._reader is None:
-            from .base import RangeReader
-            self._reader = RangeReader(self._path, self.io_backend)
         px = int(np.prod(self._sig_shape))
         item = self._dtype.itemsize
         buf = self._reader.read(

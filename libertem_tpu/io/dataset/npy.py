@@ -21,9 +21,16 @@ def read_npy_info(path: str):
     """Parse the npy header: (shape, dtype, fortran_order, offset)."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(
-            f, version
-        )
+        # public, stability-guaranteed header readers (the private
+        # _read_array_header has changed signature across releases)
+        if version == (1, 0):
+            shape, fortran, dtype = (
+                np.lib.format.read_array_header_1_0(f)
+            )
+        else:
+            shape, fortran, dtype = (
+                np.lib.format.read_array_header_2_0(f)
+            )
         offset = f.tell()
     return shape, dtype, fortran, offset
 

@@ -40,6 +40,14 @@ def read_ser_index(path: str) -> dict:
         )
         if byte_order != 0x4949 or series_id != 0x0197:
             raise DataSetException(f"{path}: not a SER file")
+        if data_type_id != 0x4122:
+            # 0x4120 = 1D elements (spectra, 26-byte element header);
+            # parsing them with the 2D layout would read payload bytes
+            # as shape/dtype
+            raise DataSetException(
+                f"{path}: only 2D-element SER series are supported "
+                f"(data_type_id={data_type_id:#x}, expected 0x4122)"
+            )
         f.seek(22)
         if version >= 0x0220:
             offset_array_offset, n_dims = struct.unpack(
@@ -77,12 +85,10 @@ class SERPartition(Partition):
         super().__init__(*args, **kwargs)
         self._path = path
         self._index = index
-        self._reader = None
+        from .base import RangeReader
+        self._reader = RangeReader(self._path, self.io_backend)
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:
-        if self._reader is None:
-            from .base import RangeReader
-            self._reader = RangeReader(self._path, self.io_backend)
         idx = self._index
         h, w = idx["sig_shape"]
         dtype = idx["dtype"]

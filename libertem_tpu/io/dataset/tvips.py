@@ -56,7 +56,9 @@ def _series_files(path: str) -> list:
     m = re.match(r"^(.*)_(\d{3})\.tvips$", path)
     if not m:
         return [path]
-    files = sorted(glob.glob(f"{m.group(1)}_[0-9][0-9][0-9].tvips"))
+    files = sorted(glob.glob(
+        glob.escape(m.group(1)) + "_[0-9][0-9][0-9].tvips"
+    ))
     return files or [path]
 
 

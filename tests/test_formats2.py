@@ -310,3 +310,24 @@ def test_autodetect_matrix(lt_ctx, tmp_path):
         params = detect(path)
         assert params is not None, path
         assert params["type"].lower() == want, (path, params)
+
+
+def test_dm_nav_shape_larger_than_file(lt_ctx):
+    """image_count reflects the frames actually stored, so a larger
+    user nav_shape (or sync_offset) zero-fills missing frames instead
+    of reading trailing tag bytes as pixel data."""
+    import tempfile, os as _os
+    data = _mk_random((4, 6, 6), dtype="uint16")  # 4 stored frames
+    path = tempfile.mktemp(suffix=".dm4")
+    _write_dm4(path, data)
+    try:
+        ds = lt_ctx.load("dm", path=path, nav_shape=(2, 3))  # 6 > 4
+        assert ds.meta.image_count == 4
+        from libertem_tpu.udf import SumSigUDF
+        res = lt_ctx.run_udf(ds, SumSigUDF())
+        got = np.asarray(res["intensity"].data).reshape(-1)
+        expected = np.zeros(6, dtype=np.float64)
+        expected[:4] = data.reshape(4, -1).sum(axis=1)
+        assert np.allclose(got, expected, rtol=1e-4)
+    finally:
+        _os.unlink(path)

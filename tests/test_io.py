@@ -298,7 +298,7 @@ def test_backend_strategy_threaded_all_formats(lt_ctx, tmp_path):
 
     # --- DM4 ---
     from test_formats2 import _write_dm4
-    dm_data = _mk_random((4, 6, 6), dtype="float32")
+    dm_data = _mk_random((4, 6, 6), dtype="uint16")
     dm_path = str(tmp_path / "s.dm4")
     _write_dm4(dm_path, dm_data)
 

@@ -54,3 +54,58 @@ def test_live_stream_early_finish(lt_ctx):
     assert np.allclose(out[:8], flat[:8].sum(axis=(1, 2)),
                        rtol=1e-4)
     assert np.allclose(out[8:], 0.0)
+
+
+def test_live_roi_gap_larger_than_ring(lt_ctx):
+    """A ROI gap wider than the ring capacity must not deadlock:
+    skipped frames are freed when the reader jumps past them."""
+    nav, sig = (512,), (4, 4)
+    data = _mk_random(nav + sig, dtype="float32")
+    flat = data.reshape((-1,) + sig)
+    ds = LiveDataSet(
+        nav_shape=nav, sig_shape=sig, dtype="float32",
+        ring_capacity=32, num_partitions=4,
+    ).initialize()
+    roi = np.zeros(512, dtype=bool)
+    roi[0] = roi[500] = True  # gap of 500 >> capacity 32
+
+    def producer():
+        for off in range(0, len(flat), 16):
+            ds.push_frames(flat[off:off + 16])
+        ds.finish()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    res = lt_ctx.run_udf(ds, SumUDF(), roi=roi)
+    t.join(timeout=30)
+    assert not t.is_alive(), "producer deadlocked"
+    expected = flat[[0, 500]].astype(np.float64).sum(axis=0)
+    assert np.allclose(res["intensity"].data, expected, rtol=1e-5)
+
+
+def test_live_default_capacity_small_frames(lt_ctx):
+    """Small frames with default ring_capacity: the negotiated block
+    depth must respect the ring (get_max_io_size caps it), so the
+    first read doesn't exceed the ring capacity."""
+    nav, sig = (64, 64), (8, 8)
+    data = _mk_random(nav + sig, dtype="float32")
+    flat = data.reshape((-1,) + sig)
+    ds = LiveDataSet(
+        nav_shape=nav, sig_shape=sig, dtype="float32",
+        ring_capacity=256, num_partitions=2,
+    ).initialize()
+
+    def producer():
+        for off in range(0, len(flat), 128):
+            ds.push_frames(flat[off:off + 128])
+        ds.finish()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    res = lt_ctx.run_udf(ds, SumUDF())
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert np.allclose(
+        res["intensity"].data,
+        flat.astype(np.float64).sum(axis=0), rtol=1e-4,
+    )
