@@ -194,10 +194,13 @@ class Negotiator:
         # when a co-running tile UDF asks for small tiles.  Each sig
         # sub-rectangle would otherwise be dispatched to
         # process_frame/process_partition as if it were a whole frame,
-        # silently overwriting results per slice.
+        # silently overwriting results per slice.  Tile-method UDFs
+        # whose math needs the full frame (FFTs, per-frame minima,
+        # full-frame gathers) declare `whole_frames: True` in their
+        # tiling preferences.
         whole_sig_required = any(
             m in ("frame", "partition") for m in methods
-        )
+        ) or any(p.get("whole_frames") for p in prefs)
         if not whole_sig_required and (
             frame_bytes > self.MAX_SIG_BYTES or (
                 wanted_size is not None and wanted_size < frame_bytes

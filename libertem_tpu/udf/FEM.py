@@ -23,6 +23,13 @@ class FEMUDF(UDF):
     def on_params_updated(self):
         self._ring_idx = None
 
+    def get_tiling_preferences(self):
+        # the ring gather indexes into the flattened WHOLE frame;
+        # a sig-split tile would clamp the gather silently
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
+                "total_size": self.TILE_SIZE_MAX}
+
     @classmethod
     def with_params(cls, cy=None, cx=None, ri=None, ro=None):
         return cls(center=(cy, cx), rad_in=ri, rad_out=ro)

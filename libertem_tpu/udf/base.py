@@ -622,11 +622,14 @@ class UDFRunner:
                 meta0.shape, intent=scheme.intent,
             )
 
+        # NOTE: `device` stays None for the sharded path — aux and
+        # state placement is the sharded loop's job (multi-host safe);
+        # only the device CLASS is probed here, which is fine to read
+        # from the local process's first device
+        probe = device if device is not None else jax.devices()[0]
         device_class = "tpu"
-        if device is None:
-            device = jax.devices()[0]
-        if device.platform not in ("tpu", "axon"):
-            device_class = device.platform
+        if probe.platform not in ("tpu", "axon"):
+            device_class = probe.platform
 
         meta = UDFMeta(
             dataset_shape=meta0.shape,
@@ -1322,8 +1325,6 @@ class UDFRunner:
             stop.set()
 
     def _run_loop(self, prep, dataset, roi, progress, yield_partial):
-        scheme = prep["scheme"]
-        device = prep["device"]
         state = self._init_state(prep)
         step = self._make_step(prep)
         merge = self._make_merge(prep)
@@ -1358,7 +1359,6 @@ class UDFRunner:
             progress, prep["n_nav"], len(partitions), prep
         )
 
-        any_partition = False
         densify_cache: dict = {}
         try:
             yield from self._run_loop_body(

@@ -113,6 +113,9 @@ class FullFrameCorrelationUDF(UDF):
         super().__init__(match_pattern=match_pattern, **kwargs)
         self._spectrum = None
 
+    def on_params_updated(self):
+        self._spectrum = None
+
     def get_result_buffers(self):
         return {
             "centers": self.buffer(
@@ -140,7 +143,8 @@ class FullFrameCorrelationUDF(UDF):
             )
 
     def get_tiling_preferences(self):
-        return {"depth": self.TILE_DEPTH_DEFAULT,
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
 
     def _get_spectrum(self):
@@ -192,6 +196,10 @@ class SparseCorrelationUDF(UDF):
         self._spectrum = None
         self._windows = None
 
+    def on_params_updated(self):
+        self._spectrum = None
+        self._windows = None
+
     def get_result_buffers(self):
         n = len(self._kwargs["peaks"])
         return {
@@ -209,7 +217,8 @@ class SparseCorrelationUDF(UDF):
     _require_whole_sig = FullFrameCorrelationUDF._require_whole_sig
 
     def get_tiling_preferences(self):
-        return {"depth": self.TILE_DEPTH_DEFAULT,
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
 
     def _get_plan(self):

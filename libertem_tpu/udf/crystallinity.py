@@ -35,6 +35,7 @@ class CrystallinityUDF(UDF):
     def get_tiling_preferences(self):
         # FFT needs whole frames
         return {
+            "whole_frames": True,
             "depth": self.TILE_DEPTH_DEFAULT,
             "total_size": self.TILE_SIZE_MAX,
         }

@@ -98,6 +98,9 @@ class HoloReconstructUDF(UDF):
         )
         self._plan = None
 
+    def on_params_updated(self):
+        self._plan = None
+
     def _get_out_shape(self):
         if self.params.out_shape is not None:
             return self.params.out_shape
@@ -112,7 +115,8 @@ class HoloReconstructUDF(UDF):
         }
 
     def get_tiling_preferences(self):
-        return {"depth": self.TILE_DEPTH_DEFAULT,
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
 
     def _get_plan(self):

@@ -96,7 +96,14 @@ class HostUDFRunner:
             meta.tile_valid = np.ones(valid, dtype=bool)
             meta.valid_frames = valid
             meta.global_offset = goff
-            meta.sig_slice = self.prep["scheme"][0]
+            # host UDFs always receive WHOLE frames (the feed is the
+            # undivided block), so sig_slice must cover the full sig
+            # even when the device scheme sig-splits
+            from ..common.slice import Slice
+            sig_shape = self.prep["meta"].dataset_shape.sig
+            meta.sig_slice = Slice.from_shape(
+                tuple(sig_shape), sig_dims=sig_shape.dims
+            )
             udf.params = UDFParams(udf._kwargs, aux_views)
             try:
                 if entry.method in ("tile", "partition"):

@@ -21,6 +21,7 @@ class LogsumUDF(UDF):
     def get_tiling_preferences(self):
         # needs whole frames for the per-frame minimum
         return {
+            "whole_frames": True,
             "depth": self.TILE_DEPTH_DEFAULT,
             "total_size": self.TILE_SIZE_MAX,
         }

@@ -20,6 +20,13 @@ class RecordUDF(UDF):
         super().__init__(filename=filename, _dtype=_dtype)
         self._mmap = None
 
+    def on_params_updated(self):
+        # a patched filename must open a new file, not keep writing
+        # into the old mmap
+        if self._mmap is not None:
+            self._mmap.flush()
+        self._mmap = None
+
     def get_result_buffers(self):
         return {}
 

@@ -14,6 +14,14 @@ class SumUDF(UDF):
 
     def get_result_buffers(self):
         dtype = np.result_type(self.params.dtype, self.meta.input_dtype)
+        # keep the declaration honest: without jax x64, device state
+        # canonicalizes f64->f32 / c128->c64, so a f64 declaration
+        # would silently accumulate in f32 (same downgrade as
+        # ApplyMasksUDF)
+        if dtype == np.float64:
+            dtype = np.dtype(np.float32)
+        if dtype == np.complex128:
+            dtype = np.dtype(np.complex64)
         return {
             "intensity": self.buffer(kind="sig", dtype=dtype),
         }

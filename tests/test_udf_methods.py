@@ -512,3 +512,75 @@ def test_param_patch_length_mismatch(lt_ctx):
     runner = UDFRunner([SumUDF(), SumSigUDF()])
     with pytest.raises(ValueError, match="1 patches for 2"):
         runner.update_parameters_experimental([{}])
+
+
+def test_whole_frame_udfs_with_tiny_tile_udf(lt_ctx):
+    """UDFs whose math needs whole frames (FFT ring, per-frame min,
+    full-frame gather) declare whole_frames in their tiling prefs and
+    keep correct results even when a co-running tile UDF asks for
+    tiny tiles (which would otherwise sig-split the scheme)."""
+    from libertem_tpu.udf import FEMUDF, LogsumUDF
+    from libertem_tpu.udf.crystallinity import CrystallinityUDF
+
+    class TinyTileUDF(UDF):
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="sig", dtype="float32")}
+
+        def get_tiling_preferences(self):
+            return {"total_size": 256, "depth": 4}
+
+        def process_tile(self, tile):
+            self.results.s = self.results.s + tile.sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.s = dest.s + src.s
+
+    data = _mk_random((3, 3, 16, 16), dtype="float32") + 2.0
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=1)
+    ds.initialize()
+    flat = data.reshape(-1, 16, 16)
+
+    # references computed alone (whole frames guaranteed)
+    fem_alone = lt_ctx.run_udf(
+        ds, FEMUDF.with_params(cy=8, cx=8, ri=2, ro=6)
+    )["intensity"].data
+    log_alone = lt_ctx.run_udf(ds, LogsumUDF())["logsum"].data
+
+    res = lt_ctx.run_udf(ds, [
+        TinyTileUDF(),
+        FEMUDF.with_params(cy=8, cx=8, ri=2, ro=6),
+        LogsumUDF(),
+        CrystallinityUDF(rad_in=1, rad_out=5),
+    ])
+    assert np.allclose(res[0]["s"].data, flat.sum(axis=0), rtol=1e-4)
+    assert np.allclose(
+        np.asarray(res[1]["intensity"].data),
+        np.asarray(fem_alone), rtol=1e-5,
+    )
+    assert np.allclose(
+        np.asarray(res[2]["logsum"].data),
+        np.asarray(log_alone), rtol=1e-5,
+    )
+
+
+def test_sharded_prep_keeps_aux_on_host():
+    """_prepare(device=None) (the sharded path) must not device_put
+    aux buffers — multi-host processes can't address devices[0]."""
+    from libertem_tpu.udf.base import UDFRunner
+
+    class AuxUDF(UDF):
+        def get_result_buffers(self):
+            return {"w": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            self.results.w = frame.sum() * self.params.k
+
+    data = _mk_random((2, 3, 4, 4), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=1)
+    ds.initialize()
+    w = np.arange(6, dtype=np.float32)
+    runner = UDFRunner([
+        AuxUDF(k=AuxUDF.aux_data(w, kind="nav", dtype="float32"))
+    ])
+    prep = runner._prepare(ds, None, None, None)
+    assert isinstance(prep["aux"][0]["k"], np.ndarray)
