@@ -27,7 +27,13 @@ class Analysis:
 
     @classmethod
     def get_analysis_by_type(cls, id_: str) -> type:
-        return cls.registry[id_]
+        try:
+            return cls.registry[id_]
+        except KeyError:
+            raise ValueError(
+                f"unknown analysis type {id_!r}; known: "
+                f"{sorted(cls.registry)}"
+            ) from None
 
     def __init__(self, dataset, parameters: dict):
         self.dataset = dataset

@@ -41,7 +41,15 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
             "n_clust": parameters.get("n_clust", 8),
             "n_peaks": parameters.get("n_peaks", 42),
             "min_dist": parameters.get("min_dist", 1),
+            # template half-width (this framework's extension; the
+            # reference uses single-pixel features, i.e. rad=0)
             "rad": parameters.get("rad", 2),
+            # annulus restricting the peak search on the std map
+            # (reference clust.py:149-160: cy/cx/ri/ro)
+            "cy": parameters.get("cy"),
+            "cx": parameters.get("cx"),
+            "ri": parameters.get("ri"),
+            "ro": parameters.get("ro"),
             **parameters,
         }
 
@@ -55,8 +63,21 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
         p = self.parameters
         sd = ctx.run_udf(self.dataset, StdDevUDF())
         std_map = np.asarray(sd["std"].data)
+        # restrict the peak search to the cy/cx/ri/ro annulus when
+        # given (reference clust.py:155-160)
+        search_map = std_map
+        if all(
+            p.get(k) is not None for k in ("cy", "cx", "ri", "ro")
+        ):
+            from ..masks import circular
+            sh, sw = std_map.shape
+            ring_mask = (
+                circular(p["cx"], p["cy"], sw, sh, p["ro"])
+                - circular(p["cx"], p["cy"], sw, sh, p["ri"])
+            )
+            search_map = std_map * np.asarray(ring_mask)
         peaks = peak_local_max(
-            std_map, min_distance=p["min_dist"],
+            search_map, min_distance=p["min_dist"],
             num_peaks=p["n_peaks"],
         )
         if len(peaks) == 0:

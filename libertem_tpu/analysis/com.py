@@ -151,9 +151,18 @@ class GuessParametersProc:
         )
         if old_flip:
             iy = -iy
+        # rotation composition: with T(th, f) = R(th)·F(f) the
+        # combined transform T(th_g, f_g)·T(th_o, f_o) equals
+        # R(th_g + th_o)·F(f_o)      when f_g is False, but
+        # R(th_g - th_o)·F(not f_o)  when f_g is True
+        # (a flip conjugates rotation: F·R(th) = R(-th)·F)
+        if guess["flip_y"]:
+            new_rot = guess["scan_rotation"] - old_rot
+        else:
+            new_rot = guess["scan_rotation"] + old_rot
         return {"status": "ok", "guess": {
             "cy": float(old["cy"]) + float(iy[0]),
             "cx": float(old["cx"]) + float(ix[0]),
-            "scan_rotation": old_rot + guess["scan_rotation"],
+            "scan_rotation": new_rot,
             "flip_y": old_flip != guess["flip_y"],
         }}

@@ -56,8 +56,13 @@ class ApplyFFTMaskUDF(UDF):
         return {"intensity": self.buffer(kind="nav", dtype="float32")}
 
     def get_tiling_preferences(self):
-        return {"depth": self.TILE_DEPTH_DEFAULT,
+        # per-frame FFT needs whole frames
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
                 "total_size": self.TILE_SIZE_MAX}
+
+    def on_params_updated(self):
+        self._masks = None
 
     def _get_masks(self):
         if self._masks is None:

@@ -83,9 +83,11 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         nav_shape = data.shape[:-1]
         coeffs = data.reshape(nav_shape + (n_bins, max_order + 1))
         absolute = np.abs(coeffs)
-        # reference display normalization (radialfourier.py:193-214):
-        # higher orders relative to max(1, |c0|); positions where all
-        # higher orders are below 20% of the bin max get dominant=0
+        # reference dominant-order rule (radialfourier.py:207-213):
+        # threshold on RAW magnitudes — positions where all higher
+        # orders are below 20% of the bin's max |c| get dominant=0.
+        # (the max(1, |c0|) normalization in the reference only sets
+        # display limits for the absolute channels, not the threshold)
         threshold = (
             absolute[..., 1:].reshape(-1, n_bins, max_order).max(
                 axis=(0, 2)

@@ -30,21 +30,48 @@ async def async_generator_eager(
     loop = asyncio.get_running_loop()
     q: asyncio.Queue = asyncio.Queue(maxsize=queue_size)
     _SENTINEL = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded puts that notice consumer abandonment: q.put blocks
+        # when full, so wait with a timeout and re-check `stop`
+        while not stop.is_set():
+            fut = asyncio.run_coroutine_threadsafe(
+                q.put(item), loop
+            )
+            try:
+                fut.result(timeout=0.2)
+                return True
+            except TimeoutError:
+                if not fut.cancel():
+                    # completed (or failed) between timeout and
+                    # cancel — don't re-put a delivered item
+                    try:
+                        fut.result(timeout=0)
+                        return True
+                    except Exception:
+                        return False
+                continue
+            except Exception:
+                return False
+        return False
 
     def produce():
         try:
-            for item in gen:
-                fut = asyncio.run_coroutine_threadsafe(
-                    q.put(("item", item)), loop
-                )
-                fut.result()
-            asyncio.run_coroutine_threadsafe(
-                q.put(("done", _SENTINEL)), loop
-            ).result()
-        except Exception as e:
-            asyncio.run_coroutine_threadsafe(
-                q.put(("error", e)), loop
-            ).result()
+            try:
+                for item in gen:
+                    if not _put(("item", item)):
+                        return
+                _put(("done", _SENTINEL))
+            except Exception as e:
+                _put(("error", e))
+        finally:
+            # close the source generator so its finally blocks run
+            # (releases dataset readers etc.) even on abandonment
+            try:
+                gen.close()
+            except Exception:
+                pass
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
@@ -57,7 +84,10 @@ async def async_generator_eager(
                 raise payload
             yield payload
     finally:
-        thread.join(timeout=5)
+        # signal the producer instead of blocking the event loop in
+        # join(): the thread notices `stop` within its put timeout
+        stop.set()
+        thread.join(timeout=0.01)
 
 
 def run_gen_get_last(gen: Generator[T, None, None]) -> T:

@@ -89,14 +89,10 @@ class JobEngine:
             ds_uuid = entry["dataset"]
             dataset = self.state.dataset_state[ds_uuid]
             details = entry["details"]
+            # raises ValueError with the known types on a bad id
             analysis_cls = Analysis.get_analysis_by_type(
                 details["analysisType"]
             )
-            if analysis_cls is None:
-                raise ValueError(
-                    f"unknown analysis type "
-                    f"{details['analysisType']!r}"
-                )
             parameters = details.get("parameters", {})
             analysis = analysis_cls(
                 dataset=dataset, parameters=parameters,

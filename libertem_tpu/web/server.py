@@ -54,10 +54,11 @@ class EventRegistry:
         self.handlers.discard(h)
 
     async def broadcast(self, message: dict):
+        payload = json.dumps(message)  # serialize once for all clients
         dead = []
         for h in self.handlers:
             try:
-                h.write_message(json.dumps(message))
+                h.write_message(payload)
             except Exception:
                 dead.append(h)
         for h in dead:

@@ -218,3 +218,91 @@ def test_com_plus_radial_fourier_live(lt_ctx, ds, data):
     )
     assert com_res.magnitude.raw_data.shape == (8, 9)
     assert rf_res["absolute_0_0"].raw_data.shape == (8, 9)
+
+
+def test_com_guess_flip_conjugates_rotation(lt_ctx, monkeypatch):
+    """Absolute-parameter composition in the CoM guess RPC: with
+    T(th, f) = rotate(th) . flip(f), a guessed flip conjugates the
+    existing rotation — T(g, True) . T(o, fo) = R(g - o) F(!fo) —
+    while a no-flip guess adds rotations."""
+    import asyncio
+    import libertem_tpu.analysis.com as com_mod
+    from libertem_tpu.analysis.com import GuessParametersProc
+    from libertem_tpu.analysis.base import Analysis
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+
+    data = _mk_random((4, 4, 8, 8), dtype="float32")
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=1)
+    ds.initialize()
+    cls = Analysis.get_analysis_by_type("CENTER_OF_MASS")
+
+    class FakeResult(dict):
+        pass
+
+    def run_with_guess(rel_guess, old_params):
+        analysis = cls(dataset=ds, parameters=old_params)
+
+        class Ctx:
+            def get_analysis(self):
+                return analysis
+
+            def run_analysis_default(self, a):
+                # y/x fields: only consumed by guess_corrections,
+                # which we stub out
+                class R:
+                    raw_data = np.zeros((4, 4))
+                return {"y": R(), "x": R()}
+
+        monkeypatch.setattr(
+            com_mod, "guess_corrections",
+            lambda y, x: dict(rel_guess),
+        )
+        proc = GuessParametersProc()
+        return asyncio.run(proc(Ctx()))["guess"]
+
+    base = {"cx": 4, "cy": 4, "r": 3}
+    rel = {"scan_rotation": 30.0, "flip_y": False, "cy": 0.0,
+           "cx": 0.0}
+    g = run_with_guess(
+        rel, {**base, "scan_rotation": 45.0, "flip_y": False}
+    )
+    assert g["scan_rotation"] == pytest.approx(75.0)  # 30 + 45
+    assert g["flip_y"] is False
+
+    rel_flip = {**rel, "flip_y": True}
+    g = run_with_guess(
+        rel_flip, {**base, "scan_rotation": 45.0, "flip_y": False}
+    )
+    assert g["scan_rotation"] == pytest.approx(-15.0)  # 30 - 45
+    assert g["flip_y"] is True
+
+
+def test_get_roi_1d_and_3d_nav():
+    from libertem_tpu.analysis.getroi import get_roi
+
+    # 1D nav: rect selects along the single axis; disk doesn't crash
+    roi = get_roi(
+        {"roi": {"shape": "rect", "x": 2, "y": 0,
+                 "width": 3, "height": 1}},
+        (10,),
+    )
+    assert roi.shape == (10,)
+    assert list(np.flatnonzero(roi)) == [2, 3, 4]
+    roi_d = get_roi(
+        {"roi": {"shape": "disk", "cx": 5, "cy": 0, "r": 1}},
+        (10,),
+    )
+    assert roi_d.shape == (10,)
+    assert roi_d[5]
+
+    # 3D nav: selection applies to the last two dims, broadcast over
+    # the leading one
+    roi3 = get_roi(
+        {"roi": {"shape": "rect", "x": 1, "y": 1,
+                 "width": 2, "height": 2}},
+        (3, 4, 5),
+    )
+    assert roi3.shape == (3, 4, 5)
+    for z in range(3):
+        assert roi3[z, 1:3, 1:3].all()
+        assert roi3[z].sum() == 4
