@@ -69,11 +69,10 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
         if all(
             p.get(k) is not None for k in ("cy", "cx", "ri", "ro")
         ):
-            from ..masks import circular
+            from ..masks import ring
             sh, sw = std_map.shape
-            ring_mask = (
-                circular(p["cx"], p["cy"], sw, sh, p["ro"])
-                - circular(p["cx"], p["cy"], sw, sh, p["ri"])
+            ring_mask = ring(
+                p["cx"], p["cy"], sw, sh, p["ro"], p["ri"]
             )
             search_map = std_map * np.asarray(ring_mask)
         peaks = peak_local_max(

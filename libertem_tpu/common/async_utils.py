@@ -27,33 +27,22 @@ async def async_generator_eager(
 ) -> AsyncGenerator:
     """Drain a sync generator in a thread, yield asynchronously; the
     producer runs eagerly ahead up to ``queue_size`` items."""
-    loop = asyncio.get_running_loop()
-    q: asyncio.Queue = asyncio.Queue(maxsize=queue_size)
+    # a plain thread-safe queue avoids cross-thread asyncio puts
+    # entirely: put/get are atomic, so there is no timeout/cancel race
+    # that could duplicate or drop an item
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=queue_size)
     _SENTINEL = object()
     stop = threading.Event()
 
     def _put(item) -> bool:
-        # bounded puts that notice consumer abandonment: q.put blocks
-        # when full, so wait with a timeout and re-check `stop`
+        # bounded puts that notice consumer abandonment: wait with a
+        # timeout and re-check `stop`
         while not stop.is_set():
-            fut = asyncio.run_coroutine_threadsafe(
-                q.put(item), loop
-            )
             try:
-                fut.result(timeout=0.2)
+                q.put(item, timeout=0.2)
                 return True
-            except TimeoutError:
-                if not fut.cancel():
-                    # completed (or failed) between timeout and
-                    # cancel — don't re-put a delivered item
-                    try:
-                        fut.result(timeout=0)
-                        return True
-                    except Exception:
-                        return False
+            except queue_mod.Full:
                 continue
-            except Exception:
-                return False
         return False
 
     def produce():
@@ -75,9 +64,23 @@ async def async_generator_eager(
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
+
+    def _get():
+        # bounded gets so the worker thread can exit if the consumer
+        # abandons the generator mid-wait (to_thread cancellation does
+        # not interrupt a blocking q.get)
+        while True:
+            try:
+                return q.get(timeout=0.5)
+            except queue_mod.Empty:
+                if stop.is_set() or not thread.is_alive():
+                    # consumer abandoned, or the producer died
+                    # without delivering a sentinel
+                    return ("done", _SENTINEL)
+
     try:
         while True:
-            kind, payload = await q.get()
+            kind, payload = await asyncio.to_thread(_get)
             if kind == "done":
                 break
             if kind == "error":

@@ -284,6 +284,12 @@ class DataSet:
     # registry hook (io/dataset/__init__.py:15 in the reference)
     _format_id: Optional[str] = None
 
+    # whether reads at arbitrary offsets may run concurrently from
+    # several threads (the sharded loop's per-device reader pool).
+    # Stream-ordered sources (LiveDataSet's bounded ring) set this
+    # False and are refused by the sharded executor.
+    supports_concurrent_reads: bool = True
+
     def __init__(self, io_backend=None, num_partitions: Optional[int] = None):
         self._meta: Optional[DataSetMeta] = None
         self._cores = 1
@@ -506,6 +512,13 @@ class RangeReader:
         a0 = start_byte // self.ALIGN * self.ALIGN
         a1 = -(-end_byte // self.ALIGN) * self.ALIGN
         if self._size is None:
+            self._size = os.fstat(self._fd).st_size
+        if end_byte > self._size:
+            # the file may have grown since st_size was cached (an
+            # acquisition still appending to a .seq/.tvips series):
+            # refresh before clamping, so only genuinely missing
+            # bytes turn into a short-read error.  Off the hot path —
+            # in-bounds reads never re-fstat.
             self._size = os.fstat(self._fd).st_size
         a1 = min(a1, -(-self._size // self.ALIGN) * self.ALIGN)
         raw = np.empty(a1 - a0 + self.ALIGN, dtype=np.uint8)

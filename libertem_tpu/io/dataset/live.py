@@ -85,6 +85,16 @@ class FrameRing:
             )
         out = np.zeros((stop - start,) + self._sig, self._dtype)
         with self._cv:
+            if start < self._consumed:
+                # those slots may already be overwritten — the ring
+                # is a strictly in-order single-consumer structure
+                # (concurrent/sharded readers are rejected upstream
+                # via DataSet.supports_concurrent_reads)
+                raise RuntimeError(
+                    f"FrameRing read at {start} regresses behind "
+                    f"already-freed frame {self._consumed}; ring "
+                    "reads must be in ascending order"
+                )
             # reads arrive in ascending order, so everything below
             # `start` (e.g. ROI-skipped frames or whole skipped
             # partitions) is done with: free it NOW, before waiting —
@@ -121,6 +131,10 @@ class LiveDataSet(DataSet):
     The runner processes partitions in order, so pushes must be in
     acquisition order; backpressure comes from the bounded ring.
     """
+
+    # the ring is strictly in-order single-consumer; the sharded
+    # executor's concurrent per-device readers would corrupt it
+    supports_concurrent_reads = False
 
     def __init__(
         self,

@@ -211,9 +211,17 @@ class Negotiator:
                 else self.MAX_SIG_BYTES
             )
             sig_tile = self._split_sig(sig_shape, itemsize, budget)
-        elif whole_sig_required and frame_bytes > self.MAX_SIG_BYTES:
+        elif (
+            intent != "partition"
+            and whole_sig_required
+            and frame_bytes > self.MAX_SIG_BYTES
+        ):
             # keep whole frames but shrink the block depth so the
-            # staged block still fits the device budget
+            # staged block still fits the device budget.  PARTITION
+            # intent is exempt: its block must stay the whole
+            # partition (guarded by the 2 GB budget check above) —
+            # shrinking depth here would dispatch process_partition
+            # once per sub-block.
             depth = max(
                 1, min(depth, target_block_bytes // frame_bytes or 1)
             )

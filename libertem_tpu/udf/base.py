@@ -66,9 +66,9 @@ from ..io.tiling import (
 
 log = logging.getLogger(__name__)
 
-
-class UDFException(Exception):
-    pass
+# single canonical exception type — user code catching
+# common.exceptions.UDFException must also catch runner-raised ones
+from ..common.exceptions import UDFException  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -543,6 +543,14 @@ class UDFRunner:
         folded across devices with the UDF's merge().
         """
         if devices is not None and len(devices) > 1:
+            if not getattr(dataset, "supports_concurrent_reads", True):
+                raise UDFException(
+                    "this dataset requires in-order single-threaded "
+                    "reads (live stream ring) and cannot run on the "
+                    "sharded executor's concurrent per-device "
+                    "readers; use an InlineJobExecutor / "
+                    "single-device Context"
+                )
             # device=None: prep stays host-side; the sharded loop
             # owns device placement (replication / NamedShardings)
             prep = self._prepare(dataset, roi, corrections, None)

@@ -1,3 +1,5 @@
+import time
+
 import numpy as np
 import pytest
 
@@ -170,3 +172,97 @@ def test_partition_method_oom_guard():
             [PartUDF()], shape, np.float32,
             max_partition_frames=1024 * 1024,
         )
+
+
+def test_partition_method_big_frames_keeps_whole_partition():
+    """A PARTITION-method UDF with frames above MAX_SIG_BYTES (but a
+    partition under the device budget) must still get the WHOLE
+    partition as one block — the whole-frames depth shrink would
+    otherwise dispatch process_partition once per sub-block."""
+    from libertem_tpu.io.tiling import Negotiator
+    from libertem_tpu.udf.base import UDF
+
+    class PartUDF(UDF):
+        def get_result_buffers(self):
+            return {}
+
+        def process_partition(self, partition):
+            pass
+
+    # 288 MB f32 frames (> MAX_SIG_BYTES=256MB), 4-frame partitions
+    # (1.15 GB, under the 2 GB guard)
+    shape = Shape((16, 9000, 8000), sig_dims=2)
+    scheme = Negotiator().get_scheme(
+        [PartUDF()], shape, np.float32, max_partition_frames=4,
+    )
+    assert scheme.intent == "partition"
+    assert scheme.depth == 4
+    assert len(scheme) == 1  # whole sig, no splitting
+
+
+def test_async_generator_eager_order_and_close():
+    """The sync->async bridge delivers every item exactly once, in
+    order, even with a tiny queue and a slow consumer; abandoning the
+    consumer closes the source generator (releasing readers)."""
+    import asyncio
+    from libertem_tpu.common.async_utils import async_generator_eager
+
+    closed = {"flag": False}
+
+    def make_gen(n):
+        try:
+            for i in range(n):
+                yield i
+        finally:
+            closed["flag"] = True
+
+    async def consume_all():
+        got = []
+        async for item in async_generator_eager(
+            make_gen(50), queue_size=2
+        ):
+            await asyncio.sleep(0.001)
+            got.append(item)
+        return got
+
+    got = asyncio.run(consume_all())
+    assert got == list(range(50))
+    assert closed["flag"]
+
+    closed["flag"] = False
+
+    async def consume_some():
+        got = []
+        async for item in async_generator_eager(
+            make_gen(10_000), queue_size=2
+        ):
+            got.append(item)
+            if len(got) == 3:
+                break
+        return got
+
+    got = asyncio.run(consume_some())
+    assert got == [0, 1, 2]
+    # producer notices abandonment within its put timeout
+    deadline = time.monotonic() + 5
+    while not closed["flag"] and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert closed["flag"]
+
+
+def test_async_generator_eager_error_propagates():
+    import asyncio
+    from libertem_tpu.common.async_utils import async_generator_eager
+
+    def boom():
+        yield 1
+        raise RuntimeError("boom from producer")
+
+    async def consume():
+        got = []
+        async for item in async_generator_eager(boom()):
+            got.append(item)
+        return got
+
+    with pytest.raises(RuntimeError, match="boom from producer"):
+        asyncio.run(consume())

@@ -343,3 +343,25 @@ def test_hdf5_gzip_compressed(lt_ctx, tmp_path):
         assert np.allclose(
             res["intensity"].data, data.sum(axis=(0, 1)), rtol=1e-4
         )
+
+
+def test_range_reader_growing_file(tmp_path):
+    """The cached st_size must refresh when a read lands past it: a
+    dataset opened while acquisition software is still appending
+    (live .seq/.tvips series) grows between reads."""
+    from libertem_tpu.io.dataset.base import RangeReader
+
+    path = str(tmp_path / "grow.bin")
+    first = bytes(range(256)) * 16   # 4096 B
+    with open(path, "wb") as f:
+        f.write(first)
+    rr = RangeReader(path)
+    got = rr.read(0, 4096)
+    assert bytes(got) == first
+    # file grows after the reader cached st_size
+    second = b"\xab" * 4096
+    with open(path, "ab") as f:
+        f.write(second)
+    got = rr.read(4096, 4096)
+    assert bytes(got) == second
+    rr.close()

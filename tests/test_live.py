@@ -109,3 +109,33 @@ def test_live_default_capacity_small_frames(lt_ctx):
         res["intensity"].data,
         flat.astype(np.float64).sum(axis=0), rtol=1e-4,
     )
+
+
+def test_live_rejects_sharded_executor(lt_ctx):
+    """The ring is strictly in-order single-consumer: the sharded
+    loop's concurrent per-device readers would free frames other
+    shards haven't read yet (silent corruption) — refuse loudly."""
+    import jax
+
+    from libertem_tpu.udf.base import UDFException, UDFRunner
+
+    ds = LiveDataSet(
+        nav_shape=(4, 4), sig_shape=(8, 8), dtype="float32",
+        ring_capacity=16, num_partitions=2,
+    ).initialize()
+    with pytest.raises(UDFException, match="in-order"):
+        for _ in UDFRunner([SumUDF()]).run_for_dataset_iter(
+            ds, devices=jax.devices()
+        ):
+            pass
+
+
+def test_frame_ring_rejects_regressing_read():
+    from libertem_tpu.io.dataset.live import FrameRing
+
+    ring = FrameRing(32, (4, 4), "float32", capacity=8)
+    ring.push_frames(np.zeros((8, 4, 4), np.float32))
+    ring.read(0, 4)
+    ring.read(6, 8)  # ascending with a gap: fine, frees [0, 6)
+    with pytest.raises(RuntimeError, match="ascending"):
+        ring.read(2, 4)
