@@ -380,21 +380,56 @@ class Context:
         return list(udf), False
 
     def _normalize_roi(self, roi, dataset):
-        """Accept bool ndarray (nav or flat), sparse-like, or coord
-        tuples (reference api.py _normalize_roi)."""
+        """Accept bool ndarray (nav or flat), sparse-like, or
+        coordinate forms, matching the reference (api.py roi docs +
+        common/sparse.py:20 to_sparse):
+
+        * an all-int tuple ``(y, x)`` — a SINGLE selected coordinate
+        * an iterable of ``(coord, value)`` pairs with one uniform
+          truth value; ``value=False`` selects everything EXCEPT the
+          given coordinates (inverse fill)
+        * (extension) a bare iterable of coordinate tuples, all True
+        """
         if roi is None:
             return None
         if hasattr(roi, "toarray"):  # scipy.sparse mask
             roi = np.asarray(roi.toarray())
-        if isinstance(roi, np.ndarray) and roi.dtype == bool:
-            return roi.reshape(-1)
+        elif hasattr(roi, "todense"):  # sparse.pydata COO
+            roi = np.asarray(roi.todense())
         if isinstance(roi, np.ndarray):
             return roi.astype(bool).reshape(-1)
-        # iterable of nav coordinates
         nav_shape = tuple(dataset.shape.nav)
-        mask = np.zeros(nav_shape, dtype=bool)
-        for coord in roi:
-            mask[tuple(coord)] = True
+        entries = list(roi)
+        if all(
+            isinstance(e, (int, np.integer)) for e in entries
+        ):
+            # one coordinate (True is an int too, as in the
+            # reference's all-ints check)
+            entries = [(tuple(entries), True)]
+        else:
+            norm = []
+            for e in entries:
+                e = tuple(e)
+                if len(e) == 2 and isinstance(
+                    e[-1], (bool, np.bool_)
+                ):
+                    coord = e[0]
+                    if isinstance(coord, (int, np.integer)):
+                        coord = (coord,)
+                    norm.append((tuple(coord), bool(e[1])))
+                else:
+                    norm.append((e, True))
+            entries = norm
+        values = {v for _, v in entries}
+        if len(values) > 1:
+            raise ValueError(
+                "cannot cast iterable roi coords with more than "
+                f"one truth value {values}"
+            )
+        val = values.pop() if values else True
+        mask = np.full(nav_shape, not val, dtype=bool)
+        for coord, v in entries:
+            mask[coord] = v
         return mask.reshape(-1)
 
     def _wrap(self, results: UDFResults, single: bool):

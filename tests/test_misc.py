@@ -355,6 +355,41 @@ def test_scipy_sparse_roi(lt_ctx, ds):
     assert res.damage.raw_data.shape == (2,)
 
 
+def test_roi_coordinate_forms(lt_ctx, ds):
+    """Reference roi coordinate forms (api.py roi docs +
+    common/sparse.py:20 to_sparse): a single all-int coordinate
+    tuple, (coord, value) pairs, inverse fill with value=False, and
+    mixed truth values rejected."""
+    from libertem_tpu.udf import SumSigUDF
+
+    def flat(res):
+        return np.asarray(res["intensity"].data).reshape(-1)
+
+    # single coordinate
+    r = flat(lt_ctx.run_udf(ds, SumSigUDF(), roi=(1, 2)))
+    assert not np.isnan(r[1 * 6 + 2])
+    assert np.isnan(r[0])
+    # (coord, value) pairs
+    r = flat(lt_ctx.run_udf(
+        ds, SumSigUDF(), roi=(((1, 2), True), ((4, 4), True))
+    ))
+    assert not np.isnan(r[4 * 6 + 4])
+    assert np.isnan(r[3])
+    # inverse fill: everything except (0, 0)
+    r = flat(lt_ctx.run_udf(ds, SumSigUDF(), roi=(((0, 0), False),)))
+    assert np.isnan(r[0])
+    assert not np.isnan(r[1])
+    assert not np.isnan(r[35])
+    # bare coordinate list (extension)
+    r = flat(lt_ctx.run_udf(ds, SumSigUDF(), roi=[(2, 3), (5, 5)]))
+    assert not np.isnan(r[2 * 6 + 3])
+    assert np.isnan(r[4])
+    with pytest.raises(ValueError, match="truth value"):
+        lt_ctx.run_udf(
+            ds, SumSigUDF(), roi=(((0, 0), True), ((1, 1), False))
+        )
+
+
 def test_debug_executor_pickle_safety(ds):
     """InlineJobExecutor(debug=True) forces a pickle round-trip of the
     UDFs every run (reference: debug executors, udf/base.py:2325) —
