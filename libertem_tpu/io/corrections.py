@@ -35,29 +35,54 @@ class CorrectionSet:
         """
         dark: (*sig) array subtracted from each frame
         gain: (*sig) array multiplied into each frame
-        excluded_pixels: either a boolean (*sig) mask or an
-            (ndim, n) / (n, ndim) integer coordinate array of defective
-            pixels to repair.
+        excluded_pixels: a boolean (*sig) mask, a sparse COO-like
+            object (``.coords`` attribute, as the reference uses), a
+            scipy.sparse matrix, or an integer coordinate array of
+            defective pixels to repair.  Coordinate arrays follow the
+            reference's sparse.COO ``(ndim, n)`` convention; ``(n,
+            ndim)`` is also accepted when unambiguous (when both
+            orientations match — a square array — the reference's
+            ``(ndim, n)`` reading wins).
+        allow_empty: when False, raise if no correction data was
+            given (reference corrset.py:72).
         """
         self._dark = None if dark is None else np.asarray(dark, np.float32)
         self._gain = None if gain is None else np.asarray(gain, np.float32)
         self._excluded_coords: Optional[np.ndarray] = None
         if excluded_pixels is not None:
-            ex = np.asarray(excluded_pixels)
-            if ex.dtype == bool:
-                coords = np.argwhere(ex)  # (n, ndim)
-            else:
-                ex = np.atleast_2d(ex)
-                # accept (ndim, n) like the reference's sparse.COO coords
-                sig_ndim = (
-                    self._dark.ndim if self._dark is not None
-                    else (self._gain.ndim if self._gain is not None else 2)
+            if hasattr(excluded_pixels, "coords"):
+                # sparse.pydata COO: coords is (ndim, n)
+                ex = np.asarray(excluded_pixels.coords).T
+                coords = ex
+            elif hasattr(excluded_pixels, "toarray"):
+                coords = np.argwhere(
+                    np.asarray(excluded_pixels.toarray()).astype(bool)
                 )
-                if ex.shape[0] == sig_ndim and ex.shape[1] != sig_ndim:
-                    coords = ex.T
+            else:
+                ex = np.asarray(excluded_pixels)
+                if ex.dtype == bool:
+                    coords = np.argwhere(ex)  # (n, ndim)
                 else:
-                    coords = ex
+                    ex = np.atleast_2d(ex)
+                    sig_ndim = (
+                        self._dark.ndim if self._dark is not None
+                        else (
+                            self._gain.ndim
+                            if self._gain is not None else 2
+                        )
+                    )
+                    # (ndim, n) is the reference convention and wins
+                    # the square-array tiebreak
+                    if ex.shape[0] == sig_ndim:
+                        coords = ex.T
+                    else:
+                        coords = ex
             self._excluded_coords = coords.astype(np.int64)
+        if not allow_empty and not self.have_corrections():
+            raise ValueError(
+                "allow_empty=False, but no dark/gain/excluded_pixels "
+                "correction data was given"
+            )
         self._cache = {}
 
     @property
@@ -101,6 +126,14 @@ class CorrectionSet:
         if not self.have_corrections():
             self._cache[key] = None
             return None
+        for name, arr in (("dark", self._dark), ("gain", self._gain)):
+            if arr is not None and arr.shape != sig_shape:
+                # broadcastable-but-wrong arrays ((1, w), (w,)) would
+                # silently apply the same row everywhere
+                raise ValueError(
+                    f"{name} frame shape {arr.shape} != detector sig "
+                    f"shape {sig_shape}"
+                )
         plan = {
             "dark": self._dark,
             "gain": self._gain,

@@ -173,7 +173,19 @@ class UDFMeta:
         self.global_offset = None     # scalar int32 (roi-compressed nav)
         self.sig_slice: Optional[Slice] = None   # static, current sig tile
         self.tiling_scheme_idx: int = 0          # static
-        self.partition_slice: Optional[Slice] = None
+
+    @property
+    def partition_slice(self):
+        """Not available: this engine's unit of compute is the
+        fixed-shape block, not the reference's Partition (a traced
+        static slice would bake one partition into the compiled
+        step).  Use ``meta.coordinates`` (per-frame nav coords) or
+        ``meta.global_offset`` instead."""
+        raise AttributeError(
+            "partition_slice is not available in the traced TPU "
+            "engine; use meta.coordinates / meta.global_offset "
+            "(see UDFMeta docs)"
+        )
 
     @property
     def sig_shape(self) -> tuple:
@@ -250,13 +262,15 @@ class UDF:
         )
 
     def merge_all(self, ordered_results: Sequence[UDFData]) -> dict:
-        """Tree-reduce a sequence of partial sig/single states
-        (reference udf/base.py:943 + _default_merge_all:985): default
-        folds pairwise with merge(); override for a vectorized
-        combine.  Used by host-side folding (the host UDF runner and
-        delayed results); the on-device sharded fold applies merge()
-        pairwise inside one traced program and does not consult this
-        hook.
+        """Fold a sequence of partial sig/single states (reference
+        udf/base.py:943 + _default_merge_all:985): default folds
+        pairwise with merge(); override for a vectorized combine.
+
+        NOTE: the engine itself never calls this hook — both run
+        loops fold incrementally with merge() (the sharded fold
+        applies it pairwise inside one traced program).  It exists
+        for API parity and for user code that folds recorded
+        partial results (e.g. snapshots from run_udf_iter).
         """
         if not ordered_results:
             return {}
@@ -607,6 +621,17 @@ class UDFRunner:
         )
         if corrections is None:
             corrections = dataset.get_correction_data()
+        if (
+            corrections is not None
+            and corrections.have_corrections()
+            and not np.issubdtype(input_dtype, np.floating)
+            and not np.issubdtype(input_dtype, np.complexfloating)
+        ):
+            # dark subtraction / gain multiplication in integer
+            # arithmetic wraps around and truncates — force float
+            # (the reference upgrades to >= float32 whenever
+            # corrections are active, corrset.py)
+            input_dtype = np.dtype(np.float32)
 
         scheme = Negotiator().get_scheme(
             udfs,
@@ -1642,6 +1667,19 @@ class UDFRunner:
         damage_host = np.zeros(n_nav, dtype=bool)
         pm = self._make_progress(progress, n_nav, n_steps, prep)
 
+        overriders = [
+            type(u).__name__ for u in self._udfs
+            if type(u).preprocess is not UDF.preprocess
+            or type(u).postprocess is not UDF.postprocess
+        ]
+        if overriders:
+            # single-device loop: per partition (reference contract);
+            # here: once per run — partitions don't exist on the mesh
+            log.warning(
+                "sharded run: preprocess()/postprocess() run ONCE per "
+                "run, not per partition as on the single-device loop "
+                "(affected: %s)", ", ".join(overriders),
+            )
         for udf in self._udfs:
             udf.preprocess()
 

@@ -75,6 +75,13 @@ class MaskContainer:
             )
         if self._dtype is not None:
             stack = stack.astype(self._dtype)
+        if self._count is not None and stack.shape[0] != self._count:
+            # catch this here with a clear message — downstream it
+            # surfaces as an opaque trace-time broadcast error
+            raise ValueError(
+                f"mask_count={self._count} but the factories "
+                f"produced {stack.shape[0]} masks"
+            )
         self._stack = stack
         return stack
 
@@ -90,7 +97,15 @@ class MaskContainer:
             "mask_count must be given for a single bulk factory"
         )
 
-    def dtype_for(self, input_dtype) -> np.dtype:
+    def dtype_for(self, input_dtype, sig_shape=None) -> np.dtype:
+        if (
+            self._stack is None and self._dtype is None
+            and sig_shape is not None
+        ):
+            # evaluate the factories to learn the real mask dtype —
+            # complex masks (radial Fourier!) must yield a complex
+            # result buffer, not silently drop the imaginary part
+            self._compute_stack(sig_shape)
         if self._stack is not None:
             mdt = self._stack.dtype
         elif self._dtype is not None:
@@ -183,8 +198,20 @@ class ApplyMasksUDF(UDF):
             return np.dtype(self._kwargs["dtype"])
         return np.float32
 
+    def get_tiling_preferences(self):
+        prefs = super().get_tiling_preferences()
+        if self._kwargs.get("shifts") is not None:
+            # per-frame shifts roll pixels across the whole frame —
+            # a sig-split tile would zero content at tile borders
+            # instead of moving it into the neighboring tile
+            prefs = dict(prefs)
+            prefs["whole_frames"] = True
+        return prefs
+
     def get_result_buffers(self):
-        dtype = self._container.dtype_for(self.meta.input_dtype)
+        dtype = self._container.dtype_for(
+            self.meta.input_dtype, tuple(self.meta.sig_shape)
+        )
         if self._kwargs.get("dtype") is not None:
             dtype = np.dtype(self._kwargs["dtype"])
         if dtype == np.float64:

@@ -365,3 +365,50 @@ def test_range_reader_growing_file(tmp_path):
     got = rr.read(4096, 4096)
     assert bytes(got) == second
     rr.close()
+
+
+def test_corrections_force_float_input(lt_ctx):
+    """Integer-dtype runs with active corrections must be upgraded
+    to float: dark subtraction in uint16 wraps around and gain maps
+    truncate (the reference forces >= float32 when
+    corrections.have_corrections())."""
+    from libertem_tpu.udf.raw import PickUDF
+
+    data = np.full((2, 2, 4, 4), 100, dtype=np.uint16)
+    ds = MemoryDataSet(data=data, sig_dims=2, num_partitions=1)
+    ds.initialize()
+    roi = np.zeros(4, dtype=bool)
+    roi[1] = True
+    corr = CorrectionSet(dark=np.full((4, 4), 150.0, np.float32))
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi, corrections=corr)
+    picked = np.asarray(res["intensity"].data)
+    assert np.issubdtype(picked.dtype, np.floating)
+    assert np.allclose(picked, -50.0)  # not 65486
+
+    corr = CorrectionSet(gain=np.full((4, 4), 1.5, np.float32))
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi, corrections=corr)
+    assert np.allclose(np.asarray(res["intensity"].data), 150.0)
+
+
+def test_corrections_validation():
+    """Shape and emptiness validation with clear messages."""
+    with pytest.raises(ValueError, match="allow_empty"):
+        CorrectionSet(allow_empty=False)
+    corr = CorrectionSet(dark=np.zeros((1, 21), np.float32))
+    with pytest.raises(ValueError, match="dark frame shape"):
+        corr.make_plan((19, 21))
+    corr = CorrectionSet(gain=np.ones(21, np.float32))
+    with pytest.raises(ValueError, match="gain frame shape"):
+        corr.make_plan((19, 21))
+
+
+def test_corrections_square_coords_reference_convention():
+    """A square (2, 2) integer coordinate array follows the
+    reference's sparse.COO (ndim, n) convention: columns are
+    points."""
+    # points (1, 3) and (2, 0) in COO layout [[y0, y1], [x0, x1]]
+    corr = CorrectionSet(
+        excluded_pixels=np.array([[1, 2], [3, 0]])
+    )
+    got = {tuple(c) for c in corr.excluded_coords}
+    assert got == {(1, 3), (2, 0)}

@@ -410,3 +410,41 @@ def test_with_mask_custom_validity(lt_ctx):
         regression=RegressionOptions.SUBTRACT_LINEAR,
     ))
     assert res2["regression"].valid_mask.all()
+
+
+def test_apply_masks_complex_factories(lt_ctx, ds, data):
+    """Complex mask factories without an explicit mask_dtype must
+    yield a COMPLEX result buffer (the reference returns complex for
+    complex masks) — not silently drop the imaginary part."""
+    h, w = data.shape[-2:]
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = np.exp(2j * np.pi * xx / w).astype(np.complex64)
+    udf = ApplyMasksUDF(mask_factories=[lambda: phase])
+    res = lt_ctx.run_udf(ds, udf)
+    got = np.asarray(res["intensity"].data)
+    assert np.iscomplexobj(got)
+    expected = data.reshape(-1, h * w) @ phase.reshape(-1)
+    assert np.allclose(
+        got.reshape(-1), expected, rtol=1e-3, atol=1e-2
+    )
+
+
+def test_apply_masks_mask_count_mismatch(lt_ctx, ds):
+    udf = ApplyMasksUDF(
+        mask_factories=lambda: np.ones((3,) + (24, 24), np.float32),
+        mask_count=4,
+    )
+    with pytest.raises(ValueError, match="mask_count"):
+        lt_ctx.run_udf(ds, udf)
+
+
+def test_apply_masks_shifts_whole_frames_pref():
+    udf = ApplyMasksUDF(
+        mask_factories=[lambda: np.ones((8, 8), np.float32)],
+        shifts=np.zeros((4, 2), np.int32),
+    )
+    assert udf.get_tiling_preferences().get("whole_frames")
+    udf2 = ApplyMasksUDF(
+        mask_factories=[lambda: np.ones((8, 8), np.float32)],
+    )
+    assert not udf2.get_tiling_preferences().get("whole_frames")
