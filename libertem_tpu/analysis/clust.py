@@ -37,31 +37,47 @@ def peak_local_max(
 
 class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
     def get_parameters(self, parameters: dict) -> dict:
+        # `or` defaults: the GUI sends explicit nulls for untouched
+        # fields, which .get(k, default) would keep as None
         return {
-            "n_clust": parameters.get("n_clust", 8),
-            "n_peaks": parameters.get("n_peaks", 42),
-            "min_dist": parameters.get("min_dist", 1),
+            **parameters,
+            "n_clust": parameters.get("n_clust") or 8,
+            "n_peaks": parameters.get("n_peaks") or 42,
+            "min_dist": parameters.get("min_dist") or 1,
             # template half-width (this framework's extension; the
             # reference uses single-pixel features, i.e. rad=0)
-            "rad": parameters.get("rad", 2),
+            "rad": (
+                2 if parameters.get("rad") is None
+                else parameters["rad"]
+            ),
             # annulus restricting the peak search on the std map
             # (reference clust.py:149-160: cy/cx/ri/ro)
             "cy": parameters.get("cy"),
             "cx": parameters.get("cx"),
             "ri": parameters.get("ri"),
             "ro": parameters.get("ro"),
-            **parameters,
         }
 
     def get_udf(self):
         return StdDevUDF()
 
-    def run_clustering(self, ctx) -> AnalysisResultSet:
+    def run_clustering(
+        self, ctx, job_is_cancelled=None,
+    ) -> AnalysisResultSet:
         """Full pipeline; needs a Context to run the feature pass
         (reference runs this via an analysis controller,
-        clust.py:93–205 + web/engine.py:176)."""
+        clust.py:93–205 + web/engine.py:176).  ``job_is_cancelled``
+        is re-checked between the expensive passes so a GUI cancel
+        takes effect mid-pipeline."""
+        def cancelled():
+            return (
+                job_is_cancelled is not None and job_is_cancelled()
+            )
+
         p = self.parameters
         sd = ctx.run_udf(self.dataset, StdDevUDF())
+        if cancelled():
+            return AnalysisResultSet([])
         std_map = np.asarray(sd["std"].data)
         # restrict the peak search to the cy/cx/ri/ro annulus when
         # given (reference clust.py:155-160)
@@ -95,6 +111,8 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
         feats = ctx.run_udf(self.dataset, ApplyMasksUDF(
             mask_factories=factory, mask_count=len(peaks),
         ))
+        if cancelled():
+            return AnalysisResultSet([])
         features = np.asarray(feats["intensity"].data)
         nav_shape = features.shape[:-1]
         flat = features.reshape(-1, features.shape[-1])
@@ -128,9 +146,9 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
         web/engine.py:176): drives the multi-pass clustering pipeline
         (StdDev -> peak features -> AgglomerativeClustering) instead
         of the single-UDF engine path."""
-        if job_is_cancelled is not None and job_is_cancelled():
-            return AnalysisResultSet([])
-        return self.run_clustering(ctx)
+        return self.run_clustering(
+            ctx, job_is_cancelled=job_is_cancelled,
+        )
 
     def get_udf_results(self, udf_results, roi, damage):
         std = udf_results["std"].data

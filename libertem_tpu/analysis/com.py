@@ -16,13 +16,18 @@ from .getroi import get_roi
 class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
     def get_parameters(self, parameters: dict) -> dict:
         h, w = tuple(self.dataset.shape.sig)
+        # the GUI sends explicit nulls for untouched fields:
+        # .get(k, default) would keep None, which later crashes the
+        # guess RPC's float(old['cy'])
+        cx = parameters.get("cx")
+        cy = parameters.get("cy")
         return {
-            "cx": parameters.get("cx", w / 2),
-            "cy": parameters.get("cy", h / 2),
+            "cx": w / 2 if cx is None else cx,
+            "cy": h / 2 if cy is None else cy,
             "r": parameters.get("r"),
             "ri": parameters.get("ri"),
-            "flip_y": parameters.get("flip_y", False),
-            "scan_rotation": parameters.get("scan_rotation", 0.0),
+            "flip_y": parameters.get("flip_y") or False,
+            "scan_rotation": parameters.get("scan_rotation") or 0.0,
             **{k: v for k, v in parameters.items()
                if k not in ("cx", "cy", "r", "ri", "flip_y",
                             "scan_rotation")},

@@ -48,10 +48,11 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         h, w = tuple(self.dataset.shape.sig)
         ro = parameters.get("ro") or min(h, w) / 2
         ri = parameters.get("ri") or 0
-        n_bins = parameters.get("n_bins") or max(
-            1, int(np.round((ro - ri) / 2))
-        )
-        max_order = parameters.get("max_order") or 8
+        # reference defaults (radialfourier.py:326-327): ONE bin, 24
+        # orders — a derived many-bin default would mean hundreds of
+        # result channels, each PNG-encoded on every web push
+        n_bins = parameters.get("n_bins") or 1
+        max_order = parameters.get("max_order") or 24
         return {
             "cx": parameters.get("cx", w / 2),
             "cy": parameters.get("cy", h / 2),
@@ -88,16 +89,28 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         # orders are below 20% of the bin's max |c| get dominant=0.
         # (the max(1, |c0|) normalization in the reference only sets
         # display limits for the absolute channels, not the threshold)
+        # ROI runs fill non-selected positions with NaN; a plain max
+        # would poison the per-bin threshold (NaN) and disable the
+        # below-test entirely — reduce with nanmax and mark invalid
+        # positions explicitly
+        invalid = np.isnan(absolute).any(axis=-1)  # (*nav, n_bins)
         threshold = (
-            absolute[..., 1:].reshape(-1, n_bins, max_order).max(
-                axis=(0, 2)
+            np.nanmax(
+                absolute[..., 1:].reshape(-1, n_bins, max_order),
+                axis=(0, 2), initial=0.0,
             ) * 0.2
         )
         below = np.all(
             absolute[..., 1:] < threshold[:, None], axis=-1
         )
-        dominant = (np.argmax(absolute[..., 1:], axis=-1) + 1.0)
+        with np.errstate(invalid="ignore"):
+            dominant = (
+                np.argmax(
+                    np.nan_to_num(absolute[..., 1:]), axis=-1
+                ) + 1.0
+            )
         dominant[below] = 0.0
+        dominant[invalid] = np.nan
         results = []
         for b in range(n_bins):
             dom_b = dominant[..., b]

@@ -232,17 +232,22 @@ class SparseCorrelationUDF(UDF):
             size = 2 * steps + 1
             h, w = self.meta.sig_shape
             peaks = np.asarray(self.params.peaks)
-            # (n_peaks, size, size) absolute clipped coordinates
-            win_y = np.clip(
+            # (n_peaks, size, size) absolute coordinates.  The FFT
+            # correlation is CIRCULAR, so windows near the border
+            # wrap (modulo) rather than clip: clipping would
+            # duplicate border cells and break the bijection between
+            # the argmax index and the (dy, dx) offset (border peaks
+            # got silently shifted centers).
+            win_y = (
                 peaks[:, 0:1, None] + np.arange(-steps, steps + 1)[
                     None, :, None
-                ], 0, h - 1,
-            )
-            win_x = np.clip(
+                ]
+            ) % h
+            win_x = (
                 peaks[:, 1:2, None] + np.arange(-steps, steps + 1)[
                     None, None, :
-                ], 0, w - 1,
-            )
+                ]
+            ) % w
             self._windows = (
                 np.ascontiguousarray(np.broadcast_to(
                     win_y, (len(peaks), size, size)

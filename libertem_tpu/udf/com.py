@@ -74,10 +74,10 @@ class CoMUDF(UDF):
         if com_params is None:
             com_params = CoMParams()
         super().__init__(com_params=com_params)
-        self._operand_cache = {}
+        self._container = None
 
     def on_params_updated(self):
-        self._operand_cache.clear()
+        self._container = None
 
     @classmethod
     def with_params(
@@ -138,18 +138,20 @@ class CoMUDF(UDF):
         return cy, cx
 
     def _operand(self):
-        # numpy cache (tracer-safe); converted per trace
-        key = (self.meta.sig_slice.origin,
-               tuple(self.meta.sig_slice.shape))
-        if key not in self._operand_cache:
+        # MaskContainer handles the tracer-safe per-sig-slice numpy
+        # caching (one shared implementation with ApplyMasksUDF)
+        if self._container is None:
+            from .masks import MaskContainer
             p: CoMParams = self.params.com_params
+            sig = self.meta.sig_shape
             cy, cx = self._center()
-            stack = com_masks(self.meta.sig_shape, cy, cx, p.r, p.ri)
-            sub = stack[(slice(None),) + self.meta.sig_slice.get()]
-            self._operand_cache[key] = np.ascontiguousarray(
-                sub.reshape(3, -1).T
-            ).astype(np.float32)
-        return jnp.asarray(self._operand_cache[key])
+            self._container = MaskContainer(
+                lambda: com_masks(sig, cy, cx, p.r, p.ri),
+                dtype=np.float32, count=3,
+            )
+        return self._container.get_for_sig_slice(
+            self.meta.sig_slice, self.meta.sig_shape, np.float32,
+        )
 
     def process_tile(self, tile):
         masks = self._operand()

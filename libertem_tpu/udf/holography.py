@@ -103,6 +103,18 @@ class HoloReconstructUDF(UDF):
 
     def _get_out_shape(self):
         if self.params.out_shape is not None:
+            oh, ow = self.params.out_shape
+            sh, sw = self.meta.sig_shape
+            if oh > sh or ow > sw:
+                # the Fourier crop can only shrink: a larger
+                # out_shape would silently duplicate frequency
+                # rows/columns (sig < out <= 2*sig concatenates
+                # overlapping head/tail slices without any error)
+                raise ValueError(
+                    f"out_shape {(oh, ow)} exceeds the frame shape "
+                    f"{(sh, sw)}; the sideband crop can only "
+                    "downsample"
+                )
             return self.params.out_shape
         return self.meta.sig_shape
 

@@ -306,3 +306,53 @@ def test_get_roi_1d_and_3d_nav():
     for z in range(3):
         assert roi3[z, 1:3, 1:3].all()
         assert roi3[z].sum() == 4
+
+
+def test_radial_fourier_roi_dominant(lt_ctx, ds, data):
+    """Under an ROI the NaN fill must not poison the dominant-order
+    threshold: selected positions get real order indices, unselected
+    ones NaN."""
+    from libertem_tpu.analysis.base import Analysis
+
+    cls = Analysis.get_analysis_by_type("RADIAL_FOURIER")
+    analysis = cls(dataset=ds, parameters={
+        "cx": 4, "cy": 4, "ri": 0, "ro": 4,
+        "n_bins": 1, "max_order": 3,
+    })
+    nav = tuple(ds.shape.nav)
+    roi = np.zeros(nav, dtype=bool)
+    roi[0, 0] = roi[2, 3] = True
+    res = lt_ctx.run(analysis, roi=roi)
+    dom = res["dominant_0"].raw_data
+    assert dom.shape == nav
+    sel = dom[roi]
+    assert not np.isnan(sel).any()
+    assert (sel >= 0).all() and (sel <= 3).all()
+    assert np.isnan(dom[~roi]).all()
+
+
+def test_analysis_null_parameters(lt_ctx, ds):
+    """The GUI sends explicit nulls for untouched fields — analyses
+    must apply defaults instead of crashing on None."""
+    from libertem_tpu.analysis.base import Analysis
+
+    com_cls = Analysis.get_analysis_by_type("CENTER_OF_MASS")
+    an = com_cls(dataset=ds, parameters={
+        "cx": None, "cy": None, "scan_rotation": None,
+        "flip_y": None, "r": 3,
+    })
+    p = an.parameters
+    assert p["cx"] is not None and p["cy"] is not None
+    assert p["scan_rotation"] == 0.0 and p["flip_y"] is False
+    res = lt_ctx.run(an)
+    assert res["magnitude"].raw_data.shape == tuple(ds.shape.nav)
+
+    clust_cls = Analysis.get_analysis_by_type("CLUST")
+    an = clust_cls(dataset=ds, parameters={
+        "n_clust": None, "n_peaks": None, "min_dist": None,
+        "rad": None, "cy": None, "cx": None, "ri": None,
+        "ro": None,
+    })
+    p = an.parameters
+    assert p["n_clust"] == 8 and p["n_peaks"] == 42
+    assert p["min_dist"] == 1 and p["rad"] == 2

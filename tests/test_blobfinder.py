@@ -121,3 +121,28 @@ def test_fit_lattice():
     assert np.allclose(fit["da_rel"][1], 0.02, atol=1e-6)
     assert np.allclose(fit["db_rel"], 0.0, atol=1e-9)
     assert np.allclose(fit["zero"][..., 0], 32.0, atol=1e-9)
+
+
+def test_sparse_correlation_border_peak(lt_ctx):
+    """A peak within `steps` of the frame border must still get the
+    right center: the FFT correlation is circular, so windows wrap
+    (clipping duplicated border cells and shifted the argmax->offset
+    mapping)."""
+    fy = fx = 32
+    frames = np.zeros((1, 1, fy, fx), dtype=np.float32)
+    # bright disks near the corner (1, 1) and near the right edge
+    yy, xx = np.mgrid[0:fy, 0:fx]
+    for py, px in [(1, 1), (16, 29)]:
+        frames[0, 0][(yy - py) ** 2 + (xx - px) ** 2 <= 4] = 10.0
+    ds = MemoryDataSet(
+        data=frames, sig_dims=2, num_partitions=1
+    ).initialize()
+    # expected positions a couple of pixels off the true ones
+    udf = SparseCorrelationUDF(
+        match_pattern=Disk(radius=2, search=5),
+        peaks=np.array([[2, 2], [17, 28]]), steps=4,
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    centers = np.asarray(res["centers"].data).reshape(2, 2)
+    assert np.allclose(centers[0], (1, 1), atol=1)
+    assert np.allclose(centers[1], (16, 29), atol=1)

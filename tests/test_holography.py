@@ -47,3 +47,19 @@ def test_holo_reconstruction(lt_ctx):
     delta -= delta.mean()
     assert np.abs(delta).max() < 0.35
     assert np.abs(delta).mean() < 0.1
+
+
+def test_out_shape_upsample_rejected(lt_ctx):
+    """out_shape > sig must raise: the Fourier crop can only shrink
+    (sig < out <= 2*sig would silently duplicate frequency rows)."""
+    from libertem_tpu.udf.holography import HoloReconstructUDF
+
+    data = np.ones((1, 1, 8, 8), dtype=np.float32)
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=1
+    ).initialize()
+    udf = HoloReconstructUDF(
+        out_shape=(12, 8), sb_position=(2, 2), sb_size=2.0,
+    )
+    with pytest.raises(ValueError, match="out_shape"):
+        lt_ctx.run_udf(ds, udf)
