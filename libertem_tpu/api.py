@@ -158,19 +158,20 @@ class Context:
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
-        if getattr(self.executor, "is_delayed", False) and not plots:
-            # lazy results (reference: DelayedJobExecutor
-            # executor/delayed.py:211) — no IO until data is accessed
-            from .executor.delayed import make_delayed_results
-            return make_delayed_results(
-                self, dataset, udfs, single, roi, corrections
-            )
-        plots = self._prepare_plots(plots, dataset, udfs, roi)
         if backends is not None:
             if isinstance(backends, str):
                 backends = (backends,)
             for u in udfs:
                 u._backend_restriction = tuple(backends)
+        if getattr(self.executor, "is_delayed", False) and not plots:
+            # lazy results (reference: DelayedJobExecutor
+            # executor/delayed.py:211) — no IO until data is accessed
+            from .executor.delayed import make_delayed_results
+            return make_delayed_results(
+                self, dataset, udfs, single, roi, corrections,
+                progress=progress,
+            )
+        plots = self._prepare_plots(plots, dataset, udfs, roi)
         runner = UDFRunner(
             udfs, debug=getattr(self.executor, '_debug', False)
         )

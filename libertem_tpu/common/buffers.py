@@ -160,16 +160,20 @@ class BufferWrapper:
         nav_shape = tuple(self._ds_shape.nav)
         if self._roi is None:
             return self._data.reshape(nav_shape + self._extra_shape)
+        # keep the stored dtype, not the declared one: get_results
+        # may have derived a wider dtype (f64/complex), and the roi
+        # path must not silently downcast what the no-roi path keeps
+        out_dtype = np.result_type(self._data.dtype, self._dtype)
         full = np.full(
             (self._ds_shape.nav.size,) + self._extra_shape,
-            self._fill_value(),
-            dtype=self._dtype,
+            self._fill_value(out_dtype),
+            dtype=out_dtype,
         )
         full[self._roi] = self._data
         return full.reshape(nav_shape + self._extra_shape)
 
-    def _fill_value(self):
-        k = self._dtype.kind
+    def _fill_value(self, dtype=None):
+        k = (self._dtype if dtype is None else dtype).kind
         if k == "f":
             return np.nan
         if k == "c":

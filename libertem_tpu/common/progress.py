@@ -9,6 +9,7 @@ super-step loop.
 """
 from __future__ import annotations
 
+import sys
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -90,7 +91,16 @@ class ProgressManager:
         self._state.num_part_complete += 1
         self.frames_done(n_frames)
 
-    def close(self):
-        self._state.num_frames_complete = self._state.num_frames_total
-        self._state.num_part_complete = self._state.num_part_total
+    def close(self, complete: Optional[bool] = None):
+        """End the progress stream.  ``complete`` snaps the counters
+        to the totals; by default that only happens when no exception
+        is in flight — close() also runs in ``finally`` blocks of
+        failed or abandoned runs, which must not report 100%."""
+        if complete is None:
+            complete = sys.exc_info()[0] is None
+        if complete:
+            self._state.num_frames_complete = (
+                self._state.num_frames_total
+            )
+            self._state.num_part_complete = self._state.num_part_total
         self._reporter.end(self._state)

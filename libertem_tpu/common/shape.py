@@ -74,12 +74,17 @@ class Shape:
     def __len__(self) -> int:
         return self.dims
 
-    def __eq__(self, other) -> bool:
+    def __eq__(self, other):
         if isinstance(other, Shape):
             return (
                 self._nav == other._nav and self._sig == other._sig
             )
-        return self.to_tuple() == tuple(other)
+        if isinstance(other, (tuple, list)):
+            # value-compare convenience (the hash intentionally
+            # differs: a Shape is not interchangeable with a tuple
+            # as a dict key — it carries sig_dims)
+            return self.to_tuple() == tuple(other)
+        return NotImplemented
 
     def __hash__(self) -> int:
         return hash((self._nav, self._sig))

@@ -97,6 +97,10 @@ class Slice:
             slice(o, o + s) for o, s in zip(origin, shape)
         )
         if arr is not None:
+            if sig_only:
+                # sig slices address the TRAILING axes of the array
+                # (reference slice.py:152: arr[(Ellipsis,) + slices])
+                return arr[(Ellipsis,) + slices]
             return arr[slices]
         return slices
 

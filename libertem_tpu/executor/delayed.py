@@ -118,9 +118,11 @@ class DelayedResults(dict):
 
 
 def make_delayed_results(context, dataset, udfs, single, roi,
-                         corrections):
+                         corrections, progress=False):
     """Build lazy result proxies for a run; executes (once) on first
     data access via the context's eager machinery."""
+    import threading
+
     from ..udf.base import UDFRunner
 
     # buffer declarations via a dry run (no data read) — sets up UDF
@@ -129,16 +131,21 @@ def make_delayed_results(context, dataset, udfs, single, roi,
         dict(b) for b in UDFRunner(udfs).dry_run(dataset, roi).buffers
     ]
     state = {}
+    # accessing two lazy buffers from dask's threaded scheduler must
+    # not run the UDF pass twice concurrently
+    run_lock = threading.Lock()
 
     def run_once():
-        if "results" not in state:
-            runner = UDFRunner(udfs)
-            results = runner.run_for_dataset(
-                dataset, roi=roi, corrections=corrections,
-                device=context.executor.main_device,
-                devices=context._run_devices(),
-            )
-            state["results"] = results
+        with run_lock:
+            if "results" not in state:
+                runner = UDFRunner(udfs)
+                results = runner.run_for_dataset(
+                    dataset, roi=roi, corrections=corrections,
+                    progress=progress,
+                    device=context.executor.main_device,
+                    devices=context._run_devices(),
+                )
+                state["results"] = results
         return state["results"]
 
     nav_shape = tuple(dataset.meta.shape.nav)

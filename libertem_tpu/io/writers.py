@@ -48,6 +48,11 @@ class WriteHandle:
             dir=os.path.dirname(os.path.abspath(self._path)) or "."
         )
         os.close(fd)
+        # mkstemp creates 0600 and os.replace keeps it — honor the
+        # umask like a normally created file would
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(self._tmp, 0o666 & ~umask)
         self._mmap = np.lib.format.open_memmap(
             self._tmp, mode="w+", dtype=self._dtype, shape=self._shape
         )

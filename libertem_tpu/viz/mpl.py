@@ -34,10 +34,14 @@ class MPLLive2DPlot(Live2DPlot):
     def update(self, damage, force=False):
         if self.im_obj is None or self.data is None:
             return
-        data = np.nan_to_num(np.asarray(self.data, dtype=np.float64))
+        raw = np.asarray(self.data, dtype=np.float64)
+        # damage-aware limits BEFORE nan_to_num: unmerged regions are
+        # NaN and must not drag the color scale to zero
+        from .base import _stat_limits
+        lo, hi = _stat_limits(raw, damage)
+        data = np.nan_to_num(raw)
         self.im_obj.set_data(data)
-        valid = data[np.isfinite(data)]
-        if valid.size:
-            self.im_obj.set_clim(valid.min(), valid.max() + 1e-30)
+        if np.isfinite(lo) and np.isfinite(hi):
+            self.im_obj.set_clim(lo, hi + 1e-30)
         if self.fig is not None:
             self.fig.canvas.draw_idle()

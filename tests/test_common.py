@@ -266,3 +266,76 @@ def test_async_generator_eager_error_propagates():
 
     with pytest.raises(RuntimeError, match="boom from producer"):
         asyncio.run(consume())
+
+
+def test_slice_get_sig_only_trailing_axes():
+    """sig_only slicing must address the TRAILING axes of the array
+    (reference slice.py:152), not the leading nav axes."""
+    s = Slice((0, 2, 3), Shape((10, 4, 4), sig_dims=2))
+    arr = np.arange(10 * 8 * 8).reshape(10, 8, 8)
+    out = s.get(arr, sig_only=True)
+    assert out.shape == (10, 4, 4)
+    assert np.array_equal(out, arr[:, 2:6, 3:7])
+
+
+def test_shape_eq_non_iterable():
+    s = Shape((2, 2), sig_dims=1)
+    assert not (s == None)  # noqa: E711
+    assert s != None  # noqa: E711
+    assert not (s == 5)
+    assert s == (2, 2)
+    assert s != (2, 3)
+
+
+def test_progress_close_incomplete_on_error():
+    from libertem_tpu.common.progress import (
+        ProgressManager, ProgressReporter,
+    )
+
+    class Rec(ProgressReporter):
+        def __init__(self):
+            self.ended = None
+
+        def start(self, state):
+            pass
+
+        def update(self, state):
+            pass
+
+        def end(self, state):
+            self.ended = (
+                state.num_frames_complete, state.num_frames_total
+            )
+
+    rec = Rec()
+    pm = ProgressManager(100, 4, reporter=rec)
+    pm.frames_done(10)
+    try:
+        try:
+            raise RuntimeError("boom")
+        finally:
+            pm.close()
+    except RuntimeError:
+        pass
+    assert rec.ended == (10, 100)  # NOT forced to 100%
+
+    rec2 = Rec()
+    pm2 = ProgressManager(100, 4, reporter=rec2)
+    pm2.frames_done(10)
+    pm2.close()
+    assert rec2.ended == (100, 100)  # clean completion snaps
+
+
+def test_bufferwrapper_roi_keeps_derived_dtype():
+    from libertem_tpu.common.buffers import BufferWrapper
+
+    roi = np.zeros(12, dtype=bool)
+    roi[:3] = True
+    b = BufferWrapper("nav", dtype="float32")
+    b.set_shape_ds(Shape((3, 4, 8, 8), sig_dims=2), roi)
+    b.set_result(
+        np.array([1 + 2j, 3 + 4j, 5 + 6j], dtype=np.complex64)
+    )
+    data = b.data
+    assert data.dtype == np.complex64  # not truncated to float32
+    assert data.reshape(-1)[0] == 1 + 2j
