@@ -11,6 +11,7 @@ from typing import Iterable, Optional, Sequence, Union
 import numpy as np
 
 from .common.buffers import BufferWrapper
+from .common.snooze import keep_alive
 from .executor.base import JobExecutor
 from .executor.inline import InlineJobExecutor
 from .io.corrections import CorrectionSet
@@ -52,11 +53,30 @@ class Context:
     """Entry point: load datasets, run UDFs and analyses."""
 
     def __init__(self, executor: Optional[JobExecutor] = None,
-                 plot_class=None):
+                 plot_class=None, snooze_timeout=None):
         if executor is None:
             executor = InlineJobExecutor()
         self.executor = executor
         self._plot_class = plot_class
+        self.snooze_manager = None
+        if snooze_timeout is not None:
+            # reference api.py:238 snooze_timeout: scale down after
+            # idle.  Here there is no worker pool to shrink — the
+            # held resources are XLA executables and cached device
+            # buffers, released via jax.clear_caches(); runs hold
+            # the manager awake via the keep_alive decorator.
+            from .common.snooze import SnoozeManager
+            self.snooze_manager = SnoozeManager(
+                down=self._snooze_down, timeout=snooze_timeout,
+            )
+
+    @staticmethod
+    def _snooze_down():
+        try:
+            import jax
+            jax.clear_caches()
+        except Exception:
+            pass
 
     @property
     def plot_class(self):
@@ -92,7 +112,8 @@ class Context:
             "inline", "synchronous", "threads", "concurrent",
         ):
             return cls(executor=InlineJobExecutor(),
-                       plot_class=plot_class)
+                       plot_class=plot_class,
+                       snooze_timeout=snooze_timeout)
         elif executor_spec in (
             "sharded", "tpu", "pipelined", "dask",
             "dask-make-default", "dask-integration",
@@ -104,7 +125,8 @@ class Context:
                 all_devices = jax.devices()
                 devices = [all_devices[i] for i in tpus]
             return cls(executor=ShardedJobExecutor(devices=devices),
-                       plot_class=plot_class)
+                       plot_class=plot_class,
+                       snooze_timeout=snooze_timeout)
         elif executor_spec == "delayed":
             from .executor.compat import DelayedJobExecutor
             return cls(executor=DelayedJobExecutor(**kwargs))
@@ -128,6 +150,7 @@ class Context:
 
     # -- UDFs ------------------------------------------------------------
 
+    @keep_alive
     def run_udf(
         self,
         dataset: DataSet,
@@ -279,6 +302,7 @@ class Context:
 
     # -- analyses -----------------------------------------------------------
 
+    @keep_alive
     def run(self, analysis, roi=None, progress=False):
         """Run an Analysis and post-process into an AnalysisResultSet
         (reference api.py:854)."""
@@ -482,6 +506,8 @@ class Context:
             p.new_data(wrapped, force=final)
 
     def close(self):
+        if self.snooze_manager is not None:
+            self.snooze_manager.close()
         self.executor.close()
 
     def __enter__(self):

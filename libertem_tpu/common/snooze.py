@@ -22,6 +22,11 @@ class SnoozeMessage(str, Enum):
 
 
 class SnoozeManager:
+    """Calls ``down()`` after ``timeout`` seconds without activity and
+    ``up()`` on the next touch.  User callbacks and subscriber sends
+    run OUTSIDE the internal lock (a callback may re-enter the
+    manager); state transitions are decided under the lock."""
+
     def __init__(
         self,
         up: Optional[Callable] = None,
@@ -36,6 +41,7 @@ class SnoozeManager:
         self._last_activity = time.monotonic()
         self._snoozed = False
         self._keep_alive = 0
+        self._closed = False
         self._lock = threading.Lock()
         self._timer: Optional[threading.Timer] = None
         self._schedule()
@@ -49,16 +55,22 @@ class SnoozeManager:
             self._subs.send(msg.value, {})
 
     def _schedule(self):
-        if self._timer is not None:
-            self._timer.cancel()
-        self._timer = threading.Timer(
-            max(1.0, self._timeout / 4), self._check
-        )
-        self._timer.daemon = True
-        self._timer.start()
+        with self._lock:
+            if self._closed:
+                return
+            if self._timer is not None:
+                self._timer.cancel()
+            self._timer = threading.Timer(
+                max(1.0, self._timeout / 4), self._check
+            )
+            self._timer.daemon = True
+            self._timer.start()
 
     def _check(self):
+        fire_down = False
         with self._lock:
+            if self._closed:
+                return
             idle = time.monotonic() - self._last_activity
             if (
                 not self._snoozed
@@ -66,19 +78,24 @@ class SnoozeManager:
                 and idle >= self._timeout
             ):
                 self._snoozed = True
-                self._emit(SnoozeMessage.SNOOZE)
-                self._down()
+                fire_down = True
+        if fire_down:
+            self._emit(SnoozeMessage.SNOOZE)
+            self._down()
         self._schedule()
 
     def touch(self):
+        fire_up = False
         with self._lock:
             self._last_activity = time.monotonic()
-            self._emit(SnoozeMessage.UPDATE_ACTIVITY)
             if self._snoozed:
                 self._snoozed = False
-                self._emit(SnoozeMessage.UNSNOOZE)
-                self._up()
-                self._emit(SnoozeMessage.UNSNOOZE_DONE)
+                fire_up = True
+        self._emit(SnoozeMessage.UPDATE_ACTIVITY)
+        if fire_up:
+            self._emit(SnoozeMessage.UNSNOOZE)
+            self._up()
+            self._emit(SnoozeMessage.UNSNOOZE_DONE)
 
     def keep_alive_enter(self):
         with self._lock:
@@ -91,8 +108,11 @@ class SnoozeManager:
             self._last_activity = time.monotonic()
 
     def close(self):
-        if self._timer is not None:
-            self._timer.cancel()
+        with self._lock:
+            self._closed = True
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
 
 
 def keep_alive(fn):

@@ -13,12 +13,18 @@ import os
 
 @contextlib.contextmanager
 def set_num_threads(n: int):
+    # only the import belongs in the try: an except around the yield
+    # would swallow ImportErrors raised by the caller's body and
+    # yield twice ("generator didn't stop after throw()")
     try:
         import threadpoolctl
+    except ImportError:  # pragma: no cover
+        threadpoolctl = None
+    if threadpoolctl is None:
+        yield
+    else:
         with threadpoolctl.threadpool_limits(limits=n):
             yield
-    except ImportError:  # pragma: no cover
-        yield
 
 
 @contextlib.contextmanager

@@ -77,8 +77,21 @@ def _ptr(arr, typ):
 
 # -- decoders (native fast path + numpy fallback) -----------------------
 
+
+def _check_group(n_pix: int, group: int, fmt: str):
+    if n_pix % group:
+        # the bit-packed layouts order pixels in fixed groups; a
+        # non-multiple frame is not decodable by either path (the
+        # native loop would silently drop the tail, the numpy
+        # fallback would raise an opaque reshape error)
+        raise ValueError(
+            f"{fmt}: n_pix={n_pix} must be a multiple of {group}"
+        )
+
+
 def decode_r1(raw: np.ndarray, n_pix: int) -> np.ndarray:
     """(n, n_pix//8) packed bytes -> (n, n_pix) u8."""
+    _check_group(n_pix, 64, 'MIB r1')
     raw = np.ascontiguousarray(raw.reshape(raw.shape[0], -1))
     n = raw.shape[0]
     lib = get_lib()
@@ -96,6 +109,7 @@ def decode_r1(raw: np.ndarray, n_pix: int) -> np.ndarray:
 
 def decode_r6(raw: np.ndarray, n_pix: int) -> np.ndarray:
     """(n, n_pix) u8 -> (n, n_pix) u8, pixel order fixed."""
+    _check_group(n_pix, 8, 'MIB r6')
     raw = np.ascontiguousarray(raw.reshape(raw.shape[0], -1))
     n = raw.shape[0]
     lib = get_lib()
@@ -111,6 +125,7 @@ def decode_r6(raw: np.ndarray, n_pix: int) -> np.ndarray:
 
 def decode_r12(raw: np.ndarray, n_pix: int) -> np.ndarray:
     """(n, 2*n_pix) big-endian u16 bytes -> (n, n_pix) u16."""
+    _check_group(n_pix, 4, 'MIB r12')
     raw = np.ascontiguousarray(
         raw.reshape(raw.shape[0], -1).view(np.uint8)
     )
@@ -130,6 +145,7 @@ def decode_r12(raw: np.ndarray, n_pix: int) -> np.ndarray:
 def decode_r24(raw: np.ndarray, n_pix: int) -> np.ndarray:
     """(n, 4*n_pix) bytes (two r12 sub-frames, MSB first) ->
     (n, n_pix) u32."""
+    _check_group(n_pix, 4, "MIB r24")
     raw = np.ascontiguousarray(
         raw.reshape(raw.shape[0], -1).view(np.uint8)
     )

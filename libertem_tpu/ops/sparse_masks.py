@@ -30,6 +30,23 @@ import numpy as np
 BLOCK = 128  # TPU lane width
 
 
+def _to_blocks(arr, block, pad_fn):
+    """(rows, pixels) -> (rows, n_blocks, block): pad the pixel axis
+    to a block multiple (via ``pad_fn(arr, pad)``) and reshape."""
+    rows, p = arr.shape
+    nb = -(-p // block)
+    pad = nb * block - p
+    if pad:
+        arr = pad_fn(arr, pad)
+    return arr.reshape(rows, nb, block), nb
+
+
+def _np_pad(arr, pad):
+    return np.concatenate(
+        [arr, np.zeros((arr.shape[0], pad), dtype=arr.dtype)], axis=1
+    )
+
+
 def block_support(stack_flat: np.ndarray, block: int = BLOCK):
     """Indices of pixel blocks where ANY mask is nonzero.
 
@@ -38,17 +55,8 @@ def block_support(stack_flat: np.ndarray, block: int = BLOCK):
     padded up to a block multiple conceptually (tail block counted via
     the existing pixels only).
     """
-    m, p = stack_flat.shape
-    nb = -(-p // block)
-    pad = nb * block - p
-    if pad:
-        flat = np.concatenate(
-            [np.abs(stack_flat),
-             np.zeros((m, pad), dtype=stack_flat.dtype)], axis=1
-        )
-    else:
-        flat = np.abs(stack_flat)
-    per_block = flat.reshape(m, nb, block).sum(axis=(0, 2))
+    blocks, nb = _to_blocks(np.abs(stack_flat), block, _np_pad)
+    per_block = blocks.sum(axis=(0, 2))
     support = np.flatnonzero(per_block != 0).astype(np.int32)
     if support.size == 0:
         support = np.zeros(1, dtype=np.int32)
@@ -58,33 +66,22 @@ def block_support(stack_flat: np.ndarray, block: int = BLOCK):
 def compact_operand(
     stack_flat: np.ndarray, support: np.ndarray, block: int = BLOCK,
 ) -> np.ndarray:
-    """(pixels, n_masks) -> (S*block, n_masks) operand restricted to
+    """(n_masks, pixels) -> (S*block, n_masks) operand restricted to
     the support blocks (transposed ready for ``gathered @ operand``)."""
-    m, p = stack_flat.shape
-    nb = -(-p // block)
-    pad = nb * block - p
-    if pad:
-        flat = np.concatenate(
-            [stack_flat, np.zeros((m, pad), dtype=stack_flat.dtype)],
-            axis=1,
-        )
-    else:
-        flat = stack_flat
-    blocks = flat.reshape(m, nb, block)[:, support, :]
-    return np.ascontiguousarray(
-        blocks.reshape(m, -1).T
-    )
+    blocks, _ = _to_blocks(stack_flat, block, _np_pad)
+    sel = blocks[:, support, :]
+    m = stack_flat.shape[0]
+    return np.ascontiguousarray(sel.reshape(m, -1).T)
 
 
 def gather_blocks(flat_tile, support, block: int = BLOCK):
     """(depth, pixels) -> (depth, S*block): select the support blocks
     with a static index (XLA folds this into the consumer)."""
-    d, p = flat_tile.shape
-    nb = -(-p // block)
-    pad = nb * block - p
-    if pad:
-        flat_tile = jnp.pad(flat_tile, ((0, 0), (0, pad)))
-    blocks = flat_tile.reshape(d, nb, block)
+    d = flat_tile.shape[0]
+    blocks, _ = _to_blocks(
+        flat_tile, block,
+        lambda a, pad: jnp.pad(a, ((0, 0), (0, pad))),
+    )
     sel = blocks[:, jnp.asarray(support), :]
     return sel.reshape(d, -1)
 

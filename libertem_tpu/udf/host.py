@@ -33,6 +33,11 @@ class HostUDFRunner:
         self.input_dtype = prep["input_dtype"]
         self.n_nav = prep["n_nav"]
         self.sig_shape = tuple(prep["meta"].dataset_shape.sig)
+        from ..common.slice import Slice
+        sig = prep["meta"].dataset_shape.sig
+        self._whole_sig_slice = Slice.from_shape(
+            tuple(sig), sig_dims=sig.dims
+        )
 
     # -- buffers ---------------------------------------------------------
 
@@ -73,10 +78,12 @@ class HostUDFRunner:
         corrections = meta.corrections
         if corrections is not None and corrections.have_corrections():
             x = corrections.apply_numpy(block[:valid]).astype(
-                self.input_dtype
+                self.input_dtype, copy=False
             )
         else:
-            x = block[:valid].astype(self.input_dtype)
+            # copy=False: the common case (feed already in
+            # input_dtype) must not add a memcpy per block
+            x = block[:valid].astype(self.input_dtype, copy=False)
         coords = coords[:valid]
         for ei, entry in enumerate(self.entries):
             udf = entry.udf
@@ -99,11 +106,7 @@ class HostUDFRunner:
             # host UDFs always receive WHOLE frames (the feed is the
             # undivided block), so sig_slice must cover the full sig
             # even when the device scheme sig-splits
-            from ..common.slice import Slice
-            sig_shape = self.prep["meta"].dataset_shape.sig
-            meta.sig_slice = Slice.from_shape(
-                tuple(sig_shape), sig_dims=sig_shape.dims
-            )
+            meta.sig_slice = self._whole_sig_slice
             udf.params = UDFParams(udf._kwargs, aux_views)
             try:
                 if entry.method in ("tile", "partition"):

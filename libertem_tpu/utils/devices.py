@@ -8,11 +8,15 @@ from typing import Optional
 
 
 def detect() -> dict:
+    import os
     try:
         import psutil
         cpus = psutil.cpu_count(logical=False) or psutil.cpu_count()
     except Exception:
-        import os
+        cpus = None
+    if cpus is None:
+        # psutil may return None for BOTH calls on platforms where
+        # core count is undetectable (cgroup containers)
         cpus = os.cpu_count() or 1
     tpus: list = []
     has_tpu = False

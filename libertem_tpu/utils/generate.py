@@ -49,9 +49,11 @@ def make_polar(y_x):
 
 
 def make_cartesian(r_phi):
+    # inverse of make_polar: phi = arctan2(y, x), so y = r sin(phi),
+    # x = r cos(phi).  (A spurious +pi/2 here once degenerated
+    # cbed_frame's default second lattice vector into b == a.)
     r, phi = r_phi
-    return np.array([r * np.sin(phi + np.pi / 2),
-                     r * np.cos(phi + np.pi / 2)])
+    return np.array([r * np.sin(phi), r * np.cos(phi)])
 
 
 def frame_peaks(fy, fx, zero, a, b, r=0, indices=None):

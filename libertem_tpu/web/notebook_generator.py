@@ -72,7 +72,9 @@ ANALYSIS_TEMPLATES = {
     "CENTER_OF_MASS": (
         "Center of mass",
         "analysis = ctx.create_com_analysis(dataset=ds, "
-        "cx={cx}, cy={cy}, mask_radius={r})\n"
+        "cx={cx}, cy={cy}, mask_radius={r}, "
+        "mask_radius_inner={ri}, flip_y={flip_y}, "
+        "scan_rotation={scan_rotation})\n"
         "result = ctx.run(analysis)\n"
         "fig, axes = plt.subplots(1, 3, figsize=(12, 4))\n"
         "axes[0].imshow(result.magnitude.raw_data)\n"

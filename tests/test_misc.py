@@ -573,3 +573,65 @@ def test_abandoned_iterator_releases_prefetch(lt_ctx, ds):
     assert not any(
         n.startswith("Thread-") for n in leaked
     ), f"prefetch thread leaked: {leaked}"
+
+
+def test_snooze_manager_wired_and_closeable():
+    """Context(snooze_timeout=...) builds a real SnoozeManager;
+    runs hold it awake; close() stops the timer chain for good."""
+    import time as _time
+
+    from libertem_tpu.common.snooze import SnoozeManager
+
+    ctx = Context.make_with("inline", snooze_timeout=3600)
+    assert ctx.snooze_manager is not None
+    data = _mk_random((2, 2, 4, 4), dtype="float32")
+    mds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=1
+    ).initialize()
+    ctx.run_udf(mds, SumUDF())
+    assert not ctx.snooze_manager.is_snoozing
+    ctx.close()
+    assert ctx.snooze_manager._closed
+
+    # down() fires after the timeout; up() on the next touch;
+    # close() prevents any further scheduling
+    calls = []
+    mgr = SnoozeManager(
+        up=lambda: calls.append("up"),
+        down=lambda: calls.append("down"),
+        timeout=0.0,
+    )
+    # timeout 0 -> first _check snoozes; invoke directly rather than
+    # waiting for the (>= 1 s) timer
+    mgr._check()
+    assert calls == ["down"] and mgr.is_snoozing
+    mgr.touch()
+    assert calls == ["down", "up"] and not mgr.is_snoozing
+    # a touch callback may re-enter the manager (no deadlock)
+    mgr2 = SnoozeManager(
+        up=lambda: mgr2.touch(), down=lambda: None, timeout=0.0,
+    )
+    mgr2._check()
+    t = _time.monotonic()
+    mgr2.touch()
+    assert _time.monotonic() - t < 1.0
+    mgr.close(); mgr2.close()
+    assert mgr._timer is None
+
+
+def test_set_num_threads_passes_body_importerror():
+    from libertem_tpu.common.threading import set_num_threads
+
+    with pytest.raises(ImportError, match="definitely_missing"):
+        with set_num_threads(2):
+            import definitely_missing_module_xyz  # noqa: F401
+
+
+def test_cbed_default_lattice_is_2d():
+    from libertem_tpu.utils.generate import cbed_frame
+
+    frame, indices, peaks = cbed_frame(fy=64, fx=64, radius=3)
+    # both lattice directions present: peaks span 2 dimensions
+    assert len(np.unique(peaks[:, 0])) > 1
+    assert len(np.unique(peaks[:, 1])) > 1
+    assert len(np.unique(peaks, axis=0)) == len(peaks)
