@@ -12,11 +12,16 @@ class FEMAnalysis(BaseAnalysis, id_="FEM"):
     def get_parameters(self, parameters: dict) -> dict:
         h, w = tuple(self.dataset.shape.sig)
         return {
+            **parameters,
             "cx": parameters.get("cx", w / 2),
             "cy": parameters.get("cy", h / 2),
             "ri": parameters.get("ri", min(h, w) / 4),
             "ro": parameters.get("ro", min(h, w) / 2),
         }
+
+    def get_roi(self):
+        from .getroi import get_roi
+        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def get_udf(self):
         p = self.parameters

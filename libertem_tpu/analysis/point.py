@@ -11,6 +11,10 @@ class PointMaskAnalysis(SingleMaskAnalysis, id_="APPLY_POINT_SELECTOR"):
     def get_parameters(self, parameters: dict) -> dict:
         h, w = tuple(self.dataset.shape.sig)
         return {
+            # keep roi/other keys — BaseMasksAnalysis.get_roi reads
+            # parameters["roi"] (dropping it silently ignored a
+            # user-drawn GUI selection)
+            **parameters,
             "cx": parameters.get("cx", w // 2),
             "cy": parameters.get("cy", h // 2),
         }

@@ -51,13 +51,37 @@ def load(filetype: str, *args, executor=None, **kwargs) -> DataSet:
     return ds.initialize(executor)
 
 
+# format id -> extensions; static so detect() does not import every
+# dataset module (h5py, dask, ...) just to rank the probe order
+_STATIC_EXTENSIONS = {
+    "raw": {"raw", "bin"},
+    "npy": {"npy"},
+    "hdf5": {"h5", "hdf5", "hspy", "nxs", "emd"},
+    "mib": {"mib", "hdr"},
+    "empad": {"xml", "raw"},
+    "blo": {"blo"},
+    "mrc": {"mrc", "mrcs", "rec", "ali", "st"},
+    "seq": {"seq"},
+    "tvips": {"tvips"},
+    "raw_csr": {"toml"},
+    "dm": {"dm3", "dm4"},
+    "frms6": {"frms6", "hdr"},
+    "k2is": {"gtg", "bin"},
+    "ser": {"ser"},
+}
+
+
 def detect(path: str, executor=None) -> Optional[dict]:
     """Try each format's detect_params in extension-priority order
     (reference io/dataset/__init__.py:188–239)."""
-    ext = path.split(".")[-1].lower() if "." in path else ""
+    import os
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
     order = sorted(
         filetypes,
-        key=lambda ft: 0 if ext in _extensions(ft) else 1,
+        key=lambda ft: (
+            0 if ext and ext in _STATIC_EXTENSIONS.get(ft, ())
+            else 1
+        ),
     )
     for ft in order:
         if ft == "memory":
@@ -73,13 +97,6 @@ def detect(path: str, executor=None) -> Optional[dict]:
         if params:
             return {"type": ft, "parameters": params}
     return None
-
-
-def _extensions(filetype: str) -> set:
-    try:
-        return get_dataset_cls(filetype).get_supported_extensions()
-    except Exception:
-        return set()
 
 
 def detect_and_load(path: str, executor=None, **kwargs) -> DataSet:

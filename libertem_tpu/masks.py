@@ -25,16 +25,20 @@ def _disk_aa(
     d2 = (y - centerY) ** 2 + (x - centerX) ** 2
     if not antialiased:
         return (d2 <= radius ** 2).astype(np.float32)
-    os = 4
-    yy, xx = np.mgrid[0:imageSizeY * os, 0:imageSizeX * os]
-    yy = (yy + 0.5) / os - 0.5
-    xx = (xx + 0.5) / os - 0.5
-    hit = ((yy - centerY) ** 2 + (xx - centerX) ** 2) <= radius ** 2
-    return (
-        hit.reshape(imageSizeY, os, imageSizeX, os)
-        .mean(axis=(1, 3))
-        .astype(np.float32)
-    )
+    # oversample ONLY the boundary band (pixels whose square can
+    # straddle the edge, half-diagonal ~0.71) — a full-frame 4x4
+    # float64 oversample costs GBs on K2IS-sized detectors
+    d = np.sqrt(d2)
+    out = (d <= radius).astype(np.float32)
+    by, bx = np.nonzero(np.abs(d - radius) <= 0.75)
+    if by.size:
+        os = 4
+        offs = (np.arange(os) + 0.5) / os - 0.5
+        sy = by[:, None, None] + offs[None, :, None] - centerY
+        sx = bx[:, None, None] + offs[None, None, :] - centerX
+        hit = (sy ** 2 + sx ** 2) <= radius ** 2
+        out[by, bx] = hit.mean(axis=(1, 2)).astype(np.float32)
+    return out
 
 
 def circular(centerX, centerY, imageSizeX, imageSizeY, radius,
@@ -138,16 +142,18 @@ def radial_bins(
         diff = np.abs(r - r0)
         # the 0.5 makes bins overlap and sum to exactly 1
         vals = np.maximum(0, np.minimum(1, width / 2 + 0.5 - diff))
+        if b == 0 and radius_inner < 0.5:
+            # patch the r=0 singularity into bin 0 BEFORE
+            # normalization, so normalize=True keeps summing to 1
+            yy = int(np.round(centerY))
+            xx = int(np.round(centerX))
+            if 0 <= yy < imageSizeY and 0 <= xx < imageSizeX:
+                vals[yy, xx] = 1 - radius_inner
         if normalize:
             s = vals.sum()
             if not np.isclose(s, 0):
                 vals = vals / s
         stack[b] = vals
-    if radius_inner < 0.5:
-        yy = int(np.round(centerY))
-        xx = int(np.round(centerX))
-        if 0 <= yy < imageSizeY and 0 <= xx < imageSizeX:
-            stack[0, yy, xx] = 1 - radius_inner
     return stack
 
 
@@ -174,15 +180,22 @@ def background_subtraction(
 def radial_gradient_background_subtraction(
     r, r0, r_outer, delta=1.0,
 ):
-    """Radial-gradient peak template with background ring
-    (reference masks.py:177); ``r`` is a radius map."""
-    within = (r < r0) * (r / max(r0, 1e-12))
-    bg = ((r >= r0) & (r < r_outer)) * -1.0
-    s_bg = np.abs(bg).sum()
-    s_in = within.sum()
-    if s_bg > 0 and s_in > 0:
-        bg = bg * (s_in / s_bg)
-    return (within + bg).astype(np.float32)
+    """Linear radial gradient 0..1 inside ``r0 - delta/2``, linear
+    antialiasing transition on ``[r0 - delta/2, r0 + delta/2)``, and
+    -1 on ``[r0 + delta/2, r_outer]`` — matching the reference
+    (masks.py:177) including the ``delta`` smoothing semantics;
+    ``r`` is a radius map (possibly distorted via polar_map)."""
+    r = np.asarray(r)
+    result = np.zeros_like(r, dtype=np.float32)
+    within = r < r0 - delta / 2
+    result[within] = r[within] / max(r0, 1e-12)
+    transition = (r >= r0 - delta / 2) & (r < r0 + delta / 2)
+    result[transition] = (r0 - r[transition]) / max(
+        delta / 2, 1e-12
+    )
+    without = (r >= r0 + delta / 2) & (r <= r_outer)
+    result[without] = -1.0
+    return result
 
 
 def gradient_x(imageSizeX, imageSizeY, dtype=np.float32):

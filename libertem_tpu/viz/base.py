@@ -131,6 +131,11 @@ class Live2DPlot:
         data = buf.data
         if data is not None and data.ndim > 2:
             data = data.reshape(data.shape[:2] + (-1,))[..., 0]
+        if getattr(buf, "kind", "nav") != "nav":
+            # sig/single buffers aren't nav-shaped: the nav damage
+            # mask doesn't apply (reference viz/base.py sets
+            # damage=True for non-nav channels)
+            damage = True
         return data, damage
 
     def new_data(self, results, force: bool = False):
@@ -146,7 +151,9 @@ class Live2DPlot:
         ) else None
         self.data, self.damage = self.extract(buffers, damage)
         self._last_update = now
-        self.update(damage, force=force)
+        # pass the (possibly channel-adjusted) damage, not the raw
+        # nav damage — extract() replaces it for non-nav channels
+        self.update(self.damage, force=force)
 
     def update(self, damage, force=False):
         """Render; implemented by subclasses."""

@@ -21,7 +21,16 @@ class ExecutorState:
         return self._context
 
     def set_context(self, ctx):
+        old = self._context
         self._context = ctx
+        if old is not None and old is not ctx:
+            # release the replaced context's executor and stop its
+            # snooze timer — repeated cluster reconnects must not
+            # accumulate threads/resources
+            try:
+                old.close()
+            except Exception:
+                pass
 
 
 class DatasetState:
@@ -32,7 +41,6 @@ class DatasetState:
         self.datasets[uuid] = {
             "dataset": dataset,
             "params": params,
-            "converted": params,
         }
 
     def __getitem__(self, uuid: str):

@@ -356,3 +356,40 @@ def test_analysis_null_parameters(lt_ctx, ds):
     p = an.parameters
     assert p["n_clust"] == 8 and p["n_peaks"] == 42
     assert p["min_dist"] == 1 and p["rad"] == 2
+
+
+def test_analyses_honor_gui_roi(lt_ctx, ds, data):
+    """Every nav-producing analysis honors the GUI roi parameter —
+    point/FEM/sumsig used to silently drop it."""
+    from libertem_tpu.analysis.base import Analysis
+
+    roi_params = {"roi": {"shape": "rect", "x": 1, "y": 1,
+                          "width": 2, "height": 2}}
+    nav = tuple(ds.shape.nav)
+    for id_, extra in [
+        ("APPLY_POINT_SELECTOR", {"cx": 4, "cy": 4}),
+        ("FEM", {"cx": 4, "cy": 4, "ri": 1, "ro": 4}),
+        ("SUM_SIG", {}),
+    ]:
+        cls = Analysis.get_analysis_by_type(id_)
+        an = cls(dataset=ds, parameters={**extra, **roi_params})
+        roi = an.get_roi()
+        assert roi is not None, id_
+        assert roi.shape == nav
+        assert roi.sum() == 4
+        res = lt_ctx.run(an)
+        out = res["intensity"].raw_data
+        sel = np.isfinite(np.asarray(out, dtype=np.float64))
+        assert sel.sum() == 4, id_
+
+
+def test_live_plot_sig_channel(lt_ctx, ds):
+    """Live plots of sig-kind buffers must not crash on the nav
+    damage mask (damage becomes True for non-nav channels)."""
+    from libertem_tpu.udf import SumUDF
+    from libertem_tpu.viz.base import Dummy2DPlot
+
+    pl = Dummy2DPlot(dataset=ds, udf=SumUDF(), channel="intensity")
+    lt_ctx.run_udf(ds, SumUDF(), plots=[pl])
+    assert pl.data.shape == tuple(ds.shape.sig)
+    assert pl.damage is True

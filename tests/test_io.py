@@ -412,3 +412,15 @@ def test_corrections_square_coords_reference_convention():
     )
     got = {tuple(c) for c in corr.excluded_coords}
     assert got == {(1, 3), (2, 0)}
+
+
+def test_detect_extension_priority(lt_ctx, tmp_path):
+    """Auto-detection handles dotted directories and extensionless
+    files (os.path.splitext, not split('.'))."""
+    import os
+    d = tmp_path / "run.v1"
+    os.makedirs(d)
+    p = str(d / "t.npy")
+    np.save(p, np.zeros((2, 3, 4, 4), np.float32))
+    ds = lt_ctx.load("auto", path=p)
+    assert type(ds).__name__ == "NPYDataSet"
