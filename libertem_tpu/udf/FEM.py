@@ -19,9 +19,11 @@ class FEMUDF(UDF):
             center=center, rad_in=rad_in, rad_out=rad_out, **kwargs
         )
         self._ring_idx = None
+        self._ring_key = None
 
     def on_params_updated(self):
         self._ring_idx = None
+        self._ring_key = None
 
     def get_tiling_preferences(self):
         # the ring gather indexes into the flattened WHOLE frame;
@@ -40,9 +42,10 @@ class FEMUDF(UDF):
         }
 
     def _get_ring_idx(self):
-        if self._ring_idx is not None:
+        key = tuple(self.meta.sig_shape)
+        if self._ring_idx is not None and self._ring_key == key:
             return self._ring_idx
-        h, w = self.meta.sig_shape
+        h, w = key
         cy, cx = self.params.center
         y, x = np.ogrid[0:h, 0:w]
         d = np.sqrt((y - cy) ** 2 + (x - cx) ** 2)
@@ -50,8 +53,11 @@ class FEMUDF(UDF):
         idx = np.flatnonzero(sel.reshape(-1))
         if len(idx) == 0:
             raise ValueError("FEM ring selects no pixels")
-        # numpy cache (tracer-safe)
+        # numpy cache (tracer-safe), keyed by sig shape — a UDF
+        # instance reused on a second dataset must not apply the
+        # first dataset's flat pixel indices
         self._ring_idx = idx.astype(np.int32)
+        self._ring_key = key
         return self._ring_idx
 
     def process_tile(self, tile):

@@ -28,12 +28,30 @@ class AutoUDF(UDF):
             tuple(self.meta.dataset_shape.sig), self.meta.input_dtype
         )
         out = jax.eval_shape(self.params.f, mock)
-        return {
+        bufs = {
             "result": self.auto_buffer(out),
         }
+        if self.params.monitor:
+            # reference auto.py: a 'single' buffer holding the most
+            # recently processed frame's result, for live monitoring
+            bufs["monitor"] = self.buffer(
+                kind="single", extra_shape=tuple(out.shape),
+                dtype=out.dtype,
+            )
+        return bufs
 
     def process_frame(self, frame):
-        res = self.params.f(frame)
-        self.results.result = jnp.asarray(res).reshape(
+        res = jnp.asarray(self.params.f(frame))
+        self.results.result = res.reshape(
             self.results.result.shape
         )
+        if self.params.monitor:
+            self.results.monitor = res.reshape(
+                self.results.monitor.shape
+            )
+
+    def merge(self, dest, src):
+        # only the monitor ('single') buffer reaches merge; later
+        # partitions win — "some recent frame", like the reference
+        if "monitor" in src:
+            dest.monitor = src.monitor

@@ -557,6 +557,17 @@ class UDFRunner:
         folded across devices with the UDF's merge().
         """
         if devices is not None and len(devices) > 1:
+            blocked = [
+                type(u).__name__ for u in self._udfs
+                if not getattr(u, "SUPPORTS_SHARDED", True)
+            ]
+            if blocked:
+                raise UDFException(
+                    f"{', '.join(blocked)} cannot run on the sharded "
+                    "executor (ordered host io_callback inside "
+                    "shard_map is unsupported); use an "
+                    "InlineJobExecutor / single-device Context"
+                )
             if not getattr(dataset, "supports_concurrent_reads", True):
                 raise UDFException(
                     "this dataset requires in-order single-threaded "
@@ -608,6 +619,17 @@ class UDFRunner:
                     f"roi size {roi.size} != nav size "
                     f"{meta0.shape.nav.size}"
                 )
+        # a UDF instance reused on a dataset with a different sig
+        # shape must drop its shape-derived caches (mask stacks, flat
+        # pixel indices, FFT plans) — reuse the parameter-patch hook,
+        # which every caching UDF already implements
+        sig_key = tuple(meta0.shape.sig)
+        for u in udfs:
+            prev = getattr(u, "_prepared_sig_shape", None)
+            if prev is not None and prev != sig_key:
+                u.on_params_updated()
+            u._prepared_sig_shape = sig_key
+
         input_dtype = _get_input_dtype(udfs, meta0.raw_dtype)
         # keep device compute in f32/bf16/ints — f64 is emulated on TPU
         if input_dtype == np.float64:

@@ -22,10 +22,12 @@ class CrystallinityUDF(UDF):
         )
         self._mask = None
         self._real_mask = None
+        self._mask_key = None
 
     def on_params_updated(self):
         self._mask = None
         self._real_mask = None
+        self._mask_key = None
 
     def get_result_buffers(self):
         return {
@@ -46,11 +48,12 @@ class CrystallinityUDF(UDF):
         (h*0.5, w*0.5), fftshifted, restricted to the rfft2 half-plane
         (columns 0..w//2); the optional real-space mask blanks a
         central disk before the FFT."""
-        if self._mask is not None:
+        key = tuple(self.meta.sig_shape)
+        if self._mask is not None and self._mask_key == key:
             return self._mask, self._real_mask
         from ..masks import circular
 
-        h, w = self.meta.sig_shape
+        h, w = key
         out = circular(w * 0.5, h * 0.5, w, h,
                        self.params.rad_out).astype(np.float32)
         inn = circular(w * 0.5, h * 0.5, w, h,
@@ -60,6 +63,8 @@ class CrystallinityUDF(UDF):
         # redundant conjugate columns so the half-plane sum matches
         fmask[:, w // 2 + 1:] = 0.0
         self._mask = fmask
+        self._mask_key = key
+        self._real_mask = None
         rc, rr = self.params.real_center, self.params.real_rad
         if rc is not None and rr is not None:
             self._real_mask = 1.0 - circular(

@@ -16,6 +16,10 @@ from .base import UDF
 
 
 class RecordUDF(UDF):
+    # the ordered io_callback can't run inside shard_map; the runner
+    # rejects sharded runs with a clear message
+    SUPPORTS_SHARDED = False
+
     def __init__(self, filename: str, _dtype=None):
         super().__init__(filename=filename, _dtype=_dtype)
         self._mmap = None
@@ -29,6 +33,13 @@ class RecordUDF(UDF):
 
     def get_result_buffers(self):
         return {}
+
+    def get_tiling_preferences(self):
+        # _write assigns whole frames into the (n, *sig) mmap — a
+        # sig-split tile would write a sub-rectangle into a full slot
+        return {"whole_frames": True,
+                "depth": self.TILE_DEPTH_DEFAULT,
+                "total_size": self.TILE_SIZE_MAX}
 
     def get_preferred_input_dtype(self):
         if self._kwargs.get("_dtype") is not None:

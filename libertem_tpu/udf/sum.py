@@ -35,8 +35,11 @@ class SumUDF(UDF):
     def fused_moments_spec(self):
         """Join the cross-UDF fused moments pass (udf/base.py
         _build_fused_plan): consumes the shared per-pixel column sum."""
-        import numpy as np
         dtype = np.result_type(self.params.dtype, self.meta.input_dtype)
+        # apply the same device downgrade as get_result_buffers:
+        # f64 runs accumulate in f32 either way, so fusion stays on
+        if dtype == np.float64:
+            dtype = np.dtype(np.float32)
         if np.dtype(dtype) != np.float32:
             return None
         return {"mode": "colsum", "name": "intensity"}

@@ -141,6 +141,14 @@ class JobEngine:
         finally:
             if job_uuid in self.state.job_state.jobs:
                 self.state.job_state.finish(job_uuid)
+                # drop evicted job uuids from the analysis records so
+                # INITIAL_STATE doesn't replay dangling references
+                live = self.state.job_state.jobs
+                for entry in self.state.analysis_state.analyses.values():
+                    if len(entry["jobs"]) > 8:
+                        entry["jobs"] = [
+                            u for u in entry["jobs"] if u in live
+                        ]
 
     def invalidate_cache(self, analysis_uuid=None, ds_uuid=None):
         """Drop cached results when an analysis is removed or its
@@ -258,8 +266,15 @@ class JobEngine:
             udf_results.buffers[0], udf_results.damage
         )
         roi = analysis.get_roi()
-        result_set = analysis.get_udf_results(
-            wrapped, roi, udf_results.damage
+        import asyncio as _asyncio
+        loop = _asyncio.get_running_loop()
+        # get_udf_results fetches device buffers (tunnel RTT, can
+        # hang) and visualizes — keep it off the event loop
+        result_set = await loop.run_in_executor(
+            None,
+            lambda: analysis.get_udf_results(
+                wrapped, roi, udf_results.damage
+            ),
         )
         await self._push_result_set(job_uuid, result_set, final)
 
@@ -267,7 +282,13 @@ class JobEngine:
         """TASK_RESULT JSON header (channel metadata + followup
         count), then one binary websocket frame per channel image
         (reference sends images as binary followups, engine.py:261)."""
-        encoded = [_encode_channel(r) for r in result_set]
+        import asyncio as _asyncio
+        loop = _asyncio.get_running_loop()
+        # PNG encoding is CPU work: off the event loop
+        encoded = await loop.run_in_executor(
+            None,
+            lambda: [_encode_channel(r) for r in result_set],
+        )
         channels = [meta for meta, _ in encoded]
         images = [png for _, png in encoded if png is not None]
         await self.event_registry.broadcast({

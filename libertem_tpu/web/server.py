@@ -44,6 +44,11 @@ class EventRegistry:
     """Connected websocket clients + broadcast
     (reference: web/events.py:12)."""
 
+    # a client whose TCP window closed without erroring accumulates
+    # outgoing buffer; above this many queued bytes it is dropped
+    # instead of growing server RSS unboundedly
+    MAX_CLIENT_BACKLOG = 64 * 1024 * 1024
+
     def __init__(self):
         self.handlers: set = set()
 
@@ -53,28 +58,48 @@ class EventRegistry:
     def remove_handler(self, h):
         self.handlers.discard(h)
 
-    async def broadcast(self, message: dict):
-        payload = json.dumps(message)  # serialize once for all clients
+    def _backlogged(self, h) -> bool:
+        try:
+            stream = h.ws_connection.stream
+            return (
+                stream.writing()
+                and len(stream._write_buffer)
+                > self.MAX_CLIENT_BACKLOG
+            )
+        except Exception:
+            return False
+
+    def _send_all(self, payload, binary: bool):
         dead = []
         for h in self.handlers:
+            if self._backlogged(h):
+                log.warning(
+                    "dropping websocket client with >%d MB backlog",
+                    self.MAX_CLIENT_BACKLOG // (1024 * 1024),
+                )
+                dead.append(h)
+                continue
             try:
-                h.write_message(payload)
+                # fire-and-forget: per-client backpressure is
+                # enforced via the backlog check above
+                h.write_message(payload, binary=binary)
             except Exception:
                 dead.append(h)
         for h in dead:
             self.handlers.discard(h)
+            try:
+                h.close()
+            except Exception:
+                pass
+
+    async def broadcast(self, message: dict):
+        # serialize once for all clients
+        self._send_all(json.dumps(message), binary=False)
 
     async def broadcast_binary(self, payload: bytes):
         """Binary websocket frame (result images follow their
         TASK_RESULT JSON header as raw PNG frames)."""
-        dead = []
-        for h in self.handlers:
-            try:
-                h.write_message(payload, binary=True)
-            except Exception:
-                dead.append(h)
-        for h in dead:
-            self.handlers.discard(h)
+        self._send_all(payload, binary=True)
 
 
 class _BaseHandler(tornado.web.RequestHandler):
@@ -125,10 +150,15 @@ class ConfigHandler(_BaseHandler):
 
 
 class DataSetDetectHandler(_BaseHandler):
-    def get(self):
+    async def get(self):
         path = self.get_argument("path")
         from ..io.dataset import detect
-        params = detect(path, None)
+        import asyncio as _asyncio
+        # header probing can read GBs over slow filesystems: keep it
+        # off the event loop (same rule as DataSetDetailHandler.put)
+        params = await _asyncio.get_running_loop().run_in_executor(
+            None, detect, path, None
+        )
         if params is None:
             self.write_json({
                 "status": "error",
@@ -325,6 +355,13 @@ class ResultDownloadHandler(_BaseHandler):
         ctx = self.state.executor_state.get_context()
         import asyncio as _asyncio
         cached = self.engine._result_cache.get(job["analysis"])
+        if cached is not None and analysis.need_rerun(
+            cached[0], entry["details"].get("parameters", {})
+        ):
+            # the cached raw results were computed with different
+            # non-display parameters — re-visualizing them would
+            # serve stale numbers
+            cached = None
         loop = _asyncio.get_running_loop()
         if cached is not None:
             # the engine already holds the computed raw results —
@@ -482,10 +519,15 @@ class NotebookDownloadHandler(_BaseHandler):
 
 
 class BrowseHandler(_BaseHandler):
-    def get(self):
+    async def get(self):
         path = self.get_argument("path")
+        import asyncio as _asyncio
+        loop = _asyncio.get_running_loop()
         try:
-            names = sorted(os.listdir(path))
+            # a large NFS directory must not stall the event loop
+            names = await loop.run_in_executor(
+                None, lambda: sorted(os.listdir(path))
+            )
         except OSError as e:
             self.write_json({
                 "status": "error",

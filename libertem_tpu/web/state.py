@@ -132,9 +132,21 @@ class JobState:
     def is_cancelled(self, uuid: str) -> bool:
         return self.jobs.get(uuid, {}).get("cancelled", False)
 
+    # completed jobs kept for INITIAL_STATE replay / downloads;
+    # beyond this many, the oldest finished ones are evicted so a
+    # long-lived GUI session doesn't grow memory monotonically
+    MAX_FINISHED = 100
+
     def finish(self, uuid: str):
         if uuid in self.jobs:
             self.jobs[uuid]["running"] = False
+        finished = [
+            u for u, j in self.jobs.items() if not j["running"]
+        ]
+        if len(finished) > self.MAX_FINISHED:
+            finished.sort(key=lambda u: self.jobs[u]["start"])
+            for u in finished[:len(finished) - self.MAX_FINISHED]:
+                del self.jobs[u]
 
 
 class SharedState:

@@ -448,3 +448,57 @@ def test_apply_masks_shifts_whole_frames_pref():
         mask_factories=[lambda: np.ones((8, 8), np.float32)],
     )
     assert not udf2.get_tiling_preferences().get("whole_frames")
+
+
+def test_auto_udf_monitor(lt_ctx, ds, data):
+    from libertem_tpu.udf.auto import AutoUDF
+
+    res = lt_ctx.run_udf(
+        ds, AutoUDF(f=lambda fr: fr.sum(), monitor=True)
+    )
+    flat = data.reshape(-1, 24 * 24).sum(axis=1)
+    assert np.allclose(
+        np.asarray(res["result"].data).reshape(-1), flat, rtol=1e-4
+    )
+    mon = float(np.asarray(res["monitor"].data))
+    assert np.isclose(mon, flat[-1], rtol=1e-4)
+
+
+def test_udf_instance_reuse_across_sig_shapes(lt_ctx):
+    """A UDF instance reused on a dataset with a different sig shape
+    must rebuild its shape-derived caches (flat pixel indices, mask
+    stacks) — the runner invalidates via on_params_updated."""
+    from libertem_tpu.udf.FEM import FEMUDF
+
+    rng = np.random.default_rng(0)
+    udf = FEMUDF(center=(8, 8), rad_in=2, rad_out=6)
+    for sig in [(16, 16), (32, 32)]:
+        d = rng.random((2, 2) + sig).astype(np.float32)
+        mds = MemoryDataSet(
+            data=d, sig_dims=2, num_partitions=1
+        ).initialize()
+        res = lt_ctx.run_udf(mds, udf)
+        # oracle: std over the ring pixels per frame
+        h, w = sig
+        y, x = np.ogrid[0:h, 0:w]
+        dist = np.sqrt((y - 8) ** 2 + (x - 8) ** 2)
+        sel = (dist >= 2) & (dist < 6)
+        expected = d.reshape(4, h, w)[:, sel].std(axis=1)
+        got = np.asarray(res["intensity"].data).reshape(-1)
+        assert np.allclose(got, expected, rtol=1e-3), sig
+
+
+def test_record_udf_rejects_sharded(lt_ctx, tmp_path):
+    import jax
+
+    from libertem_tpu.udf.base import UDFException, UDFRunner
+    from libertem_tpu.udf.record import RecordUDF
+
+    data = np.zeros((2, 2, 4, 4), np.float32)
+    mds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=1
+    ).initialize()
+    udf = RecordUDF(filename=str(tmp_path / "o.npy"))
+    assert udf.get_tiling_preferences()["whole_frames"]
+    with pytest.raises(UDFException, match="sharded"):
+        UDFRunner([udf]).run_for_dataset(mds, devices=jax.devices())
