@@ -35,10 +35,17 @@ class H5Partition(Partition):
         self._ds_path = ds_path
         self._sig_dims = sig_dims
         self._file = None
+        # the sharded reader pool may hit one partition from several
+        # threads when it spans shard boundaries (same race
+        # RangeReader._init_lock guards, base.py)
+        import threading
+        self._open_lock = threading.Lock()
 
     def _get_ds(self):
         if self._file is None:
-            self._file = _open_h5(self._path)
+            with self._open_lock:
+                if self._file is None:
+                    self._file = _open_h5(self._path)
         return self._file[self._ds_path]
 
     def _read_raw_frames(self, start: int, stop: int) -> np.ndarray:

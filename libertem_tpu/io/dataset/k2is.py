@@ -86,7 +86,7 @@ def _nav_shape_from_gtg(path: str):
     return None
 
 
-def _scan_sector(path: str) -> dict:
+def _scan_sector(path: str, limit_bytes: int = None) -> dict:
     """Vectorized block-header scan of one sector file.
 
     Returns arrays (per block): offset, frame_id, x_start, y_start,
@@ -97,6 +97,8 @@ def _scan_sector(path: str) -> dict:
     # byte offset (robust against truncated stream starts)
     first = 0
     magic = np.array([0xFF, 0xFF, 0x00, 0x55], dtype=np.uint8)
+    if limit_bytes is not None:
+        size = min(size, int(limit_bytes))
     with open(path, "rb") as f:
         head = np.frombuffer(
             f.read(min(size, 2 * BLOCK_SIZE + 4)), dtype=np.uint8
@@ -240,6 +242,7 @@ class K2ISDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None
+        self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "K2ISDataSet":
@@ -275,6 +278,17 @@ class K2ISDataSet(DataSet):
             if any(b[3] for b in per_sector[0][fid]):
                 start_idx = i
                 break
+        gtg_nav = (
+            None if self._nav_shape else
+            _nav_shape_from_gtg(self._path)
+        )
+        if gtg_nav and start_idx > 0:
+            # scan-mode acquisitions set the shutter flag one frame
+            # LATE on real hardware: the true first scan-grid frame
+            # is the one before the first flagged frame (reference
+            # k2is.py:815-822 skip_frames=-1 when a .gtg nav shape
+            # exists)
+            start_idx -= 1
         ordered = ordered[start_idx:]
         table = []
         for fid in ordered:
@@ -288,9 +302,7 @@ class K2ISDataSet(DataSet):
         self._files = files
         self._table = table
         image_count = len(table)
-        nav_shape = self._nav_shape
-        if not nav_shape:
-            nav_shape = _nav_shape_from_gtg(self._path)
+        nav_shape = self._nav_shape or gtg_nav
         if not nav_shape:
             side = int(np.sqrt(image_count))
             nav_shape = (
@@ -298,6 +310,16 @@ class K2ISDataSet(DataSet):
                 else (image_count,)
             )
         sig_shape = (SECTOR_SIZE[0], NUM_SECTORS * SECTOR_SIZE[1])
+        if (
+            self._sig_shape is not None
+            and tuple(self._sig_shape) != sig_shape
+        ):
+            # the detector geometry is fixed; reference k2is.py:792
+            # raises on a mismatch instead of silently ignoring it
+            raise DataSetException(
+                f"sig_shape {tuple(self._sig_shape)} does not match "
+                f"the K2 IS detector shape {sig_shape}"
+            )
         self._meta = DataSetMeta(
             shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
             raw_dtype=np.dtype(np.uint16),
@@ -332,7 +354,11 @@ class K2ISDataSet(DataSet):
             return False
         try:
             files = _sector_files(path)
-            scan = _scan_sector(files[0])
+            # probe a handful of blocks only — detection must not
+            # read a whole multi-GB sector file
+            scan = _scan_sector(
+                files[0], limit_bytes=8 * BLOCK_SIZE
+            )
             if len(scan["offset"]) == 0:
                 return False
         except Exception:

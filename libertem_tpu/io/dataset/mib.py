@@ -51,10 +51,16 @@ def parse_mib_header(path: str) -> dict:
             )
     # only the declared header region holds fields; the rest of the
     # first KB is already frame payload
-    parts = [
-        p.strip("\x00 ") for p in head[:header_bytes].split(",")
-    ]
-    parts = [p for p in parts if p]
+    # EMPTY fields must be kept so positional indices stay stable
+    # (reference mib.py:805-808 drops only NUL-padding fields); a
+    # final field may carry trailing NUL padding — strip it rather
+    # than dropping the field
+    parts = []
+    for praw in head[:header_bytes].split(","):
+        stripped = praw.strip("\x00 ")
+        if "\x00" in praw and not stripped:
+            continue  # pure NUL padding
+        parts.append(stripped)
     num_chips = int(parts[3])
     width = int(parts[4])
     height = int(parts[5])
@@ -97,8 +103,13 @@ def parse_mib_header(path: str) -> dict:
         sig_shape = (2 * height, width // 2)
     else:
         sig_shape = (height, width)
+    try:
+        sequence_first_image = int(parts[1])
+    except (ValueError, IndexError):
+        sequence_first_image = 0
     return {
         "header_bytes": header_bytes,
+        "sequence_first_image": sequence_first_image,
         "num_chips": num_chips,
         "width": width,
         "height": height,
@@ -124,6 +135,9 @@ def parse_hdr_sidecar(path: str) -> dict:
             key, _, value = line.partition(":")
             out[key.strip()] = value.strip()
     result = {}
+    if "ScanX" in out and "ScanY" in out:
+        result["nav_shape"] = (int(out["ScanY"]), int(out["ScanX"]))
+        return result
     n_total = out.get("Frames in Acquisition (Number)")
     n_trigger = out.get("Frames per Trigger (Number)")
     if n_total is not None and n_trigger is not None:
@@ -231,16 +245,18 @@ class MIBDataSet(DataSet):
 
     def _discover_files(self):
         if self._path.lower().endswith(".hdr"):
-            pattern = self._path[:-4] + "*.mib"
+            pattern = glob.escape(self._path[:-4]) + "*.mib"
             files = sorted(glob.glob(pattern))
             if not files:
                 base = os.path.dirname(self._path)
-                files = sorted(glob.glob(os.path.join(base, "*.mib")))
+                files = sorted(glob.glob(
+                    os.path.join(glob.escape(base), "*.mib")
+                ))
         elif self._path.lower().endswith(".mib"):
             files = [self._path]
         else:
             files = sorted(glob.glob(
-                os.path.join(self._path, "*.mib")
+                os.path.join(glob.escape(self._path), "*.mib")
             ))
         if not files:
             raise DataSetException(f"no .mib files for {self._path}")
@@ -258,10 +274,14 @@ class MIBDataSet(DataSet):
                 f"unsupported RAW MIB layout {hdr['layout']}"
             )
         self._hdr = hdr
+        # acquisition order comes from the per-file header sequence
+        # number, NOT the filename sort (scan10.mib sorts before
+        # scan2.mib; reference mib.py:130-147, 1105-1113)
+        headers = [(f, parse_mib_header(f)) for f in files]
+        headers.sort(key=lambda fh: fh[1]["sequence_first_image"])
         self._files = []
         first = 0
-        for f in files:
-            h = parse_mib_header(f)
+        for f, h in headers:
             self._files.append((f, first, h["num_images"]))
             first += h["num_images"]
         image_count = first
@@ -281,6 +301,13 @@ class MIBDataSet(DataSet):
                 else:
                     nav_shape = (image_count,)
         sig_shape = self._sig_shape or hdr["sig_shape"]
+        if tuple(sig_shape) != tuple(hdr["sig_shape"]):
+            # same validation as hdf5.py/frms6.py: the reader always
+            # produces header-shaped frames
+            raise DataSetException(
+                f"sig_shape {tuple(sig_shape)} does not match the "
+                f"file's frame shape {tuple(hdr['sig_shape'])}"
+            )
         self._meta = DataSetMeta(
             shape=Shape(
                 tuple(nav_shape) + tuple(sig_shape),

@@ -129,18 +129,39 @@ class RawCSRPartition(Partition):
         vals = np.zeros(nnz_pad, dtype=self.meta.raw_dtype)
         rows = np.zeros(nnz_pad, dtype=np.int32)
         cols = np.zeros(nnz_pad, dtype=np.int32)
+        # coalesce contiguous stored-frame runs into ONE ranged read
+        # per array (dense rois would otherwise cost two preads per
+        # frame on the hot feed path)
         pos = 0
-        for r, fid in enumerate(frame_ids):
-            sid = int(fid) + so
+        r = 0
+        nf = len(frame_ids)
+        while r < nf:
+            sid = int(frame_ids[r]) + so
             if sid < 0 or sid >= n_stored:
+                r += 1
                 continue  # zero-filled frame
+            r2 = r + 1
+            while (
+                r2 < nf
+                and int(frame_ids[r2]) + so
+                == int(frame_ids[r2 - 1]) + so + 1
+                and int(frame_ids[r2]) + so < n_stored
+            ):
+                r2 += 1
+            s1 = int(frame_ids[r2 - 1]) + so + 1
             lo = int(indptr[sid])
-            hi = int(indptr[sid + 1])
+            hi = int(indptr[s1])
             k = hi - lo
             vals[pos:pos + k] = data[lo:hi]
             cols[pos:pos + k] = indices[lo:hi]
-            rows[pos:pos + k] = r
+            counts = np.diff(np.asarray(
+                indptr[sid:s1 + 1], dtype=np.int64
+            ))
+            rows[pos:pos + k] = np.repeat(
+                np.arange(r, r2, dtype=np.int32), counts
+            )
             pos += k
+            r = r2
         return vals, rows, cols
 
     def gen_blocks(self, scheme, roi=None):

@@ -356,3 +356,37 @@ def test_h5_sparse_roi_with_sync_offset(lt_ctx, tmp_path):
     assert np.array_equal(got[1], flat[7])
     assert np.array_equal(got[2], flat[19])
     assert not got[3].any()  # zero-filled past the end
+
+
+def test_mib_multifile_sequence_order(lt_ctx, tmp_path):
+    """Acquisition order comes from the header sequence number, not
+    the filename sort: scan10.mib must come AFTER scan2.mib
+    (reference mib.py:130-147), and ScanX/ScanY in the .hdr beats the
+    frames-per-trigger derivation."""
+    rng = np.random.default_rng(7)
+    flat = rng.integers(0, 4096, (12, 8, 8)).astype(np.uint16)
+    hb = 384
+    # 12 frames over files named so lexicographic order is wrong:
+    # scan1(seq 1-4), scan10(seq 9-12), scan2(seq 5-8)
+    layout = [("scan1.mib", 0), ("scan2.mib", 4), ("scan10.mib", 8)]
+    for name, first in layout:
+        with open(tmp_path / name, "wb") as f:
+            for i in range(4):
+                head = (
+                    f"MQ1,{first + i + 1},{hb},1,8,8,U16,1x1,2x2,12"
+                ).encode()
+                f.write(head.ljust(hb, b"\x00"))
+                f.write(flat[first + i].astype(">u2").tobytes())
+    hdr = tmp_path / "scan.hdr"
+    hdr.write_text(
+        "HDR,\nFrames in Acquisition (Number):\t12\n"
+        "Frames per Trigger (Number):\t12\n"
+        "ScanX:\t4\nScanY:\t3\nEnd\t\n"
+    )
+    ds = lt_ctx.load("mib", path=str(hdr))
+    # ScanX/ScanY win over the 1D frames-per-trigger fallback
+    assert tuple(ds.shape) == (3, 4, 8, 8)
+    roi = np.zeros(12, dtype=bool)
+    roi[[0, 5, 11]] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data, flat[[0, 5, 11]])

@@ -134,3 +134,52 @@ def test_k2is_interleaved_blocks(lt_ctx, tmp_path):
     assert np.allclose(
         np.asarray(res["intensity"].data).squeeze(), frames[1]
     )
+
+
+def test_k2is_scan_mode_shutter_delay(lt_ctx, tmp_path, monkeypatch):
+    """Scan-mode (.gtg nav shape): the shutter flag is set one frame
+    LATE on real hardware, so the true first grid frame is the one
+    before the first flagged frame (reference k2is.py:815-822
+    skip_frames=-1).  Without a .gtg, the run starts at the first
+    flagged frame as before."""
+    import libertem_tpu.io.dataset.k2is as k2mod
+
+    rng = np.random.default_rng(5)
+    n_frames = 4
+    h, w = SECTOR_SIZE
+    frames = rng.integers(
+        0, 4096, (n_frames, h, NUM_SECTORS * w)
+    ).astype(np.uint16)
+    bh, bw = BLOCK_SHAPE
+    pad = DATA_SIZE - (bh * bw * 3 // 2)
+    for s in range(NUM_SECTORS):
+        with open(tmp_path / f"testfile{s}.bin", "wb") as f:
+            for fi in range(n_frames):
+                for ys in (0, bh):
+                    for xi in range(w // bw):
+                        xs = xi * bw
+                        block = frames[
+                            fi, ys:ys + bh,
+                            s * w + xs:s * w + xs + bw,
+                        ]
+                        f.write(_block_header(
+                            100 + fi, xs, ys, shutter=(fi >= 1),
+                        ))
+                        f.write(_pack_uint12_le(block))
+                        f.write(b"\x00" * pad)
+    path = str(tmp_path / "testfile0.bin")
+
+    ds = lt_ctx.load("k2is", path=path)
+    assert ds.meta.image_count == 3  # no .gtg: first flagged frame
+
+    monkeypatch.setattr(
+        k2mod, "_nav_shape_from_gtg", lambda p: (2, 2)
+    )
+    ds = lt_ctx.load("k2is", path=path)
+    assert tuple(ds.shape.nav) == (2, 2)
+    assert ds.meta.image_count == 4  # includes the unflagged frame
+    from libertem_tpu.udf import SumSigUDF
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    got = np.asarray(res["intensity"].data).reshape(-1)
+    expected = frames.reshape(n_frames, -1).sum(axis=1)
+    assert np.allclose(got, expected, rtol=1e-4)
