@@ -39,11 +39,15 @@ class DataSetMeta:
     shape: Shape
     raw_dtype: np.dtype
     sync_offset: int = 0
-    image_count: int = 0  # number of frames actually present in the data
+    # frames actually present in the data; None (the default) means
+    # "all of nav".  A genuine 0 (header-only file from an
+    # in-progress acquisition) is preserved so missing frames
+    # zero-fill instead of short-read-erroring.
+    image_count: Optional[int] = None
 
     def __post_init__(self):
         self.raw_dtype = np.dtype(self.raw_dtype)
-        if self.image_count == 0:
+        if self.image_count is None:
             self.image_count = self.shape.nav.size
 
 
@@ -384,18 +388,6 @@ class DataSet:
         return f"<{type(self).__name__} shape={self.shape}>"
 
 
-def nav_shape_from_kwargs(
-    nav_shape: Optional[Sequence[int]],
-    sig_shape: Sequence[int],
-    total_size: int,
-) -> tuple[int, ...]:
-    """Infer a nav shape when not given: frames = total / sig size."""
-    if nav_shape is not None:
-        return tuple(int(x) for x in nav_shape)
-    n_frames = total_size // prod(sig_shape)
-    return (int(n_frames),)
-
-
 # -- io backends ---------------------------------------------------------
 #
 # Pluggable read strategies (reference: io/dataset/base/backend.py:12
@@ -472,12 +464,25 @@ class RangeReader:
         # several threads when a partition spans multiple device
         # shards — guard the lazy fd/mmap init
         self._init_lock = threading.Lock()
+        # honor backend tuning: per-syscall chunk for buffered/direct
+        # (aligned down), readahead hints for mmap
+        self._max_read_bytes = 1 << 62
+        self._readahead = False
         if isinstance(io_backend, DirectBackend):
             self.strategy = "direct"
         elif isinstance(io_backend, MMapBackend):
             self.strategy = "mmap"
+            self._readahead = bool(
+                getattr(io_backend, "enable_readahead_hints", False)
+            )
         else:
             self.strategy = "buffered"
+        if isinstance(io_backend, (BufferedBackend, DirectBackend)):
+            mbs = int(getattr(
+                io_backend, "max_buffer_size", 0
+            ) or 0)
+            if mbs >= self.ALIGN:
+                self._max_read_bytes = mbs // self.ALIGN * self.ALIGN
 
     def read(self, start_byte: int, nbytes: int) -> np.ndarray:
         """uint8 array of ``nbytes`` starting at ``start_byte``; a
@@ -489,7 +494,25 @@ class RangeReader:
                         self._mmap = np.memmap(
                             self._path, dtype=np.uint8, mode="r"
                         )
-            return self._mmap[start_byte:start_byte + nbytes]
+                        if self._readahead and hasattr(
+                            self._mmap, "madvise"
+                        ):
+                            import mmap as mmap_mod
+                            try:
+                                self._mmap.madvise(
+                                    mmap_mod.MADV_WILLNEED
+                                )
+                            except Exception:
+                                pass
+            out = self._mmap[start_byte:start_byte + nbytes]
+            if len(out) < nbytes:
+                # slicing past EOF clamps silently — raise the same
+                # diagnostic error as the buffered path
+                raise IOError(
+                    f"short read: {len(out)} bytes at offset "
+                    f"{start_byte}, needed {nbytes} ({self._path})"
+                )
+            return out
         if self._fd is None:
             with self._init_lock:
                 if self._fd is None:
@@ -524,7 +547,19 @@ class RangeReader:
         raw = np.empty(a1 - a0 + self.ALIGN, dtype=np.uint8)
         shift = (-raw.ctypes.data) % self.ALIGN
         view = raw[shift:shift + (a1 - a0)]
-        got = os.preadv(self._fd, [view], a0)
+        # loop: a single preadv is capped at ~2 GiB by the kernel and
+        # may return partially on interruption (EINTR-resumed slow
+        # NFS) — neither is a short read.  Chunk at the backend's
+        # max_buffer_size when configured (aligned down).
+        chunk = self._max_read_bytes
+        got = 0
+        need = a1 - a0
+        while got < need:
+            want = min(need - got, chunk)
+            n = os.preadv(self._fd, [view[got:got + want]], a0 + got)
+            if n <= 0:
+                break  # true EOF
+            got += n
         if got < end_byte - a0:
             raise IOError(
                 f"short read: {got} bytes at aligned offset {a0}, "

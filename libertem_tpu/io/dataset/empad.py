@@ -36,6 +36,14 @@ def params_from_xml(path: str, mode: str = "acquire"):
             e for e in root.findall("scan_parameters")
             if e.attrib.get("mode") == mode
         ]
+        if not scans:
+            # fall back to ANY scan_parameters element before
+            # failing with a clear message
+            scans = root.findall("scan_parameters")
+        if not scans:
+            raise DataSetException(
+                f"{path}: no scan_parameters element in EMPAD XML"
+            )
         nav_x = int(scans[0].find("scan_resolution_x").text)
         nav_y = int(scans[0].find("scan_resolution_y").text)
         nav_shape = (nav_y, nav_x)

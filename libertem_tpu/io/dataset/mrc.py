@@ -104,7 +104,17 @@ class MRCDataSet(DataSet):
             ),
             raw_dtype=h["dtype"],
             sync_offset=self._sync_offset,
-            image_count=h["nz"],
+            # clamp the header's nz to what the file actually holds —
+            # a truncated stack must zero-fill, not short-read-error
+            # mid-run (same clamp as SEQ/BLO/EMPAD/DM)
+            image_count=min(
+                int(h["nz"]),
+                max(0, (
+                    os.path.getsize(self._path) - h["data_offset"]
+                ) // (
+                    h["ny"] * h["nx"] * h["dtype"].itemsize
+                )),
+            ),
         )
         return self
 
@@ -120,7 +130,9 @@ class MRCDataSet(DataSet):
 
     @classmethod
     def detect_params(cls, path: str, executor=None):
-        if not path.lower().endswith((".mrc", ".mrcs", ".rec")):
+        if not path.lower().endswith(
+            (".mrc", ".mrcs", ".rec", ".ali", ".st")
+        ):
             return False
         try:
             read_mrc_header(path)
@@ -130,4 +142,4 @@ class MRCDataSet(DataSet):
 
     @classmethod
     def get_supported_extensions(cls) -> set:
-        return {"mrc", "mrcs", "rec"}
+        return {"mrc", "mrcs", "rec", "ali", "st"}

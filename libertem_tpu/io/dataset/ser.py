@@ -61,6 +61,13 @@ def read_ser_index(path: str) -> dict:
             off_dtype = "<i4"
         f.seek(offset_array_offset)
         offsets = np.fromfile(f, dtype=off_dtype, count=total)
+        if len(offsets) == 0 or offsets[0] <= 0:
+            # an aborted TIA acquisition writes an empty element
+            # table — fail with a diagnosis, not a bare IndexError
+            raise DataSetException(
+                f"{path}: SER element table is empty "
+                "(aborted acquisition?)"
+            )
         # probe the first element for shape/dtype
         f.seek(int(offsets[0]))
         cal = f.read(50)

@@ -46,6 +46,13 @@ def read_tvips_header(path: str) -> dict:
         )
     if h["version"] == 1:
         h["img_header_bytes"] = 12
+    if h["bpp"] not in (8, 16):
+        # a packed/corrupt bpp would silently produce wrong frame
+        # strides (same validation as SEQ bit_depth)
+        raise DataSetException(
+            f"unsupported TVIPS bits-per-pixel {h['bpp']} "
+            "(expected 8 or 16)"
+        )
     h["frame_bytes"] = (
         h["img_header_bytes"] + h["bpp"] // 8 * h["xdim"] * h["ydim"]
     )

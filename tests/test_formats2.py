@@ -331,3 +331,47 @@ def test_dm_nav_shape_larger_than_file(lt_ctx):
         assert np.allclose(got, expected, rtol=1e-4)
     finally:
         _os.unlink(path)
+
+
+def test_mrc_truncated_stack_zero_fills(lt_ctx, tmp_path):
+    from libertem_tpu.udf import SumSigUDF
+    """A truncated .mrc (header nz > frames on disk) clamps
+    image_count and zero-fills the missing frames instead of
+    short-read-erroring mid-run."""
+    frames = np.arange(6 * 4 * 4, dtype=np.int16).reshape(6, 4, 4)
+    path = str(tmp_path / "t.mrc")
+    head = bytearray(1024)
+    head[0:16] = struct.pack("<4i", 4, 4, 6, 1)
+    head[92:96] = struct.pack("<i", 0)
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        f.write(frames.astype("<i2").tobytes())
+    # cut the last two frames off
+    full = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(full - 2 * 4 * 4 * 2)
+    ds = lt_ctx.load("mrc", path=path)
+    assert ds.meta.image_count == 4
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    got = np.asarray(res["intensity"].data).reshape(-1)
+    expected = frames.reshape(6, -1).sum(axis=1).astype(np.float64)
+    expected[4:] = 0.0
+    assert np.allclose(got, expected)
+
+
+def test_header_only_file_zero_fills(lt_ctx, tmp_path):
+    """image_count == 0 (acquisition not yet writing frames) is
+    preserved — not silently reset to nav.size — so every frame
+    zero-fills."""
+    path = str(tmp_path / "empty.raw")
+    open(path, "wb").close()
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=(2, 3), sig_shape=(4, 4),
+    )
+    assert ds.meta.image_count == 0
+    from libertem_tpu.udf import SumSigUDF
+    res = lt_ctx.run_udf(ds, SumSigUDF())
+    assert np.allclose(
+        np.asarray(res["intensity"].data).reshape(-1), 0.0
+    )
