@@ -568,6 +568,20 @@ class UDFRunner:
                     "shard_map is unsupported); use an "
                     "InlineJobExecutor / single-device Context"
                 )
+            part_udfs = [
+                type(u).__name__ for u in self._udfs
+                if u.get_method() == "partition"
+            ]
+            if part_udfs:
+                # documented mesh semantics: each device block plays
+                # the partition role (NOT the dataset's partition
+                # split, which the single-device loop honors whole)
+                log.warning(
+                    "sharded run: process_partition receives device "
+                    "blocks, not whole dataset partitions (%s) — "
+                    "per-partition-identity statistics need the "
+                    "single-device loop", ", ".join(part_udfs),
+                )
             if not getattr(dataset, "supports_concurrent_reads", True):
                 raise UDFException(
                     "this dataset requires in-order single-threaded "
@@ -1088,6 +1102,17 @@ class UDFRunner:
         )
         new_state = [dict(s) for s in state]
         new_part = [dict(s) for s in part_state]
+        # aux gathers depend only on (global_off, depth), not the
+        # sig slice: build them once, not once per sig tile
+        aux_views_all = [
+            {
+                name: jax.lax.dynamic_slice_in_dim(
+                    arr, global_off, depth, axis=0
+                )
+                for name, arr in aux_all[ui].items()
+            }
+            for ui in range(len(plan))
+        ]
         for k, sig_slice in scheme.slices:
             if len(scheme) == 1:
                 tile = block
@@ -1096,12 +1121,7 @@ class UDFRunner:
             for ui, entry in enumerate(plan):
                 if entry.host:
                     continue
-                aux_views = {
-                    name: jax.lax.dynamic_slice_in_dim(
-                        arr, global_off, depth, axis=0
-                    )
-                    for name, arr in aux_all[ui].items()
-                }
+                aux_views = aux_views_all[ui]
                 self._run_udf_on_tile(
                     entry, tile, k, sig_slice, meta,
                     new_state[ui], new_part[ui],
@@ -1379,7 +1399,23 @@ class UDFRunner:
         finally:
             stop.set()
 
+    @staticmethod
+    def _commit_aux_default(prep):
+        """_build_aux keeps aux host-side when no device was named
+        (the sharded loop replicates from the host copy), but the
+        single-device loop must not let numpy aux bake into the
+        traced step as XLA constants — device_put to the default
+        device instead.  Re-run after a mid-run param patch (which
+        rebuilds prep['aux'] host-side again)."""
+        if prep["device"] is not None:
+            return
+        for entry in prep["aux"]:
+            for k, arr in entry.items():
+                if isinstance(arr, np.ndarray):
+                    entry[k] = jnp.asarray(arr)
+
     def _run_loop(self, prep, dataset, roi, progress, yield_partial):
+        self._commit_aux_default(prep)
         state = self._init_state(prep)
         step = self._make_step(prep)
         merge = self._make_merge(prep)
@@ -1395,11 +1431,10 @@ class UDFRunner:
             host_runner = HostUDFRunner(
                 [e for _, e in host_entries], prep
             )
-            # aux arrays for host udfs come from the host copies
-            host_runner.prep = dict(prep)
-            host_runner.prep["aux"] = [
-                prep["aux_host"][ui] for ui, _ in host_entries
-            ]
+            # aux arrays for host udfs come from the host copies;
+            # refresh_aux re-derives them after a mid-run param patch
+            host_runner._aux_uis = [ui for ui, _ in host_entries]
+            host_runner.refresh_aux(prep)
             host_global = host_runner.init_global()
             prep["host_global"] = {
                 ui: host_global[i]
@@ -1446,8 +1481,14 @@ class UDFRunner:
                 # plan at the next partition boundary
                 self._params_patched = False
                 self._apply_param_patch(prep)
+                self._commit_aux_default(prep)
                 step = self._make_step(prep)
                 merge = self._make_merge(prep)
+                if host_runner is not None:
+                    # the patch rebuilt prep['aux_host']; the host
+                    # runner's frozen copy must follow, or host UDFs
+                    # keep reading pre-patch aux data
+                    host_runner.refresh_aux(prep)
             n_sel = partition.frames_in_roi(roi)
             if n_sel == 0:
                 continue
@@ -1812,6 +1853,10 @@ class UDFRunner:
                                 host_entry[k]
                             )
                     step = make_step()
+                    # merge() may consult params too: the jitted
+                    # cross-device fold must re-trace as well (parity
+                    # with the single-device _make_merge rebuild)
+                    fold = self._make_sharded_fold(prep, mesh)
                 state = step(
                     state, dev_blk, d_loffs, d_goffs, d_valids,
                     d_coords,
@@ -1829,15 +1874,19 @@ class UDFRunner:
                     )
             for udf in self._udfs:
                 udf.postprocess()
-            # final wrap BEFORE cleanup: get_results may use
-            # task_data, which cleanup() releases
-            if not yield_partial:
-                yield self._wrap_results(
-                    prep,
-                    self._collapse_sharded(prep, state, bounds,
-                                           shard_max, fold=fold),
-                    damage_host,
-                )
+            # final wrap AFTER postprocess and BEFORE cleanup
+            # (get_results may use task_data, which cleanup()
+            # releases).  Yield it unconditionally: in yield_partial
+            # mode the in-loop snapshots precede postprocess, so the
+            # last yielded result must be produced here for
+            # postprocess effects to be visible (parity with the
+            # single-device loop's per-partition ordering).
+            yield self._wrap_results(
+                prep,
+                self._collapse_sharded(prep, state, bounds,
+                                       shard_max, fold=fold),
+                damage_host,
+            )
         finally:
             # also runs when a partial-results iterator is abandoned
             # mid-run (GeneratorExit)

@@ -38,6 +38,17 @@ class HostUDFRunner:
         self._whole_sig_slice = Slice.from_shape(
             tuple(sig), sig_dims=sig.dims
         )
+        self._aux_uis = None
+
+    def refresh_aux(self, prep):
+        """(Re-)derive this runner's per-entry aux list from the live
+        prep — called at construction and after a mid-run parameter
+        patch rebuilt prep['aux_host']."""
+        self.prep = dict(prep)
+        if self._aux_uis is not None:
+            self.prep["aux"] = [
+                prep["aux_host"][ui] for ui in self._aux_uis
+            ]
 
     # -- buffers ---------------------------------------------------------
 

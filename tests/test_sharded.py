@@ -320,3 +320,45 @@ def test_sharded_aux_buffers(data):
     expected = flat.sum(axis=1) * weights
     got = np.asarray(res.buffers[0]["scaled"].data).reshape(-1)
     assert np.allclose(got, expected, rtol=1e-4)
+
+
+def test_sharded_postprocess_before_final_yield(ds, data):
+    """postprocess() effects must be visible in the LAST yielded
+    result of a sharded partial-results run (parity with the
+    single-device per-partition ordering)."""
+    from libertem_tpu.udf.base import UDF
+
+    class PostUDF(UDF):
+        def __init__(self):
+            super().__init__()
+            self.post_ran = False
+
+        def get_result_buffers(self):
+            return {"intensity": self.buffer(kind="sig",
+                                             dtype="float32")}
+
+        def process_tile(self, tile):
+            self.results.intensity += tile.sum(axis=0)
+
+        def merge(self, dest, src):
+            dest.intensity = dest.intensity + src.intensity
+
+        def postprocess(self):
+            self.post_ran = True
+
+        def get_results(self):
+            # doubled only once postprocess ran
+            if self.post_ran:
+                return {"intensity": self.results.intensity * 2.0}
+            return {}
+
+    udf = PostUDF()
+    last = None
+    for last in UDFRunner([udf]).run_for_dataset_iter(
+        ds, devices=devices()
+    ):
+        pass
+    assert np.allclose(
+        last.buffers[0]["intensity"].data,
+        2.0 * data.sum(axis=(0, 1)), rtol=1e-4,
+    )
