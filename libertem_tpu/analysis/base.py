@@ -46,7 +46,13 @@ class Analysis:
         raise NotImplementedError()
 
     def get_roi(self) -> Optional[np.ndarray]:
-        return None
+        # honor a GUI roi parameter uniformly — the client offers the
+        # roi selector on every analysis card, so any analysis
+        # silently ignoring it would show full-nav results as if they
+        # were roi-restricted (analyses with special roi semantics,
+        # e.g. PickFrame, override this)
+        from .getroi import get_roi
+        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def get_udf_results(
         self, udf_results, roi, damage

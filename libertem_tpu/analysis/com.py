@@ -10,7 +10,6 @@ from ..common.analysis import AnalysisResult, AnalysisResultSet
 from ..udf.com import CoMUDF, guess_corrections
 from ..viz.base import rgb_from_2dvector, visualize_simple
 from .base import BaseAnalysis
-from .getroi import get_roi
 
 
 class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
@@ -39,9 +38,6 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
             cy=p["cy"], cx=p["cx"], r=p["r"], ri=p["ri"],
             scan_rotation=p["scan_rotation"], flip_y=p["flip_y"],
         )
-
-    def get_roi(self):
-        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def need_rerun(self, old_params: dict, new_params: dict) -> bool:
         """flip_y / scan_rotation only change the post-processing of

@@ -19,10 +19,6 @@ class FEMAnalysis(BaseAnalysis, id_="FEM"):
             "ro": parameters.get("ro", min(h, w) / 2),
         }
 
-    def get_roi(self):
-        from .getroi import get_roi
-        return get_roi(self.parameters, self.dataset.shape.nav)
-
     def get_udf(self):
         p = self.parameters
         return FEMUDF(

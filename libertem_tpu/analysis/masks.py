@@ -10,7 +10,6 @@ from ..common.analysis import AnalysisResult, AnalysisResultSet
 from ..udf.masks import ApplyMasksUDF
 from ..viz.base import visualize_simple
 from .base import BaseAnalysis
-from .getroi import get_roi
 
 
 class BaseMasksAnalysis(BaseAnalysis):
@@ -31,9 +30,6 @@ class BaseMasksAnalysis(BaseAnalysis):
             mask_dtype=self.parameters.get("mask_dtype"),
             dtype=self.parameters.get("dtype"),
         )
-
-    def get_roi(self):
-        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def get_udf_results(self, udf_results, roi, damage):
         data = udf_results["intensity"].data  # (*nav, n_masks)

@@ -54,6 +54,9 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
         n_bins = parameters.get("n_bins") or 1
         max_order = parameters.get("max_order") or 24
         return {
+            # keep roi/other keys — BaseAnalysis.get_roi reads
+            # parameters["roi"]
+            **parameters,
             "cx": parameters.get("cx", w / 2),
             "cy": parameters.get("cy", h / 2),
             "ri": ri, "ro": ro,

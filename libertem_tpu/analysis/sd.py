@@ -6,15 +6,11 @@ from ..common.analysis import AnalysisResult, AnalysisResultSet
 from ..udf.stddev import StdDevUDF
 from ..viz.base import visualize_simple
 from .base import BaseAnalysis
-from .getroi import get_roi
 
 
 class SDAnalysis(BaseAnalysis, id_="SD_FRAMES"):
     def get_udf(self):
         return StdDevUDF()
-
-    def get_roi(self):
-        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def get_udf_results(self, udf_results, roi, damage):
         var = udf_results["var"].data

@@ -8,15 +8,11 @@ from ..common.analysis import AnalysisResult, AnalysisResultSet
 from ..udf.sum import SumUDF
 from ..viz.base import visualize_simple
 from .base import BaseAnalysis
-from .getroi import get_roi
 
 
 class SumAnalysis(BaseAnalysis, id_="SUM_FRAMES"):
     def get_udf(self):
         return SumUDF()
-
-    def get_roi(self):
-        return get_roi(self.parameters, self.dataset.shape.nav)
 
     def get_udf_results(self, udf_results, roi, damage):
         data = udf_results["intensity"].data

@@ -9,10 +9,6 @@ from .base import BaseAnalysis
 
 
 class SumSigAnalysis(BaseAnalysis, id_="SUM_SIG"):
-    def get_roi(self):
-        from .getroi import get_roi
-        return get_roi(self.parameters, self.dataset.shape.nav)
-
     def get_udf(self):
         return SumSigUDF()
 

@@ -31,11 +31,10 @@ def validate_schema(data: Any, schema: dict, path: str = "$"):
             raise ValidationError(
                 f"{path}: expected {typ}, got {type(data).__name__}"
             )
-        if typ == "boolean" or (
-            typ in ("number", "integer") and isinstance(data, bool)
-        ):
-            if typ != "boolean" and isinstance(data, bool):
-                raise ValidationError(f"{path}: expected {typ}")
+        if typ in ("number", "integer") and isinstance(data, bool):
+            # bool is an int subclass; schemas asking for numbers
+            # must not accept True/False
+            raise ValidationError(f"{path}: expected {typ}")
     if "const" in schema and data != schema["const"]:
         raise ValidationError(
             f"{path}: expected const {schema['const']!r}"

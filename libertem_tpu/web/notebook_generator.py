@@ -136,6 +136,11 @@ def notebook_for(
         a_type = entry["analysisType"]
         params = dict(entry.get("parameters", {}))
         tpl = ANALYSIS_TEMPLATES.get(a_type)
+        if params.get("roi"):
+            # the pretty create_* templates can't express a GUI roi —
+            # the registry form reproduces the GUI result exactly
+            # (ctx.run picks the roi up via analysis.get_roi())
+            tpl = None
         if tpl is None:
             # generic fallback: any registered analysis runs through
             # the registry (covers FFT / cluster / custom analyses)

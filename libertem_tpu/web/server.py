@@ -652,6 +652,12 @@ def run_server(host="localhost", port=9000, token=None,
     app.listen(port, address=host)
     log.info("libertem-tpu-server listening on %s:%d", host, port)
     if browser:  # pragma: no cover
+        import urllib.parse
         import webbrowser
-        webbrowser.open(f"http://{host}:{port}")
+        url = f"http://{host}:{port}"
+        if token is not None:
+            # the client threads ?token= through every API call; a
+            # browser opened without it gets an unusable GUI
+            url += "?token=" + urllib.parse.quote(token)
+        webbrowser.open(url)
     tornado.ioloop.IOLoop.current().start()

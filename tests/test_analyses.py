@@ -370,6 +370,10 @@ def test_analyses_honor_gui_roi(lt_ctx, ds, data):
         ("APPLY_POINT_SELECTOR", {"cx": 4, "cy": 4}),
         ("FEM", {"cx": 4, "cy": 4, "ri": 1, "ro": 4}),
         ("SUM_SIG", {}),
+        ("APPLY_DISK_MASK", {"cx": 4, "cy": 4, "r": 3}),
+        ("RADIAL_FOURIER",
+         {"cx": 4, "cy": 4, "ri": 0, "ro": 4, "n_bins": 1,
+          "max_order": 2}),
     ]:
         cls = Analysis.get_analysis_by_type(id_)
         an = cls(dataset=ds, parameters={**extra, **roi_params})
@@ -378,9 +382,12 @@ def test_analyses_honor_gui_roi(lt_ctx, ds, data):
         assert roi.shape == nav
         assert roi.sum() == 4
         res = lt_ctx.run(an)
-        out = res["intensity"].raw_data
+        key = (
+            "dominant_0" if id_ == "RADIAL_FOURIER" else "intensity"
+        )
+        out = res[key].raw_data
         sel = np.isfinite(np.asarray(out, dtype=np.float64))
-        assert sel.sum() == 4, id_
+        assert sel.reshape(nav + (-1,)).any(-1).sum() == 4, id_
 
 
 def test_live_plot_sig_channel(lt_ctx, ds):

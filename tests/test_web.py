@@ -555,3 +555,27 @@ class TestCompoundAnalysisProtocol(WebTestBase):
             )
             assert resp.code == 200, fmt
             assert len(resp.body) > 100, fmt
+
+
+class TestNotebookRoi(WebTestBase):
+    def test_roi_analysis_uses_registry_form(self):
+        from libertem_tpu.web.notebook_generator import notebook_for
+
+        nb = notebook_for(
+            "RAW",
+            {"path": "/t.raw", "dtype": "float32",
+             "nav_shape": [4, 4], "sig_shape": [8, 8]},
+            [{"analysisType": "CENTER_OF_MASS",
+              "parameters": {
+                  "cx": 4, "cy": 4, "r": 3,
+                  "roi": {"shape": "disk", "cx": 1, "cy": 1,
+                          "r": 1}}}],
+        )
+        src = "".join(
+            "".join(c["source"]) for c in nb["cells"]
+            if c["cell_type"] == "code"
+        )
+        # a GUI roi cannot ride the pretty template — the registry
+        # form carries the full parameter dict (incl. roi)
+        assert "get_analysis_by_type" in src
+        assert "'roi'" in src or '"roi"' in src
