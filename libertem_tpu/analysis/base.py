@@ -37,6 +37,13 @@ class Analysis:
 
     def __init__(self, dataset, parameters: dict):
         self.dataset = dataset
+        # GUI clients send explicit nulls for untouched fields;
+        # dropping None-valued keys up front lets every analysis's
+        # .get(key, default) apply its default naturally (a None that
+        # survives .get() otherwise crashes deep in the math)
+        parameters = {
+            k: v for k, v in parameters.items() if v is not None
+        }
         self.parameters = self.get_parameters(parameters)
 
     def get_parameters(self, parameters: dict) -> dict:

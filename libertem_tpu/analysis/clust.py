@@ -75,7 +75,8 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
             )
 
         p = self.parameters
-        sd = ctx.run_udf(self.dataset, StdDevUDF())
+        roi = self.get_roi()
+        sd = ctx.run_udf(self.dataset, StdDevUDF(), roi=roi)
         if cancelled():
             return AnalysisResultSet([])
         std_map = np.asarray(sd["std"].data)
@@ -110,27 +111,32 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
 
         feats = ctx.run_udf(self.dataset, ApplyMasksUDF(
             mask_factories=factory, mask_count=len(peaks),
-        ))
+        ), roi=roi)
         if cancelled():
             return AnalysisResultSet([])
         features = np.asarray(feats["intensity"].data)
         nav_shape = features.shape[:-1]
         flat = features.reshape(-1, features.shape[-1])
-        flat = np.nan_to_num(flat)
+        # under an roi, cluster ONLY the selected positions — the
+        # NaN fill must not become a zero-feature cluster member
+        sel = np.isfinite(flat).all(axis=-1)
         from sklearn.cluster import AgglomerativeClustering
         conn = None
         try:
             from sklearn.feature_extraction.image import (
                 grid_to_graph,
             )
-            if len(nav_shape) == 2:
+            if len(nav_shape) == 2 and sel.all():
+                # the grid connectivity only matches the full grid
                 conn = grid_to_graph(*nav_shape)
         except Exception:
             pass
         labels = AgglomerativeClustering(
             n_clusters=int(p["n_clust"]), connectivity=conn,
-        ).fit_predict(flat)
-        label_map = labels.reshape(nav_shape).astype(np.float32)
+        ).fit_predict(flat[sel])
+        label_map = np.full(flat.shape[0], np.nan, np.float32)
+        label_map[sel] = labels
+        label_map = label_map.reshape(nav_shape)
         return AnalysisResultSet([
             AnalysisResult(
                 raw_data=label_map,

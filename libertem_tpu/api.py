@@ -129,7 +129,9 @@ class Context:
                        snooze_timeout=snooze_timeout)
         elif executor_spec == "delayed":
             from .executor.compat import DelayedJobExecutor
-            return cls(executor=DelayedJobExecutor(**kwargs))
+            return cls(executor=DelayedJobExecutor(**kwargs),
+                       plot_class=plot_class,
+                       snooze_timeout=snooze_timeout)
         raise ValueError(f"unknown executor spec {executor_spec!r}")
 
     # -- datasets -----------------------------------------------------------
@@ -425,6 +427,11 @@ class Context:
             return roi.astype(bool).reshape(-1)
         nav_shape = tuple(dataset.shape.nav)
         entries = list(roi)
+        if not entries:
+            # an empty coordinate iterable selects NOTHING — the
+            # all-ints check below would vacuously match and the ()
+            # coordinate would fill the whole mask
+            return np.zeros(int(np.prod(nav_shape)), dtype=bool)
         if all(
             isinstance(e, (int, np.integer)) for e in entries
         ):

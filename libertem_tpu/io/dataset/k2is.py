@@ -227,7 +227,10 @@ class K2ISPartition(Partition):
                         ys:ys + bh,
                         x0_sector + xs:x0_sector + xs + bw,
                     ] = pixels
-        return out
+        # an equal-size user sig_shape reshapes the detector frames
+        return out.reshape(
+            (stop - start,) + tuple(self.meta.shape.sig)
+        )
 
 
 class K2ISDataSet(DataSet):
@@ -310,16 +313,17 @@ class K2ISDataSet(DataSet):
                 else (image_count,)
             )
         sig_shape = (SECTOR_SIZE[0], NUM_SECTORS * SECTOR_SIZE[1])
-        if (
-            self._sig_shape is not None
-            and tuple(self._sig_shape) != sig_shape
-        ):
-            # the detector geometry is fixed; reference k2is.py:792
-            # raises on a mismatch instead of silently ignoring it
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the K2 IS detector shape {sig_shape}"
-            )
+        if self._sig_shape is not None:
+            if int(np.prod(self._sig_shape)) != int(
+                np.prod(sig_shape)
+            ):
+                # reference k2is.py:792 raises on a SIZE mismatch;
+                # an equal-size sig_shape reshapes the frames
+                raise DataSetException(
+                    f"sig_shape {tuple(self._sig_shape)} does not "
+                    f"match the K2 IS detector size {sig_shape}"
+                )
+            sig_shape = tuple(self._sig_shape)
         self._meta = DataSetMeta(
             shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
             raw_dtype=np.dtype(np.uint16),

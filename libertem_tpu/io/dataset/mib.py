@@ -204,10 +204,11 @@ class MIBPartition(Partition):
             payloads[lo - start:hi - start] = cover.reshape(
                 hi - lo, h["frame_size"]
             )[:, h["header_bytes"]:h["header_bytes"] + h["payload"]]
+        meta_sig = tuple(self.meta.shape.sig)
         if h["kind"] == "u":
             bpx = int(h["out_dtype"].itemsize)
             arr = payloads.view(f">u{bpx}").astype(h["out_dtype"])
-            return arr.reshape((n,) + h["sig_shape"])
+            return arr.reshape((n,) + meta_sig)
         bd = h["bit_depth"]
         if bd == 1:
             out = decode_r1(payloads, n_pix)
@@ -220,8 +221,10 @@ class MIBPartition(Partition):
         else:
             raise DataSetException(f"unsupported bit depth {bd}")
         if h["quad"]:
-            return assemble_quad(out.reshape(n, ht, w))
-        return out.reshape(n, ht, w)
+            return assemble_quad(
+                out.reshape(n, ht, w)
+            ).reshape((n,) + meta_sig)
+        return out.reshape((n,) + meta_sig)
 
 
 class MIBDataSet(DataSet):
@@ -300,13 +303,21 @@ class MIBDataSet(DataSet):
                     nav_shape = (side, side)
                 else:
                     nav_shape = (image_count,)
-        sig_shape = self._sig_shape or hdr["sig_shape"]
-        if tuple(sig_shape) != tuple(hdr["sig_shape"]):
-            # same validation as hdf5.py/frms6.py: the reader always
-            # produces header-shaped frames
+        sig_shape = tuple(
+            self._sig_shape or hdr["sig_shape"]
+        )
+        if int(np.prod(sig_shape)) != int(
+            np.prod(hdr["sig_shape"])
+        ):
+            # a sig_shape kwarg RESHAPES frames (reference mib.py:
+            # equal size, alternative layout); only a size mismatch
+            # is an error
             raise DataSetException(
-                f"sig_shape {tuple(sig_shape)} does not match the "
-                f"file's frame shape {tuple(hdr['sig_shape'])}"
+                f"sig_shape {sig_shape} (size "
+                f"{int(np.prod(sig_shape))}) does not match the "
+                f"file's frame size "
+                f"{int(np.prod(hdr['sig_shape']))} "
+                f"{tuple(hdr['sig_shape'])}"
             )
         self._meta = DataSetMeta(
             shape=Shape(

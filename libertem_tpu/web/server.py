@@ -423,7 +423,12 @@ class ConnectionHandler(_BaseHandler):
             ctx = Context.make_with("sharded")
         else:
             ctx = Context.make_with("inline")
-        self.state.executor_state.set_context(ctx)
+        running = any(
+            j["running"] for j in self.state.job_state.jobs.values()
+        )
+        self.state.executor_state.set_context(
+            ctx, jobs_running=running
+        )
         msg = {
             "status": "ok",
             "messageType": "CLUSTER_CONNECTED",

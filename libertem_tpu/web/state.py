@@ -20,10 +20,15 @@ class ExecutorState:
             self._context = Context(executor=InlineJobExecutor())
         return self._context
 
-    def set_context(self, ctx):
+    def set_context(self, ctx, jobs_running: bool = False):
         old = self._context
         self._context = ctx
         if old is not None and old is not ctx:
+            if jobs_running:
+                # a job is still executing against the old context:
+                # closing it would kill the run mid-flight — leak it
+                # (finishing jobs hold their own reference)
+                return
             # release the replaced context's executor and stop its
             # snooze timer — repeated cluster reconnects must not
             # accumulate threads/resources

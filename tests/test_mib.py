@@ -213,3 +213,30 @@ def test_mib_r6_quad(lt_ctx, tmp_path):
     roi[[1, 4]] = True
     res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
     assert np.array_equal(res["intensity"].data, frames[[1, 4]])
+
+
+def test_mib_sig_shape_reshape(lt_ctx, tmp_path):
+    """An equal-size sig_shape RESHAPES frames (reference semantics);
+    only a size mismatch errors."""
+    data = _mk_random((4, 16, 16), dtype="uint16")
+    path = str(tmp_path / "rs.mib")
+    _write_mib(
+        path, data, "U16", 12,
+        lambda fr: fr.astype(">u2"),
+    )
+    ds = lt_ctx.load(
+        "mib", path=path, nav_shape=(2, 2), sig_shape=(8, 32),
+    )
+    assert tuple(ds.shape) == (2, 2, 8, 32)
+    from libertem_tpu.udf import PickUDF
+    roi = np.zeros(4, dtype=bool)
+    roi[1] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(
+        res["intensity"].data.reshape(8, 32),
+        data[1].reshape(8, 32),
+    )
+    with pytest.raises(Exception, match="does not match"):
+        lt_ctx.load(
+            "mib", path=path, nav_shape=(2, 2), sig_shape=(8, 8),
+        )

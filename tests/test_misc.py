@@ -635,3 +635,11 @@ def test_cbed_default_lattice_is_2d():
     assert len(np.unique(peaks[:, 0])) > 1
     assert len(np.unique(peaks[:, 1])) > 1
     assert len(np.unique(peaks, axis=0)) == len(peaks)
+
+
+def test_roi_empty_coordinate_list(lt_ctx, ds):
+    """An empty coordinate iterable selects NOTHING (it used to
+    vacuously match the all-ints check and select everything)."""
+    res = lt_ctx.run_udf(ds, SumSigUDF(), roi=[])
+    out = np.asarray(res["intensity"].data, dtype=np.float64)
+    assert np.isnan(out).all()
