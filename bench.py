@@ -66,16 +66,21 @@ def _setup_compile_cache():
         pass
 
 
-def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
-    """Return steady-state bytes/sec of the fused pipeline.
+def bench_tpu(data: np.ndarray, repeats: int = 20):
+    """Return (pipeline_bytes_per_sec, roofline_bytes_per_sec).
 
-    ALL ``repeats`` passes run inside ONE jitted lax.fori_loop (each
-    pass's initial state is salted with the previous pass's result so
-    nothing hoists out of the loop): one dispatch + one sync for the
-    whole measurement, immune to host/tunnel jitter.  Blocks are
-    generated on device (over the development tunnel H2D runs at
-    ~20 MB/s; on directly-attached TPUs the streaming pipeline feeds
-    from the host instead).
+    ALL ``repeats`` passes run inside ONE jitted lax.fori_loop: one
+    dispatch + one sync for the whole measurement, immune to
+    host/tunnel jitter.  Two honesty guards against XLA optimizing
+    the measured work away: (a) each pass's INPUT blocks carry a
+    data dependence on the loop carry (`blk + cast(salt)`, salt ~
+    1e-37 so u16 numerics are unchanged but hoisting/CSE across
+    passes is illegal), and (b) the carried value consumes one
+    element of EVERY output leaf — nav scatters and the fused mask
+    matmul included — so no state is dead.  Blocks are generated on
+    device (over the development tunnel H2D runs at ~20 MB/s; on
+    directly-attached TPUs the streaming pipeline feeds from the
+    host instead).
     """
     import jax
     import jax.numpy as jnp
@@ -110,11 +115,13 @@ def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
     def one_pass(blocks, goffs, valids, salt):
         state = runner._init_state(prep)
         part_state = runner._init_part_state(prep)
-        state = jax.tree.map(lambda x: x + salt, state)
 
         def body(carry, xs):
             state, part_state = carry
             blk, goff, valid = xs
+            # real data dependence on the loop carry; numerically a
+            # no-op for u16 input (salt ~ 1e-37 casts to 0)
+            blk = blk + salt.astype(blk.dtype)
             state, part_state = runner._step_body(
                 prep, state, part_state, blk,
                 goff, goff, coords, valid,
@@ -128,9 +135,17 @@ def bench_tpu(data: np.ndarray, repeats: int = 20) -> float:
 
     def many_passes(blocks, goffs, valids, n):
         def body(i, salt):
-            _, part_state = one_pass(blocks, goffs, valids, salt)
-            leaf = jax.tree.leaves(part_state)[0]
-            return leaf.ravel()[0].astype(jnp.float32) * 1e-37
+            state, part_state = one_pass(
+                blocks, goffs, valids, salt
+            )
+            # consume every output leaf: nothing is dead code
+            leaves = (
+                jax.tree.leaves(state) + jax.tree.leaves(part_state)
+            )
+            tot = jnp.float32(0.0)
+            for leaf in leaves:
+                tot = tot + leaf.ravel()[0].astype(jnp.float32)
+            return tot * 1e-37
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

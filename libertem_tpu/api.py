@@ -54,6 +54,8 @@ class Context:
 
     def __init__(self, executor: Optional[JobExecutor] = None,
                  plot_class=None, snooze_timeout=None):
+        from .common.tracing import maybe_setup_tracing
+        maybe_setup_tracing("libertem-tpu")
         if executor is None:
             executor = InlineJobExecutor()
         self.executor = executor

@@ -33,7 +33,13 @@ def get_pinned_device():
     """The jax device selected by the env pinning, or None."""
     import jax
     if get_use_cpu():
-        cpus = [d for d in jax.devices() if d.platform == "cpu"]
+        # jax.devices() lists only the DEFAULT backend: on a TPU
+        # host that never contains a cpu device — ask the cpu
+        # backend explicitly
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
         return cpus[0] if cpus else None
     idx = get_use_device()
     if idx is not None:

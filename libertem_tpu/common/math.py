@@ -37,6 +37,8 @@ def make_2D_square(shape: Sequence[int]) -> tuple[int, ...]:
     size = prod(shape)
     if len(shape) == 2:
         return tuple(int(s) for s in shape)
+    if size == 0:
+        return (0, 0)
     side = int(math.sqrt(size))
     while side > 1 and size % side != 0:
         side -= 1

@@ -3,9 +3,12 @@
 """
 from __future__ import annotations
 
+import logging
 import threading
 import uuid
 from typing import Any, Callable
+
+log = logging.getLogger(__name__)
 
 
 class SubscriptionManager:
@@ -21,9 +24,11 @@ class SubscriptionManager:
 
     def unsubscribe(self, key: str) -> bool:
         with self._lock:
-            for topic in self._subs.values():
+            for name, topic in list(self._subs.items()):
                 if key in topic:
                     del topic[key]
+                    if not topic:
+                        del self._subs[name]
                     return True
         return False
 
@@ -34,4 +39,6 @@ class SubscriptionManager:
             try:
                 cb(topic, message)
             except Exception:
-                pass
+                log.exception(
+                    "subscriber for topic %r raised", topic
+                )

@@ -14,6 +14,7 @@ import os
 log = logging.getLogger(__name__)
 
 _TRACER = None
+_TRACING_ACTIVE = False
 
 
 class _NoopSpan:
@@ -54,6 +55,10 @@ def maybe_setup_tracing(
     url = otlp_url or os.environ.get("LIBERTEM_TPU_TRACING_URL")
     if not url:
         return False
+    global _TRACING_ACTIVE
+    if _TRACING_ACTIVE:
+        # idempotent: every Context construction calls this
+        return True
     try:
         from opentelemetry import trace
         from opentelemetry.exporter.otlp.proto.grpc.trace_exporter \
@@ -77,4 +82,5 @@ def maybe_setup_tracing(
     trace.set_tracer_provider(provider)
     global _TRACER
     _TRACER = trace.get_tracer("libertem_tpu")
+    _TRACING_ACTIVE = True
     return True

@@ -12,6 +12,7 @@ from ..common.async_utils import sync_to_async
 class AsyncAdapter:
     def __init__(self, wrapped, pool=None):
         self._wrapped = wrapped
+        self._own_pool = pool is None
         self._pool = pool or ThreadPoolExecutor(max_workers=2)
 
     @property
@@ -40,4 +41,7 @@ class AsyncAdapter:
 
     async def close(self):
         await sync_to_async(self._wrapped.close, pool=self._pool)
-        self._pool.shutdown(wait=False)
+        if self._own_pool:
+            # never shut down a caller-provided (possibly shared)
+            # pool — other adapters may still use it
+            self._pool.shutdown(wait=False)

@@ -95,7 +95,15 @@ class JobExecutor:
                 name=f"device-{i}",
                 host="localhost",
                 device=d,
-                resources={"compute": 1, d.platform.upper(): 1},
+                resources={
+                    "compute": 1,
+                    # the axon remote plugin IS a TPU: tasks
+                    # restricted to {'TPU': 1} must match it
+                    (
+                        "TPU" if d.platform in ("tpu", "axon")
+                        else d.platform.upper()
+                    ): 1,
+                },
             )
             for i, d in enumerate(self._devices)
         ])
@@ -115,7 +123,7 @@ class JobExecutor:
 
     def ensure_async(self, pool=None):
         from .async_adapter import AsyncAdapter
-        return AsyncAdapter(self)
+        return AsyncAdapter(self, pool=pool)
 
     def close(self):
         pass

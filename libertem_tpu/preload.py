@@ -18,3 +18,13 @@ def do_preloads(env_var: str = "LIBERTEM_TPU_PRELOAD"):
             importlib.import_module(name)
         except ImportError as e:
             log.warning("preload of %s failed: %s", name, e)
+
+
+def preload_modules(names):
+    """Import the given modules, warning (not crashing) on failure —
+    shared by the CLI --preload flag and the env hook."""
+    for name in names:
+        try:
+            importlib.import_module(name)
+        except ImportError as e:
+            log.warning("preload of %s failed: %s", name, e)

@@ -27,8 +27,11 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper())
-    for mod in args.preload:
-        __import__(mod)
+    from ..common.tracing import maybe_setup_tracing
+    from ..preload import do_preloads, preload_modules
+    maybe_setup_tracing("libertem-tpu-server")
+    do_preloads()  # LIBERTEM_TPU_PRELOAD env hook
+    preload_modules(args.preload)
     token = None
     if args.token_path:
         with open(args.token_path) as f:
