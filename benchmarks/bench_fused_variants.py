@@ -1,0 +1,147 @@
+"""Honest apples-to-apples comparison of the fused-moments kernel
+variants on the real chip.
+
+Every variant runs inside one jitted fori_loop with (a) the input
+block salted by the loop carry (hoisting/CSE across passes illegal,
+numerically a no-op for u16) and (b) every output leaf consumed into
+the carry (nothing is dead code) — the guards bench.py gained after
+the DCE finding.  Prints one JSON line with GB/s of raw u16 input
+per variant.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+DEPTH = 512
+SIG = (128, 128)
+N_BLOCKS = 24
+N_MASKS = 5
+REPEATS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    ))
+    import bench
+    bench._setup_compile_cache()
+
+    from libertem_tpu.ops.moments import (
+        _fused_moments_pallas,
+        _fused_moments_xla,
+        _fused_moments_xla_onepass,
+    )
+
+    n_pix = int(np.prod(SIG))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def make_blocks(key):
+        return jax.random.poisson(
+            key, 8.0, (N_BLOCKS, DEPTH, n_pix)
+        ).astype(jnp.uint16)
+
+    blocks = make_blocks(key)
+    # CLAUDE.md: mask operands are TRANSPOSED (M, P)
+    masks_t = jnp.asarray(
+        np.random.default_rng(0).random(
+            (N_MASKS, n_pix)
+        ).astype(np.float32)
+    )
+    valid = jnp.int32(DEPTH)
+
+    def run_variant(fn, consume_all=True):
+        def one_pass(salt):
+            def body(carry, blk):
+                blk = blk + salt.astype(blk.dtype)
+                y, cs, cv = fn(blk)
+                acc = carry
+                acc = acc + y.ravel()[0] + cs.ravel()[0]
+                acc = acc + cv.ravel()[0]
+                return acc, None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), blocks
+            )
+            return acc
+
+        @jax.jit
+        def many(n):
+            def body(i, salt):
+                return one_pass(salt) * jnp.float32(1e-37)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        # warm up / compile
+        float(many(1))
+        t0 = time.perf_counter()
+        float(many(REPEATS))
+        dt = time.perf_counter() - t0
+        total = REPEATS * N_BLOCKS * DEPTH * n_pix * 2  # u16 bytes
+        return total / dt
+
+    # masks argument is closed over; variants:
+    def xla2(blk):
+        return _fused_moments_xla(blk, masks_t, valid)
+
+    def xla1(blk):
+        return _fused_moments_xla_onepass(blk, masks_t, valid)
+
+    def xla_novar(blk):
+        return _fused_moments_xla(
+            blk, masks_t, valid, compute_var=False
+        )
+
+    def pallas(blk):
+        return _fused_moments_pallas(blk, masks_t, valid)
+
+    def stats_only(blk):
+        xt = blk.astype(jnp.float32)
+        cs = xt.sum(axis=0)
+        n = jnp.float32(DEPTH)
+        mean = cs / n
+        diff = xt - mean
+        cv = (diff * diff).sum(axis=0)
+        return cs[:1], cs, cv
+
+    def read_only(blk):
+        s = blk.astype(jnp.float32).sum(axis=0)
+        return s[:1], s, s
+
+    all_variants = {
+        "read_only_sum": read_only,
+        "xla_twopass": xla2,
+        "xla_onepass": xla1,
+        "xla_masks_only": xla_novar,
+        "stats_only": stats_only,
+        "pallas": pallas,
+    }
+    wanted = sys.argv[1:] or list(all_variants)
+    out = {}
+    for name, fn in [
+        (n, all_variants[n]) for n in wanted
+    ]:
+        try:
+            bps = run_variant(fn)
+            out[name + "_gbps"] = round(bps / 1e9, 2)
+        except Exception as e:
+            out[name + "_error"] = str(e)[:120]
+        # print incrementally: tunnel hangs must not lose results
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

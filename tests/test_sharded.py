@@ -362,3 +362,73 @@ def test_sharded_postprocess_before_final_yield(ds, data):
         last.buffers[0]["intensity"].data,
         2.0 * data.sum(axis=(0, 1)), rtol=1e-4,
     )
+
+
+def test_sharded_kitchen_sink(tmp_path):
+    """Config #5 in miniature: sharded mesh x RAW file x sparse ROI x
+    corrections x multi-UDF x partial yields x mid-run param patch —
+    all dimensions at once, validated against numpy."""
+    from libertem_tpu.api import Context
+    from libertem_tpu.io.corrections import CorrectionSet
+    from libertem_tpu.udf import ApplyMasksUDF, StdDevUDF, SumUDF
+
+    rng = np.random.default_rng(0)
+    nav, sig = (12, 10), (16, 16)
+    raw = rng.integers(10, 1000, nav + sig).astype(np.uint16)
+    path = str(tmp_path / "ks.raw")
+    raw.tofile(path)
+    ctx = Context()
+    # many small partitions force a small block depth, so the
+    # sharded run takes several super-steps (the param patch applies
+    # at a super-step boundary)
+    ds = ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=nav, sig_shape=sig, num_partitions=30,
+    )
+    roi = rng.random(nav) > 0.4
+    dark = rng.normal(size=sig).astype(np.float32)
+    gain = (1 + 0.05 * rng.random(sig)).astype(np.float32)
+    corr = CorrectionSet(dark=dark, gain=gain)
+    mask_a = rng.random(sig).astype(np.float32)
+    mask_b = rng.random(sig).astype(np.float32)
+    udfs = [
+        SumUDF(),
+        StdDevUDF(),
+        ApplyMasksUDF(mask_factories=[lambda: mask_a]),
+    ]
+    runner = UDFRunner(udfs)
+    n_seen = 0
+    last = None
+    for last in runner.run_for_dataset_iter(
+        ds, roi=roi.reshape(-1), corrections=corr,
+        devices=devices(), yield_partial=True,
+    ):
+        if n_seen == 0:
+            # patch the mask mid-run: the remaining super-steps and
+            # the final fold must use mask_b
+            runner.update_parameters_experimental([
+                {}, {}, {"mask_factories": [lambda: mask_b]},
+            ])
+        n_seen += 1
+    assert n_seen >= 2
+
+    corrected = (raw.astype(np.float64) - dark) * gain
+    sel = corrected.reshape((-1,) + sig)[roi.reshape(-1)]
+    assert np.allclose(
+        last.buffers[0]["intensity"].data, sel.sum(axis=0),
+        rtol=1e-3, atol=1e-2,
+    )
+    assert np.allclose(
+        last.buffers[1]["var"].data, sel.var(axis=0),
+        rtol=1e-2, atol=1e-2,
+    )
+    # masks result: early frames used mask_a, later ones mask_b —
+    # only check the patched mask applies to the LAST shard rows
+    got = np.asarray(
+        last.buffers[2]["intensity"].data
+    ).reshape(-1)
+    sel_ids = np.flatnonzero(roi.reshape(-1))
+    last_id = sel_ids[-1]
+    expected_b = corrected.reshape((-1,) + sig)[last_id].reshape(-1) @ \
+        mask_b.reshape(-1)
+    assert np.isclose(got[last_id], expected_b, rtol=1e-3)
