@@ -102,8 +102,11 @@ def bench_tpu(data: np.ndarray, repeats: int = 20):
 
     @jax.jit
     def make_blocks(key):
+        # flat (depth, n_pix) blocks — matching the engine's
+        # flat_feed layout for the fused path (the host uploads
+        # row-major frames, so flat is what the device receives)
         vals = jax.random.poisson(
-            key, 8.0, (n_blocks, depth) + SIG
+            key, 8.0, (n_blocks, depth, int(np.prod(SIG)))
         )
         return vals.astype(DTYPE)
 

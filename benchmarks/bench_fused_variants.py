@@ -22,11 +22,11 @@ sys.path.insert(
 )
 
 
-DEPTH = 512
+DEPTH = int(__import__('os').environ.get('BV_DEPTH', 512))
 SIG = (128, 128)
-N_BLOCKS = 24
+N_BLOCKS = int(__import__('os').environ.get('BV_BLOCKS', 16))
 N_MASKS = 5
-REPEATS = 10
+REPEATS = 60
 
 
 def main():
@@ -64,13 +64,14 @@ def main():
     valid = jnp.int32(DEPTH)
 
     def run_variant(fn, consume_all=True):
-        def one_pass(salt):
+        def one_pass(blocks, salt):
             def body(carry, blk):
                 blk = blk + salt.astype(blk.dtype)
                 y, cs, cv = fn(blk)
-                acc = carry
-                acc = acc + y.ravel()[0] + cs.ravel()[0]
-                acc = acc + cv.ravel()[0]
+                # consume via FULL reductions: a single element of a
+                # freshly produced per-block output lets XLA compute
+                # just that element (partial DCE of the matmul)
+                acc = carry + y.sum() + cs.sum() + cv.sum()
                 return acc, None
 
             acc, _ = jax.lax.scan(
@@ -79,16 +80,21 @@ def main():
             return acc
 
         @jax.jit
-        def many(n):
+        def many(bl, n):
+            # blocks as an ARGUMENT — a closed-over device array
+            # would bake into the program as a literal constant
+            # (multi-hundred-MB compile payloads)
             def body(i, salt):
-                return one_pass(salt) * jnp.float32(1e-37)
+                return one_pass(bl, salt) * jnp.float32(1e-37)
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         # warm up / compile
-        float(many(1))
+        print("compiling...", flush=True)
+        float(many(blocks, 1))
+        print("compiled, timing...", flush=True)
         t0 = time.perf_counter()
-        float(many(REPEATS))
+        float(many(blocks, REPEATS))
         dt = time.perf_counter() - t0
         total = REPEATS * N_BLOCKS * DEPTH * n_pix * 2  # u16 bytes
         return total / dt

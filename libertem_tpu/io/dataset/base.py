@@ -243,6 +243,9 @@ class Partition:
                 )
             else:
                 lo, hi = int(chunk[0]), int(chunk[-1]) + 1
+                # NOTE: keep this policy in sync with the sharded
+                # loop's read_device_chunk (udf/base.py), which applies
+                # the same selective-vs-covering-span heuristic
                 # sparse roi fast path: when the selected frames cover
                 # less than half the span, read them individually if
                 # the partition supports it (reference: H5Partition's

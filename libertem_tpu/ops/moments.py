@@ -37,6 +37,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _matmul_precision():
+    """Mask-matmul MXU precision.  'highest' (default) runs full-f32
+    multi-pass products (~1e-6 rel err, parity-grade) at a real
+    throughput cost; 'default' uses the TPU's native bf16-class pass
+    (~1e-4 rel err, ~60% faster end-to-end).  Env:
+    LIBERTEM_TPU_MATMUL_PRECISION=highest|default."""
+    import os
+    v = os.environ.get(
+        "LIBERTEM_TPU_MATMUL_PRECISION", "highest"
+    ).lower()
+    if v == "default":
+        return None
+    return jax.lax.Precision.HIGHEST
+
+
 def _pick_row_tile(
     depth: int, pixels: int, itemsize: int = 4, sublane: int = 8,
 ) -> int:
@@ -108,6 +123,7 @@ def _fused_moments_pallas(
             xt, masks_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_matmul_precision(),
         )
 
         # ---- first moment ----
@@ -199,23 +215,41 @@ def _fused_moments_pallas(
 def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
     """Reference/fallback implementation with plain XLA ops.
 
+    ``x`` may be (depth, pixels) OR (depth, *sig) — the matmul
+    contracts over ALL trailing dims, so blocks keep their native
+    (depth, h, w) device layout.  A ``reshape(depth, -1)`` on TPU is
+    a physical relayout of the whole block ((8, 128)-tiled (h, w)
+    minor dims -> flat lanes), measured at ~30% of total pipeline
+    throughput — contracting in the native layout avoids the copy
+    entirely.  ``masks_t`` is (n_masks, pixels) and is reshaped to
+    the sig shape (a one-time constant-layout assignment, not a
+    per-block copy).
+
     Padding rows are zero-filled by the host streaming layer
     (Partition.gen_blocks), so the matmul and colsum need no row
     masking — only the variance's centered term does (padded rows
     would otherwise contribute mean² each).
     """
     depth = x.shape[0]
+    sig_dims = tuple(range(1, x.ndim))
+    masks_nd = masks_t.reshape((masks_t.shape[0],) + x.shape[1:])
     xt = x.astype(jnp.float32)
     y = jax.lax.dot_general(
-        xt, masks_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        xt, masks_nd,
+        dimension_numbers=((sig_dims, sig_dims), ((), ())),
         preferred_element_type=jnp.float32,
+        # full-f32 MXU passes: the TPU default is bf16-class
+        # (~1e-4 rel error on non-integer data); the baseline
+        # demands float32 results
+        precision=_matmul_precision(),
     )
     colsum = xt.sum(axis=0)
     if compute_var:
         row_valid = (
             jnp.arange(depth, dtype=jnp.int32) < valid_count
-        ).astype(jnp.float32)[:, None]
+        ).astype(jnp.float32).reshape(
+            (depth,) + (1,) * len(sig_dims)
+        )
         n = jnp.maximum(valid_count.astype(jnp.float32), 1.0)
         mean = colsum / n
         diff = (xt - mean) * row_valid
@@ -245,6 +279,7 @@ def _fused_moments_xla_onepass(x, masks_t, valid_count,
         xt, masks_t,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_matmul_precision(),
     )
     colsum = xt.sum(axis=0)
     if compute_var:
@@ -263,13 +298,24 @@ def _fused_moments_xla_onepass(x, masks_t, valid_count,
     return y, colsum, colvar
 
 
-# Set to True to route through the hand-written Pallas kernel.
-# Measured on v5e (uint16 input, 128x128 frames): the XLA-fused path
-# reaches ~260 GB/s of raw data vs ~140 GB/s for the Pallas kernel —
-# XLA's producer-consumer fusion reads the narrow integer block once
-# and feeds cast + MXU matmul + both reduction trees better than the
-# manual pipeline, so XLA is the default on all backends.
-USE_PALLAS = False
+# Kernel-dispatch history (all numbers same-chip-session, honest
+# anti-DCE benchmarking via benchmarks/bench_fused_variants.py):
+#   * the original "XLA 260 vs Pallas 140" comparison was invalid —
+#     the harness let XLA dead-code-eliminate the mask matmul from
+#     the timed loop while the opaque pallas_call could not be DCE'd;
+#   * at the TPU-default (bf16-class) matmul precision the Pallas
+#     kernel wins (~240 vs ~220 GB/s), but that precision shows
+#     ~1e-4 relative error on non-integer (corrected) data — the
+#     baseline demands float32 results;
+#   * at Precision.HIGHEST (full-f32 MXU passes) XLA schedules the
+#     multi-pass matmul against the reductions far better:
+#     XLA ~183 vs Pallas ~121 GB/s.
+# So the dispatch is precision-aware: XLA at full-f32 (the
+# default), Pallas when LIBERTEM_TPU_MATMUL_PRECISION=default picks
+# the native single-pass matmul (where the hand-written kernel's
+# schedule wins, ~189 vs ~143 GB/s end-to-end).  Set True/False to
+# force one path.
+USE_PALLAS = None  # None = auto (per matmul precision)
 
 
 def _pallas_eligible(x) -> bool:
@@ -297,8 +343,9 @@ def fused_moments(
     x, masks_t, valid_count, compute_var: bool = True,
     force_xla: bool = False,
 ):
-    """Dispatch: XLA-fused by default (fastest measured), Pallas
-    kernel opt-in via ``USE_PALLAS``.
+    """Dispatch: Pallas kernel on TPU when the layout is eligible
+    (fastest measured with honest anti-DCE benchmarking), XLA-fused
+    otherwise; ``USE_PALLAS=False`` forces XLA everywhere.
 
     x: (depth, pixels) real array (any dtype; cast to f32 inside)
     masks_t: (n_masks, pixels) f32 (transposed mask stack)
@@ -308,8 +355,12 @@ def fused_moments(
     colvar (pixels,) f32).
     """
     backend = jax.default_backend()
+    use_pallas = USE_PALLAS
+    if use_pallas is None:
+        use_pallas = _matmul_precision() is None
     if (
-        not force_xla and USE_PALLAS
+        not force_xla and use_pallas
+        and x.ndim == 2
         and backend in ("tpu", "axon")
         and _pallas_eligible(x)
     ):

