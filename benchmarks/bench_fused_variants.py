@@ -22,9 +22,9 @@ sys.path.insert(
 )
 
 
-DEPTH = int(__import__('os').environ.get('BV_DEPTH', 512))
+DEPTH = int(os.environ.get('BV_DEPTH', 512))
 SIG = (128, 128)
-N_BLOCKS = int(__import__('os').environ.get('BV_BLOCKS', 16))
+N_BLOCKS = int(os.environ.get('BV_BLOCKS', 16))
 N_MASKS = 5
 REPEATS = 60
 
@@ -63,7 +63,7 @@ def main():
     )
     valid = jnp.int32(DEPTH)
 
-    def run_variant(fn, consume_all=True):
+    def run_variant(fn):
         def one_pass(blocks, salt):
             def body(carry, blk):
                 blk = blk + salt.astype(blk.dtype)

@@ -86,11 +86,12 @@ def _cast_f32(x):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_var", "interpret")
+    jax.jit,
+    static_argnames=("compute_var", "interpret", "precision"),
 )
 def _fused_moments_pallas(
     x, masks_t, valid_count, compute_var: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, precision=None,
 ):
     """Pallas TPU implementation.  x: (D, P) any real dtype,
     masks_t: (M, P) f32 — transposed so the contraction runs along
@@ -123,7 +124,7 @@ def _fused_moments_pallas(
             xt, masks_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_matmul_precision(),
+            precision=precision,
         )
 
         # ---- first moment ----
@@ -343,16 +344,20 @@ def fused_moments(
     x, masks_t, valid_count, compute_var: bool = True,
     force_xla: bool = False,
 ):
-    """Dispatch: Pallas kernel on TPU when the layout is eligible
-    (fastest measured with honest anti-DCE benchmarking), XLA-fused
-    otherwise; ``USE_PALLAS=False`` forces XLA everywhere.
+    """Dispatch, precision-aware (see USE_PALLAS comment): XLA-fused
+    at the default full-f32 matmul precision, the Pallas kernel when
+    LIBERTEM_TPU_MATMUL_PRECISION=default selects the native MXU
+    pass and the layout is eligible; ``USE_PALLAS`` True/False
+    forces one path.
 
-    x: (depth, pixels) real array (any dtype; cast to f32 inside)
+    x: (depth, pixels) or (depth, *sig) real array (any dtype; cast
+       to f32 inside).  nD inputs contract over all trailing dims
+       (XLA path only) and return sig-shaped colsum/colvar.
     masks_t: (n_masks, pixels) f32 (transposed mask stack)
     valid_count: () int32 — rows >= valid_count are padding
 
-    Returns (y (depth, n_masks) f32, colsum (pixels,) f32,
-    colvar (pixels,) f32).
+    Returns (y (depth, n_masks) f32, colsum/colvar shaped like
+    x.shape[1:], f32).
     """
     backend = jax.default_backend()
     use_pallas = USE_PALLAS
@@ -367,5 +372,8 @@ def fused_moments(
         return _fused_moments_pallas(
             x, masks_t, jnp.asarray(valid_count),
             compute_var=compute_var,
+            # static arg: a mid-process precision change must not hit
+            # a stale cached executable
+            precision=_matmul_precision(),
         )
     return _fused_moments_xla(x, masks_t, valid_count, compute_var)

@@ -821,6 +821,9 @@ class UDFRunner:
         prep["fused"] = self._build_fused_plan(
             prep["plan"], prep["scheme"], prep["meta"]
         )
+        # the feed layout follows the fused plan — a patch that flips
+        # fusion must flip the (flat vs sig-shaped) block feed too
+        prep["flat_feed"] = prep["fused"] is not None
         aux_arrays, aux_host = self._build_aux(
             self._udfs, prep["roi"], prep["n_nav"], prep["scheme"],
             prep["device"],
@@ -1804,9 +1807,11 @@ class UDFRunner:
             prefetch thread; per-device chunks read concurrently in
             the reader pool; damage spans applied only after the
             device step executed)."""
-            flat_feed = prep["flat_feed"]
             n_pix = int(np.prod(sig))
             for s in range(n_steps):
+                # read per step: a mid-run patch may flip fusion and
+                # with it the feed layout
+                flat_feed = prep["flat_feed"]
                 blk = np.zeros(
                     (n_dev, depth, n_pix) if flat_feed
                     else (n_dev, depth) + sig,

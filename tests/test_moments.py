@@ -50,3 +50,30 @@ def test_pallas_interpret_u16():
     assert np.allclose(cs1, xv.sum(axis=0), rtol=1e-5)
     ref_cv = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
     assert np.allclose(cv1, ref_cv, rtol=1e-3, atol=1e-1)
+
+
+def test_fused_moments_nd_contraction():
+    """(depth, h, w) inputs contract over the trailing dims and
+    return sig-shaped colsum/colvar, numerically identical to the
+    flat path (the engine feeds flat, but a mid-run patch that flips
+    fusion can route native-shaped blocks here)."""
+    from libertem_tpu.ops.moments import _fused_moments_xla
+
+    rng = np.random.default_rng(0)
+    depth, h, w, M = 32, 8, 16, 3
+    x = rng.normal(100, 10, (depth, h, w)).astype(np.float32)
+    masks = rng.random((M, h * w)).astype(np.float32)
+    valid = jnp.int32(depth - 5)
+    x_z = x.copy()
+    x_z[depth - 5:] = 0.0  # zero-padding invariant
+    y3, cs3, cv3 = _fused_moments_xla(
+        jnp.asarray(x_z), jnp.asarray(masks), valid
+    )
+    y2, cs2, cv2 = _fused_moments_xla(
+        jnp.asarray(x_z.reshape(depth, -1)), jnp.asarray(masks),
+        valid,
+    )
+    assert cs3.shape == (h, w) and cv3.shape == (h, w)
+    assert np.allclose(y3, y2, rtol=1e-6)
+    assert np.allclose(np.asarray(cs3).ravel(), cs2, rtol=1e-6)
+    assert np.allclose(np.asarray(cv3).ravel(), cv2, rtol=1e-5)
