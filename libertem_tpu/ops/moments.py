@@ -54,10 +54,10 @@ def _matmul_precision():
 
 def _pick_row_tile(
     depth: int, pixels: int, itemsize: int = 4, sublane: int = 8,
+    budget: int = 10 * 1024 * 1024,
 ) -> int:
     """Largest row-tile (multiple of the dtype's sublane requirement,
     dividing depth) whose VMEM footprint stays within budget."""
-    budget = 10 * 1024 * 1024
     td = max(
         sublane,
         (budget // max(1, pixels * itemsize))
@@ -87,11 +87,14 @@ def _cast_f32(x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("compute_var", "interpret", "precision"),
+    static_argnames=(
+        "compute_var", "interpret", "precision", "split_matmul",
+    ),
 )
 def _fused_moments_pallas(
     x, masks_t, valid_count, compute_var: bool = True,
     interpret: bool = False, precision=None,
+    split_matmul: bool = False,
 ):
     """Pallas TPU implementation.  x: (D, P) any real dtype,
     masks_t: (M, P) f32 — transposed so the contraction runs along
@@ -107,6 +110,9 @@ def _fused_moments_pallas(
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize),
         sublane=_SUBLANE.get(itemsize, 8),
+        # the split path holds hi/lo bf16 copies + four dot
+        # intermediates alongside xt — halve the tile budget
+        budget=(4 if split_matmul else 10) * 1024 * 1024,
     )
     n_steps = depth // td
 
@@ -120,12 +126,38 @@ def _fused_moments_pallas(
         xt = _cast_f32(x_ref[:])  # (td, P)
 
         # ---- mask projections (MXU), contracting over lanes ----
-        y_ref[:] = jax.lax.dot_general(
-            xt, masks_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if split_matmul:
+            # f32-exact products from NATIVE bf16 MXU passes: u16 =
+            # 256*hi + lo with hi/lo exact in bf16; f32 masks split
+            # into two bf16 terms.  All four dots run at single-pass
+            # MXU speed in VMEM — same accuracy class as
+            # Precision.HIGHEST without its multi-pass scheduling
+            # cost.
+            xi = x_ref[:].astype(jnp.int32)
+            hi = (xi >> 8).astype(jnp.bfloat16)
+            lo = (xi & 0xFF).astype(jnp.bfloat16)
+            m = masks_ref[:]
+            m1 = m.astype(jnp.bfloat16)
+            m2 = (m - m1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            y_ref[:] = (
+                256.0 * (dot(hi, m1) + dot(hi, m2))
+                + dot(lo, m1) + dot(lo, m2)
+            )
+        else:
+            y_ref[:] = jax.lax.dot_general(
+                xt, masks_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
 
         # ---- first moment ----
         local_sum = jnp.sum(xt, axis=0, keepdims=True)  # (1, P)
@@ -360,20 +392,31 @@ def fused_moments(
     x.shape[1:], f32).
     """
     backend = jax.default_backend()
-    use_pallas = USE_PALLAS
-    if use_pallas is None:
-        use_pallas = _matmul_precision() is None
-    if (
-        not force_xla and use_pallas
-        and x.ndim == 2
+    precision = _matmul_precision()
+    eligible = (
+        not force_xla and x.ndim == 2
         and backend in ("tpu", "axon")
         and _pallas_eligible(x)
-    ):
+    )
+    narrow_int = (
+        np.dtype(x.dtype).kind in "ui"
+        and np.dtype(x.dtype).itemsize <= 2
+    )
+    use_pallas = USE_PALLAS
+    if use_pallas is None:
+        # auto: Pallas wins outright at native matmul precision; at
+        # the default full-f32 precision the VMEM hi/lo-split kernel
+        # (f32-exact products from native bf16 MXU passes) beats
+        # XLA's multi-pass scheduling for narrow integer input
+        use_pallas = precision is None or narrow_int
+    if eligible and use_pallas:
+        split = precision is not None and narrow_int
         return _fused_moments_pallas(
             x, masks_t, jnp.asarray(valid_count),
             compute_var=compute_var,
-            # static arg: a mid-process precision change must not hit
-            # a stale cached executable
-            precision=_matmul_precision(),
+            # static args: a mid-process precision change must not
+            # hit a stale cached executable
+            precision=None if split else precision,
+            split_matmul=split,
         )
     return _fused_moments_xla(x, masks_t, valid_count, compute_var)

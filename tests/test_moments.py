@@ -77,3 +77,29 @@ def test_fused_moments_nd_contraction():
     assert np.allclose(y3, y2, rtol=1e-6)
     assert np.allclose(np.asarray(cs3).ravel(), cs2, rtol=1e-6)
     assert np.allclose(np.asarray(cv3).ravel(), cv2, rtol=1e-5)
+
+
+def test_pallas_split_matmul_parity():
+    """The VMEM hi/lo-split matmul (native bf16 MXU passes) matches
+    the f32 reference to f32 accuracy for u16 input."""
+    rng = np.random.default_rng(3)
+    depth, n_pix, M = 64, 1024, 4
+    x = rng.integers(0, 65535, (depth, n_pix)).astype(np.uint16)
+    x[depth - 7:] = 0
+    masks = rng.random((M, n_pix)).astype(np.float32)
+    valid = jnp.int32(depth - 7)
+    y, cs, cv = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    exp_y = x.astype(np.float64) @ masks.astype(np.float64).T
+    rel = np.abs(
+        (np.asarray(y, np.float64) - exp_y)
+        / np.maximum(np.abs(exp_y), 1.0)
+    ).max()
+    assert rel < 1e-5, rel
+    yr, csr, cvr = _fused_moments_xla(
+        jnp.asarray(x), jnp.asarray(masks), valid
+    )
+    assert np.allclose(cs, csr, rtol=1e-6)
+    assert np.allclose(cv, cvr, rtol=1e-4, atol=1e-2)
