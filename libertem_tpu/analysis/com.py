@@ -125,7 +125,16 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
 
 class GuessParametersProc:
     """CoM parameter-guess RPC
-    (reference: com.py:139 ParameterGuessProc)."""
+    (reference: com.py:139 ParameterGuessProc).
+
+    DELIBERATE DEVIATION: when the guess introduces a flip, the
+    reference still ADDS the rotations (com.py:183) — but with
+    T(th, f) = R(th)·F(f), composing T_guess∘T_old requires
+    conjugating the old rotation through the flip
+    (F·R(th) = R(-th)·F), i.e. R(g - o)·F(!f_o).  The additive rule
+    only converges after extra guess iterations; the conjugated one
+    is exact in a single step (test:
+    test_com_guess_flip_conjugates_rotation)."""
 
     async def __call__(self, rpc_context):
         from ..udf.com import apply_com_correction
