@@ -103,3 +103,19 @@ def test_pallas_split_matmul_parity():
     )
     assert np.allclose(cs, csr, rtol=1e-6)
     assert np.allclose(cv, cvr, rtol=1e-4, atol=1e-2)
+
+
+def test_pallas_split_matmul_u8():
+    """u8 input (MIB r1/r6 decode dtype) through the split kernel:
+    hi byte is zero, products still exact."""
+    rng = np.random.default_rng(4)
+    depth, n_pix, M = 32, 512, 3
+    x = rng.integers(0, 255, (depth, n_pix)).astype(np.uint8)
+    masks = rng.random((M, n_pix)).astype(np.float32)
+    valid = jnp.int32(depth)
+    y, cs, cv = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    exp = x.astype(np.float64) @ masks.astype(np.float64).T
+    assert np.allclose(np.asarray(y), exp, rtol=1e-5)
