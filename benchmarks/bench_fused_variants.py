@@ -112,7 +112,12 @@ def main():
         )
 
     def pallas(blk):
-        return _fused_moments_pallas(blk, masks_t, valid)
+        from libertem_tpu.ops.moments import _matmul_precision
+        # honor the precision env var like the XLA variants do —
+        # otherwise the comparison silently mixes precision classes
+        return _fused_moments_pallas(
+            blk, masks_t, valid, precision=_matmul_precision()
+        )
 
     def stats_only(blk):
         xt = blk.astype(jnp.float32)

@@ -127,14 +127,13 @@ def _fused_moments_pallas(
 
         # ---- mask projections (MXU), contracting over lanes ----
         if split_matmul:
-            # f32-exact products from NATIVE bf16 MXU passes: u16 =
+            # near-f32 products from NATIVE bf16 MXU passes: u16 =
             # 256*hi + lo with hi/lo exact in bf16; f32 masks split
-            # into two bf16 terms.  All four dots run at single-pass
-            # MXU speed in VMEM — same accuracy class as
-            # Precision.HIGHEST without its multi-pass scheduling
-            # cost.
+            # into two bf16 terms (~16 significand bits -> ~1e-5
+            # worst-case rel err, 5e-7 typical).  All dots run at
+            # single-pass MXU speed in VMEM, avoiding
+            # Precision.HIGHEST's multi-pass scheduling cost.
             xi = x_ref[:].astype(jnp.int32)
-            hi = (xi >> 8).astype(jnp.bfloat16)
             lo = (xi & 0xFF).astype(jnp.bfloat16)
             m = masks_ref[:]
             m1 = m.astype(jnp.bfloat16)
@@ -147,10 +146,13 @@ def _fused_moments_pallas(
                     preferred_element_type=jnp.float32,
                 )
 
-            y_ref[:] = (
-                256.0 * (dot(hi, m1) + dot(hi, m2))
-                + dot(lo, m1) + dot(lo, m2)
-            )
+            y = dot(lo, m1) + dot(lo, m2)
+            if itemsize > 1:
+                # u8 input has a statically zero hi byte — skip
+                # half the MXU work there
+                hi = (xi >> 8).astype(jnp.bfloat16)
+                y = y + 256.0 * (dot(hi, m1) + dot(hi, m2))
+            y_ref[:] = y
         else:
             y_ref[:] = jax.lax.dot_general(
                 xt, masks_ref[:],

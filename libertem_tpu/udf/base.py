@@ -1541,8 +1541,11 @@ class UDFRunner:
                         # scatter-add; zero padding entries hit
                         # (0, 0) with value 0
                         vals, rows, cols = block.sparse
+                        # flat_feed in the key: a mid-run patch can
+                        # flip the feed layout, and the cached
+                        # closure bakes it in
                         key = (vals.shape[0], block.block_shape,
-                               vals.dtype)
+                               vals.dtype, prep["flat_feed"])
                         if key not in densify_cache:
                             d, *sigdims = block.block_shape
                             n_pix = int(np.prod(sigdims))
