@@ -63,7 +63,11 @@ def main():
     )
     valid = jnp.int32(DEPTH)
 
-    def run_variant(fn):
+    blocks_f32 = (blocks.astype(jnp.float32) - 7.5) * 1.013
+
+    def run_variant(fn, itemsize=2, use_blocks=None):
+        bl_in = blocks if use_blocks is None else use_blocks
+
         def one_pass(blocks, salt):
             def body(carry, blk):
                 blk = blk + salt.astype(blk.dtype)
@@ -91,12 +95,12 @@ def main():
 
         # warm up / compile
         print("compiling...", flush=True)
-        float(many(blocks, 1))
+        float(many(bl_in, 1))
         print("compiled, timing...", flush=True)
         t0 = time.perf_counter()
-        float(many(blocks, REPEATS))
+        float(many(bl_in, REPEATS))
         dt = time.perf_counter() - t0
-        total = REPEATS * N_BLOCKS * DEPTH * n_pix * 2  # u16 bytes
+        total = REPEATS * N_BLOCKS * DEPTH * n_pix * itemsize
         return total / dt
 
     # masks argument is closed over; variants:
@@ -132,21 +136,36 @@ def main():
         s = blk.astype(jnp.float32).sum(axis=0)
         return s[:1], s, s
 
+    def pallas_split(blk):
+        return _fused_moments_pallas(
+            blk, masks_t, valid, precision=None, split_matmul=True
+        )
+
+    def xla2_f32(blk):
+        import jax.lax
+        return _fused_moments_xla(
+            blk, masks_t, valid, precision=jax.lax.Precision.HIGHEST
+        )
+
+    # (name, fn, itemsize, blocks) — *_f32 variants time the
+    # corrected-data path: f32 blocks, f32 bytes in the denominator
     all_variants = {
-        "read_only_sum": read_only,
-        "xla_twopass": xla2,
-        "xla_onepass": xla1,
-        "xla_masks_only": xla_novar,
-        "stats_only": stats_only,
-        "pallas": pallas,
+        "read_only_sum": (read_only, 2, None),
+        "xla_twopass": (xla2, 2, None),
+        "xla_onepass": (xla1, 2, None),
+        "xla_masks_only": (xla_novar, 2, None),
+        "stats_only": (stats_only, 2, None),
+        "pallas": (pallas, 2, None),
+        "pallas_split": (pallas_split, 2, None),
+        "pallas_split_f32": (pallas_split, 4, blocks_f32),
+        "xla_twopass_f32": (xla2_f32, 4, blocks_f32),
     }
     wanted = sys.argv[1:] or list(all_variants)
     out = {}
-    for name, fn in [
-        (n, all_variants[n]) for n in wanted
-    ]:
+    for name in wanted:
+        fn, itemsize, bl = all_variants[name]
         try:
-            bps = run_variant(fn)
+            bps = run_variant(fn, itemsize=itemsize, use_blocks=bl)
             out[name + "_gbps"] = round(bps / 1e9, 2)
         except Exception as e:
             out[name + "_error"] = str(e)[:120]

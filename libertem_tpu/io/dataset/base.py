@@ -584,5 +584,3 @@ class RangeReader:
             self.close()
         except Exception:
             pass
-            self._fd = None
-        self._mmap = None

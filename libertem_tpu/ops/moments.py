@@ -127,17 +127,37 @@ def _fused_moments_pallas(
 
         # ---- mask projections (MXU), contracting over lanes ----
         if split_matmul:
-            # near-f32 products from NATIVE bf16 MXU passes: u16 =
-            # 256*hi + lo with hi/lo exact in bf16; f32 masks split
-            # into two bf16 terms (~16 significand bits -> ~1e-5
-            # worst-case rel err, 5e-7 typical).  All dots run at
-            # single-pass MXU speed in VMEM, avoiding
-            # Precision.HIGHEST's multi-pass scheduling cost.
-            xi = x_ref[:].astype(jnp.int32)
-            lo = (xi & 0xFF).astype(jnp.bfloat16)
+            # f32-grade products from NATIVE bf16 MXU passes, all
+            # operands decomposed in VMEM (an XLA-level split
+            # materializes the bf16 copies in HBM and loses —
+            # docs/performance.md).  Masks split into THREE bf16
+            # terms, covering f32's 24 significand bits; the data
+            # side splits exactly for narrow ints (256*hi + lo, both
+            # bf16-exact) and into three bf16 terms for f32.  Every
+            # dot runs at single-pass MXU speed, avoiding
+            # Precision.HIGHEST's multi-pass scheduling cost; with
+            # the small mask counts here (M ~ 3..16) even 6 passes
+            # stay far below the bandwidth roofline.  Worst-case
+            # rel err ~2^-24 per product (~1e-7 observed).
+            # Two tricks make the split nearly free:
+            #   1. The MXU pads the output lane dim to 128, so a dot
+            #      against an (M', P) mask stack costs the same for
+            #      any M' <= 128: CONCATENATE the mask terms along
+            #      the mask axis and pay one MXU pass per DATA term
+            #      only (u8: 1, u16/i16: 2, f32: 3 — the true
+            #      information content), folding term columns on the
+            #      VPU.
+            #   2. Every operand stays f32 in VMEM but holds an
+            #      exactly-bf16-representable VALUE (byte terms /
+            #      explicitly bf16-rounded), so the native
+            #      single-pass matmul's internal f32->bf16 operand
+            #      conversion is exact regardless of its rounding
+            #      mode — no bf16 packing relayouts materialize.
             m = masks_ref[:]
-            m1 = m.astype(jnp.bfloat16)
-            m2 = (m - m1.astype(jnp.float32)).astype(jnp.bfloat16)
+            m0 = m.astype(jnp.bfloat16).astype(jnp.float32)
+            rm = m - m0
+            m1 = rm.astype(jnp.bfloat16).astype(jnp.float32)
+            nm = n_masks
 
             def dot(a, b):
                 return jax.lax.dot_general(
@@ -146,12 +166,47 @@ def _fused_moments_pallas(
                     preferred_element_type=jnp.float32,
                 )
 
-            y = dot(lo, m1) + dot(lo, m2)
-            if itemsize > 1:
-                # u8 input has a statically zero hi byte — skip
-                # half the MXU work there
-                hi = (xi >> 8).astype(jnp.bfloat16)
-                y = y + 256.0 * (dot(hi, m1) + dot(hi, m2))
+            kind = np.dtype(x.dtype).kind
+            if kind in "ui":
+                # exact byte terms x = 256*hi + lo; masks split into
+                # TWO bf16 terms (RNE residual ~2^-18|m| -> ~4e-6
+                # worst-case rel err, below the f32 accumulation
+                # floor anyone can observe)
+                mcat = jnp.concatenate([m0, m1], axis=0)  # (2M, P)
+                xi = x_ref[:].astype(jnp.int32)
+                lo = (xi & 0xFF).astype(jnp.float32)
+                acc = dot(lo, mcat)
+                if not (kind == "u" and itemsize == 1):
+                    # ARITHMETIC shift keeps the sign in the hi term
+                    # so signed input decodes exactly (i16:
+                    # hi in [-128,127], lo in [0,255], xi ==
+                    # 256*hi + lo); only unsigned 1-byte input has a
+                    # statically zero hi term to skip.  256*hi is an
+                    # 8-bit value scaled by 2^8 — exact in bf16.
+                    hi256 = ((xi >> 8) << 8).astype(jnp.float32)
+                    acc = acc + dot(hi256, mcat)
+                y = acc[:, :nm] + acc[:, nm:]
+            else:
+                # f32: three-term bf16 decomposition of BOTH sides
+                # (x ~= x0 + x1 + x2, residual ~2^-24|x|); fold the
+                # cross products with weight >= 2^-24 and drop the
+                # rest (x1*m2, x2*m1, x2*m2) — this is XLA's own
+                # Precision.HIGHEST algorithm, hand-fused in VMEM at
+                # 3 MXU passes instead of 6
+                m2 = rm - m1
+                mcat = jnp.concatenate([m0, m1, m2], axis=0)
+                x0 = xt.astype(jnp.bfloat16).astype(jnp.float32)
+                rx = xt - x0
+                x1 = rx.astype(jnp.bfloat16).astype(jnp.float32)
+                x2 = rx - x1
+                a0 = dot(x0, mcat)
+                a1 = dot(x1, mcat)
+                a2 = dot(x2, mcat)
+                y = (
+                    (a0[:, :nm] + a0[:, nm:2 * nm] + a0[:, 2 * nm:])
+                    + (a1[:, :nm] + a1[:, nm:2 * nm])
+                    + a2[:, :nm]
+                )
             y_ref[:] = y
         else:
             y_ref[:] = jax.lax.dot_general(
@@ -247,7 +302,15 @@ def _fused_moments_pallas(
     return y, colsum[0], colvar[0]
 
 
-def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
+class _ReadEnv:
+    """Sentinel: 'read LIBERTEM_TPU_MATMUL_PRECISION at trace time'."""
+
+
+_READ_ENV = _ReadEnv()
+
+
+def _fused_moments_xla(x, masks_t, valid_count, compute_var=True,
+                       precision=_READ_ENV):
     """Reference/fallback implementation with plain XLA ops.
 
     ``x`` may be (depth, pixels) OR (depth, *sig) — the matmul
@@ -265,6 +328,8 @@ def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
     masking — only the variance's centered term does (padded rows
     would otherwise contribute mean² each).
     """
+    if precision is _READ_ENV:
+        precision = _matmul_precision()
     depth = x.shape[0]
     sig_dims = tuple(range(1, x.ndim))
     masks_nd = masks_t.reshape((masks_t.shape[0],) + x.shape[1:])
@@ -276,7 +341,7 @@ def _fused_moments_xla(x, masks_t, valid_count, compute_var=True):
         # full-f32 MXU passes: the TPU default is bf16-class
         # (~1e-4 rel error on non-integer data); the baseline
         # demands float32 results
-        precision=_matmul_precision(),
+        precision=precision,
     )
     colsum = xt.sum(axis=0)
     if compute_var:
@@ -345,15 +410,18 @@ def _fused_moments_xla_onepass(x, masks_t, valid_count,
 #   * at Precision.HIGHEST (full-f32 MXU passes) XLA schedules the
 #     multi-pass matmul against the reductions far better:
 #     XLA ~183 vs Pallas ~121 GB/s.
-# So the dispatch is precision-aware: XLA at full-f32 (the
-# default), Pallas when LIBERTEM_TPU_MATMUL_PRECISION=default picks
-# the native single-pass matmul (where the hand-written kernel's
-# schedule wins, ~189 vs ~143 GB/s end-to-end).  Set True/False to
-# force one path.
+# So the dispatch is precision-aware: at the full-f32 default the
+# VMEM split-matmul kernel decomposes both operands into bf16 terms
+# inside the tile (exact for narrow ints, ~2^-24 residual for f32)
+# and runs every pass at native single-pass MXU speed — beating
+# XLA's Precision.HIGHEST multi-pass scheduling; when
+# LIBERTEM_TPU_MATMUL_PRECISION=default picks the native matmul the
+# plain Pallas kernel wins (~189 vs ~143 GB/s end-to-end).  Set
+# True/False to force one path.
 USE_PALLAS = None  # None = auto (per matmul precision)
 
 
-def _pallas_eligible(x) -> bool:
+def _pallas_eligible(x, masks_t) -> bool:
     """Static eligibility check for the Pallas kernel.  The dispatch
     happens inside an outer jit trace, so a try/except around
     pallas_call cannot catch Mosaic lowering errors (they surface at
@@ -365,54 +433,71 @@ def _pallas_eligible(x) -> bool:
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize), sublane=sublane
     )
+    # the full mask stack is VMEM-resident (f32 + up to 3 bf16 split
+    # copies = 2.5x); large stacks (e.g. radial-Fourier bin series on
+    # big sig shapes) must take the XLA path instead of failing the
+    # Mosaic compile with a VMEM overflow
+    masks_bytes = int(masks_t.shape[0]) * pixels * 4
     # the chosen row tile must satisfy the dtype's sublane minimum
     # and lanes must fill a 128 block
     return (
         np.dtype(x.dtype).kind in "fiu"
         and td % sublane == 0
         and pixels % 128 == 0
+        and masks_bytes * 2.5 <= 4 * 1024 * 1024
     )
+
+
+def _splittable(x) -> bool:
+    """Dtypes the VMEM split-matmul decomposes losslessly-enough:
+    narrow ints (exact 256*hi + lo terms, signed via arithmetic
+    shift) and f32 (three-term bf16 decomposition, ~2^-24 residual).
+    Wider ints would need four byte terms — XLA handles those."""
+    dt = np.dtype(x.dtype)
+    return (dt.kind in "ui" and dt.itemsize <= 2) or dt == np.float32
 
 
 def fused_moments(
     x, masks_t, valid_count, compute_var: bool = True,
-    force_xla: bool = False,
+    force_xla: bool = False, precision=_READ_ENV,
 ):
-    """Dispatch, precision-aware (see USE_PALLAS comment): XLA-fused
-    at the default full-f32 matmul precision, the Pallas kernel when
-    LIBERTEM_TPU_MATMUL_PRECISION=default selects the native MXU
-    pass and the layout is eligible; ``USE_PALLAS`` True/False
-    forces one path.
+    """Dispatch, precision-aware (see USE_PALLAS comment): the
+    Pallas kernel runs whenever the layout is eligible — in VMEM
+    split-matmul form at the full-f32 default precision, in native
+    single-pass form when LIBERTEM_TPU_MATMUL_PRECISION=default;
+    ``USE_PALLAS`` True/False forces one path.
 
     x: (depth, pixels) or (depth, *sig) real array (any dtype; cast
        to f32 inside).  nD inputs contract over all trailing dims
        (XLA path only) and return sig-shaped colsum/colvar.
     masks_t: (n_masks, pixels) f32 (transposed mask stack)
     valid_count: () int32 — rows >= valid_count are padding
+    precision: the matmul precision latched by the caller (the UDF
+       runner reads the env var ONCE per run in ``_prepare`` and
+       threads it through, so a mid-process env flip takes effect at
+       the next run, never mid-run); direct callers that omit it get
+       a trace-time env read.
 
     Returns (y (depth, n_masks) f32, colsum/colvar shaped like
     x.shape[1:], f32).
     """
     backend = jax.default_backend()
-    precision = _matmul_precision()
+    if precision is _READ_ENV:
+        precision = _matmul_precision()
     eligible = (
         not force_xla and x.ndim == 2
         and backend in ("tpu", "axon")
-        and _pallas_eligible(x)
-    )
-    narrow_int = (
-        np.dtype(x.dtype).kind in "ui"
-        and np.dtype(x.dtype).itemsize <= 2
+        and _pallas_eligible(x, masks_t)
     )
     use_pallas = USE_PALLAS
     if use_pallas is None:
         # auto: Pallas wins outright at native matmul precision; at
-        # the default full-f32 precision the VMEM hi/lo-split kernel
-        # (f32-exact products from native bf16 MXU passes) beats
-        # XLA's multi-pass scheduling for narrow integer input
-        use_pallas = precision is None or narrow_int
+        # the default full-f32 precision the VMEM split-matmul
+        # kernel (f32-grade products from native bf16 MXU passes)
+        # beats XLA's multi-pass Precision.HIGHEST scheduling
+        use_pallas = precision is None or _splittable(x)
     if eligible and use_pallas:
-        split = precision is not None and narrow_int
+        split = precision is not None and _splittable(x)
         return _fused_moments_pallas(
             x, masks_t, jnp.asarray(valid_count),
             compute_var=compute_var,
@@ -421,4 +506,6 @@ def fused_moments(
             precision=None if split else precision,
             split_matmul=split,
         )
-    return _fused_moments_xla(x, masks_t, valid_count, compute_var)
+    return _fused_moments_xla(
+        x, masks_t, valid_count, compute_var, precision=precision
+    )

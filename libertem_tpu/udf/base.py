@@ -746,8 +746,14 @@ class UDFRunner:
 
         fused_plan = self._build_fused_plan(plan, scheme, meta)
 
+        from ..ops.moments import _matmul_precision
+
         return {
             "fused": fused_plan,
+            # matmul precision latched ONCE per run: a mid-process
+            # LIBERTEM_TPU_MATMUL_PRECISION flip takes effect at the
+            # next run, never mid-run via a stale cached executable
+            "matmul_precision": _matmul_precision(),
             # feed blocks FLAT (depth, n_pix) when the fused path is
             # active: a (depth, h, w) device array's tiled (h, w)
             # layout forces a physical relayout at the matmul's
@@ -1046,6 +1052,7 @@ class UDFRunner:
         y, colsum, colvar = fused_moments(
             operand, masks_t, valid_count,
             compute_var=fused["need_var"],
+            precision=prep["matmul_precision"],
         )
         valid_mask = (
             jnp.arange(depth, dtype=jnp.int32) < valid_count

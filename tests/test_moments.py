@@ -119,3 +119,90 @@ def test_pallas_split_matmul_u8():
     )
     exp = x.astype(np.float64) @ masks.astype(np.float64).T
     assert np.allclose(np.asarray(y), exp, rtol=1e-5)
+
+
+def _split_rel_err(x, masks, signed_masks=True):
+    """Worst-case relative error of the split kernel's projections
+    vs a float64 oracle, normalized per element against the mask's
+    absolute-value projection (so sign cancellation in the result
+    doesn't manufacture huge relative errors out of a tiny
+    denominator — the scale of the computation is |x| @ |m|)."""
+    valid = jnp.int32(x.shape[0])
+    y, _, _ = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    exp = x.astype(np.float64) @ masks.astype(np.float64).T
+    scale = np.abs(x.astype(np.float64)) @ np.abs(
+        masks.astype(np.float64)
+    ).T
+    return np.abs(np.asarray(y, np.float64) - exp) / np.maximum(
+        scale, 1e-30
+    )
+
+
+@pytest.mark.parametrize("dtype", [
+    np.uint8, np.uint16, np.int8, np.int16, np.float32,
+])
+def test_split_matmul_accuracy_sweep(dtype):
+    """Asserted accuracy contract for the VMEM split-matmul on every
+    dispatched input dtype: worst-case rel err <= 1e-5 (observed
+    ~1e-7 — three-term bf16 mask split covers f32's significand).
+    Signed dtypes exercise the arithmetic-shift hi term: a logical
+    (xi & 0xFF)-only decode would turn -5 into 251 and fail by ~1e4.
+    """
+    rng = np.random.default_rng(11)
+    depth, n_pix, M = 64, 512, 4
+    info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+    if info is not None:
+        x = rng.integers(
+            info.min, info.max + 1, (depth, n_pix)
+        ).astype(dtype)
+    else:
+        x = (rng.normal(0, 100, (depth, n_pix))).astype(dtype)
+    # signed masks force cancellation in the accumulation
+    masks = rng.normal(0, 1, (M, n_pix)).astype(np.float32)
+    rel = _split_rel_err(x, masks)
+    assert rel.max() < 1e-5, rel.max()
+
+
+def test_split_matmul_corrected_f32():
+    """Corrected (gain/dark applied) data arrives as f32 — the split
+    path must hold parity there too, not only on raw integer blocks
+    (round-2 gap: f32 fell back to multi-pass XLA)."""
+    rng = np.random.default_rng(12)
+    depth, n_pix, M = 48, 640, 5
+    raw = rng.integers(0, 4096, (depth, n_pix)).astype(np.uint16)
+    gain = rng.normal(1.0, 0.05, (n_pix,)).astype(np.float32)
+    dark = rng.normal(10.0, 1.0, (n_pix,)).astype(np.float32)
+    x = ((raw.astype(np.float32) - dark) * gain).astype(np.float32)
+    masks = rng.random((M, n_pix)).astype(np.float32)
+    rel = _split_rel_err(x, masks)
+    assert rel.max() < 1e-5, rel.max()
+    # moments stay bit-comparable to the XLA fallback
+    valid = jnp.int32(depth)
+    _, cs, cv = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    _, csr, cvr = _fused_moments_xla(
+        jnp.asarray(x), jnp.asarray(masks), valid
+    )
+    assert np.allclose(cs, csr, rtol=1e-6)
+    assert np.allclose(cv, cvr, rtol=1e-4, atol=1e-2)
+
+
+def test_fused_dispatch_split_eligibility():
+    """Dispatch contract: at Precision.HIGHEST the split path covers
+    narrow ints AND f32; i32/f64 stay on XLA (would need 4 byte
+    terms / f64 splits)."""
+    from libertem_tpu.ops.moments import _splittable
+
+    mk = lambda dt: np.zeros((8, 128), dtype=dt)
+    assert _splittable(mk(np.uint8))
+    assert _splittable(mk(np.int8))
+    assert _splittable(mk(np.uint16))
+    assert _splittable(mk(np.int16))
+    assert _splittable(mk(np.float32))
+    assert not _splittable(mk(np.int32))
+    assert not _splittable(mk(np.float64))
