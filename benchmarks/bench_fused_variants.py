@@ -136,9 +136,29 @@ def main():
         s = blk.astype(jnp.float32).sum(axis=0)
         return s[:1], s, s
 
+    def read_raw(blk):
+        # pure-bandwidth probe: no u16->f32 widening relayout — u16
+        # pairs bitcast to i32 words, integer sum
+        w = jax.lax.bitcast_convert_type(
+            blk.reshape(blk.shape[0], -1, 2), jnp.int32
+        )
+        s = w.sum(axis=0).astype(jnp.float32)
+        return s[:1], s, s
+
     def pallas_split(blk):
         return _fused_moments_pallas(
             blk, masks_t, valid, precision=None, split_matmul=True
+        )
+
+    def pallas_split_novar(blk):
+        return _fused_moments_pallas(
+            blk, masks_t, valid, precision=None, split_matmul=True,
+            compute_var=False,
+        )
+
+    def pallas_native(blk):
+        return _fused_moments_pallas(
+            blk, masks_t, valid, precision=None, split_matmul=False
         )
 
     def xla2_f32(blk):
@@ -151,12 +171,15 @@ def main():
     # corrected-data path: f32 blocks, f32 bytes in the denominator
     all_variants = {
         "read_only_sum": (read_only, 2, None),
+        "read_raw": (read_raw, 2, None),
         "xla_twopass": (xla2, 2, None),
         "xla_onepass": (xla1, 2, None),
         "xla_masks_only": (xla_novar, 2, None),
         "stats_only": (stats_only, 2, None),
         "pallas": (pallas, 2, None),
         "pallas_split": (pallas_split, 2, None),
+        "pallas_split_novar": (pallas_split_novar, 2, None),
+        "pallas_native": (pallas_native, 2, None),
         "pallas_split_f32": (pallas_split, 4, blocks_f32),
         "xla_twopass_f32": (xla2_f32, 4, blocks_f32),
     }

@@ -53,12 +53,19 @@ def read_frms6_header(path: str) -> dict:
 
 
 def unfold(frames: np.ndarray) -> np.ndarray:
-    """(n, h, w) folded -> (n, 2h, w/2) unfolded."""
+    """(n, h, w) folded -> (n, 2h, w/2) unfolded.
+
+    The bottom half is the folded frame's right half rotated 180
+    degrees — rows bottom-up AND columns reversed (the sensor's two
+    readout directions oppose).  The reference writes bottom-half
+    rows as ``inp_decoded[::-1]`` (frms6.py:346); verified against
+    its decode in tests/goldens/fmt_decode.npz (a rows-only flip was
+    this port's round-3 oracle finding)."""
     n, h, w = frames.shape
     w2 = w // 2
     out = np.empty((n, 2 * h, w2), dtype=frames.dtype)
     out[:, :h] = frames[:, :, :w2]
-    out[:, h:] = frames[:, ::-1, w2:]
+    out[:, h:] = frames[:, ::-1, w2:][:, :, ::-1]
     return out
 
 

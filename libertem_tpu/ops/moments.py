@@ -107,12 +107,17 @@ def _fused_moments_pallas(
     depth, pixels = x.shape
     n_masks = masks_t.shape[0]
     itemsize = np.dtype(x.dtype).itemsize
+    import os
+    budget_mb = int(os.environ.get(
+        "LIBERTEM_TPU_MOMENTS_TILE_MB", "4" if split_matmul else "10"
+    ))
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize),
         sublane=_SUBLANE.get(itemsize, 8),
-        # the split path holds hi/lo bf16 copies + four dot
-        # intermediates alongside xt — halve the tile budget
-        budget=(4 if split_matmul else 10) * 1024 * 1024,
+        # the split path holds the term copies + dot intermediates
+        # alongside xt — halve the tile budget (override for tuning
+        # via LIBERTEM_TPU_MOMENTS_TILE_MB)
+        budget=budget_mb * 1024 * 1024,
     )
     n_steps = depth // td
 
@@ -139,24 +144,36 @@ def _fused_moments_pallas(
             # the small mask counts here (M ~ 3..16) even 6 passes
             # stay far below the bandwidth roofline.  Worst-case
             # rel err ~2^-24 per product (~1e-7 observed).
-            # Two tricks make the split nearly free:
-            #   1. The MXU pads the output lane dim to 128, so a dot
+            # f32-grade products from native single-pass MXU matmuls.
+            # Three tricks make the split nearly free:
+            #   1. The data side decomposes by bf16 ROUND-TRIP, not
+            #      integer bit surgery: x0 = f32(bf16(xt)),
+            #      x1 = xt - x0 (exact in f32).  For <=16-bit integer
+            #      data the two terms reconstruct xt EXACTLY (x0
+            #      rounds to 8 significand bits, the residual fits 8
+            #      bits); 8-bit data is bf16-exact outright (one
+            #      term); f32 needs three terms (residual ~2^-24).
+            #      Cost: 2-3 VPU ops vs ~6 for shift/mask extraction.
+            #   2. The MXU pads the output lane dim to 128, so a dot
             #      against an (M', P) mask stack costs the same for
-            #      any M' <= 128: CONCATENATE the mask terms along
-            #      the mask axis and pay one MXU pass per DATA term
-            #      only (u8: 1, u16/i16: 2, f32: 3 — the true
-            #      information content), folding term columns on the
-            #      VPU.
-            #   2. Every operand stays f32 in VMEM but holds an
-            #      exactly-bf16-representable VALUE (byte terms /
-            #      explicitly bf16-rounded), so the native
-            #      single-pass matmul's internal f32->bf16 operand
-            #      conversion is exact regardless of its rounding
-            #      mode — no bf16 packing relayouts materialize.
+            #      any M' <= 128: the THREE bf16 mask terms are
+            #      CONCATENATED along the mask axis and every data
+            #      term multiplies all of them in one pass — MXU
+            #      passes = data terms only (u8/i8: 1, u16/i16: 2,
+            #      f32: 3, the true information content).  Summing
+            #      every term-pair column reconstructs the full
+            #      product: rel err ~2^-24 + f32 accumulation.
+            #   3. Every operand stays f32 in VMEM holding an
+            #      exactly-bf16-representable VALUE, so the native
+            #      matmul's internal f32->bf16 operand conversion is
+            #      exact regardless of rounding mode and no bf16
+            #      packing relayouts materialize.
             m = masks_ref[:]
             m0 = m.astype(jnp.bfloat16).astype(jnp.float32)
             rm = m - m0
             m1 = rm.astype(jnp.bfloat16).astype(jnp.float32)
+            m2 = rm - m1
+            mcat = jnp.concatenate([m0, m1, m2], axis=0)  # (3M, P)
             nm = n_masks
 
             def dot(a, b):
@@ -167,47 +184,22 @@ def _fused_moments_pallas(
                 )
 
             kind = np.dtype(x.dtype).kind
-            if kind in "ui":
-                # exact byte terms x = 256*hi + lo; masks split into
-                # TWO bf16 terms (RNE residual ~2^-18|m| -> ~4e-6
-                # worst-case rel err, below the f32 accumulation
-                # floor anyone can observe)
-                mcat = jnp.concatenate([m0, m1], axis=0)  # (2M, P)
-                xi = x_ref[:].astype(jnp.int32)
-                lo = (xi & 0xFF).astype(jnp.float32)
-                acc = dot(lo, mcat)
-                if not (kind == "u" and itemsize == 1):
-                    # ARITHMETIC shift keeps the sign in the hi term
-                    # so signed input decodes exactly (i16:
-                    # hi in [-128,127], lo in [0,255], xi ==
-                    # 256*hi + lo); only unsigned 1-byte input has a
-                    # statically zero hi term to skip.  256*hi is an
-                    # 8-bit value scaled by 2^8 — exact in bf16.
-                    hi256 = ((xi >> 8) << 8).astype(jnp.float32)
-                    acc = acc + dot(hi256, mcat)
-                y = acc[:, :nm] + acc[:, nm:]
+            if kind in "ui" and itemsize == 1:
+                terms = [xt]
             else:
-                # f32: three-term bf16 decomposition of BOTH sides
-                # (x ~= x0 + x1 + x2, residual ~2^-24|x|); fold the
-                # cross products with weight >= 2^-24 and drop the
-                # rest (x1*m2, x2*m1, x2*m2) — this is XLA's own
-                # Precision.HIGHEST algorithm, hand-fused in VMEM at
-                # 3 MXU passes instead of 6
-                m2 = rm - m1
-                mcat = jnp.concatenate([m0, m1, m2], axis=0)
                 x0 = xt.astype(jnp.bfloat16).astype(jnp.float32)
                 rx = xt - x0
-                x1 = rx.astype(jnp.bfloat16).astype(jnp.float32)
-                x2 = rx - x1
-                a0 = dot(x0, mcat)
-                a1 = dot(x1, mcat)
-                a2 = dot(x2, mcat)
-                y = (
-                    (a0[:, :nm] + a0[:, nm:2 * nm] + a0[:, 2 * nm:])
-                    + (a1[:, :nm] + a1[:, nm:2 * nm])
-                    + a2[:, :nm]
-                )
-            y_ref[:] = y
+                if kind in "ui":
+                    terms = [x0, rx]
+                else:
+                    x1 = rx.astype(jnp.bfloat16).astype(jnp.float32)
+                    terms = [x0, x1, rx - x1]
+            acc = dot(terms[0], mcat)
+            for t in terms[1:]:
+                acc = acc + dot(t, mcat)
+            y_ref[:] = (
+                acc[:, :nm] + acc[:, nm:2 * nm] + acc[:, 2 * nm:]
+            )
         else:
             y_ref[:] = jax.lax.dot_general(
                 xt, masks_ref[:],

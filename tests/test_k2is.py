@@ -47,6 +47,10 @@ def _block_header(frame_id, xs, ys, shutter=True, block_count=0):
 
 @pytest.fixture(scope="module")
 def k2_data(tmp_path_factory):
+    """Sector files in the real hardware block order (descending x
+    inside each y half — see format_encoders.write_k2is_sectors)."""
+    import format_encoders as fe
+
     tmp = tmp_path_factory.mktemp("k2is")
     rng = np.random.default_rng(11)
     n_frames = 3
@@ -54,25 +58,29 @@ def k2_data(tmp_path_factory):
     frames = rng.integers(
         0, 4096, (n_frames, h, NUM_SECTORS * w)
     ).astype(np.uint16)
-    bh, bw = BLOCK_SHAPE
-    n_px_block = bh * bw
-    pad = DATA_SIZE - (n_px_block * 3 // 2)
-    for s in range(NUM_SECTORS):
-        path = tmp / f"testfile{s}.bin"
-        with open(path, "wb") as f:
-            for fi in range(n_frames):
-                frame_id = 100 + fi
-                for ys in (0, bh):
-                    for xi in range(w // bw):
-                        xs = xi * bw
-                        block = frames[
-                            fi, ys:ys + bh,
-                            s * w + xs:s * w + xs + bw,
-                        ]
-                        f.write(_block_header(frame_id, xs, ys))
-                        f.write(_pack_uint12_le(block))
-                        f.write(b"\x00" * pad)
-    return str(tmp / "testfile0.bin"), frames
+    path0 = fe.write_k2is_sectors(str(tmp), frames)
+    return path0, frames
+
+
+def test_k2is_ascending_block_order(lt_ctx, tmp_path):
+    """Our reader places blocks by their HEADER coordinates, so a
+    stream with ascending-x block order (which the reference's
+    positional reader would misassemble) still decodes correctly."""
+    import format_encoders as fe
+
+    rng = np.random.default_rng(12)
+    h, w = SECTOR_SIZE
+    frames = rng.integers(
+        0, 4096, (2, h, NUM_SECTORS * w)
+    ).astype(np.uint16)
+    path0 = fe.write_k2is_sectors(
+        str(tmp_path), frames, descending_x=False
+    )
+    ds = lt_ctx.load("k2is", path=path0, nav_shape=(2,))
+    roi = np.zeros(2, dtype=bool)
+    roi[1] = True
+    res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
+    assert np.array_equal(res["intensity"].data[0], frames[1])
 
 
 def test_k2is(lt_ctx, k2_data):
