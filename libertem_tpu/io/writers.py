@@ -18,18 +18,14 @@ def write_dataset_npy(ctx, dataset, path: str, progress=False) -> None:
     """Stream a dataset to a .npy file via the RecordUDF-equivalent
     (reference: udf/record.py, contrib/convert_transposed.py).
 
-    Always runs single-device: RecordUDF's ordered io_callback writes
-    frames in order, which a shard_mapped multi-device run would
-    interleave.
-    """
-    from ..api import Context
-    from ..executor.inline import InlineJobExecutor
+    Runs on the caller's executor: RecordUDF is a host-backend UDF
+    writing disjoint memmap slices by global frame offset, so the
+    sharded loop's per-device chunks land in their correct positions
+    regardless of processing order (parity with the reference, which
+    records from any executor, udf/record.py:9)."""
     from ..udf.record import RecordUDF
     udf = RecordUDF(filename=path)
-    inline_ctx = Context(executor=InlineJobExecutor(
-        device=ctx.executor.main_device
-    ))
-    inline_ctx.run_udf(dataset, udf, progress=progress)
+    ctx.run_udf(dataset, udf, progress=progress)
 
 
 class WriteHandle:

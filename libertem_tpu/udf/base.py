@@ -593,11 +593,15 @@ class UDFRunner:
             # device=None: prep stays host-side; the sharded loop
             # owns device placement (replication / NamedShardings)
             prep = self._prepare(dataset, roi, corrections, None)
-            if any(e.host for e in prep["plan"]):
+            if (
+                any(e.host for e in prep["plan"])
+                and jax.process_count() > 1
+            ):
                 raise UDFException(
-                    "numpy-backend UDFs run on the host and are not "
-                    "supported on the sharded executor; use an "
-                    "InlineJobExecutor / single-device Context"
+                    "numpy-backend UDFs process the host block feed, "
+                    "which is split across processes on a multi-host "
+                    "mesh — run them single-host or on an "
+                    "InlineJobExecutor"
                 )
             yield from self._run_loop_sharded(
                 prep, dataset, roi, progress, yield_partial, devices
@@ -1727,10 +1731,15 @@ class UDFRunner:
                 out[sel] = p._read_selected_with_offset(ids_p)
             return out
 
-        # per-device state: nav arrays are shard-local (+depth pad)
+        # per-device state: nav arrays are shard-local (+depth pad);
+        # host entries keep an empty slot (their buffers live in the
+        # host runner, not on the mesh)
         state = []
         for entry in prep["plan"]:
             bufs = {}
+            if entry.host:
+                state.append(bufs)
+                continue
             for name in entry.nav_names:
                 b = entry.decls[name]
                 bufs[name] = put_sharded(np.zeros(
@@ -1747,12 +1756,18 @@ class UDFRunner:
         def make_step():
             def inner(state, blk, loff, goff, valid, coords):
                 sq = lambda t: jax.tree.map(lambda x: x[0], t)
+                # host entries have empty device-state slots — their
+                # buffers live in the host runner
                 nav_part = [
-                    {n: s[n] for n in e.nav_names}
+                    {n: s[n] for n in (
+                        e.nav_names if not e.host else ()
+                    )}
                     for s, e in zip(sq(state), prep["plan"])
                 ]
                 sig_part = [
-                    {n: s[n] for n in e.part_names}
+                    {n: s[n] for n in (
+                        e.part_names if not e.host else ()
+                    )}
                     for s, e in zip(sq(state), prep["plan"])
                 ]
                 ns, nps = self._step_body(
@@ -1782,21 +1797,43 @@ class UDFRunner:
         damage_host = np.zeros(n_nav, dtype=bool)
         pm = self._make_progress(progress, n_nav, n_steps, prep)
 
-        overriders = [
-            type(u).__name__ for u in self._udfs
-            if type(u).preprocess is not UDF.preprocess
-            or type(u).postprocess is not UDF.postprocess
+        # numpy-backend (host) UDFs: processed from the host block
+        # feed that the assembly loop builds anyway — each device
+        # SHARD plays the partition role (its chunks stream into a
+        # per-shard partition buffer, merged in shard order at the
+        # end).  Multi-host is rejected up front in run().
+        host_entries = [
+            (ui, e) for ui, e in enumerate(prep["plan"]) if e.host
         ]
-        if overriders:
-            # single-device loop: per partition (reference contract);
-            # here: once per run — partitions don't exist on the mesh
-            log.warning(
-                "sharded run: preprocess()/postprocess() run ONCE per "
-                "run, not per partition as on the single-device loop "
-                "(affected: %s)", ", ".join(overriders),
+        host_runner = None
+        host_global = None
+        host_parts = None
+        if host_entries:
+            from .host import HostUDFRunner
+            host_runner = HostUDFRunner(
+                [e for _, e in host_entries], prep
             )
-        for udf in self._udfs:
-            udf.preprocess()
+            host_runner._aux_uis = [ui for ui, _ in host_entries]
+            host_runner.refresh_aux(prep)
+            host_global = host_runner.init_global()
+            prep["host_global"] = {
+                ui: host_global[i]
+                for i, (ui, _) in enumerate(host_entries)
+            }
+            host_parts = [
+                host_runner.init_partition() for _ in range(n_dev)
+            ]
+
+        # preprocess/postprocess cadence: the mesh has no partitions,
+        # so each device SHARD plays the partition role — one
+        # preprocess call per shard up front (shards run in lockstep,
+        # there is no 'just before shard d's first tile' point on a
+        # single controller) and one postprocess per shard at the
+        # end.  Parity target: the reference runs them per partition
+        # on the worker (udf/base.py:2213 _init_udfs).
+        for _shard in range(n_dev):
+            for udf in self._udfs:
+                udf.preprocess()
 
         # Per-device reader pool: at real NVMe rates a serial read of
         # all n_dev chunks per super-step becomes the bottleneck long
@@ -1891,11 +1928,16 @@ class UDFRunner:
                 put_sharded(coords),
                 int(valids.sum()),
                 spans,
+                # host UDFs consume the HOST copy of the same feed
+                # (processed on the main thread after the device
+                # dispatch)
+                (blk, goffs, valids, coords)
+                if host_runner is not None else None,
             )
 
         try:
             for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
-                 n_valid, spans) in self._prefetch(
+                 n_valid, spans, host_item) in self._prefetch(
                 assemble_steps(), to_device
             ):
                 if self._params_patched:
@@ -1923,6 +1965,21 @@ class UDFRunner:
                     state, dev_blk, d_loffs, d_goffs, d_valids,
                     d_coords,
                 )
+                if host_item is not None:
+                    # host UDFs run on the main thread while the
+                    # device crunches the dispatched step
+                    h_blk, h_goffs, h_valids, h_coords = host_item
+                    for d in range(n_dev):
+                        v = int(h_valids[d])
+                        if v == 0:
+                            continue
+                        rows = h_blk[d]
+                        if prep["flat_feed"]:
+                            rows = rows.reshape((depth,) + sig)
+                        host_runner.process_block(
+                            host_global, host_parts[d], rows,
+                            int(h_goffs[d]), h_coords[d], v,
+                        )
                 for lo, hi in spans:
                     damage_host[lo:hi] = True
                 if pm is not None:
@@ -1934,8 +1991,17 @@ class UDFRunner:
                                                shard_max, fold=fold),
                         damage_host.copy(),
                     )
-            for udf in self._udfs:
-                udf.postprocess()
+            if host_runner is not None:
+                # fold each shard's partition buffers in shard order
+                # (the host analogue of the device fold)
+                for d in range(n_dev):
+                    host_runner.merge_partition(
+                        host_global, host_parts[d]
+                    )
+            # postprocess cadence: once per shard (see preprocess)
+            for _shard in range(n_dev):
+                for udf in self._udfs:
+                    udf.postprocess()
             # final wrap AFTER postprocess and BEFORE cleanup
             # (get_results may use task_data, which cleanup()
             # releases).  Yield it unconditionally: in yield_partial
@@ -1972,7 +2038,9 @@ class UDFRunner:
         def inner(state):
             out = []
             for ui, entry in enumerate(plan):
-                if not entry.part_names:
+                if not entry.part_names or entry.host:
+                    # host entries fold on the host (their merge()
+                    # is numpy code — not traceable here)
                     out.append({})
                     continue
                 gathered = {
@@ -2040,12 +2108,18 @@ class UDFRunner:
         depth = prep["scheme"].depth
         folded = None
         if fold is not None and any(
-            e.part_names for e in prep["plan"]
+            e.part_names and not e.host for e in prep["plan"]
         ):
             folded = fold(state)
         out = []
         for ui, entry in enumerate(prep["plan"]):
             bufs = {}
+            if entry.host:
+                # host entries' results live in prep['host_global']
+                # (_wrap_results reads them from there); their device
+                # state is untouched zeros
+                out.append(bufs)
+                continue
             for name in entry.nav_names:
                 arr = self._to_host(state[ui][name])
                 full = np.zeros(

@@ -15,8 +15,12 @@ read pass, two execution engines.
 
 This mirrors the reference's CPU worker loop
 (udf/base.py:2100 UDFPartRunner) but scoped to the block stream of
-the TPU runner.  Restrictions: whole-frame sig (no sig tiling) and
-single-device runs (the sharded loop raises for numpy UDFs).
+the TPU runner.  Host UDFs always receive whole frames (no sig
+tiling) and run on BOTH loops: the single-device loop feeds them
+each block's host copy, and the sharded loop feeds them the
+host-side super-step assembly (each device shard playing the
+partition role).  Only multi-host meshes are rejected — there each
+process holds just a slice of the feed.
 """
 from __future__ import annotations
 

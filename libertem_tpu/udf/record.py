@@ -2,27 +2,31 @@
 (reference: libertem/udf/record.py:9 — preprocess writes the npy
 header:39, process_tile memmaps:68).
 
-TPU-native path: tiles live on device, so recording is an ordered
-``io_callback`` from inside the jit-compiled step — the D2H transfer
-is inherent to writing disk files and overlaps with the next block's
-compute.
+TPU-native path: recording is fundamentally a HOST side effect, and
+the host already holds every block (it assembles and uploads them),
+so RecordUDF runs as a numpy-backend host UDF (udf/host.py): blocks
+are written to the memmap straight from the host feed with no
+device round-trip, overlapping with the device UDFs' compute.  This
+works on BOTH the single-device loop and the sharded mesh loop (the
+mesh assembly is host-side too) — parity with the reference, which
+records from any executor (udf/record.py:9).
 """
 from __future__ import annotations
 
 import numpy as np
-from jax.experimental import io_callback
 
 from .base import UDF
 
 
 class RecordUDF(UDF):
-    # the ordered io_callback can't run inside shard_map; the runner
-    # rejects sharded runs with a clear message
-    SUPPORTS_SHARDED = False
-
     def __init__(self, filename: str, _dtype=None):
         super().__init__(filename=filename, _dtype=_dtype)
         self._mmap = None
+
+    def get_backends(self):
+        # host-side effect: write from the host block feed (no
+        # device round-trip; sharded-loop capable)
+        return (self.BACKEND_NUMPY,)
 
     def on_params_updated(self):
         # a patched filename must open a new file, not keep writing
@@ -68,22 +72,13 @@ class RecordUDF(UDF):
     def preprocess(self):
         self._ensure_mmap()
 
-    def _write(self, tile, goff, valid):
-        mm = self._ensure_mmap()
-        goff = int(goff)
-        valid = int(valid)
-        mm[goff:goff + valid] = np.asarray(tile)[:valid]
-        return np.int32(0)
-
     def process_tile(self, tile):
-        io_callback(
-            self._write,
-            np.int32(0),
-            tile,
-            self.meta.global_offset,
-            self.meta.valid_frames,
-            ordered=True,
-        )
+        # host mode: ``tile`` holds only the valid rows and
+        # meta.global_offset is this block's position in the
+        # roi-compressed nav ordering
+        mm = self._ensure_mmap()
+        goff = int(self.meta.global_offset)
+        mm[goff:goff + len(tile)] = tile
 
     def postprocess(self):
         if self._mmap is not None:

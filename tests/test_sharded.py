@@ -432,3 +432,125 @@ def test_sharded_kitchen_sink(tmp_path):
     expected_b = corrected.reshape((-1,) + sig)[last_id].reshape(-1) @ \
         mask_b.reshape(-1)
     assert np.isclose(got[last_id], expected_b, rtol=1e-3)
+
+
+def test_sharded_record_udf(tmp_path, data):
+    """RecordUDF on the mesh: host-backend writes by global frame
+    offset, so per-device chunks land in order (reference records on
+    any executor, udf/record.py:9 — round-2 gap #5)."""
+    from libertem_tpu.udf.record import RecordUDF
+
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=3
+    ).initialize()
+    out = str(tmp_path / "rec.npy")
+    UDFRunner([RecordUDF(filename=out)]).run_for_dataset(
+        ds, devices=devices()
+    )
+    written = np.load(out)
+    assert np.array_equal(written, data.reshape(-1, 24, 24))
+
+
+def test_sharded_record_with_roi_and_device_udf(tmp_path, data):
+    """Record + a device UDF in one sharded pass, with a sparse roi:
+    the host engine gets the roi-compressed feed while the device
+    crunches the same blocks."""
+    from libertem_tpu.udf.record import RecordUDF
+
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=3
+    ).initialize()
+    rng = np.random.default_rng(5)
+    roi = np.zeros(16 * 16, dtype=bool)
+    roi[rng.choice(roi.size, 40, replace=False)] = True
+    out = str(tmp_path / "rec_roi.npy")
+    res = UDFRunner([
+        RecordUDF(filename=out), SumUDF(),
+    ]).run_for_dataset(ds, roi=roi, devices=devices())
+    sel = data.reshape(-1, 24, 24)[roi]
+    assert np.array_equal(np.load(out), sel)
+    assert np.allclose(
+        res.buffers[1]["intensity"].data,
+        sel.astype(np.float64).sum(axis=0), rtol=1e-4,
+    )
+
+
+def test_sharded_host_udf_matches_inline(data):
+    """numpy-backend UDFs run under the sharded executor (round-2
+    gap: udf/host.py refused the mesh) and match the single-device
+    result."""
+    from libertem_tpu.udf.base import UDF
+
+    class HostSum(UDF):
+        def get_backends(self):
+            return (self.BACKEND_NUMPY,)
+
+        def get_result_buffers(self):
+            return {
+                "persig": self.buffer(kind="sig", dtype=np.float32),
+                "pernav": self.buffer(kind="nav", dtype=np.float32),
+            }
+
+        def process_tile(self, tile):
+            # reference mutable-view semantics
+            self.results.persig[:] += np.asarray(
+                tile, dtype=np.float64
+            ).sum(axis=0).astype(np.float32)
+            self.results.pernav[:] = tile.sum(axis=(1, 2))
+
+        def merge(self, dest, src):
+            # nav buffers merge positionally; merge() sees only the
+            # sig/single buffers
+            dest.persig[:] += src.persig
+
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    res_sharded = UDFRunner([HostSum()]).run_for_dataset(
+        ds, devices=devices()
+    )
+    res_inline = UDFRunner([HostSum()]).run_for_dataset(ds)
+    flat = data.reshape(-1, 24, 24)
+    for res in (res_sharded, res_inline):
+        assert np.allclose(
+            res.buffers[0]["persig"].data, flat.sum(axis=0),
+            rtol=1e-4,
+        )
+        assert np.allclose(
+            res.buffers[0]["pernav"].data.reshape(-1),
+            flat.sum(axis=(1, 2)), rtol=1e-4,
+        )
+
+
+def test_sharded_preprocess_cadence(ds):
+    """preprocess()/postprocess() run once per SHARD on the mesh
+    (shard == partition role; replaces the round-2 once-per-run
+    warning)."""
+    import jax
+
+    from libertem_tpu.udf.base import UDF
+
+    calls = {"pre": 0, "post": 0}
+
+    class Cadence(UDF):
+        def get_result_buffers(self):
+            return {
+                "x": self.buffer(kind="single", dtype=np.float32)
+            }
+
+        def process_tile(self, tile):
+            pass
+
+        def merge(self, dest, src):
+            dest.x = src.x
+
+        def preprocess(self):
+            calls["pre"] += 1
+
+        def postprocess(self):
+            calls["post"] += 1
+
+    UDFRunner([Cadence()]).run_for_dataset(ds, devices=devices())
+    n_dev = len(jax.devices())
+    assert calls["pre"] == n_dev
+    assert calls["post"] == n_dev

@@ -488,17 +488,24 @@ def test_udf_instance_reuse_across_sig_shapes(lt_ctx):
         assert np.allclose(got, expected, rtol=1e-3), sig
 
 
-def test_record_udf_rejects_sharded(lt_ctx, tmp_path):
+def test_record_udf_runs_sharded(lt_ctx, tmp_path):
+    """Round-2 gap closed: RecordUDF is a host-backend UDF now and
+    records on the sharded executor too (reference records from any
+    executor, udf/record.py:9)."""
     import jax
 
-    from libertem_tpu.udf.base import UDFException, UDFRunner
+    from libertem_tpu.udf.base import UDFRunner
     from libertem_tpu.udf.record import RecordUDF
 
-    data = np.zeros((2, 2, 4, 4), np.float32)
+    data = np.arange(2 * 2 * 4 * 4, dtype=np.float32).reshape(
+        2, 2, 4, 4
+    )
     mds = MemoryDataSet(
         data=data, sig_dims=2, num_partitions=1
     ).initialize()
     udf = RecordUDF(filename=str(tmp_path / "o.npy"))
     assert udf.get_tiling_preferences()["whole_frames"]
-    with pytest.raises(UDFException, match="sharded"):
-        UDFRunner([udf]).run_for_dataset(mds, devices=jax.devices())
+    UDFRunner([udf]).run_for_dataset(mds, devices=jax.devices())
+    assert np.array_equal(
+        np.load(str(tmp_path / "o.npy")), data.reshape(-1, 4, 4)
+    )
