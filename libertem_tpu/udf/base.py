@@ -40,6 +40,7 @@ never by in-place slice mutation (jax arrays are immutable).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -1690,6 +1691,21 @@ class UDFRunner:
         nav_shape = tuple(meta0.shape.nav)
         partitions = prep["partitions"]
 
+        # opt-in per-stage timing (benchmarks/bench_sharded_overhead
+        # .py + the CI regression bound in tests/test_sharded.py):
+        # accumulated wall seconds per pipeline stage, exposed as
+        # runner.last_sharded_stats after the run.  Timing the step
+        # forces a device sync, so only enable when measuring.
+        import time as _time
+        stats = None
+        if os.environ.get("LIBERTEM_TPU_SHARDED_STATS"):
+            stats = {
+                "assembly_s": 0.0, "h2d_s": 0.0, "step_s": 0.0,
+                "host_udf_s": 0.0, "fold_s": 0.0, "wrap_s": 0.0,
+                "n_steps": 0, "n_devices": n_dev,
+            }
+        self.last_sharded_stats = stats
+
         # replicate aux arrays over the mesh from the host copies
         # (no device round trip; multi-host safe)
         for entry, host_entry in zip(prep["aux"], prep["aux_host"]):
@@ -1856,6 +1872,7 @@ class UDFRunner:
             device step executed)."""
             n_pix = int(np.prod(sig))
             for s in range(n_steps):
+                t0 = _time.perf_counter() if stats else 0.0
                 # read per step: a mid-run patch may flip fusion and
                 # with it the feed layout
                 flat_feed = prep["flat_feed"]
@@ -1916,11 +1933,14 @@ class UDFRunner:
                 ):
                     if span is not None:
                         spans.append(span)
+                if stats:
+                    stats["assembly_s"] += _time.perf_counter() - t0
                 yield blk, loffs, goffs, valids, coords, spans
 
         def to_device(item):
             blk, loffs, goffs, valids, coords, spans = item
-            return (
+            t0 = _time.perf_counter() if stats else 0.0
+            out = (
                 put_sharded(blk),
                 put_sharded(loffs),
                 put_sharded(goffs),
@@ -1934,6 +1954,10 @@ class UDFRunner:
                 (blk, goffs, valids, coords)
                 if host_runner is not None else None,
             )
+            if stats:
+                jax.block_until_ready(out[0])
+                stats["h2d_s"] += _time.perf_counter() - t0
+            return out
 
         try:
             for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
@@ -1961,10 +1985,17 @@ class UDFRunner:
                     # cross-device fold must re-trace as well (parity
                     # with the single-device _make_merge rebuild)
                     fold = self._make_sharded_fold(prep, mesh)
+                t0 = _time.perf_counter() if stats else 0.0
                 state = step(
                     state, dev_blk, d_loffs, d_goffs, d_valids,
                     d_coords,
                 )
+                if stats:
+                    jax.block_until_ready(state)
+                    t1 = _time.perf_counter()
+                    stats["step_s"] += t1 - t0
+                    stats["n_steps"] += 1
+                    t0 = t1
                 if host_item is not None:
                     # host UDFs run on the main thread while the
                     # device crunches the dispatched step
@@ -1980,17 +2011,29 @@ class UDFRunner:
                             host_global, host_parts[d], rows,
                             int(h_goffs[d]), h_coords[d], v,
                         )
+                if stats and host_item is not None:
+                    t1 = _time.perf_counter()
+                    stats["host_udf_s"] += t1 - t0
+                    t0 = t1
                 for lo, hi in spans:
                     damage_host[lo:hi] = True
                 if pm is not None:
                     pm.frames_done(n_valid)
                 if yield_partial:
-                    yield self._wrap_results(
-                        prep,
-                        self._collapse_sharded(prep, state, bounds,
-                                               shard_max, fold=fold),
-                        damage_host.copy(),
+                    t0 = _time.perf_counter() if stats else 0.0
+                    collapsed = self._collapse_sharded(
+                        prep, state, bounds, shard_max, fold=fold
                     )
+                    if stats:
+                        t1 = _time.perf_counter()
+                        stats["fold_s"] += t1 - t0
+                        t0 = t1
+                    wrapped = self._wrap_results(
+                        prep, collapsed, damage_host.copy()
+                    )
+                    if stats:
+                        stats["wrap_s"] += _time.perf_counter() - t0
+                    yield wrapped
             if host_runner is not None:
                 # fold each shard's partition buffers in shard order
                 # (the host analogue of the device fold)
@@ -2009,12 +2052,18 @@ class UDFRunner:
             # last yielded result must be produced here for
             # postprocess effects to be visible (parity with the
             # single-device loop's per-partition ordering).
-            yield self._wrap_results(
-                prep,
-                self._collapse_sharded(prep, state, bounds,
-                                       shard_max, fold=fold),
-                damage_host,
+            t0 = _time.perf_counter() if stats else 0.0
+            collapsed = self._collapse_sharded(
+                prep, state, bounds, shard_max, fold=fold
             )
+            if stats:
+                t1 = _time.perf_counter()
+                stats["fold_s"] += t1 - t0
+                t0 = t1
+            wrapped = self._wrap_results(prep, collapsed, damage_host)
+            if stats:
+                stats["wrap_s"] += _time.perf_counter() - t0
+            yield wrapped
         finally:
             # also runs when a partial-results iterator is abandoned
             # mid-run (GeneratorExit)

@@ -554,3 +554,35 @@ def test_sharded_preprocess_cadence(ds):
     n_dev = len(jax.devices())
     assert calls["pre"] == n_dev
     assert calls["post"] == n_dev
+
+
+def test_sharded_overhead_budget(monkeypatch):
+    """Regression bound on mesh-loop overhead (round-2 gap: the mesh
+    path was perf-blind — a 10x fold slowdown would pass CI
+    silently).  Stats come from the loop's opt-in instrumentation;
+    the budget is deliberately loose (CI timing noise) — the honest
+    numbers live in benchmarks/bench_sharded_overhead.py."""
+    from libertem_tpu.udf import CoMUDF, StdDevUDF
+
+    monkeypatch.setenv("LIBERTEM_TPU_SHARDED_STATS", "1")
+    data = _mk_random((96, 96, 32, 32), dtype="uint16")
+    mds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    udfs = [CoMUDF.with_params(), StdDevUDF(), SumUDF()]
+    # warm-up compiles step + fold
+    UDFRunner(udfs).run_for_dataset(mds, devices=devices())
+    runner = UDFRunner(udfs)
+    for _ in runner.run_for_dataset_iter(
+        mds, devices=devices(), yield_partial=True
+    ):
+        pass
+    stats = runner.last_sharded_stats
+    assert stats is not None and stats["n_steps"] >= 1
+    # every pipeline stage was actually measured
+    assert stats["step_s"] > 0
+    assert stats["assembly_s"] > 0
+    assert stats["h2d_s"] > 0
+    # fold + wrap (per-snapshot work) must not dominate the step
+    ratio = (stats["fold_s"] + stats["wrap_s"]) / stats["step_s"]
+    assert ratio < 1.5, stats
