@@ -1,0 +1,235 @@
+"""Correctness matrix: every file-backed format x
+{sync_offset +/-, roi dense/sparse, corrections on/off, io backend}
+against the ValidationUDF tile-stream oracle (the reference's matrix:
+tests/executor/test_functional.py:40).
+
+Each format gets a curated cell set rather than the full cross
+product — the baseline cell (no roi/sync/corrections) is already
+covered by the per-format tests in test_formats*.py and the
+reference-golden parity tests; here every cell bends at least one
+axis, and the kitchen-sink cell bends them all at once.
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import format_encoders as fe
+from conftest import _mk_random
+from utils import ValidationUDF
+
+from libertem_tpu.io.corrections import CorrectionSet
+
+
+# ---- per-format writers -------------------------------------------
+# each returns (loader_id, load_kwargs, flat_frames) where
+# flat_frames is the (n, h, w) array the file stream contains, in
+# file order
+
+def make_raw(tmp):
+    data = _mk_random((12, 10, 12), dtype="float32")
+    path = str(tmp / "t.raw")
+    data.tofile(path)
+    return "raw", {
+        "path": path, "dtype": "float32",
+        "nav_shape": (3, 4), "sig_shape": (10, 12),
+    }, data
+
+
+def make_npy(tmp):
+    data = _mk_random((3, 4, 10, 12), dtype="float32")
+    path = str(tmp / "t.npy")
+    np.save(path, data)
+    return "npy", {"path": path}, data.reshape(-1, 10, 12)
+
+
+def make_hdf5(tmp):
+    import h5py
+    data = _mk_random((3, 4, 10, 12), dtype="float32")
+    path = str(tmp / "t.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+    return "hdf5", {"path": path}, data.reshape(-1, 10, 12)
+
+
+def make_mrc(tmp):
+    data = _mk_random((12, 20, 24), dtype="int16")
+    path = str(tmp / "t.mrc")
+    head = bytearray(1024)
+    head[0:16] = struct.pack("<4i", 24, 20, 12, 1)
+    head[92:96] = struct.pack("<i", 0)
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        f.write(data.astype("<i2").tobytes())
+    return "mrc", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_seq(tmp):
+    data = _mk_random((12, 12, 16), dtype="uint16")
+    path = str(tmp / "t.seq")
+    fe.write_seq(path, data)
+    return "seq", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_tvips(tmp):
+    data = _mk_random((12, 14, 16), dtype="uint16")
+    path = str(tmp / "ser_000.tvips")
+    fe.write_tvips(path, data)
+    return "tvips", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_blo(tmp):
+    data = _mk_random((12, 16, 16), dtype="uint8")
+    path = str(tmp / "t.blo")
+    fe.write_blo(path, data, nav=(3, 4))
+    return "blo", {"path": path}, data
+
+
+def make_empad(tmp):
+    data = _mk_random((12, 128, 128), dtype="float32")
+    xml = fe.write_empad(str(tmp), data, nav=(3, 4))
+    return "empad", {"path": xml}, data
+
+
+def make_frms6(tmp):
+    folded = _mk_random((12, 6, 16), dtype="uint16")
+    fe.write_frms6(str(tmp / "acq_001.frms6"), folded)
+    from libertem_tpu.io.dataset.frms6 import unfold
+    return "frms6", {
+        "path": str(tmp / "acq_001.frms6"), "nav_shape": (3, 4),
+    }, unfold(folded)
+
+
+def make_mib(tmp):
+    data = _mk_random((12, 256, 256), dtype="uint16") & 0xFFF
+    path = str(tmp / "acq1.mib")
+    fe.write_mib(
+        path, data, "U16", 12,
+        lambda fr: fr.reshape(fr.shape[0], -1).astype(">u2"),
+    )
+    return "mib", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_ser(tmp):
+    from test_formats2 import _write_ser
+    data = _mk_random((12, 8, 10), dtype="uint16")
+    path = str(tmp / "t.ser")
+    _write_ser(path, data)
+    return "ser", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_dm(tmp):
+    from test_formats2 import _write_dm4
+    data = _mk_random((12, 8, 10), dtype="uint16")
+    path = str(tmp / "t.dm4")
+    _write_dm4(path, data)
+    return "dm", {"path": path, "nav_shape": (3, 4)}, data
+
+
+def make_raw_csr(tmp):
+    rng = np.random.default_rng(13)
+    n, sig = 12, (8, 9)
+    n_pix = sig[0] * sig[1]
+    dense = (
+        (rng.random((n, n_pix)) < 0.2)
+        * rng.integers(1, 90, (n, n_pix))
+    ).astype(np.int32)
+    toml = fe.write_raw_csr(str(tmp), dense, nav=(3, 4), sig=sig)
+    return "raw_csr", {"path": toml}, dense.reshape(n, *sig)
+
+
+def make_k2is(tmp):
+    data = (_mk_random((4, 1860, 2048), dtype="uint16") & 0xFFF)
+    p0 = fe.write_k2is_sectors(str(tmp), data)
+    return "k2is", {"path": p0, "nav_shape": (4,)}, data
+
+
+MAKERS = {
+    "raw": make_raw, "npy": make_npy, "hdf5": make_hdf5,
+    "mrc": make_mrc, "seq": make_seq, "tvips": make_tvips,
+    "blo": make_blo, "empad": make_empad, "frms6": make_frms6,
+    "mib": make_mib, "ser": make_ser, "dm": make_dm,
+    "raw_csr": make_raw_csr, "k2is": make_k2is,
+}
+
+# cells: (sync_offset, roi_kind, corrections, io_backend)
+CELLS = {
+    "sync_plus": (2, None, False, None),
+    "sync_minus": (-2, None, False, None),
+    "roi_sparse": (0, "sparse", False, None),
+    "roi_dense_corr": (0, "dense", True, None),
+    "kitchen": (2, "sparse", True, None),
+    "mmap_backend": (0, None, False, "mmap"),
+}
+
+# formats whose readers don't go through RangeReader-style file IO
+# (h5py / in-memory densify) reject or ignore io_backend — skip the
+# backend cell there
+NO_BACKEND_CELL = {"hdf5", "raw_csr"}
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    cache = {}
+
+    def get(fmt):
+        if fmt not in cache:
+            tmp = tmp_path_factory.mktemp(f"matrix_{fmt}")
+            cache[fmt] = MAKERS[fmt](tmp)
+        return cache[fmt]
+
+    return get
+
+
+@pytest.mark.parametrize("cell", sorted(CELLS))
+@pytest.mark.parametrize("fmt", sorted(MAKERS))
+def test_matrix(lt_ctx, built, fmt, cell):
+    sync, roi_kind, corr_on, backend = CELLS[cell]
+    if cell == "mmap_backend" and fmt in NO_BACKEND_CELL:
+        pytest.skip("no byte-range io backend for this reader")
+    if fmt == "k2is" and abs(sync) > 1:
+        sync = int(np.sign(sync))  # only 4 frames
+    loader, kwargs, flat = built(fmt)
+    kwargs = dict(kwargs)
+    n = len(flat)
+    sig = flat.shape[1:]
+    if sync:
+        kwargs["sync_offset"] = sync
+    if backend:
+        from libertem_tpu.io.dataset.base import IOBackend
+        kwargs["io_backend"] = IOBackend.from_json({"id": backend})
+    ds = lt_ctx.load(loader, **kwargs)
+
+    # expected stream after sync_offset (positive: skip leading
+    # frames; negative: blank frames inserted at the start)
+    expected = np.zeros_like(flat, dtype=np.float64)
+    if sync >= 0:
+        expected[:n - sync] = flat[sync:]
+    else:
+        expected[-sync:] = flat[:n + sync]
+
+    roi = None
+    if roi_kind == "sparse":
+        roi = np.zeros(n, dtype=bool)
+        roi[[1, n // 2, n - 2]] = True
+    elif roi_kind == "dense":
+        rng = np.random.default_rng(3)
+        roi = rng.random(n) > 0.45
+    if roi is not None:
+        expected = expected[roi]
+
+    corrections = None
+    rtol = 1e-6
+    if corr_on:
+        rng = np.random.default_rng(4)
+        dark = rng.normal(2.0, 0.5, sig).astype(np.float32)
+        gain = (1 + 0.1 * rng.random(sig)).astype(np.float32)
+        corrections = CorrectionSet(dark=dark, gain=gain)
+        expected = (expected - dark) * gain
+        rtol = 1e-4
+
+    udf = ValidationUDF(ref_flat=expected, rtol=rtol)
+    res = lt_ctx.run_udf(ds, udf, roi=roi, corrections=corrections)
+    seen = res["seen"].raw_data
+    assert (seen == 1.0).all(), f"{fmt}/{cell}: frames not validated"
