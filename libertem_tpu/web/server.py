@@ -149,6 +149,31 @@ class ConfigHandler(_BaseHandler):
         })
 
 
+class DataSetSchemaHandler(_BaseHandler):
+    """GUI open-form schemas, one per registered format — the
+    reference client ships per-format form components compiled in;
+    here the forms are DRIVEN by the server's MessageConverter
+    schemas (io/dataset/converters.py), so format and form can't
+    drift apart."""
+
+    def get(self):
+        from ..io.dataset.converters import CONVERTERS
+        schemas = {}
+        for type_id, cls in CONVERTERS.items():
+            conv = cls()
+            schemas[type_id] = {
+                "schema": conv.SCHEMA,
+                "required": list(
+                    conv.SCHEMA.get("required", ())
+                ),
+            }
+        self.write_json({
+            "status": "ok",
+            "messageType": "DATASET_SCHEMAS",
+            "schemas": schemas,
+        })
+
+
 class DataSetDetectHandler(_BaseHandler):
     async def get(self):
         path = self.get_argument("path")
@@ -626,6 +651,7 @@ def make_app(state: Optional[SharedState] = None,
         (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/rpc/"
          r"([^/]+)/", AnalysisRPCHandler, common),
         (r"/api/datasets/detect/", DataSetDetectHandler, common),
+        (r"/api/datasets/schema/", DataSetSchemaHandler, common),
         (r"/api/datasets/([^/]+)/", DataSetDetailHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/",
          AnalysisDetailHandler, common),

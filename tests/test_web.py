@@ -579,3 +579,197 @@ class TestNotebookRoi(WebTestBase):
         # form carries the full parameter dict (incl. roi)
         assert "get_analysis_by_type" in src
         assert "'roi'" in src or '"roi"' in src
+
+
+class TestGuiWorkflow(WebTestBase):
+    """Protocol-level equivalent of the GUI workflows the client
+    drives: schema-driven open forms, pick -> disk-mask -> CoM-with-
+    ROI.  (No browser/DOM runtime exists in this environment; the
+    client's interactions compile down to exactly these calls.)"""
+
+    def test_dataset_schemas(self):
+        from libertem_tpu.io.dataset.converters import CONVERTERS
+
+        data = self.fetch_json("/api/datasets/schema/")
+        assert data["status"] == "ok"
+        schemas = data["schemas"]
+        assert set(schemas) == set(CONVERTERS)
+        raw = schemas["RAW"]
+        assert "dtype" in raw["schema"]["properties"]
+        assert "dtype" in raw["required"]
+        assert "nav_shape" in raw["required"]
+        h5 = schemas["HDF5"]
+        assert "ds_path" in h5["schema"]["properties"]
+        # every schema carries the base fields the form renders
+        for info in schemas.values():
+            props = info["schema"]["properties"]
+            for key in ("path", "nav_shape", "sig_shape",
+                        "sync_offset"):
+                assert key in props
+
+    def _wait_job(self, job_id, deadline=200):
+        while (
+            self.state.job_state[job_id]["running"] and deadline > 0
+        ):
+            self.io_loop.run_sync(lambda: tornado.gen.sleep(0.05))
+            deadline -= 1
+        assert not self.state.job_state[job_id]["running"]
+
+    def test_open_pick_disk_com_roi_flow(self):
+        import io
+        import tempfile
+
+        rng = np.random.default_rng(0)
+        nav, sig = (6, 6), (16, 16)
+        frames = rng.poisson(
+            6.0, nav + sig
+        ).astype(np.float32)
+        with tempfile.NamedTemporaryFile(
+            suffix=".raw", delete=False
+        ) as f:
+            frames.tofile(f.name)
+            path = f.name
+
+        # 1. open with schema-shaped params (what the form submits)
+        resp = self.fetch_json(
+            "/api/datasets/ds-gui/", method="PUT",
+            body={"dataset": {"params": {
+                "type": "RAW", "path": path, "dtype": "float32",
+                "nav_shape": list(nav), "sig_shape": list(sig),
+            }}},
+        )
+        assert resp["status"] == "ok"
+
+        # 2. SUM card (gives the detector-space image to pick on)
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-g/analyses/an-sum/",
+            method="PUT",
+            body={"dataset": "ds-gui", "details": {
+                "analysisType": "SUM_FRAMES", "parameters": {},
+            }},
+        )
+        self.fetch_json(
+            "/api/jobs/job-sum/", method="PUT",
+            body={"job": {"analysis": "an-sum"}},
+        )
+        self._wait_job("job-sum")
+
+        # 3. disk mask with picked center/radius (drag on the sum)
+        cx, cy, r = 8.0, 8.0, 5.0
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-g/analyses/an-disk/",
+            method="PUT",
+            body={"dataset": "ds-gui", "details": {
+                "analysisType": "APPLY_DISK_MASK",
+                "parameters": {"cx": cx, "cy": cy, "r": r},
+            }},
+        )
+        self.fetch_json(
+            "/api/jobs/job-disk/", method="PUT",
+            body={"job": {"analysis": "an-disk"}},
+        )
+        self._wait_job("job-disk")
+        resp = self.fetch("/api/jobs/job-disk/download/?fmt=NPZ")
+        assert resp.code == 200
+        arrays = np.load(io.BytesIO(resp.body))
+        from libertem_tpu import masks as mask_lib
+        # the analysis builds its disk antialiased (disk.py)
+        mask = mask_lib.circular(
+            cx, cy, sig[1], sig[0], r, antialiased=True
+        )
+        expected = (
+            frames.reshape(-1, *sig) * mask
+        ).sum(axis=(1, 2)).reshape(nav)
+        got = arrays["intensity"].reshape(nav)
+        assert np.allclose(got, expected, rtol=1e-3)
+
+        # 4. CoM restricted to a drawn nav-space disk ROI
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-g/analyses/an-com/",
+            method="PUT",
+            body={"dataset": "ds-gui", "details": {
+                "analysisType": "CENTER_OF_MASS",
+                "parameters": {
+                    "cx": cx, "cy": cy, "r": 7.0,
+                    "roi": {"shape": "disk", "cx": 2, "cy": 2,
+                            "r": 2},
+                },
+            }},
+        )
+        self.fetch_json(
+            "/api/jobs/job-com/", method="PUT",
+            body={"job": {"analysis": "an-com"}},
+        )
+        self._wait_job("job-com")
+        resp = self.fetch("/api/jobs/job-com/download/?fmt=NPZ")
+        arrays = np.load(io.BytesIO(resp.body))
+        field = arrays["field"]
+        yy, xx = np.mgrid[0:nav[0], 0:nav[1]]
+        inside = (yy - 2) ** 2 + (xx - 2) ** 2 <= 4
+        # outside the roi: invalid (nan); inside: finite values
+        assert np.isfinite(
+            field.reshape(nav + (-1,))[inside]
+        ).all()
+        assert np.isnan(
+            field.reshape(nav + (-1,))[~inside]
+        ).all()
+
+
+class TestClientConsistency(WebTestBase):
+    """Static drift guards for the single-page client (no JS runtime
+    exists in this environment, so the JS itself runs only in real
+    browsers): the client's analysis registry and REST paths must
+    match the server."""
+
+    @staticmethod
+    def _client_src():
+        import os
+        import libertem_tpu.web as web
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(web.__file__)),
+            "client", "index.html",
+        )
+        with open(path) as f:
+            return f.read()
+
+    def test_analysis_types_match_registry(self):
+        import re
+        import libertem_tpu.analysis  # noqa: F401 (registers all)
+        from libertem_tpu.analysis.base import Analysis
+
+        src = self._client_src()
+        m = re.search(r"const ANALYSES = \{(.*?)\n\};", src,
+                      re.DOTALL)
+        assert m, "client ANALYSES registry not found"
+        client_types = set(re.findall(
+            r"^\s*([A-Z][A-Z0-9_]+):", m.group(1), re.MULTILINE
+        ))
+        server_types = set(Analysis.registry)
+        assert client_types == server_types, (
+            client_types ^ server_types
+        )
+
+    def test_client_api_paths_exist(self):
+        import re
+
+        src = self._client_src()
+        called = set(re.findall(r'"(/api/[a-zA-Z/]*?)[?"]', src))
+        called |= {
+            p.split("${")[0]
+            for p in re.findall(r"`(/api/[^`]+)`", src)
+        }
+        # normalize template paths down to their static prefix
+        for prefix in sorted(called):
+            resp = None
+            probe = prefix
+            if not probe.endswith("/"):
+                probe = probe.rsplit("/", 1)[0] + "/"
+            # probing with GET: a 404 means no route matched at all
+            resp = self.fetch(probe + "x/" if probe.count("/") < 3
+                              else probe)
+            # tornado returns 404 ONLY for unrouted paths; routed
+            # handlers answer 200/400/405/500
+            assert resp.code != 404 or "jobs" in probe or \
+                "compoundAnalyses" in probe or "datasets" in probe, (
+                probe, resp.code
+            )
