@@ -2004,9 +2004,13 @@ class UDFRunner:
                         v = int(h_valids[d])
                         if v == 0:
                             continue
-                        rows = h_blk[d]
-                        if prep["flat_feed"]:
-                            rows = rows.reshape((depth,) + sig)
+                        # unconditional: the block was assembled
+                        # flat or sig-shaped depending on the
+                        # flat_feed at ASSEMBLY time (a mid-run
+                        # patch can flip it while this block was in
+                        # the prefetch pipeline) — a reshape to the
+                        # sig view is correct and free either way
+                        rows = h_blk[d].reshape((depth,) + sig)
                         host_runner.process_block(
                             host_global, host_parts[d], rows,
                             int(h_goffs[d]), h_coords[d], v,

@@ -77,35 +77,7 @@ def test_mrc(lt_ctx, tmp_path):
     _check_sum(lt_ctx, ds, frames.astype(np.float32))
 
 
-def _write_seq(path, frames):
-    """Synthetic Norpix SEQ writer (u16 frames, 64 pad bytes/frame)."""
-    from libertem_tpu.io.dataset.seq import _FIELDS, _HEADER_STRUCT
-    n, h, w = frames.shape
-    true_image_size = w * h * 2 + 64
-    defaults = {
-        "magic": 0xFEED, "name": b"seq", "version": 5,
-        "header_size": 8192, "description": b"", "width": w,
-        "height": h, "bit_depth": 16, "bit_depth_real": 12,
-        "image_size_bytes": w * h * 2, "image_format": 0,
-        "allocated_frames": n, "origin": 0,
-        "true_image_size": true_image_size,
-        "suggested_frame_rate": 10.0, "description_format": 0,
-        "reference_frame": 0, "fixed_size": 0, "flags": 0,
-        "bayer_pattern": 0, "time_offset_us": 0,
-        "extended_header_size": 0, "compression_format": 0,
-        "reference_time_s": 0, "reference_time_ms": 0,
-        "reference_time_us": 0,
-    }
-    vals = [defaults[name] for name in _FIELDS]
-    head = struct.pack(_HEADER_STRUCT, *vals)
-    with open(path, "wb") as f:
-        f.write(head.ljust(8192, b"\x00"))
-        for fr in frames:
-            f.write(
-                fr.astype("<u2").tobytes().ljust(
-                    true_image_size, b"\x00"
-                )
-            )
+from format_encoders import write_seq as _write_seq  # noqa: E402
 
 
 def test_seq(lt_ctx, tmp_path):

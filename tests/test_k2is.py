@@ -16,33 +16,10 @@ from libertem_tpu.io.dataset.k2is import (
 from libertem_tpu.udf import PickUDF, SumSigUDF
 
 
-def _pack_uint12_le(vals: np.ndarray) -> bytes:
-    vals = vals.astype(np.uint16).reshape(-1)
-    assert len(vals) % 2 == 0
-    a, b = vals[0::2].astype(np.uint32), vals[1::2].astype(np.uint32)
-    out = np.empty(len(vals) // 2 * 3, dtype=np.uint8)
-    out[0::3] = a & 0xFF
-    out[1::3] = ((a >> 8) & 0x0F) | ((b & 0x0F) << 4)
-    out[2::3] = (b >> 4) & 0xFF
-    return out.tobytes()
-
-
-def _block_header(frame_id, xs, ys, shutter=True, block_count=0):
-    """Real DataBlock.header_dtype layout (reference k2is.py:583)."""
-    head = bytearray(HEADER_SIZE)
-    head[0:4] = struct.pack(">I", 0xFFFF0055)
-    head[8] = 1  # version
-    head[9] = 0x1 if shutter else 0x0
-    head[16:20] = struct.pack(">I", block_count)
-    head[20:22] = struct.pack(">H", SECTOR_SIZE[1])   # width
-    head[22:24] = struct.pack(">H", SECTOR_SIZE[0])   # height
-    head[24:28] = struct.pack(">I", frame_id)
-    head[28:30] = struct.pack(">H", xs)               # pixel_x_start
-    head[30:32] = struct.pack(">H", ys)               # pixel_y_start
-    head[32:34] = struct.pack(">H", xs + BLOCK_SHAPE[1] - 1)
-    head[34:36] = struct.pack(">H", ys + BLOCK_SHAPE[0] - 1)
-    head[36:40] = struct.pack(">I", BLOCK_SIZE)
-    return bytes(head)
+from format_encoders import (  # noqa: E402
+    k2is_block_header as _block_header,
+    pack_uint12_le as _pack_uint12_le,
+)
 
 
 @pytest.fixture(scope="module")

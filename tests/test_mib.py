@@ -13,37 +13,12 @@ from libertem_tpu.udf import PickUDF, SumUDF
 from conftest import _mk_random
 
 
-def _encode_r1(frames):
-    """Inverse of decode_r1: pixel p -> stripe p//64, byte (p%64)//8,
-    bit p%8; byte stored at stripe*8 + (7-byte)."""
-    n, n_pix = frames.shape
-    out = np.zeros((n, n_pix // 8), dtype=np.uint8)
-    for p in range(n_pix):
-        stripe, byte, bit = p // 64, (p % 64) // 8, p % 8
-        src = frames[:, p] & 1
-        out[:, stripe * 8 + (7 - byte)] |= (
-            src.astype(np.uint8) << bit
-        )
-    return out
-
-
-def _encode_r6(frames):
-    n, n_pix = frames.shape
-    return frames.reshape(n, -1, 8)[:, :, ::-1].reshape(
-        n, n_pix
-    ).astype(np.uint8)
-
-
-def _encode_r12(frames):
-    n, n_pix = frames.shape
-    reordered = frames.reshape(n, -1, 4)[:, :, ::-1].reshape(n, n_pix)
-    return reordered.astype(">u2").view(np.uint8)
-
-
-def _encode_r24(frames):
-    msb = _encode_r12((frames >> 12) & 0xFFF)
-    lsb = _encode_r12(frames & 0xFFF)
-    return np.concatenate([msb, lsb], axis=1)
+from format_encoders import (  # noqa: E402
+    encode_mib_r1 as _encode_r1,
+    encode_mib_r6 as _encode_r6,
+    encode_mib_r12 as _encode_r12,
+    encode_mib_r24 as _encode_r24,
+)
 
 
 @pytest.mark.parametrize("use_native", [True, False])
