@@ -200,6 +200,26 @@ def _fused_moments_pallas(
             y_ref[:] = (
                 acc[:, :nm] + acc[:, nm:2 * nm] + acc[:, 2 * nm:]
             )
+
+            # ---- first moment on the MXU ----
+            # the split terms are exactly-bf16-representable, so a
+            # ones-row contraction over the depth axis computes the
+            # EXACT column sum with f32 accumulation — offloading
+            # the per-pixel reduce from the VPU (the bottleneck) to
+            # the MXU, where an (8-padded, td) x (td, P) pass is
+            # ~10x cheaper than the elementwise reduction tree
+            ones_row = jnp.ones((1, td), jnp.float32)
+
+            def rdot(a, b):
+                return jax.lax.dot_general(
+                    a, b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            local_sum = rdot(ones_row, terms[0])
+            for t in terms[1:]:
+                local_sum = local_sum + rdot(ones_row, t)
         else:
             y_ref[:] = jax.lax.dot_general(
                 xt, masks_ref[:],
@@ -207,23 +227,40 @@ def _fused_moments_pallas(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-
-        # ---- first moment ----
-        local_sum = jnp.sum(xt, axis=0, keepdims=True)  # (1, P)
+            # non-split path: xt is not bf16-representable, a
+            # DEFAULT-precision MXU reduce would round it — keep the
+            # exact VPU reduction
+            local_sum = jnp.sum(xt, axis=0, keepdims=True)
 
         n1 = jnp.clip(valid - d * td, 0, td).astype(jnp.float32)
         n0 = jnp.minimum(d * td, valid).astype(jnp.float32)
 
         if compute_var:
-            # two-pass over the VMEM-resident tile
-            row_ids = (
-                d * td
-                + jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
-            )
-            row_valid = (row_ids < valid).astype(jnp.float32)
+            # two-pass over the VMEM-resident tile; the row-validity
+            # mask only matters on the tile containing the valid
+            # boundary — interior (fully valid) tiles take the
+            # cheaper unmasked branch (saves the iota compare + the
+            # mask multiply per element on every tile but one)
             local_mean = local_sum / jnp.maximum(n1, 1.0)
-            diff = (xt - local_mean) * row_valid
-            local_var = jnp.sum(diff * diff, axis=0, keepdims=True)
+
+            def _var_full(_):
+                diff = xt - local_mean
+                return jnp.sum(diff * diff, axis=0, keepdims=True)
+
+            def _var_masked(_):
+                row_ids = (
+                    d * td
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (td, 1), 0
+                    )
+                )
+                row_valid = (row_ids < valid).astype(jnp.float32)
+                diff = (xt - local_mean) * row_valid
+                return jnp.sum(diff * diff, axis=0, keepdims=True)
+
+            local_var = jax.lax.cond(
+                (d + 1) * td <= valid, _var_full, _var_masked, 0
+            )
 
         @pl.when(d == 0)
         def _():

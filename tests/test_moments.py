@@ -188,7 +188,13 @@ def test_split_matmul_corrected_f32():
     _, csr, cvr = _fused_moments_xla(
         jnp.asarray(x), jnp.asarray(masks), valid
     )
-    assert np.allclose(cs, csr, rtol=1e-6)
+    # colsum rides the MXU in the split kernel (per-term ones-row
+    # contraction, sequential f32 accumulate) while XLA uses a tree
+    # reduce — both are f32-accumulation-grade, but association
+    # differs: ~depth*eps/2 relative spread (measured 1.6e-6 at
+    # depth 48; the reference's own sequential f32 accumulation has
+    # the same class of error)
+    assert np.allclose(cs, csr, rtol=1e-5)
     assert np.allclose(cv, cvr, rtol=1e-4, atol=1e-2)
 
 
