@@ -89,12 +89,13 @@ def _cast_f32(x):
     jax.jit,
     static_argnames=(
         "compute_var", "interpret", "precision", "split_matmul",
+        "mxu_colsum",
     ),
 )
 def _fused_moments_pallas(
     x, masks_t, valid_count, compute_var: bool = True,
     interpret: bool = False, precision=None,
-    split_matmul: bool = False,
+    split_matmul: bool = False, mxu_colsum: bool = False,
 ):
     """Pallas TPU implementation.  x: (D, P) any real dtype,
     masks_t: (M, P) f32 — transposed so the contraction runs along
@@ -109,7 +110,7 @@ def _fused_moments_pallas(
     itemsize = np.dtype(x.dtype).itemsize
     import os
     budget_mb = int(os.environ.get(
-        "LIBERTEM_TPU_MOMENTS_TILE_MB", "4" if split_matmul else "10"
+        "LIBERTEM_TPU_MOMENTS_TILE_MB", "2" if split_matmul else "10"
     ))
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize),
@@ -201,25 +202,31 @@ def _fused_moments_pallas(
                 acc[:, :nm] + acc[:, nm:2 * nm] + acc[:, 2 * nm:]
             )
 
-            # ---- first moment on the MXU ----
-            # the split terms are exactly-bf16-representable, so a
-            # ones-row contraction over the depth axis computes the
-            # EXACT column sum with f32 accumulation — offloading
-            # the per-pixel reduce from the VPU (the bottleneck) to
-            # the MXU, where an (8-padded, td) x (td, P) pass is
-            # ~10x cheaper than the elementwise reduction tree
-            ones_row = jnp.ones((1, td), jnp.float32)
+            # ---- first moment ----
+            # mxu_colsum=True replaces the VPU reduce with ones-row
+            # MXU contractions over the exactly-bf16-representable
+            # split terms (exact f32 sum).  MEASURED SLOWER on
+            # hardware: 126 vs 136 GB/s at the headline shape
+            # (benchmarks/bench_split_tile.py) — the extra (1, P)
+            # passes serialize against the mask matmul, while the
+            # VPU reduce overlaps it; the variant also tipped the
+            # td=64 tile over the 16M scoped-VMEM limit.  Kept
+            # behind the flag for the record.
+            if mxu_colsum:
+                ones_row = jnp.ones((1, td), jnp.float32)
 
-            def rdot(a, b):
-                return jax.lax.dot_general(
-                    a, b,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                def rdot(a, b):
+                    return jax.lax.dot_general(
+                        a, b,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
-            local_sum = rdot(ones_row, terms[0])
-            for t in terms[1:]:
-                local_sum = local_sum + rdot(ones_row, t)
+                local_sum = rdot(ones_row, terms[0])
+                for t in terms[1:]:
+                    local_sum = local_sum + rdot(ones_row, t)
+            else:
+                local_sum = jnp.sum(xt, axis=0, keepdims=True)
         else:
             y_ref[:] = jax.lax.dot_general(
                 xt, masks_ref[:],
