@@ -55,15 +55,23 @@ def main():
     def run(mode: str):
         def one_pass(bl, salt):
             def body(carry, blk):
+                vc = valid
                 if mode in ('blk_salt', 'isalt'):
                     blk = blk + salt.astype(blk.dtype)
                     mt = masks_t
                 elif mode == 'mask_salt':
                     mt = masks_t + salt
+                elif mode == 'valid_salt':
+                    # scalar-operand salt: loop-variant (unhoistable,
+                    # un-CSE-able) but ZERO extra HBM traffic — the
+                    # honest anti-DCE for an opaque pallas consumer.
+                    # salt ~ 1e-37 casts to int32 0 at runtime.
+                    vc = valid + salt.astype(jnp.int32)
+                    mt = masks_t
                 else:
                     mt = masks_t
                 y, cs, cv = _fused_moments_pallas(
-                    blk, mt, valid, precision=None,
+                    blk, mt, vc, precision=None,
                     split_matmul=True,
                 )
                 return carry + y.sum() + cs.sum() + cv.sum(), None
@@ -100,7 +108,7 @@ def main():
         return round(total / dt / 1e9, 1)
 
     out = {}
-    for mode in ('blk_salt', 'isalt', 'no_salt'):
+    for mode in ('blk_salt', 'mask_salt', 'valid_salt', 'no_salt'):
         out[mode] = run(mode)
         print(json.dumps({mode: out[mode]}), flush=True)
     print(json.dumps(out))

@@ -109,8 +109,11 @@ def _fused_moments_pallas(
     n_masks = masks_t.shape[0]
     itemsize = np.dtype(x.dtype).itemsize
     import os
+    # split default 6 MB -> td=64 at the headline 128x128 sig (best
+    # in the round-3 hardware sweep, benchmarks/bench_split_tile.py;
+    # fits scoped VMEM now that the mask decomposition is hoisted)
     budget_mb = int(os.environ.get(
-        "LIBERTEM_TPU_MOMENTS_TILE_MB", "2" if split_matmul else "10"
+        "LIBERTEM_TPU_MOMENTS_TILE_MB", "6" if split_matmul else "10"
     ))
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize),
@@ -133,19 +136,7 @@ def _fused_moments_pallas(
 
         # ---- mask projections (MXU), contracting over lanes ----
         if split_matmul:
-            # f32-grade products from NATIVE bf16 MXU passes, all
-            # operands decomposed in VMEM (an XLA-level split
-            # materializes the bf16 copies in HBM and loses —
-            # docs/performance.md).  Masks split into THREE bf16
-            # terms, covering f32's 24 significand bits; the data
-            # side splits exactly for narrow ints (256*hi + lo, both
-            # bf16-exact) and into three bf16 terms for f32.  Every
-            # dot runs at single-pass MXU speed, avoiding
-            # Precision.HIGHEST's multi-pass scheduling cost; with
-            # the small mask counts here (M ~ 3..16) even 6 passes
-            # stay far below the bandwidth roofline.  Worst-case
-            # rel err ~2^-24 per product (~1e-7 observed).
-            # f32-grade products from native single-pass MXU matmuls.
+            # f32-grade products from NATIVE bf16 MXU passes.
             # Three tricks make the split nearly free:
             #   1. The data side decomposes by bf16 ROUND-TRIP, not
             #      integer bit surgery: x0 = f32(bf16(xt)),
@@ -157,7 +148,8 @@ def _fused_moments_pallas(
             #      Cost: 2-3 VPU ops vs ~6 for shift/mask extraction.
             #   2. The MXU pads the output lane dim to 128, so a dot
             #      against an (M', P) mask stack costs the same for
-            #      any M' <= 128: the THREE bf16 mask terms are
+            #      any M' <= 128: the THREE bf16 mask terms
+            #      (covering f32's 24 significand bits) are
             #      CONCATENATED along the mask axis and every data
             #      term multiplies all of them in one pass — MXU
             #      passes = data terms only (u8/i8: 1, u16/i16: 2,
@@ -169,12 +161,12 @@ def _fused_moments_pallas(
             #      matmul's internal f32->bf16 operand conversion is
             #      exact regardless of rounding mode and no bf16
             #      packing relayouts materialize.
-            m = masks_ref[:]
-            m0 = m.astype(jnp.bfloat16).astype(jnp.float32)
-            rm = m - m0
-            m1 = rm.astype(jnp.bfloat16).astype(jnp.float32)
-            m2 = rm - m1
-            mcat = jnp.concatenate([m0, m1, m2], axis=0)  # (3M, P)
+            # The mask decomposition itself is HOISTED out of the
+            # kernel (see _split_masks): it is loop-invariant across
+            # grid steps, and computing it per step cost ~6 VPU ops
+            # on a (M, P) stack — ~1 op/px of pure overhead at
+            # td=32 on the kernel's VPU-bound critical path.
+            mcat = masks_ref[:]  # (3M, P), precomputed split terms
             nm = n_masks
 
             def dot(a, b):
@@ -298,6 +290,17 @@ def _fused_moments_pallas(
                 )
             colsum_ref[:] = colsum_ref[:] + local_sum
 
+    if split_matmul:
+        # hoisted mask decomposition (see the kernel comment): three
+        # exactly-bf16-valued f32 terms, computed ONCE at XLA level
+        # (loop-invariant, ~5 KB/mask) instead of per grid step on
+        # the kernel's VPU-bound critical path
+        m0 = masks_t.astype(jnp.bfloat16).astype(jnp.float32)
+        rm = masks_t - m0
+        m1 = rm.astype(jnp.bfloat16).astype(jnp.float32)
+        mask_op = jnp.concatenate([m0, m1, rm - m1], axis=0)
+    else:
+        mask_op = masks_t
     out_shapes = (
         jax.ShapeDtypeStruct((depth, n_masks), jnp.float32),
         jax.ShapeDtypeStruct((1, pixels), jnp.float32),
@@ -311,7 +314,7 @@ def _fused_moments_pallas(
                 (td, pixels), lambda i, *_: (i, 0),
             ),
             pl.BlockSpec(
-                (n_masks, pixels), lambda i, *_: (0, 0),
+                (mask_op.shape[0], pixels), lambda i, *_: (0, 0),
             ),
         ],
         out_specs=(
@@ -334,7 +337,7 @@ def _fused_moments_pallas(
             ),
             transcendentals=0,
         ),
-    )(valid_count.reshape(1).astype(jnp.int32), x, masks_t)
+    )(valid_count.reshape(1).astype(jnp.int32), x, mask_op)
     return y, colsum[0], colvar[0]
 
 
@@ -469,10 +472,10 @@ def _pallas_eligible(x, masks_t) -> bool:
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize), sublane=sublane
     )
-    # the full mask stack is VMEM-resident (f32 + up to 3 bf16 split
-    # copies = 2.5x); large stacks (e.g. radial-Fourier bin series on
-    # big sig shapes) must take the XLA path instead of failing the
-    # Mosaic compile with a VMEM overflow
+    # the full mask stack is VMEM-resident (3 precomputed f32 split
+    # terms on the split path = 3x); large stacks (e.g. radial-
+    # Fourier bin series on big sig shapes) must take the XLA path
+    # instead of failing the Mosaic compile with a VMEM overflow
     masks_bytes = int(masks_t.shape[0]) * pixels * 4
     # the chosen row tile must satisfy the dtype's sublane minimum
     # and lanes must fill a 128 block
@@ -480,7 +483,7 @@ def _pallas_eligible(x, masks_t) -> bool:
         np.dtype(x.dtype).kind in "fiu"
         and td % sublane == 0
         and pixels % 128 == 0
-        and masks_bytes * 2.5 <= 4 * 1024 * 1024
+        and masks_bytes * 3 <= 4 * 1024 * 1024
     )
 
 
