@@ -89,19 +89,29 @@ def _cast_f32(x):
     jax.jit,
     static_argnames=(
         "compute_var", "interpret", "precision", "split_matmul",
-        "mxu_colsum",
+        "mxu_colsum", "data_terms",
     ),
 )
 def _fused_moments_pallas(
     x, masks_t, valid_count, compute_var: bool = True,
     interpret: bool = False, precision=None,
     split_matmul: bool = False, mxu_colsum: bool = False,
+    data_terms: Optional[int] = None,
 ):
     """Pallas TPU implementation.  x: (D, P) any real dtype,
     masks_t: (M, P) f32 — transposed so the contraction runs along
     the 128-lane axis and the small mask count M sits in sublanes
     (a (P, M) operand would pad M up to 128 lanes and waste ~20x
-    VMEM + bandwidth), valid_count: () int32."""
+    VMEM + bandwidth), valid_count: () int32.
+
+    ``data_terms`` (split path only) overrides the dtype-derived
+    bf16 term count with a VALUE-derived one: the caller certifies
+    every element of ``x`` is exactly representable in that many
+    round-trip bf16 terms (1 term: integers with |x| <= 256 — bf16
+    carries 8 significand bits).  The host feed probes each block's
+    min/max (UDFRunner._block_data_terms), so u16 counting-detector
+    data with small counts runs ONE MXU pass per tile instead of
+    two, bit-identical results."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -177,12 +187,20 @@ def _fused_moments_pallas(
                 )
 
             kind = np.dtype(x.dtype).kind
-            if kind in "ui" and itemsize == 1:
+            nterms = data_terms
+            if nterms is None:
+                if kind in "ui" and itemsize == 1:
+                    nterms = 1
+                elif kind in "ui":
+                    nterms = 2
+                else:
+                    nterms = 3
+            if nterms == 1:
                 terms = [xt]
             else:
                 x0 = xt.astype(jnp.bfloat16).astype(jnp.float32)
                 rx = xt - x0
-                if kind in "ui":
+                if nterms == 2:
                     terms = [x0, rx]
                 else:
                     x1 = rx.astype(jnp.bfloat16).astype(jnp.float32)
@@ -499,6 +517,7 @@ def _splittable(x) -> bool:
 def fused_moments(
     x, masks_t, valid_count, compute_var: bool = True,
     force_xla: bool = False, precision=_READ_ENV,
+    data_terms: Optional[int] = None,
 ):
     """Dispatch, precision-aware (see USE_PALLAS comment): the
     Pallas kernel runs whenever the layout is eligible — in VMEM
@@ -516,6 +535,11 @@ def fused_moments(
        threads it through, so a mid-process env flip takes effect at
        the next run, never mid-run); direct callers that omit it get
        a trace-time env read.
+    data_terms: optional static value-range certificate from the
+       host feed — the number of bf16 round-trip terms that EXACTLY
+       represent every element of ``x`` (1 when the block's values
+       are integers with |x| <= 256).  Only consulted on the split
+       Pallas path; fewer terms = fewer MXU passes, identical bits.
 
     Returns (y (depth, n_masks) f32, colsum/colvar shaped like
     x.shape[1:], f32).
@@ -544,6 +568,7 @@ def fused_moments(
             # hit a stale cached executable
             precision=None if split else precision,
             split_matmul=split,
+            data_terms=data_terms if split else None,
         )
     return _fused_moments_xla(
         x, masks_t, valid_count, compute_var, precision=precision

@@ -1018,7 +1018,7 @@ class UDFRunner:
 
     def _fused_step(
         self, prep, state, part_state, raw_block,
-        local_off, valid_count,
+        local_off, valid_count, data_terms=None,
     ):
         """Fused-path step body: one matmul+moments op, then
         distribute columns/moments into each UDF's buffers."""
@@ -1058,6 +1058,7 @@ class UDFRunner:
             operand, masks_t, valid_count,
             compute_var=fused["need_var"],
             precision=prep["matmul_precision"],
+            data_terms=data_terms,
         )
         valid_mask = (
             jnp.arange(depth, dtype=jnp.int32) < valid_count
@@ -1115,6 +1116,7 @@ class UDFRunner:
     def _step_body(
         self, prep, state, part_state, raw_block,
         local_off, global_off, coords, valid_count,
+        data_terms=None,
     ):
         """The traced per-block step body.
 
@@ -1122,11 +1124,15 @@ class UDFRunner:
                          shard-local) nav state arrays.
         ``global_off`` — offset into the roi-compressed global nav
                          ordering (for aux gathers and UDF metadata).
+        ``data_terms`` — static per-block value-range certificate from
+                         the host feed (``_block_data_terms``); lets
+                         the fused split-matmul kernel drop MXU passes
+                         whose term is exactly zero.
         """
         if prep.get("fused") is not None:
             return self._fused_step(
                 prep, state, part_state, raw_block, local_off,
-                valid_count,
+                valid_count, data_terms=data_terms,
             )
         plan = prep["plan"]
         scheme = prep["scheme"]
@@ -1174,15 +1180,52 @@ class UDFRunner:
         return new_state, new_part
 
     def _make_step(self, prep) -> Callable:
-        """Jitted single-device per-block step."""
+        """Jitted single-device per-block step.  ``data_terms`` is
+        static: each distinct value-range class compiles once (at most
+        two executables — specialized and general)."""
 
-        def step(state, part_state, raw_block, goff, coords, valid_count):
+        def step(state, part_state, raw_block, goff, coords,
+                 valid_count, data_terms=None):
             return self._step_body(
                 prep, state, part_state, raw_block,
                 goff, goff, coords, valid_count,
+                data_terms=data_terms,
             )
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(
+            step, donate_argnums=(0, 1), static_argnums=(6,)
+        )
+
+    @staticmethod
+    def _block_data_terms(prep, payload) -> Optional[int]:
+        """Probe a host-side block for the split-matmul value-range
+        certificate (``ops.moments`` ``data_terms``): integer blocks
+        whose values all sit in [-256, 256] are exactly bf16-
+        representable, so the VMEM split kernel's residual term is
+        identically zero and ONE native MXU pass reproduces the
+        f32-exact products — the common case for u16 counting-
+        detector data (small electron counts in wide storage).
+
+        Runs in the prefetch/assembly thread, overlapped with device
+        compute; the min/max scan is a SIMD reduce at host memory
+        bandwidth, far cheaper than the read+assembly copy the feed
+        already performs.  Returns None (no specialization) unless
+        the fused split path is active for this run.
+        """
+        if (
+            prep.get("fused") is None
+            or prep.get("corr_plan") is not None
+            or prep.get("matmul_precision") is None
+        ):
+            return None
+        dt = payload.dtype
+        if dt.kind not in "iu" or dt.itemsize != 2 or payload.size == 0:
+            return None
+        if int(payload.max()) > 256:
+            return None
+        if dt.kind == "i" and int(payload.min()) < -256:
+            return None
+        return 1
 
     def _run_udf_on_tile(
         self, entry, tile, scheme_idx, sig_slice, meta,
@@ -1579,6 +1622,7 @@ class UDFRunner:
                             jax.device_put(rows, device),
                             jax.device_put(cols, device),
                         )
+                        dterms = None
                     else:
                         payload = block.data
                         if prep["flat_feed"]:
@@ -1586,12 +1630,14 @@ class UDFRunner:
                             payload = payload.reshape(
                                 payload.shape[0], -1
                             )
+                        dterms = self._block_data_terms(prep, payload)
                         dev_block = jax.device_put(payload, device)
                     dev = (
                         dev_block,
                         jnp.int32(block.global_offset),
                         jax.device_put(block.coords, device),
                         jnp.int32(block.valid),
+                        dterms,
                     )
                 return dev, block
 
@@ -1599,10 +1645,10 @@ class UDFRunner:
                 partition.gen_blocks(scheme, roi), to_device
             ):
                 if dev is not None:
-                    dev_block, goff, coords, valid = dev
+                    dev_block, goff, coords, valid, dterms = dev
                     state, part_state = step(
                         state, part_state, dev_block, goff, coords,
-                        valid,
+                        valid, dterms,
                     )
                 if host_runner is not None:
                     host_runner.process_block(
@@ -1770,41 +1816,50 @@ class UDFRunner:
             state.append(bufs)
 
         def make_step():
-            def inner(state, blk, loff, goff, valid, coords):
-                sq = lambda t: jax.tree.map(lambda x: x[0], t)
-                # host entries have empty device-state slots — their
-                # buffers live in the host runner
-                nav_part = [
-                    {n: s[n] for n in (
-                        e.nav_names if not e.host else ()
-                    )}
-                    for s, e in zip(sq(state), prep["plan"])
-                ]
-                sig_part = [
-                    {n: s[n] for n in (
-                        e.part_names if not e.host else ()
-                    )}
-                    for s, e in zip(sq(state), prep["plan"])
-                ]
-                ns, nps = self._step_body(
-                    prep, nav_part, sig_part, blk[0],
-                    loff[0], goff[0], coords[0], valid[0],
-                )
-                merged = [
-                    {**a, **b} for a, b in zip(ns, nps)
-                ]
-                return jax.tree.map(lambda x: x[None], merged)
+            # data_terms (the per-super-step value-range certificate
+            # from the assembly thread) is STATIC on the outer jit —
+            # it selects the split kernel's MXU pass count, so it
+            # closes over the shard_mapped body rather than flowing
+            # through the mesh as data
+            def outer(state, blk, loffs, goffs, valids, coords,
+                      data_terms=None):
+                def inner(state, blk, loff, goff, valid, coords):
+                    sq = lambda t: jax.tree.map(lambda x: x[0], t)
+                    # host entries have empty device-state slots —
+                    # their buffers live in the host runner
+                    nav_part = [
+                        {n: s[n] for n in (
+                            e.nav_names if not e.host else ()
+                        )}
+                        for s, e in zip(sq(state), prep["plan"])
+                    ]
+                    sig_part = [
+                        {n: s[n] for n in (
+                            e.part_names if not e.host else ()
+                        )}
+                        for s, e in zip(sq(state), prep["plan"])
+                    ]
+                    ns, nps = self._step_body(
+                        prep, nav_part, sig_part, blk[0],
+                        loff[0], goff[0], coords[0], valid[0],
+                        data_terms=data_terms,
+                    )
+                    merged = [
+                        {**a, **b} for a, b in zip(ns, nps)
+                    ]
+                    return jax.tree.map(lambda x: x[None], merged)
 
-            return jax.jit(
-                jax.shard_map(
+                return jax.shard_map(
                     inner, mesh=mesh,
                     in_specs=(
                         P("workers"), P("workers"), P("workers"),
                         P("workers"), P("workers"), P("workers"),
                     ),
                     out_specs=P("workers"),
-                ),
-                donate_argnums=(0,),
+                )(state, blk, loffs, goffs, valids, coords)
+
+            return jax.jit(
+                outer, donate_argnums=(0,), static_argnums=(6,)
             )
 
         step = make_step()
@@ -1933,12 +1988,22 @@ class UDFRunner:
                 ):
                     if span is not None:
                         spans.append(span)
+                # value-range probe over the whole super-step (all
+                # shards share ONE compiled step, so the certificate
+                # must hold for every shard's block).  Multi-host:
+                # each process sees only its local shards' data, and
+                # a static arg that differs across processes would
+                # compile divergent SPMD programs — disable there.
+                dterms = (
+                    self._block_data_terms(prep, blk)
+                    if not multihost else None
+                )
                 if stats:
                     stats["assembly_s"] += _time.perf_counter() - t0
-                yield blk, loffs, goffs, valids, coords, spans
+                yield blk, loffs, goffs, valids, coords, spans, dterms
 
         def to_device(item):
-            blk, loffs, goffs, valids, coords, spans = item
+            blk, loffs, goffs, valids, coords, spans, dterms = item
             t0 = _time.perf_counter() if stats else 0.0
             out = (
                 put_sharded(blk),
@@ -1948,6 +2013,7 @@ class UDFRunner:
                 put_sharded(coords),
                 int(valids.sum()),
                 spans,
+                dterms,
                 # host UDFs consume the HOST copy of the same feed
                 # (processed on the main thread after the device
                 # dispatch)
@@ -1961,7 +2027,7 @@ class UDFRunner:
 
         try:
             for (dev_blk, d_loffs, d_goffs, d_valids, d_coords,
-                 n_valid, spans, host_item) in self._prefetch(
+                 n_valid, spans, dterms, host_item) in self._prefetch(
                 assemble_steps(), to_device
             ):
                 if self._params_patched:
@@ -1988,7 +2054,7 @@ class UDFRunner:
                 t0 = _time.perf_counter() if stats else 0.0
                 state = step(
                     state, dev_blk, d_loffs, d_goffs, d_valids,
-                    d_coords,
+                    d_coords, dterms,
                 )
                 if stats:
                     jax.block_until_ready(state)

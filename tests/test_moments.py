@@ -198,6 +198,101 @@ def test_split_matmul_corrected_f32():
     assert np.allclose(cv, cvr, rtol=1e-4, atol=1e-2)
 
 
+def test_split_matmul_data_terms_bit_identical():
+    """The value-specialized one-term path (u16 counting data with
+    values <= 256 — every element exactly bf16-representable) must be
+    BIT-IDENTICAL to the two-term dtype-derived path: the dropped
+    residual term is exactly zero, so dropping its MXU pass changes
+    nothing but speed."""
+    rng = np.random.default_rng(21)
+    depth, n_pix, M = 64, 512, 4
+    x = rng.poisson(8.0, (depth, n_pix)).astype(np.uint16)
+    assert x.max() <= 256
+    masks = rng.normal(0, 1, (M, n_pix)).astype(np.float32)
+    valid = jnp.int32(depth - 3)
+    xz = x.copy()
+    xz[depth - 3:] = 0
+    out2 = _fused_moments_pallas(
+        jnp.asarray(xz), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    out1 = _fused_moments_pallas(
+        jnp.asarray(xz), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True, data_terms=1,
+    )
+    for a, b in zip(out1, out2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # and both exact vs float64
+    exp = xz.astype(np.float64) @ masks.astype(np.float64).T
+    assert np.allclose(np.asarray(out1[0], np.float64), exp,
+                       rtol=1e-6, atol=1e-4)
+
+
+def test_block_data_terms_probe():
+    """Host-feed value probe: certifies 1 term only for narrow-valued
+    16-bit integer blocks on the active fused split path."""
+    from libertem_tpu.udf.base import UDFRunner
+
+    prep = {
+        "fused": object(), "corr_plan": None,
+        "matmul_precision": jax.lax.Precision.HIGHEST,
+    }
+    small_u16 = np.full((4, 8), 200, np.uint16)
+    big_u16 = np.full((4, 8), 257, np.uint16)
+    small_i16 = np.full((4, 8), -200, np.int16)
+    deep_i16 = np.full((4, 8), -300, np.int16)
+    f32 = np.full((4, 8), 1.5, np.float32)
+    u8 = np.full((4, 8), 5, np.uint8)
+    t = UDFRunner._block_data_terms
+    assert t(prep, small_u16) == 1
+    assert t(prep, big_u16) is None
+    assert t(prep, small_i16) == 1
+    assert t(prep, deep_i16) is None
+    assert t(prep, f32) is None      # cannot certify cheaply
+    assert t(prep, u8) is None       # already one term by dtype
+    # gates: corrections change values on device; native precision
+    # runs single-pass anyway; non-fused path has no split kernel
+    assert t({**prep, "corr_plan": object()}, small_u16) is None
+    assert t({**prep, "matmul_precision": None}, small_u16) is None
+    assert t({**prep, "fused": None}, small_u16) is None
+
+
+def test_engine_value_specialized_run(lt_ctx):
+    """End-to-end: the single-device loop threads the per-block
+    certificate through the jitted step (static arg) — results match
+    a run on data that defeats the certificate."""
+    from libertem_tpu import masks as mask_lib
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+    from libertem_tpu.udf import ApplyMasksUDF, SumUDF
+
+    ctx = lt_ctx
+    rng = np.random.default_rng(22)
+    small = rng.poisson(5.0, (4, 4, 16, 16)).astype(np.uint16)
+    mixed = small.copy()
+    mixed[0, 0, 0, 0] = 40000  # one hot pixel defeats the certificate
+    for data in (small, mixed):
+        ds = MemoryDataSet(data=data, sig_dims=2).initialize()
+        udfs = [
+            ApplyMasksUDF(mask_factories=[
+                lambda: mask_lib.circular(8, 8, 16, 16, 5),
+            ]),
+            SumUDF(),
+        ]
+        res = ctx.run_udf(ds, udfs)
+        exp_int = (
+            data.reshape(-1, 256).astype(np.float64)
+            @ mask_lib.circular(8, 8, 16, 16, 5).reshape(-1)
+        )
+        got = np.asarray(
+            res[0]["intensity"].data
+        ).reshape(-1)
+        assert np.allclose(got, exp_int, rtol=1e-5)
+        assert np.allclose(
+            np.asarray(res[1]["intensity"].data),
+            data.reshape(-1, 16, 16).sum(axis=0), rtol=1e-5,
+        )
+
+
 def test_fused_dispatch_split_eligibility():
     """Dispatch contract: at Precision.HIGHEST the split path covers
     narrow ints AND f32; i32/f64 stay on XLA (would need 4 byte
