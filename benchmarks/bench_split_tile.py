@@ -25,6 +25,12 @@ N_PIX = 128 * 128
 N_BLOCKS = int(os.environ.get('BT_BLOCKS', 8))
 N_MASKS = 6
 REPEATS = int(os.environ.get('BT_REPEATS', 40))
+# BT_DATA_TERMS=1 sweeps the value-specialized one-term path
+# (Poisson(8) fixture values are < 256, so the certificate holds)
+DATA_TERMS = (
+    int(os.environ['BT_DATA_TERMS'])
+    if os.environ.get('BT_DATA_TERMS') else None
+)
 
 
 def main():
@@ -61,6 +67,7 @@ def main():
                 y, cs, cv = moments._fused_moments_pallas(
                     blk, masks_t, valid, precision=None,
                     split_matmul=True, mxu_colsum=mxu_colsum,
+                    data_terms=DATA_TERMS,
                 )
                 return carry + y.sum() + cs.sum() + cv.sum(), None
 

@@ -89,7 +89,7 @@ def _cast_f32(x):
     jax.jit,
     static_argnames=(
         "compute_var", "interpret", "precision", "split_matmul",
-        "mxu_colsum", "data_terms",
+        "mxu_colsum", "data_terms", "raw_moment_var",
     ),
 )
 def _fused_moments_pallas(
@@ -97,6 +97,7 @@ def _fused_moments_pallas(
     interpret: bool = False, precision=None,
     split_matmul: bool = False, mxu_colsum: bool = False,
     data_terms: Optional[int] = None,
+    raw_moment_var: Optional[bool] = None,
 ):
     """Pallas TPU implementation.  x: (D, P) any real dtype,
     masks_t: (M, P) f32 — transposed so the contraction runs along
@@ -134,6 +135,30 @@ def _fused_moments_pallas(
         budget=budget_mb * 1024 * 1024,
     )
     n_steps = depth // td
+
+    kind = np.dtype(x.dtype).kind
+    nterms = data_terms
+    if nterms is None:
+        if kind in "ui" and itemsize == 1:
+            nterms = 1
+        elif kind in "ui":
+            nterms = 2
+        else:
+            nterms = 3
+    # one-term INTEGER data (u8 by dtype, or value-certified
+    # |x| <= 256) has exact f32 squares (x^2 <= 65536, an exact
+    # integer) and an exact per-tile raw second moment
+    # (sum <= td * 2^16 < 2^24 for td <= 256): the variance can use
+    # sum(x^2) - n*mean^2 per tile — dropping the centered subtract
+    # (1 VPU op/element), the row-validity iota/compare/mask AND the
+    # lax.cond (padded zero rows contribute exactly 0 to both S2 and
+    # colsum, so no masking is needed at all).  Cross-tile Chan
+    # combination is unchanged, so there is no global raw-moment
+    # cancellation — only the per-tile n*mean^2 rounding (~ulp(S2)
+    # per tile, zero for constant data since mean is then exact).
+    raw_sq = raw_moment_var
+    if raw_sq is None:
+        raw_sq = nterms == 1 and kind in "ui" and td <= 256
 
     def kernel(valid_ref, x_ref, masks_ref, y_ref, colsum_ref,
                colvar_ref):
@@ -186,15 +211,6 @@ def _fused_moments_pallas(
                     preferred_element_type=jnp.float32,
                 )
 
-            kind = np.dtype(x.dtype).kind
-            nterms = data_terms
-            if nterms is None:
-                if kind in "ui" and itemsize == 1:
-                    nterms = 1
-                elif kind in "ui":
-                    nterms = 2
-                else:
-                    nterms = 3
             if nterms == 1:
                 terms = [xt]
             else:
@@ -253,31 +269,47 @@ def _fused_moments_pallas(
         n0 = jnp.minimum(d * td, valid).astype(jnp.float32)
 
         if compute_var:
-            # two-pass over the VMEM-resident tile; the row-validity
-            # mask only matters on the tile containing the valid
-            # boundary — interior (fully valid) tiles take the
-            # cheaper unmasked branch (saves the iota compare + the
-            # mask multiply per element on every tile but one)
             local_mean = local_sum / jnp.maximum(n1, 1.0)
-
-            def _var_full(_):
-                diff = xt - local_mean
-                return jnp.sum(diff * diff, axis=0, keepdims=True)
-
-            def _var_masked(_):
-                row_ids = (
-                    d * td
-                    + jax.lax.broadcasted_iota(
-                        jnp.int32, (td, 1), 0
-                    )
+            if raw_sq:
+                # exact-integer raw second moment (see raw_sq above):
+                # no subtract, no validity mask, no cond — padded
+                # zero rows contribute exactly 0; converted to the
+                # centered per-tile sum for the Chan combine below
+                s2 = jnp.sum(xt * xt, axis=0, keepdims=True)
+                local_var = jnp.maximum(
+                    s2 - n1 * local_mean * local_mean, 0.0
                 )
-                row_valid = (row_ids < valid).astype(jnp.float32)
-                diff = (xt - local_mean) * row_valid
-                return jnp.sum(diff * diff, axis=0, keepdims=True)
+            else:
+                # two-pass over the VMEM-resident tile; the
+                # row-validity mask only matters on the tile
+                # containing the valid boundary — interior (fully
+                # valid) tiles take the cheaper unmasked branch
+                # (saves the iota compare + the mask multiply per
+                # element on every tile but one)
+                def _var_full(_):
+                    diff = xt - local_mean
+                    return jnp.sum(
+                        diff * diff, axis=0, keepdims=True
+                    )
 
-            local_var = jax.lax.cond(
-                (d + 1) * td <= valid, _var_full, _var_masked, 0
-            )
+                def _var_masked(_):
+                    row_ids = (
+                        d * td
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (td, 1), 0
+                        )
+                    )
+                    row_valid = (
+                        row_ids < valid
+                    ).astype(jnp.float32)
+                    diff = (xt - local_mean) * row_valid
+                    return jnp.sum(
+                        diff * diff, axis=0, keepdims=True
+                    )
+
+                local_var = jax.lax.cond(
+                    (d + 1) * td <= valid, _var_full, _var_masked, 0
+                )
 
         @pl.when(d == 0)
         def _():

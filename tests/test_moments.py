@@ -200,10 +200,11 @@ def test_split_matmul_corrected_f32():
 
 def test_split_matmul_data_terms_bit_identical():
     """The value-specialized one-term path (u16 counting data with
-    values <= 256 — every element exactly bf16-representable) must be
-    BIT-IDENTICAL to the two-term dtype-derived path: the dropped
-    residual term is exactly zero, so dropping its MXU pass changes
-    nothing but speed."""
+    values <= 256 — every element exactly bf16-representable) must
+    produce BIT-IDENTICAL projections and colsum vs the two-term
+    dtype-derived path: the dropped residual term is exactly zero.
+    The variance switches to the exact-integer raw-moment form —
+    different association, same f32 grade (checked vs float64)."""
     rng = np.random.default_rng(21)
     depth, n_pix, M = 64, 512, 4
     x = rng.poisson(8.0, (depth, n_pix)).astype(np.uint16)
@@ -220,12 +221,61 @@ def test_split_matmul_data_terms_bit_identical():
         jnp.asarray(xz), jnp.asarray(masks), valid,
         interpret=True, split_matmul=True, data_terms=1,
     )
-    for a, b in zip(out1, out2):
-        assert np.array_equal(np.asarray(a), np.asarray(b))
-    # and both exact vs float64
+    assert np.array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    assert np.array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+    # and all outputs f32-exact vs float64
     exp = xz.astype(np.float64) @ masks.astype(np.float64).T
     assert np.allclose(np.asarray(out1[0], np.float64), exp,
                        rtol=1e-6, atol=1e-4)
+    xv = xz[:depth - 3].astype(np.float64)
+    ref_var = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
+    assert np.allclose(np.asarray(out1[2], np.float64), ref_var,
+                       rtol=1e-5, atol=1e-3)
+
+
+def test_raw_moment_var_constant_data_exact():
+    """The raw-moment variance path is EXACT for constant blocks
+    (mean is exact, x^2 exact, the subtraction cancels to 0) — the
+    pathological case where global raw-moment variance catastrophically
+    cancels; the per-tile + Chan form must return exactly 0."""
+    depth, n_pix, M = 64, 512, 2
+    x = np.full((depth, n_pix), 256, np.uint16)
+    masks = np.ones((M, n_pix), np.float32)
+    _, _, cv = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), jnp.int32(depth),
+        interpret=True, split_matmul=True, data_terms=1,
+    )
+    assert np.all(np.asarray(cv) == 0.0)
+    # u8 input takes the raw-moment path by dtype (native or split)
+    xu8 = np.full((depth, n_pix), 200, np.uint8)
+    _, _, cv8 = _fused_moments_pallas(
+        jnp.asarray(xu8), jnp.asarray(masks), jnp.int32(depth),
+        interpret=True,
+    )
+    assert np.all(np.asarray(cv8) == 0.0)
+
+
+def test_raw_moment_var_multi_tile_boundary(monkeypatch):
+    """Raw-moment variance across MULTIPLE row tiles (Chan combine)
+    with the valid boundary inside a tile: padded zero rows must
+    contribute exactly nothing without any mask."""
+    monkeypatch.setenv("LIBERTEM_TPU_MOMENTS_TILE_MB", "1")
+    rng = np.random.default_rng(23)
+    depth, n_pix, M = 256, 4096, 3
+    valid = 173  # boundary mid-tile (td=64 at this shape/budget)
+    x = rng.poisson(40.0, (depth, n_pix)).astype(np.uint16)
+    assert x.max() <= 256
+    x[valid:] = 0
+    masks = rng.random((M, n_pix)).astype(np.float32)
+    _, cs, cv = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), jnp.int32(valid),
+        interpret=True, split_matmul=True, data_terms=1,
+    )
+    xv = x[:valid].astype(np.float64)
+    assert np.allclose(np.asarray(cs), xv.sum(axis=0), rtol=1e-6)
+    ref_var = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
+    assert np.allclose(np.asarray(cv, np.float64), ref_var,
+                       rtol=1e-5, atol=1e-2)
 
 
 def test_block_data_terms_probe():
