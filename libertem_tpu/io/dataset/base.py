@@ -49,6 +49,18 @@ class DataSetMeta:
         self.raw_dtype = np.dtype(self.raw_dtype)
         if self.image_count is None:
             self.image_count = self.shape.nav.size
+        # reference parity (io/dataset/base/dataset.py:74): an offset
+        # at or past the frame count would select nothing but zeros —
+        # a configuration error, not a valid sync.  image_count == 0
+        # (header-only in-progress acquisition) stays permissive.
+        if self.image_count and not (
+            -self.image_count < self.sync_offset < self.image_count
+        ):
+            raise DataSetException(
+                f"sync_offset should be in ({-self.image_count}, "
+                f"{self.image_count}), which is "
+                "(-image_count, image_count)"
+            )
 
 
 @dataclass

@@ -233,3 +233,67 @@ def test_matrix(lt_ctx, built, fmt, cell):
     res = lt_ctx.run_udf(ds, udf, roi=roi, corrections=corrections)
     seen = res["seen"].raw_data
     assert (seen == 1.0).all(), f"{fmt}/{cell}: frames not validated"
+
+
+@pytest.mark.parametrize("nav", [(12,), (2, 6), (2, 2, 3)])
+@pytest.mark.parametrize("fmt", sorted(MAKERS))
+def test_matrix_reshape_nav(lt_ctx, built, fmt, nav):
+    """nav_shape override reshapes the scan grid without changing
+    the flat frame order (reference: every format's test_reshape —
+    e.g. tests/io/datasets/test_seq.py)."""
+    loader, kwargs, flat = built(fmt)
+    if "nav_shape" not in kwargs:
+        pytest.skip("nav shape comes from the file for this format")
+    n = len(flat)
+    if int(np.prod(nav)) != n:
+        pytest.skip("fixture frame count mismatch")
+    kwargs = dict(kwargs)
+    kwargs["nav_shape"] = nav
+    ds = lt_ctx.load(loader, **kwargs)
+    assert tuple(ds.shape.nav) == nav
+    udf = ValidationUDF(
+        ref_flat=flat.astype(np.float64), rtol=1e-6
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    assert (res["seen"].raw_data == 1.0).all()
+    # result buffers take the overridden nav shape
+    from libertem_tpu.udf import SumSigUDF
+    r2 = lt_ctx.run_udf(ds, SumSigUDF())
+    assert r2["intensity"].data.shape == nav
+
+
+@pytest.mark.parametrize("sync", [12, -12, 40])
+@pytest.mark.parametrize("fmt", ["raw", "seq", "mib"])
+def test_matrix_sync_offset_out_of_range(lt_ctx, built, fmt, sync):
+    """|sync_offset| >= image_count is a configuration error, not a
+    valid sync: loud DataSetException (reference:
+    io/dataset/base/dataset.py:74 get_sync_offset_info)."""
+    from libertem_tpu.io.dataset.base import DataSetException
+
+    loader, kwargs, flat = built(fmt)
+    kwargs = dict(kwargs)
+    kwargs["sync_offset"] = sync
+    with pytest.raises(DataSetException, match="sync_offset"):
+        ds = lt_ctx.load(loader, **kwargs)
+        # some loaders defer meta construction to initialize()
+        ds.initialize()
+
+
+@pytest.mark.parametrize("fmt", sorted(MAKERS))
+def test_matrix_dataset_pickles_small(lt_ctx, built, fmt):
+    """Datasets pickle (executors ship them to workers) and stay
+    small — no file payload baked in (reference: each format's
+    test_pickle asserts the same via pickle round trip)."""
+    import pickle
+
+    loader, kwargs, flat = built(fmt)
+    ds = lt_ctx.load(loader, **kwargs)
+    blob = pickle.dumps(ds)
+    assert len(blob) < 512 * 1024, f"{fmt}: {len(blob)} bytes"
+    ds2 = pickle.loads(blob)
+    assert tuple(ds2.shape) == tuple(ds.shape)
+    udf = ValidationUDF(
+        ref_flat=flat.astype(np.float64), rtol=1e-6
+    )
+    res = lt_ctx.run_udf(ds2, udf)
+    assert (res["seen"].raw_data == 1.0).all()
