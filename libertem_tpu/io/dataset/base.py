@@ -63,6 +63,26 @@ class DataSetMeta:
             )
 
 
+def resolve_sig_override(sig_shape, native) -> tuple:
+    """Reference ``sig_shape`` semantics: ``None`` keeps the file's
+    native frame shape; any other factorization of the SAME pixel
+    count re-interprets the frame row-major (free view — the readers
+    stay native, Partition._to_sig reshapes); a product mismatch is
+    the reference's exact error (e.g. reference blo.py:174
+    'sig_shape must be of size: N')."""
+    native = tuple(int(s) for s in native)
+    if sig_shape is None:
+        return native
+    sig = tuple(int(s) for s in sig_shape)
+    if sig == native:
+        return native
+    if int(np.prod(sig)) != int(np.prod(native)):
+        raise DataSetException(
+            f"sig_shape must be of size: {int(np.prod(native))}"
+        )
+    return sig
+
+
 @dataclass
 class Block:
     """One fixed-shape chunk of frames headed for the device.
@@ -150,6 +170,17 @@ class Partition:
         """
         raise NotImplementedError()
 
+    def _to_sig(self, arr: np.ndarray) -> np.ndarray:
+        """Frames leave ``_read_raw_frames`` in the file's NATIVE sig
+        shape; a user ``sig_shape`` override re-factorizes the same
+        pixels (row-major, product-checked by the loader — a free
+        view, reference semantics e.g. blo.py:174 'sig_shape must be
+        of size')."""
+        sig = tuple(self.meta.shape.sig)
+        if arr.shape[1:] != sig:
+            arr = arr.reshape((arr.shape[0],) + sig)
+        return arr
+
     def read_dataset_frames(self, start: int, stop: int) -> np.ndarray:
         """Read *dataset-space* frames [start, stop), honoring
         sync_offset (reference: dataset.py:70): data index = ds index +
@@ -162,10 +193,12 @@ class Partition:
         c0 = max(0, min(self.meta.image_count, d0))
         c1 = max(0, min(self.meta.image_count, d1))
         if c0 == d0 and c1 == d1:
-            return self._read_raw_frames(d0, d1)
+            return self._to_sig(self._read_raw_frames(d0, d1))
         out = np.zeros((n,) + sig, dtype=self.meta.raw_dtype)
         if c1 > c0:
-            out[c0 - d0:c1 - d0] = self._read_raw_frames(c0, c1)
+            out[c0 - d0:c1 - d0] = self._to_sig(
+                self._read_raw_frames(c0, c1)
+            )
         return out
 
     def read_selected_frames(self, ids: np.ndarray) -> np.ndarray:
@@ -188,9 +221,9 @@ class Partition:
         starts = np.concatenate(([0], breaks))
         stops = np.concatenate((breaks, [len(ids)]))
         for a, b in zip(starts, stops):
-            out[a:b] = self._read_raw_frames(
+            out[a:b] = self._to_sig(self._read_raw_frames(
                 int(ids[a]), int(ids[b - 1]) + 1
-            )
+            ))
         return out
 
     def _read_selected_with_offset(self, ids: np.ndarray) -> np.ndarray:

@@ -19,6 +19,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 MAGIC_EXPECT = (258, 259)
@@ -106,13 +107,7 @@ class BloDataSet(DataSet):
                 f"unexpected blo magic {int(h['MAGIC'])}"
             )
         dp_sz = int(h["DP_SZ"])
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != (dp_sz, dp_sz):
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the file's frame size {(dp_sz, dp_sz)}"
-            )
+        sig = resolve_sig_override(self._sig_shape, (dp_sz, dp_sz))
         nav_shape = self._nav_shape or (int(h["NY"]), int(h["NX"]))
         self._data_offset = int(h["Data_offset_2"])
         self._dp_sz = dp_sz
@@ -123,7 +118,7 @@ class BloDataSet(DataSet):
         )
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + (dp_sz, dp_sz), sig_dims=2
+                tuple(nav_shape) + sig, sig_dims=len(sig)
             ),
             raw_dtype=np.dtype(np.uint8),
             sync_offset=self._sync_offset,

@@ -32,6 +32,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 _SIMPLE_SIZES = {
@@ -266,9 +267,10 @@ class SingleDMDataSet(DataSet):
                 "force_c_order=True if the metadata is wrong"
             )
         shape = info["shape"]
-        sig_shape = self._sig_shape or shape[
-            len(shape) - self._sig_dims:
-        ]
+        sig_shape = resolve_sig_override(
+            self._sig_shape,
+            shape[len(shape) - self._sig_dims:],
+        )
         nav_shape = self._nav_shape or shape[
             :len(shape) - self._sig_dims
         ]

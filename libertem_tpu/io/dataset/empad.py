@@ -18,6 +18,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 DETECTOR_SIZE = (128, 128)
@@ -82,11 +83,9 @@ class EMPADDataSet(DataSet):
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape or scan_size or ())
-        if sig_shape is not None and tuple(sig_shape) != DETECTOR_SIZE:
-            raise DataSetException(
-                f"sig_shape {tuple(sig_shape)} does not match the "
-                f"EMPAD detector size {DETECTOR_SIZE}"
-            )
+        self._sig_override = resolve_sig_override(
+            sig_shape, DETECTOR_SIZE
+        )
         self._sync_offset = int(sync_offset)
 
     def initialize(self, executor=None) -> "EMPADDataSet":
@@ -103,7 +102,8 @@ class EMPADDataSet(DataSet):
             nav_shape = (image_count,)
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + DETECTOR_SIZE, sig_dims=2
+                tuple(nav_shape) + self._sig_override,
+                sig_dims=len(self._sig_override),
             ),
             raw_dtype=np.dtype(np.float32),
             sync_offset=self._sync_offset,

@@ -27,6 +27,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 FILE_HEADER_SIZE = 1024
@@ -151,14 +152,10 @@ class FRMS6DataSet(DataSet):
         self._dark_file = dark_file
         h0 = read_frms6_header(data_files[0])
         self._stored = (h0["height"], h0["width"])
-        sig_shape = (2 * h0["height"], h0["width"] // 2)
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != sig_shape:
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the unfolded frame size {sig_shape}"
-            )
+        sig_shape = resolve_sig_override(
+            self._sig_shape,
+            (2 * h0["height"], h0["width"] // 2),
+        )
         self._files = []
         first = 0
         for f in data_files:
@@ -174,7 +171,10 @@ class FRMS6DataSet(DataSet):
                 else (image_count,)
             )
         self._meta = DataSetMeta(
-            shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
+            shape=Shape(
+                tuple(nav_shape) + sig_shape,
+                sig_dims=len(sig_shape),
+            ),
             raw_dtype=np.dtype(np.uint16),
             sync_offset=self._sync_offset,
             image_count=image_count,
@@ -192,7 +192,7 @@ class FRMS6DataSet(DataSet):
             frames = part._read_raw_frames(0, h["num_frames"])
             dark = frames.astype(np.float64).mean(axis=0).astype(
                 np.float32
-            )
+            ).reshape(tuple(self.meta.shape.sig))  # sig override
         if self._gain_map_path and os.path.exists(
             self._gain_map_path
         ):

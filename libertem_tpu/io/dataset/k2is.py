@@ -325,7 +325,10 @@ class K2ISDataSet(DataSet):
                 )
             sig_shape = tuple(self._sig_shape)
         self._meta = DataSetMeta(
-            shape=Shape(tuple(nav_shape) + sig_shape, sig_dims=2),
+            shape=Shape(
+                tuple(nav_shape) + sig_shape,
+                sig_dims=len(sig_shape),
+            ),
             raw_dtype=np.dtype(np.uint16),
             sync_offset=self._sync_offset,
             image_count=image_count,

@@ -18,6 +18,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 MRC_MODES = {
@@ -88,19 +89,14 @@ class MRCDataSet(DataSet):
 
     def initialize(self, executor=None) -> "MRCDataSet":
         h = read_mrc_header(self._path)
-        sig_shape = (h["ny"], h["nx"])
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != sig_shape:
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the file's frame size {sig_shape}"
-            )
+        sig = resolve_sig_override(
+            self._sig_shape, (h["ny"], h["nx"])
+        )
         nav_shape = self._nav_shape or (h["nz"],)
         self._h = h
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + sig_shape, sig_dims=2
+                tuple(nav_shape) + sig, sig_dims=len(sig)
             ),
             raw_dtype=h["dtype"],
             sync_offset=self._sync_offset,

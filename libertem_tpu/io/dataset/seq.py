@@ -24,6 +24,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 _HEADER_STRUCT = "<L24sll512sLLLLLLLLLdlLLLlllLlHH"
@@ -107,14 +108,9 @@ class SEQDataSet(DataSet):
                 "(packed 10/12-bit and color formats are not "
                 "supported)"
             )
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != (h["height"], h["width"]):
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the file's frame size "
-                f"{(h['height'], h['width'])}"
-            )
+        sig = resolve_sig_override(
+            self._sig_shape, (h["height"], h["width"])
+        )
         self._h = h
         filesize = os.path.getsize(self._path)
         image_count = (
@@ -125,8 +121,8 @@ class SEQDataSet(DataSet):
         nav_shape = self._nav_shape or (image_count,)
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + (h["height"], h["width"]),
-                sig_dims=2,
+                tuple(nav_shape) + sig,
+                sig_dims=len(sig),
             ),
             raw_dtype=np.dtype(f"<u{bpx}"),
             sync_offset=self._sync_offset,

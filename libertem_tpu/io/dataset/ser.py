@@ -21,6 +21,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 SER_DTYPES = {
@@ -127,13 +128,9 @@ class SERDataSet(DataSet):
 
     def initialize(self, executor=None) -> "SERDataSet":
         idx = read_ser_index(self._path)
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != tuple(idx["sig_shape"]):
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the file's frame size {tuple(idx['sig_shape'])}"
-            )
+        sig = resolve_sig_override(
+            self._sig_shape, idx["sig_shape"]
+        )
         self._index = idx
         image_count = len(idx["offsets"])
         nav_shape = self._nav_shape
@@ -145,7 +142,7 @@ class SERDataSet(DataSet):
             )
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + idx["sig_shape"], sig_dims=2
+                tuple(nav_shape) + sig, sig_dims=len(sig)
             ),
             raw_dtype=idx["dtype"],
             sync_offset=self._sync_offset,

@@ -22,6 +22,7 @@ from .base import (
     DataSetException,
     DataSetMeta,
     Partition,
+    resolve_sig_override,
 )
 
 SERIES_HEADER_SIZE = 256
@@ -126,13 +127,9 @@ class TVIPSDataSet(DataSet):
     def initialize(self, executor=None) -> "TVIPSDataSet":
         files = _series_files(self._path)
         h = read_tvips_header(files[0])
-        if self._sig_shape is not None and tuple(
-            self._sig_shape
-        ) != (h["ydim"], h["xdim"]):
-            raise DataSetException(
-                f"sig_shape {tuple(self._sig_shape)} does not match "
-                f"the file's frame size {(h['ydim'], h['xdim'])}"
-            )
+        sig = resolve_sig_override(
+            self._sig_shape, (h["ydim"], h["xdim"])
+        )
         self._h = h
         self._files = []
         first = 0
@@ -153,8 +150,8 @@ class TVIPSDataSet(DataSet):
             )
         self._meta = DataSetMeta(
             shape=Shape(
-                tuple(nav_shape) + (h["ydim"], h["xdim"]),
-                sig_dims=2,
+                tuple(nav_shape) + sig,
+                sig_dims=len(sig),
             ),
             raw_dtype=np.dtype(f"<u{h['bpp'] // 8}"),
             sync_offset=self._sync_offset,

@@ -262,6 +262,45 @@ def test_matrix_reshape_nav(lt_ctx, built, fmt, nav):
     assert r2["intensity"].data.shape == nav
 
 
+SIG_OVERRIDE_FMTS = (
+    "seq", "tvips", "blo", "empad", "frms6", "mib", "ser", "mrc",
+    "dm", "k2is",
+)
+
+
+@pytest.mark.parametrize("fmt", SIG_OVERRIDE_FMTS)
+def test_matrix_reshape_sig(lt_ctx, built, fmt):
+    """sig_shape override re-factorizes the frame pixels row-major
+    (reference semantics: 'sig_shape must be of size: N' on product
+    mismatch, e.g. reference blo.py:174); the flat pixel stream is
+    unchanged."""
+    loader, kwargs, flat = built(fmt)
+    n = len(flat)
+    native = flat.shape[1:]
+    n_pix = int(np.prod(native))
+    # a flat 1D sig and a (2, n_pix // 2) re-factorization
+    for sig in ((n_pix,), (2, n_pix // 2)):
+        if int(np.prod(sig)) != n_pix:
+            continue
+        kw = dict(kwargs)
+        kw["sig_shape"] = sig
+        ds = lt_ctx.load(loader, **kw)
+        assert tuple(ds.shape.sig) == sig
+        udf = ValidationUDF(
+            ref_flat=flat.reshape((n,) + sig).astype(np.float64),
+            rtol=1e-6,
+        )
+        res = lt_ctx.run_udf(ds, udf)
+        assert (res["seen"].raw_data == 1.0).all(), f"{fmt}/{sig}"
+    # product mismatch is the reference's exact error
+    from libertem_tpu.io.dataset.base import DataSetException
+    kw = dict(kwargs)
+    kw["sig_shape"] = (3, n_pix)
+    with pytest.raises(DataSetException, match="sig_shape"):
+        ds = lt_ctx.load(loader, **kw)
+        ds.initialize()
+
+
 @pytest.mark.parametrize("sync", [12, -12, 40])
 @pytest.mark.parametrize("fmt", ["raw", "seq", "mib"])
 def test_matrix_sync_offset_out_of_range(lt_ctx, built, fmt, sync):
