@@ -47,3 +47,95 @@ def get_pinned_device():
         if 0 <= idx < len(devices):
             return devices[idx]
     return None
+
+
+# -- complex-safe transfers ---------------------------------------------
+#
+# Some PJRT backends (notably the remote-TPU tunnel used during
+# development) raise UNIMPLEMENTED for complex64/128 H2D and D2H
+# transfers, while ON-DEVICE complex arithmetic works fine.  These
+# helpers move complex arrays across the boundary as two real planes
+# and recombine on the target side — a no-op-cost detour for real
+# dtypes, and the only way radial-Fourier/holography results reach the
+# host on such backends.
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_fn():
+    import jax
+
+    def combine(re, im):
+        return jax.lax.complex(re, im)
+
+    # no device pinning needed: the inputs are committed to the
+    # target device, so execution follows them (jit's device= kwarg
+    # is deprecated)
+    return jax.jit(combine)
+
+
+@functools.lru_cache(maxsize=None)
+def _split_fn():
+    import jax
+    import jax.numpy as jnp
+
+    def split(x):
+        return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+
+    return jax.jit(split)
+
+
+def device_put_safe(arr, device=None):
+    """``jax.device_put`` that ships complex arrays as two real
+    planes and recombines them ON DEVICE (see module comment)."""
+    import jax
+    import numpy as np
+
+    if not np.iscomplexobj(arr):
+        return jax.device_put(arr, device)
+    arr = np.asarray(arr)
+    re = jax.device_put(np.ascontiguousarray(arr.real), device)
+    im = jax.device_put(np.ascontiguousarray(arr.imag), device)
+    return _combine_fn()(re, im)
+
+
+def asarray_safe(arr):
+    """``np.asarray`` for device arrays that fetches complex values
+    as a stacked real/imag plane pair (see module comment)."""
+    import numpy as np
+
+    if isinstance(arr, np.ndarray) or not hasattr(arr, "dtype"):
+        return np.asarray(arr)
+    if np.issubdtype(np.dtype(arr.dtype), np.complexfloating):
+        host = np.asarray(_split_fn()(arr))
+        return (host[..., 0] + 1j * host[..., 1]).astype(arr.dtype)
+    return np.asarray(arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _zeros_fn():
+    import jax
+
+    def zeros(re):
+        return jax.lax.complex(re, re)
+
+    return jax.jit(zeros)
+
+
+def device_zeros_safe(shape, dtype, device=None):
+    """On-device zeros; complex dtypes are BUILT on device from a
+    real zero plane.  ``jnp.zeros`` of a complex dtype outside jit
+    materializes host zeros and transfers them, which complex-
+    transfer-less backends reject (observed: it HANGS the remote-TPU
+    tunnel, it does not even error)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dt = np.dtype(dtype)
+    if dt.kind != "c":
+        return jax.device_put(jnp.zeros(shape, dtype=dt), device)
+    f = jnp.float32 if dt == np.complex64 else jnp.float64
+    re = jax.device_put(jnp.zeros(shape, dtype=f), device)
+    return _zeros_fn()(re)

@@ -47,6 +47,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..common.backend import (
+    asarray_safe,
+    device_put_safe,
+    device_zeros_safe,
+)
 from ..common.buffers import (
     AuxBufferWrapper,
     BufferWrapper,
@@ -815,9 +820,7 @@ class UDFRunner:
                     # crash under multi-host jax.distributed where
                     # devices[0] may be non-addressable
                     if device is not None:
-                        entry[k] = jax.device_put(
-                            jnp.asarray(data), device
-                        )
+                        entry[k] = device_put_safe(data, device)
                     else:
                         entry[k] = data
                     host_entry[k] = data
@@ -859,13 +862,13 @@ class UDFRunner:
                 for name in entry.nav_names:
                     b = entry.decls[name]
                     shape = (prep["n_nav"] + depth,) + b.extra_shape
-                    bufs[name] = jax.device_put(
-                        jnp.zeros(shape, dtype=b.dtype), device
+                    bufs[name] = device_zeros_safe(
+                        shape, b.dtype, device
                     )
                 for name in entry.part_names:
                     b = entry.decls[name]
-                    bufs[name] = jax.device_put(
-                        jnp.zeros(b.shape, dtype=b.dtype), device
+                    bufs[name] = device_zeros_safe(
+                        b.shape, b.dtype, device
                     )
             state.append(bufs)
         return state
@@ -877,7 +880,7 @@ class UDFRunner:
             if not entry.host:
                 for name in entry.part_names:
                     b = entry.decls[name]
-                    bufs[name] = jnp.zeros(b.shape, dtype=b.dtype)
+                    bufs[name] = device_zeros_safe(b.shape, b.dtype)
             state.append(bufs)
         return state
 
@@ -1498,7 +1501,7 @@ class UDFRunner:
         for entry in prep["aux"]:
             for k, arr in entry.items():
                 if isinstance(arr, np.ndarray):
-                    entry[k] = jnp.asarray(arr)
+                    entry[k] = device_put_safe(arr)
 
     def _run_loop(self, prep, dataset, roi, progress, yield_partial):
         self._commit_aux_default(prep)
@@ -1631,7 +1634,7 @@ class UDFRunner:
                                 payload.shape[0], -1
                             )
                         dterms = self._block_data_terms(prep, payload)
-                        dev_block = jax.device_put(payload, device)
+                        dev_block = device_put_safe(payload, device)
                     dev = (
                         dev_block,
                         jnp.int32(block.global_offset),
@@ -2215,8 +2218,8 @@ class UDFRunner:
                 fn = jax.jit(lambda x: x, out_shardings=repl)
                 cls._reshard_cache[mesh] = fn
             arr = fn(arr)
-            return np.asarray(arr.addressable_shards[0].data)
-        return np.asarray(arr)
+            return asarray_safe(arr.addressable_shards[0].data)
+        return asarray_safe(arr)
 
     def _collapse_sharded(self, prep, state, bounds, shard_max,
                           fold=None):
@@ -2291,9 +2294,9 @@ class UDFRunner:
                 )
                 continue
             for name in entry.nav_names:
-                raw[name] = np.asarray(state[ui][name])[:n_nav]
+                raw[name] = asarray_safe(state[ui][name])[:n_nav]
             for name in entry.part_names:
-                raw[name] = np.asarray(state[ui][name])
+                raw[name] = asarray_safe(state[ui][name])
             all_buffers.append(
                 self._wrap_one(prep, entry, udf, raw, damage_host,
                                meta)
@@ -2324,7 +2327,7 @@ class UDFRunner:
                 if isinstance(value, ArrayWithMask):
                     custom_mask = value.mask
                     value = value.arr
-                data = np.asarray(value)
+                data = asarray_safe(value)
             elif decl.use == "result_only":
                 continue  # not produced
             else:

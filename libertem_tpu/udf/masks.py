@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -258,7 +259,29 @@ class ApplyMasksUDF(UDF):
         else:
             masks = self._operand()
         if jnp.iscomplexobj(masks) and not jnp.iscomplexobj(flat):
-            flat = flat.astype(masks.dtype)
+            # x @ (A + iB) == x@A + i*(x@B): one REAL matmul against
+            # the stacked [Re | Im] operand instead of materializing
+            # an 8-byte/px complex copy of the block (a complex
+            # matmul lowers to 4 real MXU passes, two of them against
+            # the known-zero imaginary part).  Radial Fourier is the
+            # big consumer (analysis/radialfourier.py).  Measured
+            # (benchmarks/bench_radial_fourier.py): 4x on CPU;
+            # on TPU equal-throughput in the sampled window but the
+            # complex matmul COMPILES 30x slower (101 s vs 3 s) —
+            # and, decisively, the real path needs no complex
+            # constants/transfers, which the dev tunnel's PJRT
+            # backend rejects.
+            m = masks.shape[1]
+            op = jnp.concatenate([masks.real, masks.imag], axis=1)
+            y = jnp.matmul(
+                flat.astype(op.dtype), op,
+                preferred_element_type=_acc_dtype(op.dtype),
+                precision=_mask_matmul_precision(),
+            )
+            self.results.intensity += jax.lax.complex(
+                y[:, :m], y[:, m:]
+            ).astype(self.results.intensity.dtype)
+            return
         if self.params.get("use_bf16") and not jnp.iscomplexobj(masks):
             # opt-in bf16 matmul inputs, f32 accumulation.  Precision
             # contract: bf16 keeps 8 mantissa bits, so projections are
@@ -269,7 +292,15 @@ class ApplyMasksUDF(UDF):
             flat = flat.astype(jnp.bfloat16)
             masks = masks.astype(jnp.bfloat16)
         self.results.intensity += jnp.matmul(
-            flat, masks, preferred_element_type=_acc_dtype(masks.dtype)
+            flat, masks,
+            preferred_element_type=_acc_dtype(masks.dtype),
+            # f32-grade products by default (the TPU's native matmul
+            # pass is bf16-class, ~1e-4 rel err); the bf16 opt-in
+            # path above manages its own precision contract
+            precision=(
+                None if flat.dtype == jnp.bfloat16
+                else _mask_matmul_precision()
+            ),
         ).astype(self.results.intensity.dtype)
 
     def _operand_dtype(self):
@@ -342,6 +373,17 @@ class ApplyMasksUDF(UDF):
         operand = stack.reshape(stack.shape[0], -1).astype(np.float32)
         return {"mode": "masks", "operand": operand,
                 "name": "intensity"}
+
+
+def _mask_matmul_precision():
+    """Same env-controlled precision as the fused kernel
+    (ops/moments.py _matmul_precision): full-f32 MXU passes by
+    default, native bf16-class via
+    LIBERTEM_TPU_MATMUL_PRECISION=default.  Read at trace time —
+    the step is re-traced per run, so a flip takes effect at the
+    next run."""
+    from ..ops.moments import _matmul_precision
+    return _matmul_precision()
 
 
 def _acc_dtype(dtype):

@@ -643,3 +643,30 @@ def test_roi_empty_coordinate_list(lt_ctx, ds):
     res = lt_ctx.run_udf(ds, SumSigUDF(), roi=[])
     out = np.asarray(res["intensity"].data, dtype=np.float64)
     assert np.isnan(out).all()
+
+
+def test_complex_safe_transfer_helpers():
+    """Complex arrays cross the device boundary as real planes
+    (some PJRT backends — the dev tunnel — reject complex
+    transfers outright; see common/backend.py)."""
+    import numpy as np
+    from libertem_tpu.common.backend import (
+        asarray_safe, device_put_safe, device_zeros_safe,
+    )
+
+    a = (np.arange(12, dtype=np.float32)
+         + 1j * np.arange(12, dtype=np.float32)
+         ).astype(np.complex64).reshape(3, 4)
+    d = device_put_safe(a)
+    assert d.dtype == np.complex64
+    back = asarray_safe(d)
+    assert back.dtype == np.complex64
+    assert np.array_equal(back, a)
+    # complex128 truncates to complex64 without x64 — same as
+    # jnp.zeros under the default jax config
+    z = device_zeros_safe((2, 5), np.complex64)
+    zb = asarray_safe(z)
+    assert zb.dtype == np.complex64 and not zb.any()
+    # real dtypes pass straight through
+    r = asarray_safe(device_put_safe(np.ones(3, np.float32)))
+    assert r.dtype == np.float32 and (r == 1).all()
