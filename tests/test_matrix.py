@@ -158,8 +158,11 @@ CELLS = {
     "sync_plus": (2, None, False, None),
     "sync_minus": (-2, None, False, None),
     "roi_sparse": (0, "sparse", False, None),
+    "roi_single": (0, "single", False, None),
+    "roi_empty": (0, "empty", False, None),
     "roi_dense_corr": (0, "dense", True, None),
     "kitchen": (2, "sparse", True, None),
+    "kitchen_mmap": (-2, "dense", True, "mmap"),
     "mmap_backend": (0, None, False, "mmap"),
 }
 
@@ -186,7 +189,7 @@ def built(tmp_path_factory):
 @pytest.mark.parametrize("fmt", sorted(MAKERS))
 def test_matrix(lt_ctx, built, fmt, cell):
     sync, roi_kind, corr_on, backend = CELLS[cell]
-    if cell == "mmap_backend" and fmt in NO_BACKEND_CELL:
+    if backend is not None and fmt in NO_BACKEND_CELL:
         pytest.skip("no byte-range io backend for this reader")
     if fmt == "k2is" and abs(sync) > 1:
         sync = int(np.sign(sync))  # only 4 frames
@@ -213,6 +216,11 @@ def test_matrix(lt_ctx, built, fmt, cell):
     if roi_kind == "sparse":
         roi = np.zeros(n, dtype=bool)
         roi[[1, n // 2, n - 2]] = True
+    elif roi_kind == "single":
+        roi = np.zeros(n, dtype=bool)
+        roi[n // 2] = True
+    elif roi_kind == "empty":
+        roi = np.zeros(n, dtype=bool)
     elif roi_kind == "dense":
         rng = np.random.default_rng(3)
         roi = rng.random(n) > 0.45
@@ -232,6 +240,7 @@ def test_matrix(lt_ctx, built, fmt, cell):
     udf = ValidationUDF(ref_flat=expected, rtol=rtol)
     res = lt_ctx.run_udf(ds, udf, roi=roi, corrections=corrections)
     seen = res["seen"].raw_data
+    assert seen.shape[0] == len(expected), f"{fmt}/{cell}"
     assert (seen == 1.0).all(), f"{fmt}/{cell}: frames not validated"
 
 
