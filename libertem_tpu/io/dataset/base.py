@@ -45,6 +45,13 @@ class DataSetMeta:
     # zero-fill instead of short-read-erroring.
     image_count: Optional[int] = None
 
+    @property
+    def native_dtype(self) -> np.dtype:
+        """``raw_dtype`` in native byte order — what frames actually
+        carry after the read boundary's byteswap (jax rejects
+        non-native dtypes)."""
+        return np.dtype(self.raw_dtype.newbyteorder("="))
+
     def __post_init__(self):
         self.raw_dtype = np.dtype(self.raw_dtype)
         if self.image_count is None:
@@ -175,7 +182,13 @@ class Partition:
         shape; a user ``sig_shape`` override re-factorizes the same
         pixels (row-major, product-checked by the loader — a free
         view, reference semantics e.g. blo.py:174 'sig_shape must be
-        of size')."""
+        of size').  Non-native byte order (e.g. a big-endian raw
+        file) is swapped to native here — the device feed and jax
+        require native buffers (the reference's Decoder byteswap
+        case, io/dataset/base/decode.py:8; C++ kernel
+        native/decode.cpp byteswap16/32)."""
+        from ...native import byteswap
+        arr = byteswap(arr)
         sig = tuple(self.meta.shape.sig)
         if arr.shape[1:] != sig:
             arr = arr.reshape((arr.shape[0],) + sig)
@@ -194,7 +207,7 @@ class Partition:
         c1 = max(0, min(self.meta.image_count, d1))
         if c0 == d0 and c1 == d1:
             return self._to_sig(self._read_raw_frames(d0, d1))
-        out = np.zeros((n,) + sig, dtype=self.meta.raw_dtype)
+        out = np.zeros((n,) + sig, dtype=self.meta.native_dtype)
         if c1 > c0:
             out[c0 - d0:c1 - d0] = self._to_sig(
                 self._read_raw_frames(c0, c1)
@@ -214,7 +227,7 @@ class Partition:
         """
         ids = np.asarray(ids, dtype=np.int64)
         sig = tuple(self.meta.shape.sig)
-        out = np.empty((len(ids),) + sig, dtype=self.meta.raw_dtype)
+        out = np.empty((len(ids),) + sig, dtype=self.meta.native_dtype)
         if not len(ids):
             return out
         breaks = np.flatnonzero(np.diff(ids) != 1) + 1
@@ -236,7 +249,7 @@ class Partition:
         ok = (stored >= 0) & (stored < self.meta.image_count)
         if ok.all():
             return self.read_selected_frames(stored)
-        out = np.zeros((len(ids),) + sig, dtype=self.meta.raw_dtype)
+        out = np.zeros((len(ids),) + sig, dtype=self.meta.native_dtype)
         if ok.any():
             out[ok] = self.read_selected_frames(stored[ok])
         return out

@@ -182,3 +182,33 @@ def decode_uint12_le(raw: np.ndarray) -> np.ndarray:
     out[0::2] = triplets[:, 0] | ((triplets[:, 1] & 0x0F) << 8)
     out[1::2] = ((triplets[:, 1] & 0xF0) >> 4) | (triplets[:, 2] << 4)
     return out
+
+
+def byteswap(arr: np.ndarray) -> np.ndarray:
+    """Return ``arr`` in NATIVE byte order (the TPU feed and jax
+    require native-endian buffers; big-endian on-disk dtypes are the
+    reference's Decoder byteswap case, io/dataset/base/decode.py:8).
+
+    C++ fast path for 2/4-byte elements; numpy handles the rest.
+    Native input is returned unchanged (no copy).
+    """
+    dt = arr.dtype
+    if dt.isnative:
+        return arr
+    native = dt.newbyteorder("=")
+    lib = get_lib()
+    it = dt.itemsize
+    if lib is not None and it in (2, 4) and arr.flags.c_contiguous:
+        out = np.empty(arr.shape, dtype=native)
+        if it == 2:
+            lib.byteswap16(
+                _ptr(arr, ctypes.c_uint16),
+                _ptr(out, ctypes.c_uint16), arr.size,
+            )
+        else:
+            lib.byteswap32(
+                _ptr(arr, ctypes.c_uint32),
+                _ptr(out, ctypes.c_uint32), arr.size,
+            )
+        return out
+    return arr.astype(native)

@@ -654,7 +654,7 @@ class UDFRunner:
                 u.on_params_updated()
             u._prepared_sig_shape = sig_key
 
-        input_dtype = _get_input_dtype(udfs, meta0.raw_dtype)
+        input_dtype = _get_input_dtype(udfs, meta0.native_dtype)
         # keep device compute in f32/bf16/ints — f64 is emulated on TPU
         if input_dtype == np.float64:
             input_dtype = np.dtype(np.float32)
@@ -712,7 +712,7 @@ class UDFRunner:
 
         meta = UDFMeta(
             dataset_shape=meta0.shape,
-            dataset_dtype=meta0.raw_dtype,
+            dataset_dtype=meta0.native_dtype,
             input_dtype=input_dtype,
             roi=roi,
             tiling_scheme=scheme,
@@ -1772,7 +1772,7 @@ class UDFRunner:
         n_steps = max(1, -(-shard_max // depth))
 
         def read_ds_range(lo, hi):
-            out = np.zeros((hi - lo,) + sig, dtype=meta0.raw_dtype)
+            out = np.zeros((hi - lo,) + sig, dtype=meta0.native_dtype)
             for p in partitions:
                 s = max(lo, p.start_frame)
                 e = min(hi, p.start_frame + p.num_frames)
@@ -1785,7 +1785,7 @@ class UDFRunner:
             path where partitions support it (sparse rois on the
             sharded executor otherwise read whole covering spans —
             the same optimization gen_blocks applies)."""
-            out = np.zeros((len(chunk),) + sig, dtype=meta0.raw_dtype)
+            out = np.zeros((len(chunk),) + sig, dtype=meta0.native_dtype)
             for p in partitions:
                 lo_p = p.start_frame
                 hi_p = p.start_frame + p.num_frames
@@ -1937,7 +1937,7 @@ class UDFRunner:
                 blk = np.zeros(
                     (n_dev, depth, n_pix) if flat_feed
                     else (n_dev, depth) + sig,
-                    dtype=meta0.raw_dtype,
+                    dtype=meta0.native_dtype,
                 )
                 loffs = np.zeros(n_dev, dtype=np.int32)
                 goffs = np.zeros(n_dev, dtype=np.int32)

@@ -345,3 +345,45 @@ def test_matrix_dataset_pickles_small(lt_ctx, built, fmt):
     )
     res = lt_ctx.run_udf(ds2, udf)
     assert (res["seen"].raw_data == 1.0).all()
+
+
+BIG_ENDIAN_DTYPES = (">u2", ">i2", ">u4", ">i4", ">f4", ">f8", ">u8")
+
+
+@pytest.mark.parametrize("dt", BIG_ENDIAN_DTYPES)
+def test_matrix_big_endian_raw(lt_ctx, tmp_path, dt):
+    """Big-endian on-disk dtypes byteswap to native at the read
+    boundary (reference: Decoder byteswap kernels,
+    io/dataset/base/decode.py:8; here native/decode.cpp
+    byteswap16/32 via Partition._to_sig)."""
+    data = _mk_random(
+        (6, 8, 8), dtype=np.dtype(dt).newbyteorder("=")
+    ).astype(dt)
+    path = str(tmp_path / "be.raw")
+    data.tofile(path)
+    ds = lt_ctx.load(
+        "raw", path=path, dtype=dt,
+        nav_shape=(2, 3), sig_shape=(8, 8),
+    )
+    assert ds.meta.native_dtype.isnative
+    udf = ValidationUDF(ref_flat=data.astype(np.float64))
+    res = lt_ctx.run_udf(ds, udf)
+    assert (res["seen"].raw_data == 1.0).all()
+    from libertem_tpu.udf import SumUDF
+    r2 = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        r2["intensity"].data, data.astype(np.float64).sum(axis=0),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_matrix_big_endian_npy(lt_ctx, tmp_path):
+    data = _mk_random((2, 3, 8, 8), dtype="float32").astype(">f4")
+    path = str(tmp_path / "be.npy")
+    np.save(path, data)
+    ds = lt_ctx.load("npy", path=path)
+    udf = ValidationUDF(
+        ref_flat=data.reshape(-1, 8, 8).astype(np.float64)
+    )
+    res = lt_ctx.run_udf(ds, udf)
+    assert (res["seen"].raw_data == 1.0).all()
