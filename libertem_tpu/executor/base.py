@@ -109,14 +109,35 @@ class JobExecutor:
         ])
 
     def get_resource_details(self) -> list:
-        return [
-            {
+        """Per-device resource rows for the GUI cluster page
+        (reference: DaskJobExecutor.get_resource_details,
+        executor/dask.py:387 — dask workers there, mesh devices
+        here)."""
+        details = []
+        for w in self.get_available_workers():
+            d = w.device
+            row = {
                 "host": "localhost",
                 "name": w.name,
-                "device": str(w.device),
+                "device": str(d),
+                "platform": getattr(d, "platform", "unknown"),
+                "kind": getattr(d, "device_kind", ""),
+                "process_index": getattr(d, "process_index", 0),
+                "resources": dict(w.resources),
             }
-            for w in self.get_available_workers()
-        ]
+            try:
+                # live HBM occupancy where the backend reports it
+                # (real TPUs do; the CPU backend returns None/raises)
+                stats = d.memory_stats()
+                if stats:
+                    row["memory"] = {
+                        "bytes_in_use": stats.get("bytes_in_use"),
+                        "bytes_limit": stats.get("bytes_limit"),
+                    }
+            except Exception:
+                pass
+            details.append(row)
+        return details
 
     def ensure_sync(self) -> "JobExecutor":
         return self

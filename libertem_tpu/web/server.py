@@ -436,6 +436,9 @@ class ConnectionHandler(_BaseHandler):
             "connection": {
                 "type": type(ctx.executor).__name__,
                 "numWorkers": len(ctx.executor.devices),
+                # per-device rows for the cluster page (reference GUI
+                # shows dask worker/resource details; here the mesh)
+                "details": ctx.executor.get_resource_details(),
             },
         })
 

@@ -186,6 +186,14 @@ class TestConnectionAndRPC(WebTestBase):
     def test_connection(self):
         data = self.fetch_json("/api/config/connection/")
         assert data["messageType"] == "EXECUTOR_STATE"
+        # per-device resource rows for the GUI cluster page
+        # (reference: executor.get_resource_details feeds it)
+        details = data["connection"]["details"]
+        assert len(details) == data["connection"]["numWorkers"]
+        for row in details:
+            assert row["host"] == "localhost"
+            assert row["platform"]
+            assert row["resources"].get("compute") == 1
         data = self.fetch_json(
             "/api/config/connection/", method="PUT",
             body={"connection": {"type": "LOCAL"}},
