@@ -202,6 +202,13 @@ class FRMS6DataSet(DataSet):
                 gain = np.loadtxt(
                     self._gain_map_path, delimiter=","
                 ).astype(np.float32)
+            # same sig-override re-factorization the dark frame gets:
+            # a user sig_shape re-views the unfolded frame, and
+            # CorrectionSet.make_plan requires correction frames in
+            # detector sig shape
+            gain = np.asarray(gain).reshape(
+                tuple(self.meta.shape.sig)
+            )
         return CorrectionSet(dark=dark, gain=gain)
 
     def get_partitions(self) -> Iterator[FRMS6Partition]:

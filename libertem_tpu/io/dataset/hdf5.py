@@ -89,7 +89,10 @@ class H5Partition(Partition):
         for i, fid in enumerate(ids):
             c = np.unravel_index(int(fid), nav_shape)
             out[i] = ds[tuple(int(cc) for cc in c)]
-        return out
+        # same byteswap/sig-override boundary the dense path goes
+        # through (base read_dataset_frames -> _to_sig): big-endian
+        # H5 dtypes must not reach the device feed
+        return self._to_sig(out)
 
     def __del__(self):
         if self._file is not None:

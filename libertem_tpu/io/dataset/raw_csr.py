@@ -126,7 +126,11 @@ class RawCSRPartition(Partition):
         indptr, indices, data = self._get_maps()
         so = self.meta.sync_offset
         n_stored = len(indptr) - 1
-        vals = np.zeros(nnz_pad, dtype=self.meta.raw_dtype)
+        # native_dtype, not raw_dtype: the sparse triple feeds
+        # jax.device_put directly (no _to_sig boundary), and a
+        # big-endian data_dtype must be swapped here — the slice
+        # assignment below converts byte order for free
+        vals = np.zeros(nnz_pad, dtype=self.meta.native_dtype)
         rows = np.zeros(nnz_pad, dtype=np.int32)
         cols = np.zeros(nnz_pad, dtype=np.int32)
         # coalesce contiguous stored-frame runs into ONE ranged read

@@ -22,9 +22,20 @@ def write_dataset_npy(ctx, dataset, path: str, progress=False) -> None:
     writing disjoint memmap slices by global frame offset, so the
     sharded loop's per-device chunks land in their correct positions
     regardless of processing order (parity with the reference, which
-    records from any executor, udf/record.py:9)."""
+    records from any executor, udf/record.py:9).  On a MULTI-HOST
+    mesh the host block feed is split across processes (host UDFs
+    refuse there) — fall back to single-device recording on this
+    process's main device, which still sees the whole dataset."""
+    import jax
+
     from ..udf.record import RecordUDF
     udf = RecordUDF(filename=path)
+    if jax.process_count() > 1:
+        from ..api import Context
+        from ..executor.inline import InlineJobExecutor
+        ctx = Context(executor=InlineJobExecutor(
+            device=ctx.executor.main_device
+        ))
     ctx.run_udf(dataset, udf, progress=progress)
 
 

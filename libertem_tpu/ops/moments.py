@@ -42,7 +42,11 @@ def _matmul_precision():
     multi-pass products (~1e-6 rel err, parity-grade) at a real
     throughput cost; 'default' uses the TPU's native bf16-class pass
     (~1e-4 rel err, ~60% faster end-to-end).  Env:
-    LIBERTEM_TPU_MATMUL_PRECISION=highest|default."""
+    LIBERTEM_TPU_MATMUL_PRECISION=highest|default.
+
+    Read at TRACE time: set it before the process's first run —
+    flipping it mid-process does not invalidate already-compiled
+    executables (jit caches key on the traced precision)."""
     import os
     v = os.environ.get(
         "LIBERTEM_TPU_MATMUL_PRECISION", "highest"

@@ -1904,10 +1904,28 @@ class UDFRunner:
         # there is no 'just before shard d's first tile' point on a
         # single controller) and one postprocess per shard at the
         # end.  Parity target: the reference runs them per partition
-        # on the worker (udf/base.py:2213 _init_udfs).
-        for _shard in range(n_dev):
+        # on a FRESH per-task UDF copy (udf/base.py:1327
+        # copy_for_partition, 2213 _init_udfs) — back-to-back calls
+        # on one shared instance would multiply non-idempotent side
+        # effects (e.g. a preprocess that opens a resource its
+        # postprocess closes would leak n_dev-1 of them).  Shard 0
+        # uses the REAL instances so preprocess-set state stays
+        # visible to the traced step / host runner (the single-device
+        # loop's behavior); shards 1.. get clones.
+        shard_clones = [list(self._udfs)]
+        for _shard in range(1, n_dev):
+            clones = []
             for udf in self._udfs:
-                udf.preprocess()
+                clone = udf.copy()
+                clone.meta = udf.meta
+                clone._host_mode = udf._host_mode
+                td = clone.get_task_data()
+                clone.task_data = UDFData(td) if td else UDFData({})
+                clones.append(clone)
+            shard_clones.append(clones)
+        for clones in shard_clones:
+            for clone in clones:
+                clone.preprocess()
 
         # Per-device reader pool: at real NVMe rates a serial read of
         # all n_dev chunks per super-step becomes the bottleneck long
@@ -2049,6 +2067,12 @@ class UDFRunner:
                             entry[k] = put_replicated(
                                 host_entry[k]
                             )
+                    if host_runner is not None:
+                        # the patch rebuilt prep['aux_host']; the host
+                        # runner's frozen copy must follow (same as
+                        # the single-device loop) or host UDFs keep
+                        # reading pre-patch aux data
+                        host_runner.refresh_aux(prep)
                     step = make_step()
                     # merge() may consult params too: the jitted
                     # cross-device fold must re-trace as well (parity
@@ -2114,10 +2138,17 @@ class UDFRunner:
                     host_runner.merge_partition(
                         host_global, host_parts[d]
                     )
-            # postprocess cadence: once per shard (see preprocess)
-            for _shard in range(n_dev):
-                for udf in self._udfs:
-                    udf.postprocess()
+            # postprocess cadence: once per shard, on that shard's
+            # instance (see preprocess); clones are cleaned up right
+            # after (per-task lifecycle) — the REAL instances (shard
+            # 0) keep their task_data until the run-level cleanup,
+            # since get_results may still consult it
+            real = set(map(id, self._udfs))
+            for clones in shard_clones:
+                for clone in clones:
+                    clone.postprocess()
+                    if id(clone) not in real:
+                        clone.cleanup()
             # final wrap AFTER postprocess and BEFORE cleanup
             # (get_results may use task_data, which cleanup()
             # releases).  Yield it unconditionally: in yield_partial

@@ -387,3 +387,88 @@ def test_matrix_big_endian_npy(lt_ctx, tmp_path):
     )
     res = lt_ctx.run_udf(ds, udf)
     assert (res["seen"].raw_data == 1.0).all()
+
+
+def test_matrix_big_endian_hdf5_sparse_roi(lt_ctx, tmp_path):
+    """H5Partition.read_selected_frames (the sparse-roi selective
+    read) must pass the same byteswap boundary as the dense path —
+    big-endian H5 data reaching the device feed non-native raises in
+    jax.device_put (round-3 review finding)."""
+    import h5py
+
+    from libertem_tpu.udf import SumUDF
+
+    data = _mk_random((4, 4, 8, 8), dtype="uint16").astype(">u2")
+    path = str(tmp_path / "be.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data, dtype=">u2")
+    ds = lt_ctx.load("hdf5", path=path, ds_path="data")
+    flat64 = data.astype(np.float64).reshape(-1, 8, 8)
+    # unit-level: the override must return NATIVE dtype (the base
+    # default wraps each run in _to_sig; the H5 override must too)
+    part = next(iter(ds.get_partitions()))
+    sel = part.read_selected_frames(np.array([1, 11]))
+    assert sel.dtype.isnative
+    assert np.allclose(sel, flat64[[1, 11]])
+    roi = np.zeros((4, 4), dtype=bool)
+    # 2 selected out of a span of 11 -> valid*2 < hi-lo triggers the
+    # selective-read fast path (io/dataset/base.py gen_blocks)
+    roi[0, 1] = roi[2, 3] = True
+    res = lt_ctx.run_udf(ds, SumUDF(), roi=roi)
+    flat = data.astype(np.float64).reshape(-1, 8, 8)
+    expected = flat[[1, 11]].sum(axis=0)
+    assert np.allclose(res["intensity"].data, expected, rtol=1e-6)
+
+
+def test_matrix_big_endian_raw_csr(lt_ctx, tmp_path):
+    """The sparse CSR triple feed has no _to_sig boundary — vals must
+    byteswap to native when assembled (round-3 review finding:
+    big-endian data_dtype reached jax.device_put raw)."""
+    from libertem_tpu.udf import SumUDF
+
+    rng = np.random.default_rng(42)
+    dense = (
+        (rng.random((12, 64)) < 0.2)
+        * rng.integers(1, 100, (12, 64))
+    ).astype(np.int64)
+    toml_path = fe.write_raw_csr(
+        str(tmp_path), dense, nav=(3, 4), sig=(8, 8), dtype=">i4"
+    )
+    ds = lt_ctx.load("raw_csr", path=toml_path)
+    assert ds.meta.native_dtype.isnative
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        dense.astype(np.float64).sum(axis=0).reshape(8, 8),
+        rtol=1e-6,
+    )
+
+
+def test_matrix_frms6_gain_sig_override(lt_ctx, tmp_path):
+    """A user sig_shape re-factorization applies to the GAIN map the
+    same way it applies to the dark frame (round-3 review finding:
+    the unfolded-native gain shape tripped CorrectionSet.make_plan
+    under an override)."""
+    from libertem_tpu.io.dataset.frms6 import unfold
+    from libertem_tpu.udf import SumUDF
+
+    folded = _mk_random((12, 6, 16), dtype="uint16")
+    fe.write_frms6(str(tmp_path / "acq_001.frms6"), folded)
+    data = unfold(folded).astype(np.float64)  # (12, 12, 8) native
+    gain = np.linspace(
+        0.5, 2.0, data[0].size
+    ).astype(np.float32).reshape(data.shape[1:])
+    np.save(str(tmp_path / "gain.npy"), gain)
+    flat_sig = (data.shape[1] * data.shape[2],)
+    ds = lt_ctx.load(
+        "frms6", path=str(tmp_path / "acq_001.frms6"),
+        nav_shape=(3, 4), sig_shape=flat_sig,
+        gain_map_path=str(tmp_path / "gain.npy"),
+        enable_offset_correction=False,
+    )
+    res = lt_ctx.run_udf(ds, SumUDF())
+    expected = (
+        data.reshape(12, -1) * gain.astype(np.float64).reshape(-1)
+    ).sum(axis=0)
+    assert res["intensity"].data.shape == flat_sig
+    assert np.allclose(res["intensity"].data, expected, rtol=1e-5)

@@ -586,3 +586,97 @@ def test_sharded_overhead_budget(monkeypatch):
     # fold + wrap (per-snapshot work) must not dominate the step
     ratio = (stats["fold_s"] + stats["wrap_s"]) / stats["step_s"]
     assert ratio < 1.5, stats
+
+
+def test_sharded_preprocess_clone_isolation(ds):
+    """Per-shard preprocess/postprocess run on per-shard UDF
+    INSTANCES (the reference's copy_for_partition semantics,
+    udf/base.py:1327): a non-idempotent preprocess whose postprocess
+    asserts exactly-once pairing must not see n_dev stacked calls on
+    one shared object (round-3 review finding)."""
+    from libertem_tpu.udf.base import UDF
+
+    instances = []
+
+    class Paired(UDF):
+        def get_result_buffers(self):
+            return {
+                "x": self.buffer(kind="single", dtype="float32"),
+            }
+
+        def process_tile(self, tile):
+            pass
+
+        def merge(self, dest, src):
+            dest.x = src.x
+
+        def preprocess(self):
+            # non-idempotent: a second call on the same instance
+            # trips the postprocess assertion below
+            self._opened = getattr(self, "_opened", 0) + 1
+            instances.append(self)
+
+        def postprocess(self):
+            assert self._opened == 1, (
+                f"preprocess ran {self._opened}x on one instance"
+            )
+            self._opened -= 1
+
+    UDFRunner([Paired()]).run_for_dataset(ds, devices=devices())
+    n_dev = len(jax.devices())
+    assert len(instances) == n_dev
+    assert len({id(i) for i in instances}) == n_dev
+
+
+def test_sharded_host_udf_aux_patch_mid_run(data):
+    """A mid-run aux patch reaches HOST-backend UDFs on the mesh: the
+    host runner's frozen aux copy refreshes at the patch boundary
+    (parity with the single-device loop; round-3 review finding)."""
+    from libertem_tpu.io import tiling
+    from libertem_tpu.udf.base import UDF
+
+    class HostAux(UDF):
+        def get_backends(self):
+            return (self.BACKEND_NUMPY,)
+
+        def get_result_buffers(self):
+            return {
+                "scaled": self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def get_tiling_preferences(self):
+            # several super-steps so the patch lands mid-run
+            return {"depth": 4, "total_size": tiling.TILE_SIZE_MAX}
+
+        def process_frame(self, frame):
+            self.results.scaled = frame.sum() * self.params.weights
+
+    n = data.shape[0] * data.shape[1]
+    w1 = np.ones(n, dtype=np.float32)
+    w2 = np.full(n, 3.0, dtype=np.float32)
+    udf = HostAux(
+        weights=HostAux.aux_data(w1, kind="nav", dtype="float32"),
+    )
+    ds2 = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=4
+    ).initialize()
+    runner = UDFRunner([udf])
+    results = []
+    for i, part in enumerate(runner.run_for_dataset_iter(
+        ds2, devices=devices()
+    )):
+        results.append(part)
+        if i == 0:
+            runner.update_parameters_experimental([{
+                "weights": HostAux.aux_data(
+                    w2, kind="nav", dtype="float32"
+                ),
+            }])
+    final = results[-1].buffers[0]["scaled"].data.reshape(-1)
+    frame_sums = data.reshape(n, -1).sum(axis=1)
+    ratio = final / frame_sums
+    assert set(np.round(ratio.astype(np.float64), 3)) <= {1.0, 3.0}
+    assert np.isclose(ratio, 3.0, rtol=1e-3).any(), (
+        "aux patch never reached the host runner"
+    )
+    assert np.isclose(ratio, 1.0, rtol=1e-3).any()
