@@ -224,6 +224,69 @@ class BufferWrapper:
             return None
         return np.ma.MaskedArray(self.data, mask=~self.valid_mask)
 
+    @property
+    def raw_masked_data(self) -> Optional[np.ma.MaskedArray]:
+        """``raw_data`` masked to the valid entries — the
+        roi-compressed flat mask, not the nav-expanded one
+        (reference common/buffers.py:625)."""
+        if self._data is None:
+            return None
+        if self._kind == "nav":
+            vm = (
+                self._valid_nav_mask
+                if self._valid_nav_mask is not None
+                else np.ones(self.shape[0], dtype=bool)
+            )
+            mask = np.broadcast_to(
+                np.asarray(vm, dtype=bool).reshape(
+                    (-1,) + (1,) * len(self._extra_shape)
+                ),
+                self._data.shape,
+            )
+        else:
+            any_valid = (
+                bool(self._valid_nav_mask.any())
+                if self._valid_nav_mask is not None
+                else True
+            )
+            mask = np.full(self._data.shape, any_valid, dtype=bool)
+        return np.ma.MaskedArray(self._data, mask=~mask)
+
+    @property
+    def valid_slice_bounding(self) -> tuple:
+        """Smallest slice tuple bounding ALL valid elements of
+        ``data`` — may still contain invalid holes; use
+        :meth:`get_valid_slice_inner` for a hole-free cut
+        (reference common/buffers.py:586)."""
+        vm = self.valid_mask
+        out = []
+        for ax in range(vm.ndim):
+            other = tuple(i for i in range(vm.ndim) if i != ax)
+            nz = np.flatnonzero(vm.any(axis=other))
+            if len(nz) == 0:
+                out.append(slice(0, 0))
+            else:
+                out.append(slice(int(nz[0]), int(nz[-1]) + 1))
+        return tuple(out)
+
+    def get_valid_slice_inner(self, axis: int = 0) -> tuple:
+        """First contiguous run along ``axis`` where EVERY element on
+        the other axes is valid (reference common/buffers.py:597)."""
+        vm = self.valid_mask
+        other = tuple(i for i in range(vm.ndim) if i != axis)
+        rows = vm.all(axis=other)
+        nz = np.flatnonzero(rows)
+        if len(nz) == 0:
+            lo = hi = 0
+        else:
+            lo = int(nz[0])
+            breaks = np.flatnonzero(np.diff(nz) != 1)
+            hi = int(nz[breaks[0]] if len(breaks) else nz[-1]) + 1
+        return tuple(
+            slice(lo, hi) if d == axis else slice(None)
+            for d in range(vm.ndim)
+        )
+
     def __repr__(self) -> str:
         return (
             f"<BufferWrapper kind={self._kind} extra_shape="

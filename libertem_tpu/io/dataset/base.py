@@ -339,6 +339,19 @@ class Partition:
         return len(self.local_frame_ids(roi))
 
 
+class RoiHelper:
+    """``ds.roi[...]`` — index nav space to build a boolean roi
+    (reference dataset.py:21)."""
+
+    def __init__(self, ds):
+        self._ds = ds
+
+    def __getitem__(self, k) -> np.ndarray:
+        roi = np.zeros(tuple(self._ds.shape.nav), dtype=bool)
+        roi[k] = True
+        return roi
+
+
 class DataSet:
     """Base class for all dataset formats.
 
@@ -348,6 +361,9 @@ class DataSet:
 
     # registry hook (io/dataset/__init__.py:15 in the reference)
     _format_id: Optional[str] = None
+
+    # default partition size cap in bytes (reference dataset.py:33)
+    MAX_PARTITION_SIZE = MAX_PARTITION_SIZE
 
     # whether reads at arbitrary offsets may run concurrently from
     # several threads (the sharded loop's per-device reader pool).
@@ -389,7 +405,46 @@ class DataSet:
 
     @property
     def diagnostics(self):
+        return self.get_diagnostics()
+
+    def get_diagnostics(self) -> list:
+        """Format-specific diagnostics for display, as a list of
+        ``{"name": ..., "value": ...}`` dicts (reference
+        dataset.py:198; surfaced by the web dataset-info panel)."""
         return []
+
+    def get_sync_offset_info(self) -> dict:
+        """Frames skipped/ignored by the configured ``sync_offset``
+        (reference dataset.py:70).  Bounds are validated at load time
+        by the loaders; this reports the resulting alignment."""
+        so = self.meta.sync_offset
+        image_count = self.meta.image_count or 0
+        nav_product = self.meta.shape.nav.size
+        return {
+            "frames_skipped_start": max(0, so),
+            "frames_ignored_end": max(
+                0, image_count - nav_product - so
+            ),
+            "frames_inserted_start": max(0, -so),
+            "frames_inserted_end": max(
+                0, nav_product - image_count + so
+            ),
+        }
+
+    def supports_correction(self) -> bool:
+        """Whether corrections can be applied to this dataset
+        (reference dataset.py:292; consulted by the web open flow).
+        True for every format here — including raw CSR, where the
+        reference refuses (raw_csr.py:263): sparse blocks densify
+        on-device BEFORE the fused correction step, so dark/gain/
+        excluded-pixel repair are well-defined."""
+        return True
+
+    @property
+    def roi(self) -> "RoiHelper":
+        """Build boolean rois by indexing into nav space:
+        ``ds.roi[0:10]`` (reference dataset.py:21 RoiHelper)."""
+        return RoiHelper(self)
 
     def get_num_partitions(self) -> int:
         """Default partitioning: at least one per core, each at most

@@ -179,6 +179,42 @@ class UDFMeta:
         self.global_offset = None     # scalar int32 (roi-compressed nav)
         self.sig_slice: Optional[Slice] = None   # static, current sig tile
         self.tiling_scheme_idx: int = 0          # static
+        # 'jax' on the traced device path, 'numpy' while the host
+        # engine drives this UDF (reference UDFMeta.array_backend,
+        # udf/base.py:538)
+        self.array_backend: str = "jax"
+        self._valid_nav_mask = None
+
+    def get_valid_nav_mask(self, full_nav: bool = False):
+        """Mask of already-computed nav positions, flat 1D (reference
+        udf/base.py:561).  Available in ``get_results`` (and in
+        host-engine merges); ``full_nav`` expands a roi-compressed
+        mask to the full navigation space."""
+        if self._valid_nav_mask is None:
+            return None
+        m = np.asarray(self._valid_nav_mask, dtype=bool).reshape(-1)
+        if full_nav and self.roi is not None:
+            full = np.zeros(self.dataset_shape.nav.size, dtype=bool)
+            full[np.asarray(self.roi, dtype=bool).reshape(-1)] = m
+            return full
+        return m
+
+    def set_valid_nav_mask(self, new_valid_nav_mask):
+        """Override the validity mask (reference udf/base.py:592)."""
+        self._valid_nav_mask = new_valid_nav_mask
+
+    @property
+    def slice(self):
+        """Not available: the reference's per-tile Slice carries a
+        host int origin, but blocks here have a TRACED position
+        (``meta.global_offset``) inside one compiled step.  Use
+        ``meta.global_offset`` / ``meta.coordinates`` /
+        ``meta.sig_slice`` instead."""
+        raise AttributeError(
+            "meta.slice is not available in the traced TPU engine; "
+            "use meta.global_offset / meta.coordinates / "
+            "meta.sig_slice (see UDFMeta docs)"
+        )
 
     @property
     def partition_slice(self):
@@ -350,6 +386,12 @@ class UDF:
             for b in decls.values()
             if b.use not in ("result_only",)
         )
+
+    def requires_custom_merge_all(self, decls: dict) -> bool:
+        """Like :meth:`requires_custom_merge` but counting
+        ``result_only`` buffers too — ``merge_all`` must handle them
+        (reference udf/base.py:1406)."""
+        return any(b.kind != "nav" for b in decls.values())
 
     def _has_custom_merge(self) -> bool:
         return type(self).merge is not UDF.merge
@@ -1274,6 +1316,7 @@ class UDFRunner:
         meta.sig_slice = sig_slice
         meta.tiling_scheme_idx = scheme_idx
         meta.global_offset = global_off
+        meta.array_backend = "jax"
 
         if entry.method in ("tile", "partition"):
             views = {}
@@ -2296,6 +2339,9 @@ class UDFRunner:
     def _wrap_results(self, prep, state, damage_host) -> UDFResults:
         n_nav = prep["n_nav"]
         meta = prep["meta"]
+        # expose the damage state to UDF.get_results via
+        # meta.get_valid_nav_mask (reference udf/base.py:561)
+        meta._valid_nav_mask = np.asarray(damage_host, dtype=bool)
         all_buffers = []
         host_global = prep.get("host_global") or {}
         for ui, entry in enumerate(prep["plan"]):

@@ -118,6 +118,7 @@ class HostUDFRunner:
             meta.tile_valid = np.ones(valid, dtype=bool)
             meta.valid_frames = valid
             meta.global_offset = goff
+            meta.array_backend = "numpy"
             # host UDFs always receive WHOLE frames (the feed is the
             # undivided block), so sig_slice must cover the full sig
             # even when the device scheme sig-splits

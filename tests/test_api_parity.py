@@ -1,0 +1,180 @@
+"""Reference public-API parity surface (round-3 sweep): the
+attributes/methods a reference user reaches for on DataSet,
+BufferWrapper and UDFMeta, implemented with real behavior here
+(reference: io/dataset/base/dataset.py, common/buffers.py,
+udf/base.py UDFMeta)."""
+import numpy as np
+import pytest
+
+from conftest import _mk_random
+
+from libertem_tpu.common.buffers import BufferWrapper
+from libertem_tpu.common.shape import Shape
+from libertem_tpu.io.dataset.memory import MemoryDataSet
+from libertem_tpu.udf import SumUDF
+from libertem_tpu.udf.base import UDF, UDFRunner
+
+
+@pytest.fixture
+def ds():
+    data = _mk_random((4, 4, 8, 8), dtype="float32")
+    return MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize(), data
+
+
+def test_dataset_roi_helper(ds):
+    d, _ = ds
+    roi = d.roi[1:3, :]
+    assert roi.shape == (4, 4)
+    assert roi.sum() == 8
+    assert roi[1:3].all() and not roi[0].any() and not roi[3].any()
+
+
+def test_dataset_diagnostics_and_partition_size(ds):
+    d, _ = ds
+    # get_diagnostics is the reference-named method; the diagnostics
+    # property (used by web/state.py) delegates to it
+    assert d.get_diagnostics() == d.diagnostics
+    assert isinstance(d.get_diagnostics(), list)
+    assert d.MAX_PARTITION_SIZE == 512 * 1024 * 1024
+
+
+def test_dataset_supports_correction(ds):
+    d, _ = ds
+    assert d.supports_correction() is True
+
+
+def test_dataset_sync_offset_info(lt_ctx, tmp_path):
+    data = _mk_random((12, 8, 8), dtype="float32")
+    path = str(tmp_path / "t.raw")
+    data.tofile(path)
+    d = lt_ctx.load(
+        "raw", path=path, dtype="float32",
+        nav_shape=(2, 4), sig_shape=(8, 8), sync_offset=2,
+    )
+    info = d.get_sync_offset_info()
+    # 12 stored, 8 used, offset +2: skip 2, ignore 12-8-2=2 at end
+    assert info["frames_skipped_start"] == 2
+    assert info["frames_ignored_end"] == 2
+    assert info["frames_inserted_start"] == 0
+    d2 = lt_ctx.load(
+        "raw", path=path, dtype="float32",
+        nav_shape=(2, 4), sig_shape=(8, 8), sync_offset=-3,
+    )
+    info2 = d2.get_sync_offset_info()
+    assert info2["frames_inserted_start"] == 3
+    assert info2["frames_skipped_start"] == 0
+
+
+def test_buffer_masked_views():
+    """raw_masked_data / valid_slice_bounding / get_valid_slice_inner
+    (reference common/buffers.py:586-633)."""
+    buf = BufferWrapper("nav", (), "float32")
+    shape = Shape((4, 4, 8, 8), sig_dims=2)
+    buf.set_shape_ds(shape)
+    data = np.arange(16, dtype=np.float32)
+    valid = np.zeros(16, dtype=bool)
+    valid[2:9] = True  # rows (0,2)..(2,0) in the 4x4 nav
+    buf.set_result(data, valid_nav_mask=valid)
+    rm = buf.raw_masked_data
+    assert isinstance(rm, np.ma.MaskedArray)
+    assert rm.shape == (16,)
+    assert rm.compressed().tolist() == list(range(2, 9))
+    # nav-expanded bbox: valid rows span nav rows 0..2
+    bb = buf.valid_slice_bounding
+    assert bb == (slice(0, 3), slice(0, 4))
+    # inner slice across axis 0: only nav row 1 is FULLY valid
+    inner = buf.get_valid_slice_inner(axis=0)
+    assert inner == (slice(1, 2), slice(None))
+    assert buf.valid_mask[inner].all()
+
+
+def test_meta_valid_nav_mask_in_get_results(ds):
+    d, data = ds
+    seen = {}
+
+    class MaskProbe(UDF):
+        def get_result_buffers(self):
+            return {
+                "s": self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def process_frame(self, frame):
+            self.results.s = frame.sum()
+
+        def get_results(self):
+            seen["mask"] = self.meta.get_valid_nav_mask()
+            seen["full"] = self.meta.get_valid_nav_mask(full_nav=True)
+            return {}
+
+    roi = np.zeros((4, 4), dtype=bool)
+    roi[0, :2] = True
+    UDFRunner([MaskProbe()]).run_for_dataset(d, roi=roi)
+    assert seen["mask"].shape == (2,)
+    assert seen["mask"].all()
+    assert seen["full"].shape == (16,)
+    assert seen["full"].sum() == 2
+    assert seen["full"][:2].all()
+
+
+def test_meta_array_backend(ds):
+    d, _ = ds
+    seen = {}
+
+    class DevProbe(UDF):
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_tile(self, tile):
+            seen["dev"] = self.meta.array_backend
+            self.results.s += tile.reshape(tile.shape[0], -1).sum(
+                axis=1
+            )
+
+    class HostProbe(UDF):
+        def get_backends(self):
+            return (self.BACKEND_NUMPY,)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            seen["host"] = self.meta.array_backend
+            self.results.s = frame.sum()
+
+    UDFRunner([DevProbe(), HostProbe()]).run_for_dataset(d)
+    assert seen["dev"] == "jax"
+    assert seen["host"] == "numpy"
+
+
+def test_meta_slice_unavailable(ds):
+    d, _ = ds
+
+    class SliceProbe(UDF):
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            _ = self.meta.slice  # must raise with guidance
+
+    with pytest.raises(Exception, match="global_offset"):
+        UDFRunner([SliceProbe()]).run_for_dataset(d)
+
+
+def test_requires_custom_merge_all():
+    class SigAndNav(UDF):
+        def get_result_buffers(self):
+            return {
+                "n": self.buffer(kind="nav", dtype="float32"),
+                "s": self.buffer(
+                    kind="sig", dtype="float32", use="result_only"
+                ),
+            }
+
+    u = SigAndNav()
+    decls = u.get_result_buffers()
+    # the sig buffer is result_only: plain merge doesn't see it,
+    # merge_all does (reference udf/base.py:1387 vs 1406)
+    assert not u.requires_custom_merge(decls)
+    assert u.requires_custom_merge_all(decls)
