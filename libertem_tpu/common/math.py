@@ -48,3 +48,16 @@ def make_2D_square(shape: Sequence[int]) -> tuple[int, ...]:
 def flat_nonzero(mask) -> np.ndarray:
     """Flat indices of truthy entries of a dense boolean array."""
     return np.flatnonzero(np.asarray(mask))
+
+
+def ndenumerate(array):
+    """np.ndenumerate that also works for sparse arrays (reference
+    common/math.py:85): falls back to densifying coordinate lookups
+    when numpy refuses to iterate the array type."""
+    try:
+        yield from np.ndenumerate(array)
+    except (RuntimeError, TypeError):
+        arr = np.asarray(
+            array.todense() if hasattr(array, "todense") else array
+        )
+        yield from np.ndenumerate(arr)

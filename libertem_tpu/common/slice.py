@@ -16,6 +16,11 @@ from .math import prod
 from .shape import Shape
 
 
+class SliceUsageError(ValueError):
+    """Raised when a Slice is incorrectly instantiated or used
+    (reference common/slice.py:11)."""
+
+
 class Slice:
     __slots__ = ("origin", "shape")
 
@@ -24,7 +29,7 @@ class Slice:
             raise TypeError("shape must be a Shape")
         origin = tuple(int(o) for o in origin)
         if len(origin) != shape.dims:
-            raise ValueError(
+            raise SliceUsageError(
                 f"origin {origin} and shape {shape} dims mismatch"
             )
         self.origin = origin
@@ -56,7 +61,7 @@ class Slice:
     def intersection_with(self, other: "Slice") -> "Slice":
         """The overlapping region (may be empty: zero-size shape)."""
         if len(self.origin) != len(other.origin):
-            raise ValueError("dimension mismatch")
+            raise SliceUsageError("dimension mismatch")
         new_origin = tuple(
             max(a, b) for a, b in zip(self.origin, other.origin)
         )
@@ -112,7 +117,7 @@ class Slice:
         """Iterate sub-slices tiling this slice in a grid of ``shape``."""
         shape = tuple(int(s) for s in shape)
         if len(shape) != self.shape.dims:
-            raise ValueError("subslice shape dims mismatch")
+            raise SliceUsageError("subslice shape dims mismatch")
         ranges = [
             range(o, o + full, step)
             for o, full, step in zip(self.origin, self.shape, shape)
@@ -156,7 +161,7 @@ class Slice:
         if roi is None:
             return self
         if self.shape.nav_dims != 1:
-            raise ValueError("adjust_for_roi requires flat nav")
+            raise SliceUsageError("adjust_for_roi requires flat nav")
         roi = np.asarray(roi).reshape(-1)
         o = self.origin[0]
         s = self.shape[0]

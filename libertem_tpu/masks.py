@@ -230,3 +230,37 @@ def sparse_template_multi_stack(
             y0 - oy:y1 - oy, x0 - ox:x1 - ox
         ]
     return stack
+
+def sparse_circular_multi_stack(
+    mask_index, centerX, centerY, imageSizeX, imageSizeY, radius,
+):
+    """Stamp one circular template at per-mask centers (reference
+    masks.py:88): builds the disk once in a tight bounding box and
+    delegates to :func:`sparse_template_multi_stack`."""
+    bbox = int(2 * np.ceil(radius) + 1)
+    bc = (bbox - 1) // 2
+    template = circular(
+        centerX=bc, centerY=bc,
+        imageSizeX=bbox, imageSizeY=bbox, radius=radius,
+    )
+    return sparse_template_multi_stack(
+        mask_index=mask_index,
+        offsetX=np.asarray(centerX, dtype=int) - bc,
+        offsetY=np.asarray(centerY, dtype=int) - bc,
+        template=template,
+        imageSizeX=imageSizeX,
+        imageSizeY=imageSizeY,
+    )
+
+
+def balance(template):
+    """Scale the negative part of a mixed-sign template so the total
+    sum is zero (reference masks.py:266) — such masks null out a
+    uniform background or linear gradient."""
+    result = np.array(template, copy=True)
+    pos = result > 0
+    neg = result < 0
+    neg_sum = result[neg].sum()
+    if neg_sum != 0:
+        result[neg] *= -result[pos].sum() / neg_sum
+    return result

@@ -18,6 +18,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from ..masks import circular, gradient_x, gradient_y
 from .base import UDF
 
 
@@ -336,9 +337,117 @@ def guess_corrections(y_centers, x_centers, roi=None):
             rot += 180
     if rot > 180:
         rot -= 360
-    return {
-        "scan_rotation": float(rot),
-        "flip_y": bool(flip),
-        "cy": float(cy),
-        "cx": float(cx),
-    }
+    return GuessResult(
+        scan_rotation=float(rot),
+        flip_y=bool(flip),
+        cy=float(cy),
+        cx=float(cx),
+    )
+
+# -- reference-named public helper API ---------------------------------
+# (reference com.py:47-205; kept callable under the same names so
+# notebooks and scripts written against the reference port directly)
+
+class GuessResult(dict):
+    """CoM parameter guess (reference com.py:192).  Mapping AND
+    attribute access: ``guess["cy"]`` and ``guess.cy`` both work —
+    the web RPC serializes it as a plain dict."""
+    __getattr__ = dict.__getitem__
+
+
+def com_masks_generic(detector_y, detector_x, base_mask_factory):
+    """CoM mask-factory triple [base, y*base, x*base] from a generic
+    selection-mask factory (reference com.py:69)."""
+    return [
+        base_mask_factory,
+        lambda: gradient_y(
+            imageSizeX=detector_x, imageSizeY=detector_y
+        ) * base_mask_factory(),
+        lambda: gradient_x(
+            imageSizeX=detector_x, imageSizeY=detector_y
+        ) * base_mask_factory(),
+    ]
+
+
+def com_masks_factory(detector_y, detector_x, cy, cx, r):
+    """CoM mask-factory triple for a circular selection
+    (reference com.py:47)."""
+    return com_masks_generic(
+        detector_y, detector_x,
+        lambda: circular(
+            centerX=cx, centerY=cy,
+            imageSizeX=detector_x, imageSizeY=detector_y, radius=r,
+        ),
+    )
+
+
+def center_shifts(img_sum, img_y, img_x, ref_y, ref_x):
+    """(y, x) center-of-mass shift fields from the three mask
+    projections, relative to the reference center; zero-intensity
+    positions report zero shift (reference com.py:100)."""
+    img_sum = np.asarray(img_sum)
+    nz = img_sum != 0
+    y_centers = np.divide(img_y, img_sum, where=nz)
+    x_centers = np.divide(img_x, img_sum, where=nz)
+    y_centers[~nz] = ref_y
+    x_centers[~nz] = ref_x
+    return (y_centers - ref_y, x_centers - ref_x)
+
+
+def apply_correction(y_centers, x_centers, scan_rotation, flip_y,
+                     forward=True):
+    """Rotation/flip shift correction; ``forward=False`` applies the
+    inverse transform (reference com.py:110)."""
+    if forward:
+        return apply_com_correction(
+            y_centers, x_centers, scan_rotation, flip_y
+        )
+    # inverse of rotate(theta) @ flip: rotate back first, then unflip
+    theta = np.deg2rad(scan_rotation)
+    y_r = y_centers * np.cos(theta) - x_centers * np.sin(theta)
+    x_r = y_centers * np.sin(theta) + x_centers * np.cos(theta)
+    if flip_y:
+        y_r = -y_r
+    return y_r, x_r
+
+
+def divergence(y_centers, x_centers):
+    """dFy/dy + dFx/dx of the shift field (reference com.py:130)."""
+    return (
+        np.gradient(y_centers, axis=0) + np.gradient(x_centers, axis=1)
+    )
+
+
+def curl_2d(y_centers, x_centers):
+    """dFy/dx - dFx/dy of the shift field (reference com.py:134)."""
+    return (
+        np.gradient(y_centers, axis=1) - np.gradient(x_centers, axis=0)
+    )
+
+
+def magnitude(y_centers, x_centers):
+    """Length of the shift vector per scan position
+    (reference com.py:141)."""
+    return np.sqrt(y_centers ** 2 + x_centers ** 2)
+
+
+def coordinate_check(y_centers, x_centers, roi=None):
+    """RMS curl over scan_rotation 0..359 for both flip states —
+    minima identify the physically consistent descan parameters
+    (reference com.py:145).  Returns (straight, flipped) arrays."""
+    if roi is None:
+        # last row/column carry flyback artifacts
+        roi = (slice(0, -1), slice(0, -1))
+    straight = np.zeros(360)
+    flipped = np.zeros(360)
+    for angle in range(360):
+        for flip in (False, True):
+            ry, rx = apply_com_correction(
+                y_centers, x_centers, angle, flip
+            )
+            val = float(np.sqrt(np.mean(curl_2d(ry, rx)[roi] ** 2)))
+            if flip:
+                flipped[angle] = val
+            else:
+                straight[angle] = val
+    return (straight, flipped)

@@ -37,3 +37,23 @@ def detect() -> dict:
         "has_cupy": False,  # API compat with the reference
         "has_tpu": has_tpu,
     }
+
+try:
+    from typing import TypedDict
+
+    class DetectResult(TypedDict):
+        """Shape of :func:`detect`'s result (reference
+        devices.py:25; extended with tpus/has_tpu here)."""
+        cpus: list
+        cudas: list
+        has_cupy: bool
+        tpus: list
+        has_tpu: bool
+except Exception:  # pragma: no cover
+    DetectResult = dict  # type: ignore
+
+
+def has_cupy() -> bool:
+    """CuPy probe (reference devices.py:64) — always False here: the
+    accelerator path is jax/TPU, not CUDA."""
+    return False

@@ -167,3 +167,34 @@ class Dummy2DPlot(Live2DPlot):
 
     def update(self, damage, force=False):
         pass
+
+
+def make_colormap():
+    """Cyclic colormap matching :func:`rgb_from_2dvector`'s hue wheel
+    (reference viz/base.py:190) — for colorbars next to vector-field
+    plots."""
+    from matplotlib import colors
+    angles_rad = np.arange(360) / 180 * np.pi
+    yy, xx = -np.sin(angles_rad), -np.cos(angles_rad)
+    cols = rgb_from_2dvector(y=yy, x=xx) / 255
+    return colors.LinearSegmentedColormap.from_list(
+        "libertem_cyclic", cols
+    )
+
+
+def get_plottable_2D_channels(buffers) -> list:
+    """Buffer names whose squeezed data is 2D — the channels a live
+    plot can display (reference viz/base.py:202)."""
+    return [
+        k for k in buffers.keys()
+        if getattr(buffers[k], "data", None) is not None
+        and len(np.asarray(buffers[k].data).squeeze().shape) == 2
+    ]
+
+
+def __getattr__(name):
+    # lazy module attribute: building the colormap imports matplotlib,
+    # which stays optional for headless use
+    if name == "libertem_cyclic":
+        return make_colormap()
+    raise AttributeError(name)

@@ -178,3 +178,106 @@ def test_requires_custom_merge_all():
     # merge_all does (reference udf/base.py:1387 vs 1406)
     assert not u.requires_custom_merge(decls)
     assert u.requires_custom_merge_all(decls)
+
+
+def test_masks_balance_and_sparse_circular():
+    from libertem_tpu import masks as m
+    t = np.array([[2.0, -1.0], [2.0, -3.0]])
+    b = m.balance(t)
+    assert abs(b.sum()) < 1e-12
+    assert (b[t > 0] == t[t > 0]).all()
+
+    stack = m.sparse_circular_multi_stack(
+        mask_index=[0, 1], centerX=[4, 10], centerY=[6, 6],
+        imageSizeX=16, imageSizeY=12, radius=3,
+    )
+    assert stack.shape == (2, 12, 16)
+    full0 = m.circular(4, 6, 16, 12, 3)
+    full1 = m.circular(10, 6, 16, 12, 3)
+    assert np.allclose(stack[0], full0)
+    assert np.allclose(stack[1], full1)
+
+
+def test_com_helper_api():
+    from libertem_tpu.udf import com
+
+    img_sum = np.array([[2.0, 0.0], [1.0, 4.0]])
+    img_y = np.array([[6.0, 5.0], [2.0, 4.0]])
+    img_x = np.array([[2.0, 5.0], [3.0, 8.0]])
+    sy, sx = com.center_shifts(img_sum, img_y, img_x, 1.0, 1.0)
+    assert sy[0, 0] == 2.0 and sx[0, 0] == 0.0
+    assert sy[0, 1] == 0.0 and sx[0, 1] == 0.0  # zero-sum -> ref
+
+    rng = np.random.default_rng(0)
+    y = rng.random((6, 6))
+    x = rng.random((6, 6))
+    fy, fx = com.apply_correction(y, x, 37.0, True)
+    by, bx = com.apply_correction(fy, fx, 37.0, True, forward=False)
+    assert np.allclose(by, y) and np.allclose(bx, x)
+
+    # divergence of field (y, x) = (i, j) is 2; curl is 0
+    i, j = np.mgrid[0:6, 0:6].astype(np.float64)
+    assert np.allclose(com.divergence(i, j), 2.0)
+    assert np.allclose(com.curl_2d(i, j), 0.0)
+    assert np.allclose(com.magnitude(3.0 * i, 4.0 * i), 5.0 * i)
+
+    straight, flipped = com.coordinate_check(i, j)
+    assert straight.shape == (360,) and flipped.shape == (360,)
+    # the uncorrected field is curl-free -> rotation 0 is a minimum
+    assert straight[0] <= straight.min() + 1e-12
+
+    # factory triple matches the direct stack builder
+    fs = com.com_masks_factory(12, 16, cy=6, cx=8, r=4)
+    stack = com.com_masks((12, 16), cy=6, cx=8, r=4)
+    assert np.allclose(fs[0](), stack[0])
+    assert np.allclose(fs[1](), stack[1])
+    assert np.allclose(fs[2](), stack[2])
+
+    g = com.GuessResult(scan_rotation=10.0, flip_y=False,
+                        cy=1.0, cx=2.0)
+    assert g.scan_rotation == g["scan_rotation"] == 10.0
+    import json
+    assert json.loads(json.dumps(g)) == dict(g)
+
+
+def test_slice_usage_error():
+    from libertem_tpu.common.shape import Shape
+    from libertem_tpu.common.slice import Slice, SliceUsageError
+
+    with pytest.raises(SliceUsageError):
+        Slice((0, 0), Shape((4, 4, 4), sig_dims=2))
+    assert issubclass(SliceUsageError, ValueError)
+
+
+def test_math_ndenumerate():
+    from libertem_tpu.common.math import ndenumerate
+    arr = np.arange(4).reshape(2, 2)
+    assert dict(ndenumerate(arr)) == {
+        (0, 0): 0, (0, 1): 1, (1, 0): 2, (1, 1): 3,
+    }
+
+
+def test_devices_api():
+    from libertem_tpu.utils.devices import detect, has_cupy
+    assert has_cupy() is False
+    d = detect()
+    for k in ("cpus", "cudas", "has_cupy", "tpus"):
+        assert k in d
+
+
+def test_viz_channels_and_colormap(ds):
+    d, data = ds
+    from libertem_tpu import viz
+    from libertem_tpu.viz.base import (
+        get_plottable_2D_channels, make_colormap,
+    )
+    from libertem_tpu.udf.base import UDFRunner
+
+    res = UDFRunner([SumUDF()]).run_for_dataset(d)
+    bufs = res.buffers[0]
+    assert get_plottable_2D_channels(bufs) == ["intensity"]
+    cmap = make_colormap()
+    assert cmap.name == "libertem_cyclic"
+    # lazy module attribute (reference exposes a module-level value)
+    from libertem_tpu.viz import base as viz_base
+    assert viz_base.libertem_cyclic(0.5) is not None
