@@ -185,10 +185,8 @@ def built(tmp_path_factory):
     return get
 
 
-@pytest.mark.parametrize("cell", sorted(CELLS))
-@pytest.mark.parametrize("fmt", sorted(MAKERS))
-def test_matrix(lt_ctx, built, fmt, cell):
-    sync, roi_kind, corr_on, backend = CELLS[cell]
+def _run_cell(lt_ctx, built, fmt, sync, roi_kind, corr_on, backend,
+              label):
     if backend is not None and fmt in NO_BACKEND_CELL:
         pytest.skip("no byte-range io backend for this reader")
     if fmt == "k2is" and abs(sync) > 1:
@@ -240,8 +238,39 @@ def test_matrix(lt_ctx, built, fmt, cell):
     udf = ValidationUDF(ref_flat=expected, rtol=rtol)
     res = lt_ctx.run_udf(ds, udf, roi=roi, corrections=corrections)
     seen = res["seen"].raw_data
-    assert seen.shape[0] == len(expected), f"{fmt}/{cell}"
-    assert (seen == 1.0).all(), f"{fmt}/{cell}: frames not validated"
+    assert seen.shape[0] == len(expected), f"{fmt}/{label}"
+    assert (seen == 1.0).all(), f"{fmt}/{label}: frames not validated"
+
+
+@pytest.mark.parametrize("cell", sorted(CELLS))
+@pytest.mark.parametrize("fmt", sorted(MAKERS))
+def test_matrix(lt_ctx, built, fmt, cell):
+    sync, roi_kind, corr_on, backend = CELLS[cell]
+    _run_cell(
+        lt_ctx, built, fmt, sync, roi_kind, corr_on, backend, cell
+    )
+
+
+# -- full cross product for representative formats -------------------
+# The curated CELLS bend one axis per cell across ALL formats; here
+# three representative readers (plain binary, chunked h5py, header-
+# framed MIB) get the ENTIRE sync x roi x corrections x backend cube
+# (the reference's per-format depth, tests/io/datasets/*).
+
+FULL_FORMATS = ("raw", "hdf5", "mib")
+
+
+@pytest.mark.parametrize("backend", (None, "mmap"))
+@pytest.mark.parametrize("corr_on", (False, True))
+@pytest.mark.parametrize("roi_kind", (None, "dense", "sparse"))
+@pytest.mark.parametrize("sync", (-2, 0, 2))
+@pytest.mark.parametrize("fmt", FULL_FORMATS)
+def test_matrix_full_cross(lt_ctx, built, fmt, sync, roi_kind,
+                           corr_on, backend):
+    label = f"full:{sync}/{roi_kind}/{corr_on}/{backend}"
+    _run_cell(
+        lt_ctx, built, fmt, sync, roi_kind, corr_on, backend, label
+    )
 
 
 @pytest.mark.parametrize("nav", [(12,), (2, 6), (2, 2, 3)])
