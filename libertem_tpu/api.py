@@ -29,15 +29,32 @@ class ResultGenerator:
     (reference: api.py:73 ResultGenerator +
     update_parameters_experimental api.py:99)."""
 
-    def __init__(self, gen, runner: UDFRunner):
+    def __init__(self, gen, runner: UDFRunner, plots=None, ctx=None,
+                 udfs=None):
         self._gen = gen
         self._runner = runner
+        self._plots = plots
+        self._ctx = ctx
+        self._udfs = udfs
+        self._last = None
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return next(self._gen)
+        try:
+            res = next(self._gen)
+        except StopIteration:
+            if self._plots and self._last is not None:
+                self._ctx._update_plots(
+                    self._plots, self._last, self._udfs, final=True
+                )
+                self._plots = None
+            raise
+        if self._plots:
+            self._ctx._update_plots(self._plots, res, self._udfs)
+            self._last = res
+        return res
 
     def update_parameters_experimental(self, patches):
         self._runner.update_parameters_experimental(patches)
@@ -147,8 +164,21 @@ class Context:
         ds.set_num_cores(max(4, 2 * len(workers)))
         return ds
 
-    def export_dataset(self, dataset: DataSet, *, path: str, progress=False):
-        """Export a dataset to .npy (reference api.py:1706)."""
+    def export_dataset(self, dataset: DataSet, *, path: str,
+                       progress=False, overwrite: bool = False):
+        """Export a dataset to .npy (reference api.py:1706);
+        refuses to clobber an existing file unless ``overwrite``."""
+        import os as _os
+        if not str(path).endswith(".npy"):
+            raise ValueError(
+                f"unrecognized file extension in {path!r}: only "
+                ".npy is currently supported"
+            )
+        if not overwrite and _os.path.isfile(path):
+            raise FileExistsError(
+                f"cannot export dataset to existing path {path}; "
+                "use overwrite=True to force export"
+            )
         from .io.writers import write_dataset_npy
         return write_dataset_npy(self, dataset, path, progress=progress)
 
@@ -232,13 +262,33 @@ class Context:
         roi: Optional[np.ndarray] = None,
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
+        backends=None,
+        plots=None,
+        sync: bool = True,
     ) -> "ResultGenerator":
         """Generator of partial results, one per merged partition
         (reference api.py:1053).  The returned generator supports
         ``update_parameters_experimental([{...}, ...])`` to patch UDF
-        parameters mid-run."""
+        parameters mid-run.  ``plots`` updates live plots on every
+        yielded partial; ``sync=False`` returns an async generator
+        (the reference's async variant)."""
+        if not sync:
+            if plots:
+                raise ValueError(
+                    "plots= is not supported with sync=False"
+                )
+            return self.run_udf_iter_async(
+                dataset, udf, roi=roi, corrections=corrections,
+                progress=progress,
+            )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
+        if backends is not None:
+            if isinstance(backends, str):
+                backends = (backends,)
+            for u in udfs:
+                u._backend_restriction = tuple(backends)
+        plots = self._prepare_plots(plots, dataset, udfs, roi)
         runner = UDFRunner(
             udfs, debug=getattr(self.executor, '_debug', False)
         )
@@ -247,7 +297,9 @@ class Context:
             device=self.executor.main_device,
             devices=self._run_devices(),
         )
-        return ResultGenerator(gen, runner)
+        return ResultGenerator(
+            gen, runner, plots=plots, ctx=self, udfs=udfs
+        )
 
     async def run_udf_iter_async(
         self, dataset, udf, roi=None, corrections=None,
@@ -294,20 +346,23 @@ class Context:
             )
         return "\n".join(lines)
 
-    def map(self, dataset: DataSet, f, roi=None, progress=False):
+    def map(self, dataset: DataSet, f, roi=None, progress=False,
+            corrections=None, backends=None):
         """Apply ``f(frame) -> ndarray`` to every frame
         (reference api.py:1617)."""
         from .udf.auto import AutoUDF
         udf = AutoUDF(f=f)
         results = self.run_udf(
-            dataset, udf, roi=roi, progress=progress
+            dataset, udf, roi=roi, progress=progress,
+            corrections=corrections, backends=backends
         )
         return results["result"]
 
     # -- analyses -----------------------------------------------------------
 
     @keep_alive
-    def run(self, analysis, roi=None, progress=False):
+    def run(self, analysis, roi=None, progress=False,
+            corrections=None):
         """Run an Analysis and post-process into an AnalysisResultSet
         (reference api.py:854)."""
         if roi is None:
@@ -315,6 +370,7 @@ class Context:
         udf = analysis.get_udf()
         udf_results = self.run_udf(
             analysis.dataset, udf, roi=roi, progress=progress,
+            corrections=corrections,
         )
         damage = udf_results.damage if hasattr(udf_results, "damage") else None
         return analysis.get_udf_results(udf_results, roi, damage)
@@ -360,11 +416,13 @@ class Context:
         from .analysis.sd import SDAnalysis
         return SDAnalysis(dataset=dataset, parameters={})
 
-    def create_pick_analysis(self, dataset, x, y=None):
+    def create_pick_analysis(self, dataset, x, y=None, z=None):
         from .analysis.raw import PickFrameAnalysis
         params = {"x": x}
         if y is not None:
             params["y"] = y
+        if z is not None:
+            params["z"] = z
         return PickFrameAnalysis(dataset=dataset, parameters=params)
 
     def create_com_analysis(
@@ -383,7 +441,7 @@ class Context:
 
     def create_radial_fourier_analysis(
         self, dataset, cx=None, cy=None, ri=None, ro=None,
-        n_bins=None, max_order=None,
+        n_bins=None, max_order=None, use_sparse=None,
     ):
         from .analysis.radialfourier import RadialFourierAnalysis
         return RadialFourierAnalysis(
@@ -391,6 +449,10 @@ class Context:
             parameters={
                 "cx": cx, "cy": cy, "ri": ri, "ro": ro,
                 "n_bins": n_bins, "max_order": max_order,
+                # accepted for reference signature parity; the mask
+                # stack is auto-compacted here (ops/sparse_masks.py),
+                # so the dense/sparse choice is engine-internal
+                "use_sparse": use_sparse,
             },
         )
 

@@ -281,3 +281,79 @@ def test_viz_channels_and_colormap(ds):
     # lazy module attribute (reference exposes a module-level value)
     from libertem_tpu.viz import base as viz_base
     assert viz_base.libertem_cyclic(0.5) is not None
+
+
+def test_context_signature_parity(lt_ctx, tmp_path):
+    """Round-3 signature sweep: kwargs a reference user passes to
+    Context methods (reference api.py) must be accepted with real
+    behavior."""
+    import asyncio
+
+    from libertem_tpu.io.corrections import CorrectionSet
+    from libertem_tpu.viz import Dummy2DPlot
+
+    data = _mk_random((2, 3, 8, 8), dtype="float32")
+    d = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+
+    # export_dataset: refuses to clobber unless overwrite=True
+    out = str(tmp_path / "exp.npy")
+    lt_ctx.export_dataset(d, path=out)
+    with pytest.raises(FileExistsError, match="overwrite"):
+        lt_ctx.export_dataset(d, path=out)
+    lt_ctx.export_dataset(d, path=out, overwrite=True)
+    assert np.allclose(np.load(out), data.reshape(-1, 8, 8))
+    with pytest.raises(ValueError, match="npy"):
+        lt_ctx.export_dataset(d, path=str(tmp_path / "exp.tiff"))
+
+    # map / run with corrections=
+    dark = np.full((8, 8), 1.0, dtype=np.float32)
+    corr = CorrectionSet(dark=dark)
+    m = lt_ctx.map(
+        d, lambda frame: frame.sum(), corrections=corr
+    )
+    exp = (data.reshape(-1, 8, 8) - 1.0).sum(axis=(1, 2))
+    assert np.allclose(
+        np.asarray(m.data).reshape(-1), exp, rtol=1e-4
+    )
+    an = lt_ctx.create_sum_analysis(dataset=d)
+    res = lt_ctx.run(an, corrections=corr)
+    assert np.allclose(
+        res["intensity"].raw_data,
+        (data.reshape(-1, 8, 8) - 1.0).sum(axis=0), rtol=1e-4,
+    )
+
+    # run_udf_iter with plots= and sync=False
+    plot = Dummy2DPlot(dataset=d, udf=SumUDF())
+    seen = []
+    gen = lt_ctx.run_udf_iter(d, plot.udf, plots=[plot])
+    for part in gen:
+        seen.append(part)
+    assert len(seen) >= 1
+    assert plot.data is not None
+
+    async def drive():
+        out = []
+        agen = lt_ctx.run_udf_iter(d, SumUDF(), sync=False)
+        async for part in agen:
+            out.append(part)
+        return out
+
+    parts = asyncio.run(drive())
+    assert len(parts) >= 1
+
+    # create_pick_analysis accepts z for 3D nav
+    d3 = MemoryDataSet(
+        data=_mk_random((2, 2, 3, 8, 8), dtype="float32"),
+        sig_dims=2, num_partitions=2,
+    ).initialize()
+    pa = lt_ctx.create_pick_analysis(d3, x=2, y=1, z=1)
+    r = lt_ctx.run(pa)
+    assert r["intensity"].raw_data.shape == (8, 8)
+
+    # radial fourier accepts use_sparse
+    rf = lt_ctx.create_radial_fourier_analysis(
+        dataset=d, use_sparse=False
+    )
+    lt_ctx.run(rf)
