@@ -516,9 +516,14 @@ class _UDFPlanEntry:
 
 
 class UDFRunner:
-    def __init__(self, udfs: Sequence[UDF], debug: bool = False):
+    def __init__(self, udfs: Sequence[UDF], debug: bool = False,
+                 progress_reporter=None):
+        """``progress_reporter``: a ProgressReporter instance used
+        when ``progress=True`` (reference udf/base.py UDFRunner
+        signature); ``progress=<reporter>`` per run also works."""
         self._udfs = list(udfs)
         self._debug = debug
+        self._progress_reporter = progress_reporter
         self._params_patched = False
 
     def _debug_check_picklable(self):
@@ -1462,19 +1467,21 @@ class UDFRunner:
 
     # -- main loop -----------------------------------------------------------
 
-    @staticmethod
-    def _make_progress(progress, n_frames, n_parts, prep):
-        """progress may be False, True (tqdm), or a ProgressReporter
-        instance (e.g. the web engine's)."""
+    def _make_progress(self, progress, n_frames, n_parts, prep):
+        """progress may be False, True (tqdm or the runner-level
+        ``progress_reporter``), or a ProgressReporter instance (e.g.
+        the web engine's)."""
         if not progress:
             return None
         from ..common.progress import (
             ProgressManager, ProgressReporter, TQDMProgressReporter,
         )
-        reporter = (
-            progress if isinstance(progress, ProgressReporter)
-            else TQDMProgressReporter()
-        )
+        if isinstance(progress, ProgressReporter):
+            reporter = progress
+        elif self._progress_reporter is not None:
+            reporter = self._progress_reporter
+        else:
+            reporter = TQDMProgressReporter()
         return ProgressManager(
             n_frames, n_parts, reporter, progress_id=str(id(prep)),
         )

@@ -162,9 +162,12 @@ class ApplyMasksUDF(UDF):
     def __init__(
         self,
         mask_factories=None,
+        use_torch=None,
         use_sparse=None,
         mask_count=None,
         mask_dtype=None,
+        preferred_dtype=None,
+        backends=None,
         dtype=None,
         shifts=None,
         use_bf16=False,
@@ -172,6 +175,11 @@ class ApplyMasksUDF(UDF):
     ):
         if mask_factories is None:
             raise ValueError("mask_factories is required")
+        # reference-signature compat: use_torch picks the reference's
+        # CPU BLAS path (meaningless on the MXU — ignored); dtype is
+        # this repo's original spelling of preferred_dtype
+        if preferred_dtype is not None and dtype is None:
+            dtype = preferred_dtype
         super().__init__(
             mask_factories=mask_factories,
             use_sparse=use_sparse,
@@ -182,6 +190,10 @@ class ApplyMasksUDF(UDF):
             use_bf16=use_bf16,
             **kwargs,
         )
+        if backends is not None:
+            if isinstance(backends, str):
+                backends = (backends,)
+            self._backend_restriction = tuple(backends)
         self._container = MaskContainer(
             mask_factories, dtype=mask_dtype, count=mask_count
         )

@@ -357,3 +357,52 @@ def test_context_signature_parity(lt_ctx, tmp_path):
         dataset=d, use_sparse=False
     )
     lt_ctx.run(rf)
+
+
+def test_udf_signature_parity(ds):
+    """ApplyMasksUDF reference kwargs and UDFRunner
+    progress_reporter= (reference udf/masks.py:255, udf/base.py
+    UDFRunner)."""
+    d, data = ds
+    from libertem_tpu.common.progress import ProgressReporter
+    from libertem_tpu.udf import ApplyMasksUDF
+    from libertem_tpu import masks as m
+
+    mf = [lambda: m.circular(4, 4, 8, 8, 3)]
+    udf = ApplyMasksUDF(
+        mask_factories=mf, use_torch=False,
+        preferred_dtype=np.float64, backends=("jax",),
+    )
+    assert udf.get_preferred_input_dtype() == np.float64
+    res = UDFRunner([udf]).run_for_dataset(d)
+    expected = (
+        data.reshape(-1, 64).astype(np.float64)
+        @ m.circular(4, 4, 8, 8, 3).reshape(64).astype(np.float64)
+    )
+    assert np.allclose(
+        np.asarray(res.buffers[0]["intensity"].data).reshape(-1),
+        expected, rtol=1e-5,
+    )
+    # an impossible restriction errors loudly at prepare time
+    from libertem_tpu.udf.base import UDFException
+    bad = ApplyMasksUDF(mask_factories=mf, backends=("cupy",))
+    with pytest.raises(UDFException, match="restriction"):
+        UDFRunner([bad]).run_for_dataset(d)
+
+    calls = {"start": 0, "update": 0, "end": 0}
+
+    class Rep(ProgressReporter):
+        def start(self, state):
+            calls["start"] += 1
+
+        def update(self, state):
+            calls["update"] += 1
+
+        def end(self, state):
+            calls["end"] += 1
+
+    runner = UDFRunner(
+        [SumUDF()], progress_reporter=Rep()
+    )
+    runner.run_for_dataset(d, progress=True)
+    assert calls["start"] == 1 and calls["end"] == 1
