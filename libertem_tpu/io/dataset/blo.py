@@ -91,8 +91,16 @@ class BloDataSet(DataSet):
         sig_shape: Optional[Sequence[int]] = None,
         sync_offset: int = 0,
         endianess: str = "<",
+        tileshape=None,
         **kwargs,
     ):
+        if tileshape is not None:
+            import warnings
+            warnings.warn(
+                "tileshape is ignored (tiling is negotiated per "
+                "run; reference blo.py:146 ignores it too)",
+                FutureWarning,
+            )
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None

@@ -156,15 +156,33 @@ class _DMParser:
             raise DataSetException(f"unhandled payload type {t}")
 
 
-def parse_dm(path: str) -> dict:
-    """Locate the main image array: largest 'Data' array tag."""
+def parse_dm(path: str, dataset_index=None) -> dict:
+    """Locate the main image array: largest 'Data' array tag, or the
+    ``dataset_index``-th ImageList entry when given (reference
+    dm_single.py:86 — a DM file can hold several datasets; index 0 is
+    usually the thumbnail)."""
     p = _DMParser(path).parse()
     candidates = [
         a for a in p.arrays if a[0].endswith(".ImageData.Data")
     ]
     if not candidates:
         raise DataSetException(f"{path}: no image data found")
-    best = max(candidates, key=lambda a: a[3])
+    if dataset_index is not None:
+        import re as _re
+
+        def _il_index(tag):
+            m = _re.search(r"ImageList\.(\d+)\.", tag)
+            return int(m.group(1)) if m else 0
+
+        ordered = sorted(candidates, key=lambda a: _il_index(a[0]))
+        if not 0 <= int(dataset_index) < len(ordered):
+            raise DataSetException(
+                f"{path}: dataset_index {dataset_index} out of "
+                f"range — the file holds {len(ordered)} datasets"
+            )
+        best = ordered[int(dataset_index)]
+    else:
+        best = max(candidates, key=lambda a: a[3])
     tag_prefix = best[0][:-len(".Data")]
     dims = []
     i = 0
@@ -244,6 +262,7 @@ class SingleDMDataSet(DataSet):
         sync_offset: int = 0,
         sig_dims: int = 2,
         force_c_order: bool = False,
+        dataset_index=None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -253,9 +272,10 @@ class SingleDMDataSet(DataSet):
         self._sig_dims = sig_dims
         self._sync_offset = int(sync_offset)
         self._force_c_order = force_c_order
+        self._dataset_index = dataset_index
 
     def initialize(self, executor=None) -> "SingleDMDataSet":
-        info = parse_dm(self._path)
+        info = parse_dm(self._path, self._dataset_index)
         if not info.get("c_order", True) and not self._force_c_order:
             # matches the reference's refusal for sig-major files
             # (dm_single.py:331): convert first, or force
@@ -365,23 +385,45 @@ class StackedDMDataSet(DataSet):
     (reference: dm.py:159)."""
 
     def __init__(self, files=None, nav_shape=None, sig_shape=None,
-                 sync_offset: int = 0, sig_dims: int = 2, **kwargs):
+                 sync_offset: int = 0, sig_dims: int = 2,
+                 scan_size=None, same_offset: bool = False,
+                 **kwargs):
         super().__init__(**kwargs)
         if not files:
             raise DataSetException("files list is required")
+        if scan_size is not None:
+            import warnings
+            warnings.warn(
+                "scan_size is deprecated, specify nav_shape instead",
+                FutureWarning,
+            )
+            if nav_shape is not None:
+                raise ValueError(
+                    "cannot specify both scan_size and nav_shape"
+                )
+            nav_shape = scan_size
         self._file_paths = list(files)
         self._nav_shape = tuple(nav_shape) if nav_shape else None
         self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sig_dims = sig_dims
         self._sync_offset = int(sync_offset)
+        # reference dm.py:200: all files share the same header layout
+        # — parse the first only and reuse its offsets (a real win
+        # for 1000s-of-files stacks)
+        self._same_offset = bool(same_offset)
 
     def initialize(self, executor=None) -> "StackedDMDataSet":
         infos = []
         first = 0
         sig_shape = None
         dtype = None
+        first_info = None
         for path in self._file_paths:
-            info = parse_dm(path)
+            if self._same_offset and first_info is not None:
+                info = first_info
+            else:
+                info = parse_dm(path)
+                first_info = info
             shape = info["shape"]
             f_sig = shape[len(shape) - self._sig_dims:]
             n = int(np.prod(

@@ -137,8 +137,15 @@ class FRMS6DataSet(DataSet):
         sync_offset: int = 0,
         enable_offset_correction: bool = True,
         gain_map_path: Optional[str] = None,
+        dest_dtype=None,
         **kwargs,
     ):
+        if dest_dtype is not None:
+            import warnings
+            warnings.warn(
+                "dest_dtype is ignored here (the reference ignores "
+                "it too, frms6.py:474)", FutureWarning,
+            )
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape) if nav_shape else None

@@ -111,6 +111,8 @@ class H5DataSet(DataSet):
         nav_shape: Optional[Sequence[int]] = None,
         sig_shape: Optional[Sequence[int]] = None,
         sync_offset: int = 0,
+        target_size: Optional[int] = None,
+        min_num_partitions: Optional[int] = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -120,7 +122,24 @@ class H5DataSet(DataSet):
         self._nav_shape = tuple(nav_shape) if nav_shape else None
         self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
+        # reference hdf5.py:298: target partition size in bytes;
+        # min_num_partitions is accepted for signature parity (the
+        # reference never uses it either, hdf5.py:313)
+        self._target_size = target_size
+        self._min_num_partitions = min_num_partitions
         self._chunks = None
+
+    def get_num_partitions(self) -> int:
+        n = super().get_num_partitions()
+        if self._target_size:
+            total = self.meta.shape.size * self.meta.raw_dtype.itemsize
+            by_target = max(
+                1, int(np.ceil(total / self._target_size))
+            )
+            n = max(n, by_target)
+        if self._min_num_partitions:
+            n = max(n, int(self._min_num_partitions))
+        return min(n, max(1, self.meta.shape.nav.size))
 
     @classmethod
     def _find_datasets(cls, f, min_dims=3):

@@ -236,13 +236,22 @@ class MIBDataSet(DataSet):
         sync_offset: int = 0,
         # reference-compat alias
         scan_size=None,
+        disable_glob: bool = False,
+        tileshape=None,
         **kwargs,
     ):
+        if tileshape is not None:
+            import warnings
+            warnings.warn(
+                "tileshape is ignored (tiling is negotiated per "
+                "run)", FutureWarning,
+            )
         super().__init__(**kwargs)
         self._path = path
         self._nav_shape = tuple(nav_shape or scan_size or ())
         self._sig_shape = tuple(sig_shape) if sig_shape else None
         self._sync_offset = int(sync_offset)
+        self._disable_glob = bool(disable_glob)
         self._hdr = None
         self._files = []
 
@@ -256,7 +265,20 @@ class MIBDataSet(DataSet):
                     os.path.join(glob.escape(base), "*.mib")
                 ))
         elif self._path.lower().endswith(".mib"):
-            files = [self._path]
+            if self._disable_glob:
+                files = [self._path]
+            else:
+                # multi-file acquisitions: strip the trailing frame
+                # counter and collect every sibling chunk (reference
+                # mib.py:110 _pattern — acq_001.mib opens
+                # acq_*.mib; ordering comes from the header sequence
+                # numbers below, not the name sort)
+                import re
+                base = os.path.splitext(self._path)[0]
+                pattern = re.sub(
+                    r"[0-9]+$", "", glob.escape(base)
+                ) + "*.mib"
+                files = sorted(glob.glob(pattern)) or [self._path]
         else:
             files = sorted(glob.glob(
                 os.path.join(glob.escape(self._path), "*.mib")

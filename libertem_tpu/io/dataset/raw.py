@@ -54,8 +54,56 @@ class RawFileDataSet(DataSet):
         # reference-compat aliases:
         scan_size=None,
         detector_size=None,
+        tileshape=None,
+        enable_direct: bool = False,
+        detector_size_raw=None,
+        crop_detector_to=None,
         **kwargs,
     ):
+        import warnings
+        if tileshape is not None:
+            warnings.warn(
+                "tileshape is ignored (tiling is negotiated per "
+                "run)", FutureWarning,
+            )
+        if enable_direct:
+            # reference raw.py:121: deprecated spelling of the
+            # direct io backend
+            warnings.warn(
+                "enable_direct is deprecated; pass "
+                "io_backend=DirectBackend() instead", FutureWarning,
+            )
+            if kwargs.get("io_backend") is not None:
+                raise ValueError(
+                    "can't specify io_backend and enable_direct at "
+                    "the same time"
+                )
+            from .base import IOBackend
+            kwargs["io_backend"] = IOBackend.from_json(
+                {"id": "direct"}
+            )
+        if crop_detector_to is not None:
+            # reference raw.py:141: cropping was removed; only the
+            # no-op spelling survives
+            warnings.warn(
+                "crop_detector_to and detector_size_raw are "
+                "deprecated, specify sig_shape instead",
+                FutureWarning,
+            )
+            if detector_size is not None:
+                raise ValueError(
+                    "cannot specify both detector_size and "
+                    "crop_detector_to"
+                )
+            if (
+                detector_size_raw is not None
+                and tuple(detector_size_raw) != tuple(crop_detector_to)
+            ):
+                raise ValueError(
+                    "cropping the detector is not supported; use the "
+                    "EMPAD DataSet"
+                )
+            detector_size = crop_detector_to
         super().__init__(**kwargs)
         self._path = path
         self._dtype = np.dtype(dtype)

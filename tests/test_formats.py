@@ -266,6 +266,21 @@ def test_mib_multifile_acquisition(lt_ctx, tmp_path):
     res = lt_ctx.run_udf(ds, PickUDF(), roi=roi)
     assert np.array_equal(res["intensity"].data, flat[[0, 5, 11]])
 
+    # opening ONE chunk by its .mib path collects the numbered
+    # siblings (reference mib.py:110 _pattern: the trailing counter
+    # is stripped and globbed); disable_glob opts out
+    ds2 = lt_ctx.load(
+        "mib", path=str(tmp_path / "acq_01.mib"), nav_shape=(3, 4)
+    )
+    assert tuple(ds2.shape) == (3, 4, 8, 8)
+    r2 = lt_ctx.run_udf(ds2, PickUDF(), roi=roi)
+    assert np.array_equal(r2["intensity"].data, flat[[0, 5, 11]])
+    ds3 = lt_ctx.load(
+        "mib", path=str(tmp_path / "acq_01.mib"),
+        disable_glob=True, nav_shape=(4,),
+    )
+    assert tuple(ds3.shape) == (4, 8, 8)
+
 
 def test_raw_csr_sync_offset_sparse_path(lt_ctx, tmp_path):
     """The sparse device path honors sync_offset + zero-fill exactly

@@ -49,9 +49,10 @@ def test_ser(lt_ctx, tmp_path):
     )
 
 
-def _write_dm4(path, data):
-    """Minimal DM4 writer: root group with ImageList.0.ImageData
-    holding Data (array) and Dimensions."""
+def _write_dm4(path, data, thumbnail=None):
+    """Minimal DM4 writer: root group with ImageList entries holding
+    ImageData.Data (array) and Dimensions; optional 2D thumbnail as
+    ImageList.0 like real DM files."""
     import io
 
     def tag_data_simple(name, value, code, fmt, size):
@@ -83,18 +84,23 @@ def _write_dm4(path, data):
             + name.encode() + struct.pack(">q", len(inner)) + inner
         )
 
-    n, h, w = data.shape
-    dims = tag_group("Dimensions", [
-        tag_data_simple("0", w, 3, "i", 4),
-        tag_data_simple("1", h, 3, "i", 4),
-        tag_data_simple("2", n, 3, "i", 4),
-    ])
-    image_data = tag_group("ImageData", [
-        tag_data_array("Data", data.reshape(-1), 4, "<u2"),
-        dims,
-    ])
-    img0 = tag_group("0", [image_data])
-    image_list = tag_group("ImageList", [img0])
+    def image_entry(idx, arr):
+        dim_tags = [
+            tag_data_simple(str(d), s, 3, "i", 4)
+            for d, s in enumerate(reversed(arr.shape))
+        ]
+        image_data = tag_group("ImageData", [
+            tag_data_array("Data", arr.reshape(-1), 4, "<u2"),
+            tag_group("Dimensions", dim_tags),
+        ])
+        return tag_group(str(idx), [image_data])
+
+    entries = []
+    if thumbnail is not None:
+        # real DM files store a thumbnail as ImageList.0
+        entries.append(image_entry(0, thumbnail))
+    entries.append(image_entry(len(entries), data))
+    image_list = tag_group("ImageList", entries)
     root_children = [image_list]
     root = bytes([1, 0]) + struct.pack(
         ">q", len(root_children)
@@ -375,3 +381,110 @@ def test_header_only_file_zero_fills(lt_ctx, tmp_path):
     assert np.allclose(
         np.asarray(res["intensity"].data).reshape(-1), 0.0
     )
+
+
+def test_dm4_dataset_index(lt_ctx, tmp_path):
+    """dataset_index selects among a DM file's ImageList entries
+    (reference dm_single.py:86); the default picks the LARGEST data
+    array, skipping the ImageList.0 thumbnail."""
+    data = _mk_random((12, 8, 10), dtype="uint16")
+    thumb = _mk_random((4, 5), dtype="uint16")
+    path = str(tmp_path / "t2.dm4")
+    _write_dm4(path, data, thumbnail=thumb)
+    # default: main stack, not the thumbnail
+    ds = lt_ctx.load("dm", path=path, nav_shape=(3, 4))
+    assert tuple(ds.shape) == (3, 4, 8, 10)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        data.astype(np.float64).sum(axis=0), rtol=1e-5,
+    )
+    # explicit index 1 = the main stack too
+    ds1 = lt_ctx.load("dm", path=path, nav_shape=(3, 4),
+                      dataset_index=1)
+    assert tuple(ds1.shape) == (3, 4, 8, 10)
+    # index 0 = the thumbnail (2D -> 1-frame stack with sig (4, 5))
+    ds0 = lt_ctx.load("dm", path=path, dataset_index=0,
+                      sig_dims=2, nav_shape=(1,))
+    assert tuple(ds0.shape.sig) == (4, 5)
+    r0 = lt_ctx.run_udf(ds0, SumUDF())
+    assert np.allclose(
+        r0["intensity"].data, thumb.astype(np.float64), rtol=1e-6
+    )
+    # out of range errors loudly
+    with pytest.raises(Exception, match="dataset_index"):
+        lt_ctx.load("dm", path=path, dataset_index=5)
+
+
+def test_dm_stack_compat_kwargs(lt_ctx, tmp_path):
+    """StackedDMDataSet accepts the reference's scan_size (deprecated
+    alias of nav_shape) and same_offset (parse the first file only,
+    reference dm.py:200)."""
+    frames = _mk_random((4, 8, 10), dtype="uint16")
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}.dm4")
+        _write_dm4(p, frames[i:i + 1])
+        paths.append(p)
+    with pytest.warns(FutureWarning, match="scan_size"):
+        ds = lt_ctx.load(
+            "dm", files=paths, scan_size=(2, 2), same_offset=True,
+        )
+    assert tuple(ds.shape) == (2, 2, 8, 10)
+    res = lt_ctx.run_udf(ds, SumUDF())
+    assert np.allclose(
+        res["intensity"].data,
+        frames.astype(np.float64).sum(axis=0), rtol=1e-5,
+    )
+
+
+def test_loader_deprecated_kwargs(lt_ctx, tmp_path):
+    """Deprecated reference kwargs are accepted with warnings:
+    raw tileshape/enable_direct/crop_detector_to, hdf5 target_size."""
+    import h5py
+
+    data = _mk_random((8, 8, 8), dtype="float32")
+    praw = str(tmp_path / "d.raw")
+    data.tofile(praw)
+    with pytest.warns(FutureWarning, match="tileshape"):
+        ds = lt_ctx.load(
+            "raw", path=praw, dtype="float32", nav_shape=(8,),
+            sig_shape=(8, 8), tileshape=(1, 8, 8),
+        )
+    assert tuple(ds.shape) == (8, 8, 8)
+    with pytest.warns(FutureWarning, match="crop_detector_to"):
+        ds2 = lt_ctx.load(
+            "raw", path=praw, dtype="float32", nav_shape=(8,),
+            crop_detector_to=(8, 8),
+        )
+    assert tuple(ds2.shape.sig) == (8, 8)
+    with pytest.raises(ValueError, match="cropping"):
+        lt_ctx.load(
+            "raw", path=praw, dtype="float32", nav_shape=(8,),
+            detector_size_raw=(16, 16), crop_detector_to=(8, 8),
+        )
+    with pytest.warns(FutureWarning, match="enable_direct"):
+        try:
+            ds3 = lt_ctx.load(
+                "raw", path=praw, dtype="float32", nav_shape=(8,),
+                sig_shape=(8, 8), enable_direct=True,
+            )
+            r = lt_ctx.run_udf(ds3, SumUDF())
+            assert np.allclose(
+                r["intensity"].data,
+                data.astype(np.float64).sum(axis=0),
+                rtol=1e-4, atol=1e-4,
+            )
+        except OSError:
+            pass  # O_DIRECT unsupported on this filesystem
+
+    ph5 = str(tmp_path / "d.h5")
+    with h5py.File(ph5, "w") as f:
+        f.create_dataset("data", data=data)
+    # tiny target size -> every frame its own partition
+    ds4 = lt_ctx.load("hdf5", path=ph5, ds_path="data",
+                      target_size=8 * 8 * 4)
+    assert ds4.get_num_partitions() == 8
+    ds5 = lt_ctx.load("hdf5", path=ph5, ds_path="data",
+                      min_num_partitions=4)
+    assert ds5.get_num_partitions() >= 4
