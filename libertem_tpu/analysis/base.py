@@ -102,25 +102,47 @@ class BaseAnalysis(Analysis):
 
     def get_complex_results(
         self, job_result, key_prefix, title, desc, damage=None,
+        default_lin=True,
     ):
-        """complex array → magnitude/phase/real/imag channels
-        (reference base.py:147)."""
+        """complex array → the reference's six channels
+        (base.py:147): magnitude lin + log (``default_lin`` decides
+        which one owns the bare ``key_prefix``), real, imag, angle,
+        and the full complex result visualized on the 2D-vector color
+        wheel."""
+        from ..viz.base import rgb_from_2dvector
+
         mag = np.abs(job_result)
         angle = np.angle(job_result)
+
+        def wheel():
+            vmax = None
+            if damage is not None and np.count_nonzero(damage):
+                vmax = float(np.max(mag[np.asarray(damage,
+                                                   dtype=bool)]))
+            return rgb_from_2dvector(
+                y=job_result.imag, x=job_result.real, vmax=vmax,
+            )
+
         return [
             AnalysisResult(
                 raw_data=mag,
                 visualized=lambda: visualize_simple(mag, damage=damage),
-                key=f"{key_prefix}", title=f"{title} [abs]",
+                key=(
+                    key_prefix if default_lin else f"{key_prefix}_lin"
+                ),
+                title=f"{title} [magn]",
                 desc=f"{desc} (magnitude)",
             ),
             AnalysisResult(
-                raw_data=angle,
+                raw_data=mag,
                 visualized=lambda: visualize_simple(
-                    angle, damage=damage
+                    mag, logarithmic=True, damage=damage
                 ),
-                key=f"{key_prefix}_angle", title=f"{title} [angle]",
-                desc=f"{desc} (phase)",
+                key=(
+                    f"{key_prefix}_log" if default_lin else key_prefix
+                ),
+                title=f"{title} [log(magn)]",
+                desc=f"{desc} (log magnitude)",
             ),
             AnalysisResult(
                 raw_data=job_result.real,
@@ -137,5 +159,20 @@ class BaseAnalysis(Analysis):
                 ),
                 key=f"{key_prefix}_imag", title=f"{title} [imag]",
                 desc=f"{desc} (imaginary part)",
+            ),
+            AnalysisResult(
+                raw_data=angle,
+                visualized=lambda: visualize_simple(
+                    angle, damage=damage
+                ),
+                key=f"{key_prefix}_angle", title=f"{title} [angle]",
+                desc=f"{desc} (phase)",
+            ),
+            AnalysisResult(
+                raw_data=job_result,
+                visualized=wheel,
+                key=f"{key_prefix}_complex",
+                title=f"{title} [complex]",
+                desc=f"{desc} (complex, color wheel)",
             ),
         ]

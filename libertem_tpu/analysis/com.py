@@ -59,13 +59,39 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
 
         p = self.parameters
         dmg = self.nav_damage(damage)
-        raw_shifts = np.asarray(
-            udf_results["raw_shifts"].data, dtype=np.float64
+        raw_shifts = np.asarray(udf_results["raw_shifts"].data)
+        is_c = raw_shifts.dtype.kind == "c"
+        raw_shifts = raw_shifts.astype(
+            np.complex128 if is_c else np.float64
         )
         sy, sx = raw_shifts[..., 0], raw_shifts[..., 1]
         fy, fx = apply_com_correction(
             sy, sx, p["scan_rotation"], p["flip_y"]
         )
+        if is_c:
+            # complex dataset: the reference emits the split channels
+            # only (com.py:213 COMResultSet complex branch)
+            chans = []
+            for key, title, arr in (
+                ("x_real", "x [real]", np.real(fx)),
+                ("y_real", "y [real]", np.real(fy)),
+                ("x_imag", "x [imag]", np.imag(fx)),
+                ("y_imag", "y [imag]", np.imag(fy)),
+            ):
+                arr32 = arr.astype(np.float32)
+                chans.append(AnalysisResult(
+                    raw_data=arr32,
+                    visualized=(
+                        lambda a=arr32: visualize_simple(
+                            a, damage=dmg
+                        )
+                    ),
+                    key=key, title=title,
+                    desc=f"{title} component of the center",
+                ))
+            return AnalysisResultSet(
+                chans, raw_results=udf_results
+            )
         fy = fy.astype(np.float32)
         fx = fx.astype(np.float32)
         mag = np.sqrt(fy ** 2 + fx ** 2)

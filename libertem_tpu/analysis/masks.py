@@ -35,12 +35,16 @@ class BaseMasksAnalysis(BaseAnalysis):
         data = udf_results["intensity"].data  # (*nav, n_masks)
         dmg = self.nav_damage(damage)
         results = []
+        single = data.shape[-1] == 1
         for i in range(data.shape[-1]):
             chan = data[..., i]
+            # reference channel naming (masks.py:173): mask_<i> per
+            # mask; a single-mask stack keeps the 'intensity' key
+            key = "intensity" if single else f"mask_{i}"
+            title = "intensity" if single else f"mask {i}"
             if np.iscomplexobj(chan):
                 results.extend(self.get_complex_results(
-                    chan, key_prefix=f"intensity_{i}",
-                    title=f"intensity[{i}]",
+                    chan, key_prefix=key, title=title,
                     desc="mask result", damage=dmg,
                 ))
             else:
@@ -49,10 +53,9 @@ class BaseMasksAnalysis(BaseAnalysis):
                     visualized=(
                         lambda c=chan: visualize_simple(c, damage=dmg)
                     ),
-                    key="intensity" if data.shape[-1] == 1
-                    else f"intensity_{i}",
-                    title=f"intensity[{i}]",
-                    desc="mask result",
+                    key=key,
+                    title=title,
+                    desc=f"integrated intensity for mask {i}",
                 ))
         return AnalysisResultSet(results, raw_results=udf_results)
 
@@ -79,8 +82,16 @@ class SingleMaskAnalysis(BaseMasksAnalysis):
             AnalysisResult(
                 raw_data=data,
                 visualized=lambda: visualize_simple(data, damage=dmg),
-                key="intensity", title="intensity",
-                desc=self.get_description(),
+                key="intensity", title="intensity [lin]",
+                desc=f"{self.get_description()} lin-scaled",
+            ),
+            AnalysisResult(
+                raw_data=data,
+                visualized=lambda: visualize_simple(
+                    data, logarithmic=True, damage=dmg
+                ),
+                key="intensity_log", title="intensity [log]",
+                desc=f"{self.get_description()} log-scaled",
             ),
         ], raw_results=udf_results)
 

@@ -40,21 +40,26 @@ class PickFrameAnalysis(BaseAnalysis, id_="PICK_FRAME"):
                 frame, key_prefix="intensity",
                 title=f"frame ({coords_str})",
                 desc="the frame at the selected scan position",
+                # reference raw.py:145: bare key is log-scaled
+                default_lin=False,
             ))
         else:
-            results.append(AnalysisResult(
-                raw_data=frame,
-                visualized=lambda: visualize_simple(frame),
-                key="intensity", title=f"frame ({coords_str})",
-                desc="the frame at the selected scan position",
-            ))
+            # reference channel pair (raw.py:151): 'intensity' log,
+            # 'intensity_lin' linear
             results.append(AnalysisResult(
                 raw_data=frame,
                 visualized=lambda: visualize_simple(
                     frame, logarithmic=True
                 ),
-                key="intensity_log",
+                key="intensity",
                 title=f"frame ({coords_str}) [log]",
                 desc="the frame at the selected scan position (log)",
+            ))
+            results.append(AnalysisResult(
+                raw_data=frame,
+                visualized=lambda: visualize_simple(frame),
+                key="intensity_lin",
+                title=f"frame ({coords_str}) [lin]",
+                desc="the frame at the selected scan position",
             ))
         return AnalysisResultSet(results, raw_results=udf_results)

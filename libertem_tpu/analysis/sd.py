@@ -16,11 +16,28 @@ class SDAnalysis(BaseAnalysis, id_="SD_FRAMES"):
         var = udf_results["var"].data
         std = udf_results["std"].data
         mean = udf_results["mean"].data
+        # reference channels (sd.py:62): 'intensity' is the STANDARD
+        # DEVIATION log-scaled, 'intensity_lin' linear; variance/std/
+        # mean stay available as extra channels
         return AnalysisResultSet([
+            AnalysisResult(
+                raw_data=std,
+                visualized=lambda: visualize_simple(
+                    std, logarithmic=True
+                ),
+                key="intensity", title="intensity [log]",
+                desc="standard deviation of frames log-scaled",
+            ),
+            AnalysisResult(
+                raw_data=std,
+                visualized=lambda: visualize_simple(std),
+                key="intensity_lin", title="intensity [lin]",
+                desc="standard deviation of frames lin-scaled",
+            ),
             AnalysisResult(
                 raw_data=var,
                 visualized=lambda: visualize_simple(var),
-                key="intensity", title="variance",
+                key="variance", title="variance",
                 desc="per-pixel variance over all frames",
             ),
             AnalysisResult(

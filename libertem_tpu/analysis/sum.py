@@ -21,22 +21,26 @@ class SumAnalysis(BaseAnalysis, id_="SUM_FRAMES"):
                 self.get_complex_results(
                     data, key_prefix="intensity", title="intensity",
                     desc="sum of frames",
+                    # reference sum.py:113: the bare key is LOG-scaled
+                    default_lin=False,
                 ),
                 raw_results=udf_results,
             )
+        # reference channel pair (sum.py:118): 'intensity' is the
+        # log-scaled view, 'intensity_lin' the linear one
         return AnalysisResultSet([
-            AnalysisResult(
-                raw_data=data,
-                visualized=lambda: visualize_simple(data),
-                key="intensity", title="intensity",
-                desc="sum of frames",
-            ),
             AnalysisResult(
                 raw_data=data,
                 visualized=lambda: visualize_simple(
                     data, logarithmic=True
                 ),
-                key="intensity_log", title="intensity [log]",
-                desc="sum of frames (log scale)",
+                key="intensity", title="intensity [log]",
+                desc="sum of frames log-scaled",
+            ),
+            AnalysisResult(
+                raw_data=data,
+                visualized=lambda: visualize_simple(data),
+                key="intensity_lin", title="intensity [lin]",
+                desc="sum of frames lin-scaled",
             ),
         ], raw_results=udf_results)

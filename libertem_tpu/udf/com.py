@@ -93,37 +93,45 @@ class CoMUDF(UDF):
         ))
 
     def get_result_buffers(self):
+        # complex input data produces COMPLEX centers/shifts
+        # (reference com.py:477 np.result_type(input_dtype, f32));
+        # complex128 clamps to complex64 like the rest of the engine
+        dtype = np.result_type(self.meta.input_dtype, np.float32)
+        if dtype.kind == "c":
+            dtype = np.dtype(np.complex64)
+        else:
+            dtype = np.dtype(np.float32)
         return {
             "raw_mask_result": self.buffer(
-                kind="nav", extra_shape=(3,), dtype="float32",
+                kind="nav", extra_shape=(3,), dtype=dtype,
                 use="private",
             ),
             "raw_com": self.buffer(
-                kind="nav", extra_shape=(2,), dtype="float32",
+                kind="nav", extra_shape=(2,), dtype=dtype,
                 use="result_only",
             ),
             "raw_shifts": self.buffer(
-                kind="nav", extra_shape=(2,), dtype="float32",
+                kind="nav", extra_shape=(2,), dtype=dtype,
                 use="result_only",
             ),
             "field": self.buffer(
-                kind="nav", extra_shape=(2,), dtype="float32",
+                kind="nav", extra_shape=(2,), dtype=dtype,
                 use="result_only",
             ),
             "field_y": self.buffer(
-                kind="nav", dtype="float32", use="result_only",
+                kind="nav", dtype=dtype, use="result_only",
             ),
             "field_x": self.buffer(
-                kind="nav", dtype="float32", use="result_only",
+                kind="nav", dtype=dtype, use="result_only",
             ),
             "magnitude": self.buffer(
-                kind="nav", dtype="float32", use="result_only",
+                kind="nav", dtype=dtype, use="result_only",
             ),
             "divergence": self.buffer(
-                kind="nav", dtype="float32", use="result_only",
+                kind="nav", dtype=dtype, use="result_only",
             ),
             "curl": self.buffer(
-                kind="nav", dtype="float32", use="result_only",
+                kind="nav", dtype=dtype, use="result_only",
             ),
             "regression": self.buffer(
                 kind="single", extra_shape=(3, 2), dtype="float32",
@@ -156,48 +164,69 @@ class CoMUDF(UDF):
 
     def process_tile(self, tile):
         masks = self._operand()
-        flat = tile.reshape(tile.shape[0], -1).astype(jnp.float32)
-        self.results.raw_mask_result += jnp.matmul(
-            flat, masks, preferred_element_type=jnp.float32
-        )
+        flat = tile.reshape(tile.shape[0], -1)
+        if jnp.iscomplexobj(flat):
+            # complex data: complex projections (reference keeps
+            # result_type(input, f32) throughout, com.py:477)
+            flat = flat.astype(jnp.complex64)
+            self.results.raw_mask_result += jnp.matmul(
+                flat, masks.astype(jnp.complex64),
+            )
+        else:
+            flat = flat.astype(jnp.float32)
+            self.results.raw_mask_result += jnp.matmul(
+                flat, masks, preferred_element_type=jnp.float32
+            )
 
     # -- post-processing -----------------------------------------------
 
     def get_results(self):
         p: CoMParams = self.params.com_params
         cy, cx = self._center()
-        raw = np.asarray(self.results.raw_mask_result, dtype=np.float64)
+        raw = np.asarray(self.results.raw_mask_result)
+        # complex data yields complex centers/shifts (reference
+        # com.py:477 result dtype follows the input)
+        is_c = raw.dtype.kind == "c"
+        work_dt = np.complex128 if is_c else np.float64
+        out_dt = np.complex64 if is_c else np.float32
+        raw = raw.astype(work_dt)
         with np.errstate(invalid="ignore", divide="ignore"):
             com_y = raw[:, 1] / raw[:, 0]
             com_x = raw[:, 2] / raw[:, 0]
-        raw_com = np.stack([com_y, com_x], axis=-1).astype(np.float32)
+        raw_com = np.stack([com_y, com_x], axis=-1).astype(out_dt)
         shifts_y = com_y - cy
         shifts_x = com_x - cx
         raw_shifts = np.stack(
             [shifts_y, shifts_x], axis=-1
-        ).astype(np.float32)
+        ).astype(out_dt)
 
         # rotation / flip correction (reference apply_correction com.py:110)
         y_corr, x_corr = apply_com_correction(
             shifts_y, shifts_x, p.scan_rotation, p.flip_y
         )
 
-        # regression deskew on the 2D nav grid (com.py:600)
+        # regression deskew on the 2D nav grid (com.py:600) — not
+        # defined for complex fields (a least-squares plane through
+        # complex shifts has no physical meaning here); the buffer's
+        # validity mask marks it invalid in that case
         regression = np.zeros((3, 2), dtype=np.float32)
-        if p.regression != RegressionOptions.NO_REGRESSION:
+        if (
+            p.regression != RegressionOptions.NO_REGRESSION
+            and not is_c
+        ):
             y2d, x2d, regression = self._regress(y_corr, x_corr,
                                                  p.regression)
             y_corr, x_corr = y2d, x2d
 
-        field = np.stack([y_corr, x_corr], axis=-1).astype(np.float32)
-        magnitude = np.sqrt(y_corr ** 2 + x_corr ** 2).astype(np.float32)
+        field = np.stack([y_corr, x_corr], axis=-1).astype(out_dt)
+        magnitude = np.sqrt(y_corr ** 2 + x_corr ** 2).astype(out_dt)
         div, curl = self._div_curl(y_corr, x_corr)
         return {
             "raw_com": raw_com,
             "raw_shifts": raw_shifts,
             "field": field,
-            "field_y": y_corr.astype(np.float32),
-            "field_x": x_corr.astype(np.float32),
+            "field_y": y_corr.astype(out_dt),
+            "field_x": x_corr.astype(out_dt),
             "magnitude": magnitude,
             "divergence": div,
             "curl": curl,
@@ -206,7 +235,10 @@ class CoMUDF(UDF):
             # with_mask, udf/base.py:1611)
             "regression": self.with_mask(
                 regression,
-                mask=p.regression != RegressionOptions.NO_REGRESSION,
+                mask=(
+                    p.regression != RegressionOptions.NO_REGRESSION
+                    and not is_c
+                ),
             ),
         }
 
@@ -215,7 +247,11 @@ class CoMUDF(UDF):
         nav_shape = tuple(self.meta.dataset_shape.nav)
         if len(nav_shape) != 2:
             return None
-        full = np.full(int(np.prod(nav_shape)), np.nan, dtype=np.float64)
+        dt = (
+            np.complex128 if np.asarray(flat).dtype.kind == "c"
+            else np.float64
+        )
+        full = np.full(int(np.prod(nav_shape)), np.nan, dtype=dt)
         if self.meta.roi is not None:
             full[self.meta.roi] = flat
         else:
@@ -229,20 +265,24 @@ class CoMUDF(UDF):
         return flat
 
     def _div_curl(self, y_corr, x_corr):
+        out_dt = (
+            np.complex64 if np.asarray(y_corr).dtype.kind == "c"
+            else np.float32
+        )
         y2d = self._embed_nav2d(y_corr)
         x2d = self._embed_nav2d(x_corr)
         n = y_corr.shape[0]
         if y2d is None or min(y2d.shape) < 2:
-            nanbuf = np.full(n, np.nan, dtype=np.float32)
+            nanbuf = np.full(n, np.nan, dtype=out_dt)
             return nanbuf, nanbuf.copy()
         dy_dy, dy_dx = np.gradient(y2d)
         dx_dy, dx_dx = np.gradient(x2d)
-        div = (dy_dy + dx_dx).astype(np.float32)
+        div = (dy_dy + dx_dx).astype(out_dt)
         # curl_2d = dFy/dx - dFx/dy (reference com.py:134)
-        curl = (dy_dx - dx_dy).astype(np.float32)
+        curl = (dy_dx - dx_dy).astype(out_dt)
         return (
-            self._compress_nav2d(div).astype(np.float32),
-            self._compress_nav2d(curl).astype(np.float32),
+            self._compress_nav2d(div).astype(out_dt),
+            self._compress_nav2d(curl).astype(out_dt),
         )
 
     def _regress(self, y_corr, x_corr, mode):

@@ -25,7 +25,9 @@ def test_sum_analysis(lt_ctx, ds, data):
         res.intensity.raw_data, data.sum(axis=(0, 1)), rtol=1e-4
     )
     assert res.intensity.visualized.shape == (20, 22, 4)
-    assert "intensity_log" in res.keys()
+    # reference channel pair (sum.py:118): bare key log-scaled +
+    # explicit lin channel
+    assert "intensity_lin" in res.keys()
 
 
 def test_disk_analysis(lt_ctx, ds, data):
@@ -400,3 +402,103 @@ def test_live_plot_sig_channel(lt_ctx, ds):
     lt_ctx.run_udf(ds, SumUDF(), plots=[pl])
     assert pl.data.shape == tuple(ds.shape.sig)
     assert pl.damage is True
+
+
+def test_analysis_channel_key_parity(lt_ctx, ds):
+    """Result-channel KEYS match the reference's per analysis —
+    drop-in clients select channels by these names (reference
+    analysis/{sum,sd,raw,masks}.py)."""
+    sum_res = lt_ctx.run(lt_ctx.create_sum_analysis(dataset=ds))
+    assert set(sum_res.keys()) == {"intensity", "intensity_lin"}
+
+    sd_res = lt_ctx.run(lt_ctx.create_sd_analysis(dataset=ds))
+    assert {"intensity", "intensity_lin"} <= set(sd_res.keys())
+    # reference intensity = STD, not variance
+    assert np.allclose(
+        sd_res.intensity.raw_data, sd_res.std.raw_data
+    )
+
+    pick = lt_ctx.run(
+        lt_ctx.create_pick_analysis(dataset=ds, x=1, y=1)
+    )
+    assert set(pick.keys()) >= {"intensity", "intensity_lin"}
+
+    from libertem_tpu import masks as m
+    multi = lt_ctx.run(lt_ctx.create_mask_analysis(
+        dataset=ds, factories=[
+            lambda: m.circular(11, 10, 22, 20, 5),
+            lambda: m.ring(11, 10, 22, 20, 9, 6),
+        ],
+    ))
+    assert set(multi.keys()) == {"mask_0", "mask_1"}
+
+    disk = lt_ctx.run(
+        lt_ctx.create_disk_analysis(dataset=ds, cx=11, cy=10, r=5)
+    )
+    assert {"intensity", "intensity_log"} <= set(disk.keys())
+
+
+def test_sum_analysis_complex_channels(lt_ctx):
+    """Complex datasets produce the reference's six complex channels
+    with the log view owning the bare key (sum.py:105
+    default_lin=False)."""
+    rng = np.random.default_rng(0)
+    cdata = (
+        rng.random((4, 4, 8, 8)) + 1j * rng.random((4, 4, 8, 8))
+    ).astype(np.complex64)
+    cds = MemoryDataSet(
+        data=cdata, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run(lt_ctx.create_sum_analysis(dataset=cds))
+    assert set(res.keys()) == {
+        "intensity", "intensity_lin", "intensity_real",
+        "intensity_imag", "intensity_angle", "intensity_complex",
+    }
+    csum = cdata.reshape(-1, 8, 8).sum(axis=0)
+    assert np.allclose(
+        res["intensity_real"].raw_data, csum.real, rtol=1e-4
+    )
+    assert np.allclose(
+        res["intensity_lin"].raw_data, np.abs(csum), rtol=1e-4
+    )
+    assert res["intensity_complex"].raw_data.dtype.kind == "c"
+    # the complex channel renders on the 2D-vector color wheel
+    assert res["intensity_complex"].visualized.shape == (8, 8, 3)
+
+
+def test_com_analysis_complex(lt_ctx):
+    """Complex datasets: CoM centers are COMPLEX (complex-weighted
+    division) and the analysis emits the reference's split channels
+    (com.py:213)."""
+    rng = np.random.default_rng(1)
+    cdata = (
+        rng.random((4, 4, 8, 8)) + 0.5
+        + 1j * rng.random((4, 4, 8, 8))
+    ).astype(np.complex64)
+    cds = MemoryDataSet(
+        data=cdata, sig_dims=2, num_partitions=2
+    ).initialize()
+    res = lt_ctx.run(
+        lt_ctx.create_com_analysis(dataset=cds, cx=3.5, cy=3.5)
+    )
+    assert set(res.keys()) == {
+        "x_real", "y_real", "x_imag", "y_imag",
+    }
+    # oracle: complex-weighted center of mass
+    flat = cdata.reshape(-1, 8, 8).astype(np.complex128)
+    yy, xx = np.mgrid[0:8, 0:8].astype(np.float64)
+    s = flat.sum(axis=(1, 2))
+    cx = (flat * xx).sum(axis=(1, 2)) / s - 3.5
+    cy = (flat * yy).sum(axis=(1, 2)) / s - 3.5
+    assert np.allclose(
+        res["x_real"].raw_data.reshape(-1), cx.real,
+        rtol=1e-3, atol=1e-5,
+    )
+    assert np.allclose(
+        res["x_imag"].raw_data.reshape(-1), cx.imag,
+        rtol=1e-3, atol=1e-5,
+    )
+    assert np.allclose(
+        res["y_real"].raw_data.reshape(-1), cy.real,
+        rtol=1e-3, atol=1e-5,
+    )
