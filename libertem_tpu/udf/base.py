@@ -255,6 +255,34 @@ class UDF:
 
     BACKEND_JAX = "jax"
     BACKEND_NUMPY = "numpy"
+    # reference backend constants (common/udf.py:43-57) so ported
+    # UDFs declaring them keep importing: anything CUDA/cupy-flavored
+    # has no meaning on a TPU and maps to the device path; the
+    # sparse spellings run on the host engine like numpy (the engine
+    # feeds dense host blocks — a UDF written against sparse inputs
+    # must densify, which dense blocks trivially are)
+    BACKEND_CUPY = "cupy"
+    BACKEND_CUDA = "cuda"
+    BACKEND_SPARSE_COO = "sparse.COO"
+    BACKEND_SPARSE_GCXS = "sparse.GCXS"
+    BACKEND_SPARSE_DOK = "sparse.DOK"
+    BACKEND_SCIPY_COO = "scipy.sparse.coo_matrix"
+    BACKEND_SCIPY_CSR = "scipy.sparse.csr_matrix"
+    BACKEND_SCIPY_CSC = "scipy.sparse.csc_matrix"
+    BACKEND_SCIPY_COO_ARRAY = "scipy.sparse.coo_array"
+    BACKEND_SCIPY_CSR_ARRAY = "scipy.sparse.csr_array"
+    BACKEND_SCIPY_CSC_ARRAY = "scipy.sparse.csc_array"
+    BACKEND_CUPY_SCIPY_COO = "cupyx.scipy.sparse.coo_matrix"
+    BACKEND_CUPY_SCIPY_CSR = "cupyx.scipy.sparse.csr_matrix"
+    BACKEND_CUPY_SCIPY_CSC = "cupyx.scipy.sparse.csc_matrix"
+    BACKEND_ALL = (
+        BACKEND_JAX, BACKEND_NUMPY, BACKEND_CUPY, BACKEND_CUDA,
+        BACKEND_SPARSE_COO, BACKEND_SPARSE_GCXS, BACKEND_SPARSE_DOK,
+        BACKEND_SCIPY_COO, BACKEND_SCIPY_CSR, BACKEND_SCIPY_CSC,
+        BACKEND_SCIPY_COO_ARRAY, BACKEND_SCIPY_CSR_ARRAY,
+        BACKEND_SCIPY_CSC_ARRAY, BACKEND_CUPY_SCIPY_COO,
+        BACKEND_CUPY_SCIPY_CSR, BACKEND_CUPY_SCIPY_CSC,
+    )
 
     def __init__(self, **kwargs):
         self._kwargs = kwargs
@@ -506,10 +534,33 @@ class _UDFPlanEntry:
                 )
             backends = tuple(allowed)
         # numpy-only UDFs run on the host with mutable-view semantics
-        # (see udf/host.py)
-        self.host = (
-            UDF.BACKEND_NUMPY in backends
-            and UDF.BACKEND_JAX not in backends
+        # (see udf/host.py).  Reference backend spellings: sparse/
+        # scipy variants run on the host like numpy (dense host
+        # blocks trivially satisfy a sparse-capable UDF); cupy/cuda
+        # without a CPU spelling map to the device path (self.xp is
+        # jnp there — the closest thing to a GPU array module);
+        # declaring NOTHING the engine can provide is an error.
+        host_like = {
+            UDF.BACKEND_NUMPY, UDF.BACKEND_SPARSE_COO,
+            UDF.BACKEND_SPARSE_GCXS, UDF.BACKEND_SPARSE_DOK,
+            UDF.BACKEND_SCIPY_COO, UDF.BACKEND_SCIPY_CSR,
+            UDF.BACKEND_SCIPY_CSC, UDF.BACKEND_SCIPY_COO_ARRAY,
+            UDF.BACKEND_SCIPY_CSR_ARRAY, UDF.BACKEND_SCIPY_CSC_ARRAY,
+        }
+        device_like = {
+            UDF.BACKEND_JAX, UDF.BACKEND_CUPY, UDF.BACKEND_CUDA,
+            UDF.BACKEND_CUPY_SCIPY_COO, UDF.BACKEND_CUPY_SCIPY_CSR,
+            UDF.BACKEND_CUPY_SCIPY_CSC,
+        }
+        bset = set(backends)
+        if not bset & (host_like | device_like):
+            raise UDFException(
+                f"{type(udf).__name__} declares backends "
+                f"{backends}, none of which this engine can provide "
+                f"(jax/numpy or a reference spelling of either)"
+            )
+        self.host = bool(
+            bset & host_like and UDF.BACKEND_JAX not in bset
         )
         # frame-mode UDFs that only write nav buffers can be vmapped
         self.frame_navonly = self.method == "frame" and not self.part_names

@@ -103,6 +103,48 @@ ANALYSIS_TEMPLATES = {
         "result = ctx.run(analysis)\n"
         "plt.imshow(result.intensity.raw_data)\n",
     ),
+    "MASKS": (
+        "Custom mask stack",
+        "from libertem_tpu import masks\n"
+        "factories = [lambda: "
+        "masks.circular({cx}, {cy}, ds.shape.sig[1], "
+        "ds.shape.sig[0], {r})]\n"
+        "analysis = ctx.create_mask_analysis(dataset=ds, "
+        "factories=factories)\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "APPLY_FFT_MASK": (
+        "FFT ring mask",
+        "from libertem_tpu.analysis import ApplyFFTMask\n"
+        "analysis = ApplyFFTMask(dataset=ds, parameters=dict("
+        "rad_in={rad_in}, rad_out={rad_out}))\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "PICK_FFT_FRAME": (
+        "FFT of a single frame",
+        "from libertem_tpu.analysis import PickFFTFrameAnalysis\n"
+        "analysis = PickFFTFrameAnalysis(dataset=ds, "
+        "parameters=dict(x={x}, y={y}))\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "FFTSUM_FRAMES": (
+        "FFT of the sum of all frames",
+        "from libertem_tpu.analysis import SumfftAnalysis\n"
+        "analysis = SumfftAnalysis(dataset=ds, parameters={{}})\n"
+        "result = ctx.run(analysis)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
+    "CLUST": (
+        "Clustering",
+        "from libertem_tpu.analysis import ClusterAnalysis\n"
+        "analysis = ClusterAnalysis(dataset=ds, parameters=dict("
+        "n_clust={n_clust}, n_peaks={n_peaks}))\n"
+        "result = analysis.run_clustering(ctx)\n"
+        "plt.imshow(result.intensity.raw_data)\n",
+    ),
 }
 
 

@@ -524,10 +524,15 @@ class NotebookDownloadHandler(_BaseHandler):
         ds_uuid = comp["dataset"]
         entry = self.state.dataset_state.datasets[ds_uuid]
         analyses = []
-        for uuid_ in comp["details"].get("analyses", []):
-            if uuid_ in self.state.analysis_state:
+        for entry_ in comp["details"].get("analyses", []):
+            if isinstance(entry_, dict):
+                # tolerated protocol variant: inline analysis details
+                # instead of an analysis uuid
+                if "analysisType" in entry_:
+                    analyses.append(entry_)
+            elif entry_ in self.state.analysis_state:
                 analyses.append(
-                    self.state.analysis_state[uuid_]["details"]
+                    self.state.analysis_state[entry_]["details"]
                 )
         if not analyses:
             analyses = [

@@ -406,3 +406,63 @@ def test_udf_signature_parity(ds):
     )
     runner.run_for_dataset(d, progress=True)
     assert calls["start"] == 1 and calls["end"] == 1
+
+
+def test_backend_constants_parity(ds):
+    """Reference BACKEND_* constants exist and route sanely: sparse
+    spellings run on the host engine, cupy-only maps to the device
+    path, unknown-only errors (reference common/udf.py:43)."""
+    d, data = ds
+    assert UDF.BACKEND_CUPY == "cupy"
+    assert UDF.BACKEND_SPARSE_COO in UDF.BACKEND_ALL
+    seen = {}
+
+    class SparseDecl(UDF):
+        def get_backends(self):
+            # a reference UDF written against sparse tiles
+            return (self.BACKEND_SCIPY_CSR, self.BACKEND_NUMPY)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            seen["type"] = type(frame).__name__
+            self.results.s = frame.sum()
+
+    res = UDFRunner([SparseDecl()]).run_for_dataset(d)
+    assert seen["type"] == "ndarray"  # host engine, dense blocks
+    assert np.allclose(
+        res.buffers[0]["s"].data.reshape(-1),
+        data.reshape(16, -1).sum(axis=1), rtol=1e-5,
+    )
+
+    class CupyOnly(UDF):
+        def get_backends(self):
+            return (self.BACKEND_CUPY,)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            # device path: xp is jnp
+            self.results.s = self.xp.sum(frame)
+
+    r2 = UDFRunner([CupyOnly()]).run_for_dataset(d)
+    assert np.allclose(
+        r2.buffers[0]["s"].data.reshape(-1),
+        data.reshape(16, -1).sum(axis=1), rtol=1e-5,
+    )
+
+    class Unknowable(UDF):
+        def get_backends(self):
+            return ("tensorflow",)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            pass
+
+    from libertem_tpu.udf.base import UDFException
+    with pytest.raises(UDFException, match="backends"):
+        UDFRunner([Unknowable()]).run_for_dataset(d)

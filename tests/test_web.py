@@ -781,3 +781,48 @@ class TestClientConsistency(WebTestBase):
                 "compoundAnalyses" in probe or "datasets" in probe, (
                 probe, resp.code
             )
+
+
+class TestNotebookTemplates(WebTestBase):
+    def test_every_analysis_id_has_pretty_template(self):
+        """All registered analysis ids generate a dedicated notebook
+        template (reference: per-analysis Template classes,
+        analysis/*.py GeneratorHelper) and the generated code
+        compiles."""
+        from libertem_tpu.analysis import Analysis
+        from libertem_tpu.web.notebook_generator import (
+            ANALYSIS_TEMPLATES, notebook_for,
+        )
+
+        ids = (
+            "SUM_FRAMES", "SD_FRAMES", "SUM_SIG", "PICK_FRAME",
+            "APPLY_DISK_MASK", "APPLY_RING_MASK",
+            "APPLY_POINT_SELECTOR", "MASKS", "CENTER_OF_MASS",
+            "RADIAL_FOURIER", "FEM", "CLUST", "APPLY_FFT_MASK",
+            "PICK_FFT_FRAME", "FFTSUM_FRAMES",
+        )
+        for id_ in ids:
+            assert Analysis.get_analysis_by_type(id_) is not None
+            assert id_ in ANALYSIS_TEMPLATES, id_
+        params = {
+            "cx": 4, "cy": 4, "r": 3, "ri": 1, "ro": 4, "x": 1,
+            "y": 1, "n_bins": 2, "max_order": 2, "flip_y": False,
+            "scan_rotation": 0.0, "rad_in": 1, "rad_out": 4,
+            "n_clust": 3, "n_peaks": 5,
+        }
+        nb = notebook_for(
+            "RAW",
+            {"path": "/t.raw", "dtype": "float32",
+             "nav_shape": [4, 4], "sig_shape": [8, 8]},
+            [{"analysisType": i, "parameters": dict(params)}
+             for i in ids],
+        )
+        code_cells = [
+            "".join(c["source"]) for c in nb["cells"]
+            if c["cell_type"] == "code"
+        ]
+        # none fell through to the generic registry form
+        joined = "".join(code_cells)
+        assert "get_analysis_by_type" not in joined
+        for src in code_cells:
+            compile(src, "<nb>", "exec")
