@@ -826,3 +826,33 @@ class TestNotebookTemplates(WebTestBase):
         assert "get_analysis_by_type" not in joined
         for src in code_cells:
             compile(src, "<nb>", "exec")
+
+    def test_notebook_download_inline_analysis_dicts(self):
+        """A compound whose analyses list carries inline analysis
+        DICTS (instead of uuids) must not 500 the notebook download
+        (round-3 live-server drive finding)."""
+        data = _mk_random((4, 4, 8, 8), dtype="float32")
+        ds = MemoryDataSet(
+            data=data, sig_dims=2, num_partitions=1
+        ).initialize()
+        self.state.dataset_state.register(
+            "ds-nb2", ds, {"type": "MEMORY"}
+        )
+        self.fetch_json(
+            "/api/compoundAnalyses/ca-nb2/", method="PUT",
+            body={"details": {
+                "dataset": "ds-nb2",
+                "analyses": [{"analysisType": "SUM_FRAMES",
+                              "parameters": {}}],
+            }},
+        )
+        resp = self.fetch(
+            "/api/compoundAnalyses/ca-nb2/download/notebook/"
+        )
+        assert resp.code == 200
+        nb = json.loads(resp.body)
+        src = "".join(
+            "".join(c["source"]) for c in nb["cells"]
+            if c["cell_type"] == "code"
+        )
+        assert "create_sum_analysis" in src
