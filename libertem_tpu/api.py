@@ -88,6 +88,9 @@ class Context:
             self.snooze_manager = SnoozeManager(
                 down=self._snooze_down, timeout=snooze_timeout,
             )
+        # reference parity: the executor exposes the snooze manager
+        # (common/executor.py snooze_manager property)
+        executor._snooze_manager = self.snooze_manager
 
     @staticmethod
     def _snooze_down():
@@ -232,23 +235,35 @@ class Context:
         runner = UDFRunner(
             udfs, debug=getattr(self.executor, '_debug', False)
         )
-        if plots:
-            results = None
-            for results in runner.run_for_dataset_iter(
-                dataset, roi=roi, corrections=corrections,
-                progress=progress,
-                device=self.executor.main_device,
-                devices=self._run_devices(),
-            ):
-                self._update_plots(plots, results, udfs)
-            self._update_plots(plots, results, udfs, final=True)
-        else:
-            results = runner.run_for_dataset(
-                dataset, roi=roi, corrections=corrections,
-                progress=progress,
-                device=self.executor.main_device,
-                devices=self._run_devices(),
-            )
+        subs = getattr(self.executor, "subscriptions", None)
+        if subs is not None:
+            subs.send("run_udf:start", {
+                "udfs": [type(u).__name__ for u in udfs],
+                "dataset_shape": tuple(dataset.shape),
+            })
+        try:
+            if plots:
+                results = None
+                for results in runner.run_for_dataset_iter(
+                    dataset, roi=roi, corrections=corrections,
+                    progress=progress,
+                    device=self.executor.main_device,
+                    devices=self._run_devices(),
+                ):
+                    self._update_plots(plots, results, udfs)
+                self._update_plots(plots, results, udfs, final=True)
+            else:
+                results = runner.run_for_dataset(
+                    dataset, roi=roi, corrections=corrections,
+                    progress=progress,
+                    device=self.executor.main_device,
+                    devices=self._run_devices(),
+                )
+        finally:
+            if subs is not None:
+                subs.send("run_udf:end", {
+                    "udfs": [type(u).__name__ for u in udfs],
+                })
         return self._wrap(results, single)
 
     def _run_devices(self):

@@ -83,9 +83,24 @@ class Slice:
 
     def shift_by(self, other: "Slice") -> "Slice":
         """Express this slice relative to ``other``'s origin."""
+        if len(self.origin) != len(other.origin):
+            raise SliceUsageError(
+                "cannot shift slices with different dimensionality "
+                f"({self.origin} vs {other.origin})"
+            )
         return Slice(
             tuple(o - oo for o, oo in zip(self.origin, other.origin)),
             self.shape,
+        )
+
+    # reference name for the same operation (slice.py:116)
+    shift = shift_by
+
+    def clip_to(self, shape: Shape) -> "Slice":
+        """Intersect with a zero-origin slice of ``shape``
+        (reference slice.py:397)."""
+        return self.intersection_with(
+            Slice((0,) * shape.dims, shape)
         )
 
     def get(self, arr=None, sig_only: bool = False, nav_only: bool = False):

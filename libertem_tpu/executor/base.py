@@ -61,6 +61,17 @@ class WorkerSet:
         )
 
 
+class _ScatterHandle:
+    """In-process stand-in for a scattered-object handle
+    (reference: dask Future from Client.scatter)."""
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def get(self):
+        return self.obj
+
+
 class JobExecutor:
     """Base executor: owns devices, runs host functions."""
 
@@ -138,6 +149,75 @@ class JobExecutor:
                 pass
             details.append(row)
         return details
+
+    # -- reference utility API (common/executor.py:185-432) ------------
+
+    def run_process_local(self, task, args=(), kwargs=None):
+        """Run a callable in the current process
+        (reference executor.py:185)."""
+        return task(*args, **(kwargs or {}))
+
+    def run_each_partition(self, partitions, fn, all_nodes=False):
+        """Run ``fn(partition)`` for each partition
+        (reference executor.py:272).  Single-controller: data
+        locality is moot, ``all_nodes`` changes nothing."""
+        for p in partitions:
+            yield fn(p)
+
+    def run_each_host(self, fn, *args, **kwargs) -> dict:
+        """host -> result map (reference executor.py:308); one host
+        per process here."""
+        return {"localhost": fn(*args, **kwargs)}
+
+    def scatter(self, obj):
+        """Share ``obj`` with the workers (reference executor.py:227,
+        a context manager yielding a handle).  Workers are devices of
+        THIS process, so the handle is a trivial in-process box."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _scatter():
+            yield _ScatterHandle(obj)
+
+        return _scatter()
+
+    def scatter_update(self, handle, obj):
+        handle.obj = obj
+
+    def scatter_update_patch(self, handle, patch):
+        handle.obj.patch(patch)
+
+    def modify_buffer_type(self, buf):
+        """Hook for executors that substitute result-buffer types
+        (reference: DelayedJobExecutor wraps buffers lazily); identity
+        here."""
+        return buf
+
+    def get_udf_runner(self):
+        from ..udf.base import UDFRunner
+        return UDFRunner
+
+    @property
+    def snooze_manager(self):
+        """The Context's snooze manager when one is installed
+        (reference executor.py: snooze_manager property)."""
+        return getattr(self, "_snooze_manager", None)
+
+    @property
+    def subscriptions(self):
+        from ..common.subscriptions import SubscriptionManager
+        if getattr(self, "_subscriptions", None) is None:
+            self._subscriptions = SubscriptionManager()
+        return self._subscriptions
+
+    def subscribe(self, topic: str, callback) -> str:
+        """Register a callback for executor events
+        (reference executor.py:410); Context.run_udf emits
+        ``run_udf:start`` / ``run_udf:end``."""
+        return self.subscriptions.subscribe(topic, callback)
+
+    def unsubscribe(self, key: str) -> bool:
+        return self.subscriptions.unsubscribe(key)
 
     def ensure_sync(self) -> "JobExecutor":
         return self

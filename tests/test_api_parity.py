@@ -466,3 +466,66 @@ def test_backend_constants_parity(ds):
     from libertem_tpu.udf.base import UDFException
     with pytest.raises(UDFException, match="backends"):
         UDFRunner([Unknowable()]).run_for_dataset(d)
+
+
+def test_slice_shift_clip_to():
+    from libertem_tpu.common.shape import Shape
+    from libertem_tpu.common.slice import Slice
+
+    a = Slice((4, 0, 0), Shape((4, 8, 8), sig_dims=2))
+    b = Slice((2, 0, 0), Shape((8, 8, 8), sig_dims=2))
+    # shift: origin relative to other's (reference slice.py:116)
+    s = a.shift(b)
+    assert s.origin == (2, 0, 0) and tuple(s.shape) == (4, 8, 8)
+    # clip_to: intersect with a zero-origin shape (slice.py:397)
+    c = a.clip_to(Shape((6, 8, 8), sig_dims=2))
+    assert c.origin == (4, 0, 0) and tuple(c.shape) == (2, 8, 8)
+
+
+def test_executor_utility_api(ds):
+    """Reference executor utility surface with real behavior
+    (common/executor.py:185-432)."""
+    d, data = ds
+    from libertem_tpu.executor.inline import InlineJobExecutor
+    from libertem_tpu.api import Context
+
+    ex = InlineJobExecutor()
+    assert ex.run_process_local(lambda a, b: a + b, (1, 2)) == 3
+    assert ex.run_each_host(lambda: 42) == {"localhost": 42}
+    parts = list(d.get_partitions())
+    got = list(ex.run_each_partition(parts, lambda p: p.num_frames))
+    assert sum(got) == 16
+
+    with ex.scatter({"x": 1}) as handle:
+        assert handle.get() == {"x": 1}
+        ex.scatter_update(handle, {"x": 2})
+        assert handle.get() == {"x": 2}
+
+        class Patchable:
+            def __init__(self):
+                self.v = 0
+
+            def patch(self, p):
+                self.v = p
+
+        with ex.scatter(Patchable()) as h2:
+            ex.scatter_update_patch(h2, 7)
+            assert h2.get().v == 7
+
+    assert ex.modify_buffer_type("b") == "b"
+    from libertem_tpu.udf.base import UDFRunner
+    assert ex.get_udf_runner() is UDFRunner
+
+    # subscriptions: Context.run_udf emits start/end events
+    events = []
+    key = ex.subscribe(
+        "run_udf:start", lambda topic, msg: events.append((topic, msg))
+    )
+    ctx = Context(executor=ex)
+    assert ex.snooze_manager is None  # no timeout configured
+    ctx.run_udf(d, SumUDF())
+    assert len(events) == 1
+    assert events[0][1]["udfs"] == ["SumUDF"]
+    assert ex.unsubscribe(key)
+    ctx.run_udf(d, SumUDF())
+    assert len(events) == 1  # unsubscribed

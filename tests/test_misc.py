@@ -427,8 +427,9 @@ def test_debug_executor_pickle_safety(ds):
 
 
 def test_notebook_generator_generic_fallback():
-    """Analyses without a dedicated template (FFT family, CLUST)
-    still produce runnable registry-based notebook cells."""
+    """Unknown analysis ids still produce runnable registry-based
+    notebook cells; the FFT family and CLUST have dedicated
+    templates since round 3."""
     from libertem_tpu.web.notebook_generator import (
         notebook_for, notebook_to_bytes,
     )
@@ -437,16 +438,19 @@ def test_notebook_generator_generic_fallback():
                 "nav_shape": (8, 8), "sig_shape": (16, 16)},
         [{"analysisType": "FFTSUM_FRAMES", "parameters": {}},
          {"analysisType": "CLUST",
-          "parameters": {"n_clust": 4}}],
+          "parameters": {"n_clust": 4}},
+         {"analysisType": "SOME_CUSTOM_ANALYSIS",
+          "parameters": {"foo": 1}}],
     )
     src = "".join(
         "".join(c["source"]) for c in json.loads(
             notebook_to_bytes(nb)
         )["cells"]
     )
-    assert "get_analysis_by_type('FFTSUM_FRAMES')" in src
-    assert "get_analysis_by_type('CLUST')" in src
-    assert "'n_clust': 4" in src
+    assert "SumfftAnalysis" in src
+    assert "ClusterAnalysis" in src
+    assert "n_clust=4" in src
+    assert "get_analysis_by_type('SOME_CUSTOM_ANALYSIS')" in src
     assert "no template" not in src
 
 
@@ -485,7 +489,8 @@ def test_generated_notebook_executes(tmp_path):
         exec(src, ns)  # noqa: S102 - that's the point of the test
         n_code += 1
     assert n_code >= 6
-    assert "res" in ns
+    # every analysis ran through its dedicated template
+    assert "result" in ns
 
 
 def test_run_udf_sync_false(lt_ctx, ds):
