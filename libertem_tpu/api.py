@@ -50,11 +50,19 @@ class ResultGenerator:
                     self._plots, self._last, self._udfs, final=True
                 )
                 self._plots = None
+            self._emit_end()
             raise
         if self._plots:
             self._ctx._update_plots(self._plots, res, self._udfs)
             self._last = res
         return res
+
+    def _emit_end(self):
+        if self._ctx is not None and not getattr(
+            self, "_ended", False
+        ):
+            self._ended = True
+            self._ctx._emit_run_event("run_udf:end", self._udfs)
 
     def update_parameters_experimental(self, patches):
         self._runner.update_parameters_experimental(patches)
@@ -64,6 +72,7 @@ class ResultGenerator:
 
     def close(self):
         self._gen.close()
+        self._emit_end()
 
 
 class Context:
@@ -218,29 +227,26 @@ class Context:
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
-        if backends is not None:
-            if isinstance(backends, str):
-                backends = (backends,)
-            for u in udfs:
-                u._backend_restriction = tuple(backends)
         if getattr(self.executor, "is_delayed", False) and not plots:
             # lazy results (reference: DelayedJobExecutor
-            # executor/delayed.py:211) — no IO until data is accessed
-            from .executor.delayed import make_delayed_results
-            return make_delayed_results(
-                self, dataset, udfs, single, roi, corrections,
-                progress=progress,
-            )
+            # executor/delayed.py:211) — no IO until data is accessed.
+            # Subscription events mark result CONSTRUCTION here (the
+            # actual compute is deferred to first access).
+            self._emit_run_event("run_udf:start", udfs, dataset)
+            try:
+                from .executor.delayed import make_delayed_results
+                return make_delayed_results(
+                    self, dataset, udfs, single, roi, corrections,
+                    progress=progress,
+                )
+            finally:
+                self._emit_run_event("run_udf:end", udfs)
         plots = self._prepare_plots(plots, dataset, udfs, roi)
         runner = UDFRunner(
-            udfs, debug=getattr(self.executor, '_debug', False)
+            udfs, debug=getattr(self.executor, '_debug', False),
+            backends=backends,
         )
-        subs = getattr(self.executor, "subscriptions", None)
-        if subs is not None:
-            subs.send("run_udf:start", {
-                "udfs": [type(u).__name__ for u in udfs],
-                "dataset_shape": tuple(dataset.shape),
-            })
+        self._emit_run_event("run_udf:start", udfs, dataset)
         try:
             if plots:
                 results = None
@@ -260,11 +266,17 @@ class Context:
                     devices=self._run_devices(),
                 )
         finally:
-            if subs is not None:
-                subs.send("run_udf:end", {
-                    "udfs": [type(u).__name__ for u in udfs],
-                })
+            self._emit_run_event("run_udf:end", udfs)
         return self._wrap(results, single)
+
+    def _emit_run_event(self, topic, udfs, dataset=None):
+        subs = getattr(self.executor, "subscriptions", None)
+        if subs is None:
+            return
+        msg = {"udfs": [type(u).__name__ for u in udfs]}
+        if dataset is not None:
+            msg["dataset_shape"] = tuple(dataset.shape)
+        subs.send(topic, msg)
 
     def _run_devices(self):
         devs = self.executor.devices
@@ -294,19 +306,16 @@ class Context:
                 )
             return self.run_udf_iter_async(
                 dataset, udf, roi=roi, corrections=corrections,
-                progress=progress,
+                progress=progress, backends=backends,
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
-        if backends is not None:
-            if isinstance(backends, str):
-                backends = (backends,)
-            for u in udfs:
-                u._backend_restriction = tuple(backends)
         plots = self._prepare_plots(plots, dataset, udfs, roi)
         runner = UDFRunner(
-            udfs, debug=getattr(self.executor, '_debug', False)
+            udfs, debug=getattr(self.executor, '_debug', False),
+            backends=backends,
         )
+        self._emit_run_event("run_udf:start", udfs, dataset)
         gen = runner.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections, progress=progress,
             device=self.executor.main_device,
@@ -318,14 +327,14 @@ class Context:
 
     async def run_udf_iter_async(
         self, dataset, udf, roi=None, corrections=None,
-        progress=False,
+        progress=False, backends=None,
     ):
         """Async generator of partial results (reference:
         run_for_dataset_async udf/base.py:2735 via AsyncAdapter)."""
         from .common.async_utils import async_generator_eager
         gen = self.run_udf_iter(
             dataset, udf, roi=roi, corrections=corrections,
-            progress=progress,
+            progress=progress, backends=backends,
         )
         async for item in async_generator_eager(iter(gen)):
             yield item
@@ -340,6 +349,7 @@ class Context:
         return await sync_to_async(
             self.run_udf, dataset, udf, roi=roi,
             corrections=corrections, progress=progress,
+            backends=backends,
         )
 
     def inspect_udf(self, udf, dataset, roi=None):

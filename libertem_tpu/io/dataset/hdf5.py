@@ -130,13 +130,15 @@ class H5DataSet(DataSet):
         self._chunks = None
 
     def get_num_partitions(self) -> int:
-        n = super().get_num_partitions()
-        if self._target_size:
+        # precedence: explicit num_partitions= > target_size= (bytes
+        # PER partition, both directions — reference hdf5.py:556) >
+        # the core-count heuristic; min_num_partitions floors the
+        # result either way
+        if self._num_partitions is not None or not self._target_size:
+            n = super().get_num_partitions()
+        else:
             total = self.meta.shape.size * self.meta.raw_dtype.itemsize
-            by_target = max(
-                1, int(np.ceil(total / self._target_size))
-            )
-            n = max(n, by_target)
+            n = max(1, int(np.ceil(total / self._target_size)))
         if self._min_num_partitions:
             n = max(n, int(self._min_num_partitions))
         return min(n, max(1, self.meta.shape.nav.size))

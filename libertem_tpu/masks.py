@@ -257,7 +257,12 @@ def balance(template):
     """Scale the negative part of a mixed-sign template so the total
     sum is zero (reference masks.py:266) — such masks null out a
     uniform background or linear gradient."""
-    result = np.array(template, copy=True)
+    # promote to float: integer templates are the natural input, and
+    # the negative-part scale is fractional
+    result = np.array(
+        template, copy=True,
+        dtype=np.result_type(np.asarray(template).dtype, np.float32),
+    )
     pos = result > 0
     neg = result < 0
     neg_sum = result[neg].sum()

@@ -507,9 +507,11 @@ def _get_input_dtype(udfs: Sequence[UDF], ds_dtype) -> np.dtype:
 class _UDFPlanEntry:
     """Per-UDF static plan: declarations split by residency."""
 
-    def __init__(self, udf: UDF, decls: dict):
+    def __init__(self, udf: UDF, decls: dict,
+                 run_restriction=None):
         self.udf = udf
         self.decls = decls
+        self._run_restriction = run_restriction
         self.nav_names = [
             n for n, b in decls.items()
             if b.kind == "nav" and b.use != "result_only"
@@ -523,7 +525,15 @@ class _UDFPlanEntry:
         ]
         self.method = udf.get_method()
         backends = udf.get_backends()
+        # the per-RUN restriction (Context.run_udf backends=) and the
+        # per-INSTANCE one (ApplyMasksUDF(backends=...)) both apply
         restriction = getattr(udf, "_backend_restriction", None)
+        if self._run_restriction is not None:
+            restriction = (
+                tuple(set(restriction) & set(self._run_restriction))
+                if restriction is not None
+                else tuple(self._run_restriction)
+            )
         if restriction is not None:
             allowed = set(backends) & set(restriction)
             if not allowed:
@@ -568,13 +578,20 @@ class _UDFPlanEntry:
 
 class UDFRunner:
     def __init__(self, udfs: Sequence[UDF], debug: bool = False,
-                 progress_reporter=None):
+                 progress_reporter=None, backends=None):
         """``progress_reporter``: a ProgressReporter instance used
         when ``progress=True`` (reference udf/base.py UDFRunner
-        signature); ``progress=<reporter>`` per run also works."""
+        signature); ``progress=<reporter>`` per run also works.
+        ``backends``: per-RUN backend restriction (the Context's
+        ``backends=`` kwarg) — scoped to this runner, NOT written
+        onto the UDF instances."""
         self._udfs = list(udfs)
         self._debug = debug
         self._progress_reporter = progress_reporter
+        self._backends = (
+            (backends,) if isinstance(backends, str)
+            else tuple(backends) if backends is not None else None
+        )
         self._params_patched = False
 
     def _debug_check_picklable(self):
@@ -829,7 +846,9 @@ class UDFRunner:
             decls = dict(udf.get_result_buffers())
             for b in decls.values():
                 b.set_shape_ds(meta0.shape, roi)
-            entry = _UDFPlanEntry(udf, decls)
+            entry = _UDFPlanEntry(
+                udf, decls, run_restriction=self._backends
+            )
             if (
                 udf.requires_custom_merge(decls)
                 and not udf._has_custom_merge()

@@ -392,7 +392,14 @@ class GuessResult(dict):
     """CoM parameter guess (reference com.py:192).  Mapping AND
     attribute access: ``guess["cy"]`` and ``guess.cy`` both work —
     the web RPC serializes it as a plain dict."""
-    __getattr__ = dict.__getitem__
+
+    def __getattr__(self, name):
+        # KeyError must become AttributeError or hasattr()/getattr
+        # probes (deepcopy, serializers, IPython display) blow up
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
 
 
 def com_masks_generic(detector_y, detector_x, base_mask_factory):

@@ -105,10 +105,12 @@ ANALYSIS_TEMPLATES = {
     ),
     "MASKS": (
         "Custom mask stack",
-        "from libertem_tpu import masks\n"
-        "factories = [lambda: "
-        "masks.circular({cx}, {cy}, ds.shape.sig[1], "
-        "ds.shape.sig[0], {r})]\n"
+        # MASKS parameters hold callables (factories) that can't ride
+        # a generated notebook — emit an editable placeholder that
+        # always runs
+        "# EDIT: define your mask factories here\n"
+        "factories = [lambda: np.ones(tuple(ds.shape.sig), "
+        "dtype='float32')]\n"
         "analysis = ctx.create_mask_analysis(dataset=ds, "
         "factories=factories)\n"
         "result = ctx.run(analysis)\n"

@@ -529,3 +529,107 @@ def test_executor_utility_api(ds):
     assert ex.unsubscribe(key)
     ctx.run_udf(d, SumUDF())
     assert len(events) == 1  # unsubscribed
+
+
+def test_backends_scoped_per_run(ds):
+    """backends= is a PER-RUN restriction: it must not stick to the
+    UDF instance, and it must reach the async paths (round-3 review
+    findings)."""
+    import asyncio
+
+    from libertem_tpu.api import Context
+    from libertem_tpu.executor.inline import InlineJobExecutor
+
+    ctx = Context(executor=InlineJobExecutor())
+    d, data = ds
+    seen = []
+
+    class Probe(UDF):
+        def get_backends(self):
+            return (self.BACKEND_JAX, self.BACKEND_NUMPY)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            seen.append(self.meta.array_backend)
+            self.results.s = frame.sum()
+
+    u = Probe()
+    ctx.run_udf(d, u, backends=("numpy",))
+    assert seen[-1] == "numpy"
+    seen.clear()
+    ctx.run_udf(d, u)  # no restriction: back on the device path
+    assert seen[-1] == "jax"
+    seen.clear()
+    # async path honors backends too
+    asyncio.run(ctx.run_udf_async(d, u, backends=("numpy",)))
+    assert seen[-1] == "numpy"
+    seen.clear()
+
+    async def drive():
+        async for _ in ctx.run_udf_iter(
+            d, u, backends=("numpy",), sync=False
+        ):
+            pass
+
+    asyncio.run(drive())
+    assert seen[-1] == "numpy"
+
+
+def test_run_events_on_iter_and_balance_and_guess():
+    """run_udf_iter emits start/end events; balance() handles int
+    templates; GuessResult follows the attribute protocol (round-3
+    review findings)."""
+    import copy
+
+    from libertem_tpu import masks as m
+    from libertem_tpu.api import Context
+    from libertem_tpu.executor.inline import InlineJobExecutor
+    from libertem_tpu.udf.com import GuessResult
+
+    b = m.balance(np.array([[2, -1], [2, -3]]))
+    assert abs(b.sum()) < 1e-12  # int template: no UFuncTypeError
+
+    g = GuessResult(cy=1.0, cx=2.0)
+    assert not hasattr(g, "bogus")  # KeyError -> AttributeError
+    assert copy.deepcopy(g) == g
+
+    ctx = Context(executor=InlineJobExecutor())
+    data = _mk_random((2, 2, 8, 8), dtype="float32")
+    d = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    events = []
+    ctx.executor.subscribe(
+        "run_udf:start", lambda t, msg: events.append("start")
+    )
+    ctx.executor.subscribe(
+        "run_udf:end", lambda t, msg: events.append("end")
+    )
+    for _ in ctx.run_udf_iter(d, SumUDF()):
+        pass
+    assert events == ["start", "end"]
+
+
+def test_hdf5_target_size_both_directions(lt_ctx, tmp_path):
+    """target_size works in BOTH directions (reference hdf5.py:556):
+    a large target REDUCES the partition count below the core
+    heuristic (round-3 review finding)."""
+    import h5py
+
+    data = _mk_random((8, 8, 8), dtype="float32")
+    p = str(tmp_path / "ts.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("data", data=data)
+    ds = lt_ctx.load("hdf5", path=p, ds_path="data",
+                     target_size=data.nbytes)
+    ds.set_num_cores(8)
+    assert ds.get_num_partitions() == 1
+    ds2 = lt_ctx.load("hdf5", path=p, ds_path="data",
+                      target_size=data.nbytes // 4)
+    assert ds2.get_num_partitions() == 4
+    # explicit num_partitions wins over target_size
+    ds3 = lt_ctx.load("hdf5", path=p, ds_path="data",
+                      target_size=data.nbytes, num_partitions=3)
+    assert ds3.get_num_partitions() == 3
