@@ -40,7 +40,10 @@ class Shape:
 
     @property
     def size(self) -> int:
-        return prod(self._nav + self._sig)
+        t = self._nav + self._sig
+        # reference shape.py:88: an EMPTY shape covers no elements
+        # (not the prod(())==1 convention)
+        return prod(t) if t else 0
 
     @property
     def dims(self) -> int:
@@ -89,8 +92,25 @@ class Shape:
     def __hash__(self) -> int:
         return hash((self._nav, self._sig))
 
-    def __add__(self, other) -> tuple[int, ...]:
-        return self.to_tuple() + tuple(other)
+    def __add__(self, other) -> "Shape":
+        """``shape + (a, b)`` appends to the SIGNAL dims
+        (reference shape.py:183)."""
+        if not isinstance(other, tuple):
+            return NotImplemented
+        return Shape(
+            self._nav + self._sig + other,
+            sig_dims=len(self._sig) + len(other),
+        )
+
+    def __radd__(self, other) -> "Shape":
+        """``(a, b) + shape`` appends to the NAVIGATION dims
+        (reference shape.py:194)."""
+        if not isinstance(other, tuple):
+            return NotImplemented
+        return Shape(
+            self._nav + other + self._sig,
+            sig_dims=len(self._sig),
+        )
 
     def __repr__(self) -> str:
-        return f"{self._nav} | {self._sig}"
+        return repr(self.to_tuple())

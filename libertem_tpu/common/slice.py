@@ -26,7 +26,9 @@ class Slice:
 
     def __init__(self, origin: Sequence[int], shape: Shape):
         if not isinstance(shape, Shape):
-            raise TypeError("shape must be a Shape")
+            raise SliceUsageError(
+                f"shape must be a Shape, got {type(shape).__name__}"
+            )
         origin = tuple(int(o) for o in origin)
         if len(origin) != shape.dims:
             raise SliceUsageError(
@@ -62,6 +64,11 @@ class Slice:
         """The overlapping region (may be empty: zero-size shape)."""
         if len(self.origin) != len(other.origin):
             raise SliceUsageError("dimension mismatch")
+        if self.shape.sig_dims != other.shape.sig_dims:
+            raise SliceUsageError(
+                f"sig_dims mismatch ({self.shape.sig_dims} vs "
+                f"{other.shape.sig_dims})"
+            )
         new_origin = tuple(
             max(a, b) for a, b in zip(self.origin, other.origin)
         )
@@ -81,8 +88,9 @@ class Slice:
     def is_null(self) -> bool:
         return self.shape.size == 0
 
-    def shift_by(self, other: "Slice") -> "Slice":
-        """Express this slice relative to ``other``'s origin."""
+    def shift(self, other: "Slice") -> "Slice":
+        """Express this slice relative to ``other``'s origin
+        (reference slice.py:116)."""
         if len(self.origin) != len(other.origin):
             raise SliceUsageError(
                 "cannot shift slices with different dimensionality "
@@ -93,8 +101,22 @@ class Slice:
             self.shape,
         )
 
-    # reference name for the same operation (slice.py:116)
-    shift = shift_by
+    def shift_by(self, offset) -> "Slice":
+        """Move the origin BY ``offset`` (reference slice.py:132).
+        A Slice argument keeps this repo's earlier relative-to
+        spelling (== :meth:`shift`)."""
+        if isinstance(offset, Slice):
+            return self.shift(offset)
+        offset = tuple(int(o) for o in offset)
+        if len(self.origin) != len(offset):
+            raise SliceUsageError(
+                "cannot shift slices with different dimensionality "
+                f"({self.origin} vs {offset})"
+            )
+        return Slice(
+            tuple(o + d for o, d in zip(self.origin, offset)),
+            self.shape,
+        )
 
     def clip_to(self, shape: Shape) -> "Slice":
         """Intersect with a zero-origin slice of ``shape``
@@ -152,9 +174,16 @@ class Slice:
         """Convert an nD-nav slice into flat-nav coordinates.
 
         Only valid when the nav region is contiguous in C order within
-        ``containing_shape`` (as partition slices are).
+        ``containing_shape`` (as partition slices are).  Accepts a
+        Shape or any shape-like (reference slice.py:334 takes the
+        leading nav_dims entries of a plain tuple too).
         """
-        nav_shape = tuple(containing_shape.nav)
+        if isinstance(containing_shape, Shape):
+            nav_shape = tuple(containing_shape.nav)
+        else:
+            nav_shape = tuple(containing_shape)[
+                :self.shape.nav_dims
+            ]
         origin_nav = self.origin[: self.shape.nav_dims]
         strides = [prod(nav_shape[i + 1:]) for i in range(len(nav_shape))]
         flat_origin = sum(o * s for o, s in zip(origin_nav, strides))

@@ -15,6 +15,22 @@ from __future__ import annotations
 import numpy as np
 
 
+class _DenseStack(np.ndarray):
+    """Dense stand-in for the reference's sparse.COO mask stacks
+    (the pydata ``sparse`` package is not installed here, and the TPU
+    path packs mask stacks densely anyway): exposes the small part
+    of the COO API mask consumers call.  Indexing and reductions
+    preserve the type, so ``bins.sum(axis=0).todense()`` and
+    ``stack[i].todense()`` both work."""
+
+    def todense(self):
+        return np.asarray(self)
+
+    @property
+    def density(self) -> float:
+        return float(np.count_nonzero(self)) / max(1, self.size)
+
+
 def _disk_aa(
     centerX, centerY, imageSizeX, imageSizeY, radius,
     antialiased=True,
@@ -24,12 +40,12 @@ def _disk_aa(
     y, x = np.ogrid[0:imageSizeY, 0:imageSizeX]
     d2 = (y - centerY) ** 2 + (x - centerX) ** 2
     if not antialiased:
-        return (d2 <= radius ** 2).astype(np.float32)
+        return (d2 <= radius ** 2).astype(np.float64)
     # oversample ONLY the boundary band (pixels whose square can
     # straddle the edge, half-diagonal ~0.71) — a full-frame 4x4
     # float64 oversample costs GBs on K2IS-sized detectors
     d = np.sqrt(d2)
-    out = (d <= radius).astype(np.float32)
+    out = (d <= radius).astype(np.float64)
     by, bx = np.nonzero(np.abs(d - radius) <= 0.75)
     if by.size:
         os = 4
@@ -37,7 +53,7 @@ def _disk_aa(
         sy = by[:, None, None] + offs[None, :, None] - centerY
         sx = bx[:, None, None] + offs[None, None, :] - centerX
         hit = (sy ** 2 + sx ** 2) <= radius ** 2
-        out[by, bx] = hit.mean(axis=(1, 2)).astype(np.float32)
+        out[by, bx] = hit.mean(axis=(1, 2))
     return out
 
 
@@ -59,14 +75,22 @@ def ring(centerX, centerY, imageSizeX, imageSizeY, radius,
         centerX, centerY, imageSizeX, imageSizeY, radius_inner,
         antialiased=antialiased,
     )
-    return (outer - inner).astype(np.float32)
+    return (outer - inner).astype(np.float64)
 
 
 def rectangular(X, Y, Width, Height, imageSizeX, imageSizeY):
-    mask = np.zeros((imageSizeY, imageSizeX), dtype=np.float32)
-    y0, y1 = int(Y), int(Y + Height)
-    x0, x1 = int(X), int(X + Width)
-    mask[max(0, y0):max(0, y1), max(0, x0):max(0, x1)] = 1.0
+    """Rectangle from corner (X, Y) extending Width/Height (either
+    sign); the far corner is INCLUSIVE and zero-area rectangles
+    select nothing (reference masks.py:370-411 exactly)."""
+    mask = np.zeros((imageSizeY, imageSizeX), dtype=np.float64)
+    if Height == 0 or Width == 0:
+        return mask
+    y0, y1 = sorted((int(Y), int(Y + Height)))
+    x0, x1 = sorted((int(X), int(X + Width)))
+    mask[
+        max(0, y0):min(y1 + 1, imageSizeY),
+        max(0, x0):min(x1 + 1, imageSizeX),
+    ] = 1.0
     return mask
 
 
@@ -78,7 +102,7 @@ def radial_gradient(centerX, centerY, imageSizeX, imageSizeY, radius,
         centerX, centerY, imageSizeX, imageSizeY, radius,
         antialiased=antialiased,
     )
-    return (r * disk / radius).astype(np.float32)
+    return (r * disk / radius).astype(np.float64)
 
 
 def polar_map(centerX, centerY, imageSizeX, imageSizeY,
@@ -136,7 +160,7 @@ def radial_bins(
     ) + width / 2
     stack = np.empty(
         (n_bins, imageSizeY, imageSizeX),
-        dtype=np.float32 if dtype is None else dtype,
+        dtype=np.float64 if dtype is None else dtype,
     )
     for b, r0 in enumerate(centers):
         diff = np.abs(r - r0)
@@ -154,6 +178,13 @@ def radial_bins(
             if not np.isclose(s, 0):
                 vals = vals / s
         stack[b] = vals
+    width_frac = np.pi * (
+        radius ** 2 - (radius - width) ** 2
+    ) / (imageSizeX * imageSizeY)
+    if use_sparse or (use_sparse is None and width_frac < 0.1):
+        # the reference returns a sparse.COO stack here — the dense
+        # stand-in keeps its consumer API (.todense()) working
+        return stack.view(_DenseStack)
     return stack
 
 
@@ -174,7 +205,7 @@ def background_subtraction(
     s_outer = outer.sum()
     if s_outer > 0:
         outer = outer * (disk.sum() / s_outer)
-    return (disk - outer).astype(np.float32)
+    return (disk - outer).astype(np.float64)
 
 
 def radial_gradient_background_subtraction(
@@ -186,7 +217,7 @@ def radial_gradient_background_subtraction(
     (masks.py:177) including the ``delta`` smoothing semantics;
     ``r`` is a radius map (possibly distorted via polar_map)."""
     r = np.asarray(r)
-    result = np.zeros_like(r, dtype=np.float32)
+    result = np.zeros_like(r, dtype=np.float64)
     within = r < r0 - delta / 2
     result[within] = r[within] / max(r0, 1e-12)
     transition = (r >= r0 - delta / 2) & (r < r0 + delta / 2)
@@ -217,7 +248,7 @@ def sparse_template_multi_stack(
     """Stamp a small template at per-mask offsets into a stack
     (reference masks.py:55); dense output."""
     n_masks = int(np.max(mask_index)) + 1
-    stack = np.zeros((n_masks, imageSizeY, imageSizeX), dtype=np.float32)
+    stack = np.zeros((n_masks, imageSizeY, imageSizeX), dtype=np.float64)
     th, tw = template.shape
     for i, m in enumerate(np.atleast_1d(mask_index)):
         ox = int(np.atleast_1d(offsetX)[i])
@@ -229,7 +260,8 @@ def sparse_template_multi_stack(
         stack[m, y0:y1, x0:x1] += template[
             y0 - oy:y1 - oy, x0 - ox:x1 - ox
         ]
-    return stack
+    # reference returns sparse matrices (masks.py:55); see _DenseStack
+    return stack.view(_DenseStack)
 
 def sparse_circular_multi_stack(
     mask_index, centerX, centerY, imageSizeX, imageSizeY, radius,
