@@ -92,9 +92,9 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
             return AnalysisResultSet(
                 chans, raw_results=udf_results
             )
-        fy = fy.astype(np.float32)
-        fx = fx.astype(np.float32)
-        mag = np.sqrt(fy ** 2 + fx ** 2)
+        # derive in f64 FIRST, cast after — bit-identical with the
+        # UDF's own get_results post-processing
+        mag = np.sqrt(fy ** 2 + fx ** 2).astype(np.float32)
         if fy.ndim == 2 and min(fy.shape) >= 2:
             div = (
                 np.gradient(fy, axis=0) + np.gradient(fx, axis=1)
@@ -105,12 +105,18 @@ class COMAnalysis(BaseAnalysis, id_="CENTER_OF_MASS"):
         else:
             div = np.full_like(mag, np.nan)
             curl = np.full_like(mag, np.nan)
+        fy = fy.astype(np.float32)
+        fx = fx.astype(np.float32)
         return AnalysisResultSet([
             AnalysisResult(
-                raw_data=np.stack([fy, fx], axis=-1),
+                # reference layout (com.py:243): an (x, y) TUPLE —
+                # np.asarray gives (2, *nav); excluded from file
+                # downloads like the reference
+                raw_data=(fx, fy),
                 visualized=lambda: rgb_from_2dvector(fy, fx),
                 key="field", title="field",
                 desc="center-of-mass shift vector field",
+                include_in_download=False,
             ),
             AnalysisResult(
                 raw_data=mag,

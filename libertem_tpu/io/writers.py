@@ -103,6 +103,11 @@ class ResultFormat:
     def _iter_arrays(self):
         for k in self._result_set.keys():
             buf = self._result_set[k]
+            # reference parity: channels flagged
+            # include_in_download=False (e.g. the CoM field tuple)
+            # stay out of exported files
+            if not getattr(buf, "include_in_download", True):
+                continue
             data = getattr(buf, "data", buf)
             if data is not None:
                 yield k, np.asarray(data)

@@ -86,13 +86,42 @@ class CoMUDF(UDF):
         scan_rotation=0.0, flip_y=False,
         regression=RegressionOptions.NO_REGRESSION,
     ) -> "CoMUDF":
+        if r is not None and ri is not None and ri >= r:
+            raise ValueError(
+                "inner radius must be less than the outer radius "
+                "for annular CoM (reference com.py:464)"
+            )
         return cls(CoMParams(
             cy=cy, cx=cx, r=r, ri=ri,
             scan_rotation=scan_rotation, flip_y=flip_y,
             regression=regression,
         ))
 
+    def _regression_requested(self) -> bool:
+        """Whether a regression applies — an array parameter always
+        does, the int -1 means none; unknown ints raise like the
+        reference (com.py:625)."""
+        mode = self.params.com_params.regression
+        if not isinstance(mode, (int, np.integer)):
+            return True
+        if mode not in (
+            RegressionOptions.NO_REGRESSION,
+            RegressionOptions.SUBTRACT_MEAN,
+            RegressionOptions.SUBTRACT_LINEAR,
+        ):
+            raise ValueError(
+                f"unrecognized regression option {mode!r}"
+            )
+        return mode != RegressionOptions.NO_REGRESSION
+
     def get_result_buffers(self):
+        # reference validations (com.py:538): 2D nav + 2D sig only,
+        # and an unrecognized regression option fails at prepare time
+        if self.meta.dataset_shape.sig.dims != 2:
+            raise ValueError("CoMUDF only works with 2D sig shape.")
+        if self.meta.dataset_shape.nav.dims != 2:
+            raise ValueError("CoMUDF only works with 2D nav shape.")
+        self._regression_requested()
         # complex input data produces COMPLEX centers/shifts
         # (reference com.py:477 np.result_type(input_dtype, f32));
         # complex128 clamps to complex64 like the rest of the engine
@@ -142,8 +171,10 @@ class CoMUDF(UDF):
     def _center(self):
         p: CoMParams = self.params.com_params
         h, w = self.meta.sig_shape
-        cy = p.cy if p.cy is not None else (h - 1) / 2
-        cx = p.cx if p.cx is not None else (w - 1) / 2
+        # reference default center is the INTEGER h//2 (com.py:513
+        # get_params), not the pixel-center (h-1)/2
+        cy = p.cy if p.cy is not None else h // 2
+        cx = p.cx if p.cx is not None else w // 2
         return cy, cx
 
     def _operand(self):
@@ -190,15 +221,24 @@ class CoMUDF(UDF):
         work_dt = np.complex128 if is_c else np.float64
         out_dt = np.complex64 if is_c else np.float32
         raw = raw.astype(work_dt)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            com_y = raw[:, 1] / raw[:, 0]
-            com_x = raw[:, 2] / raw[:, 0]
+        # center_shifts semantics (reference com.py:100): zero-sum
+        # frames (incl. not-yet-processed rows in partial results)
+        # report the reference center, i.e. zero shift — not NaN
+        nz = raw[:, 0] != 0
+        com_y = np.full(raw.shape[0], cy, dtype=work_dt)
+        com_x = np.full(raw.shape[0], cx, dtype=work_dt)
+        np.divide(raw[:, 1], raw[:, 0], out=com_y, where=nz)
+        np.divide(raw[:, 2], raw[:, 0], out=com_x, where=nz)
         raw_com = np.stack([com_y, com_x], axis=-1).astype(out_dt)
-        shifts_y = com_y - cy
-        shifts_x = com_x - cx
         raw_shifts = np.stack(
-            [shifts_y, shifts_x], axis=-1
+            [com_y - cy, com_x - cx], axis=-1
         ).astype(out_dt)
+        # derive from the STORED (out_dt-rounded) shifts so every
+        # downstream field is a pure function of the raw_shifts
+        # buffer — the analysis layer recomputes from that buffer and
+        # must match bit-for-bit (reference-suite gate, udf/test_com)
+        shifts_y = raw_shifts[..., 0].astype(work_dt)
+        shifts_x = raw_shifts[..., 1].astype(work_dt)
 
         # rotation / flip correction (reference apply_correction com.py:110)
         y_corr, x_corr = apply_com_correction(
@@ -210,10 +250,8 @@ class CoMUDF(UDF):
         # complex shifts has no physical meaning here); the buffer's
         # validity mask marks it invalid in that case
         regression = np.zeros((3, 2), dtype=np.float32)
-        if (
-            p.regression != RegressionOptions.NO_REGRESSION
-            and not is_c
-        ):
+        want_regression = self._regression_requested()
+        if want_regression and not is_c:
             y2d, x2d, regression = self._regress(y_corr, x_corr,
                                                  p.regression)
             y_corr, x_corr = y2d, x2d
@@ -235,10 +273,7 @@ class CoMUDF(UDF):
             # with_mask, udf/base.py:1611)
             "regression": self.with_mask(
                 regression,
-                mask=(
-                    p.regression != RegressionOptions.NO_REGRESSION
-                    and not is_c
-                ),
+                mask=want_regression and not is_c,
             ),
         }
 
@@ -285,10 +320,27 @@ class CoMUDF(UDF):
             self._compress_nav2d(curl).astype(out_dt),
         )
 
+    def _valid_nav2d(self):
+        """Full-nav 2D validity: positions both processed (damage)
+        and inside the roi (reference com.py:683 fits the regression
+        on get_valid_nav_mask(full_nav=True))."""
+        nav_shape = tuple(self.meta.dataset_shape.nav)
+        vm = self.meta.get_valid_nav_mask(full_nav=True)
+        if vm is None:
+            vm = np.zeros(int(np.prod(nav_shape)), dtype=bool)
+            if self.meta.roi is not None:
+                vm[np.asarray(self.meta.roi, bool).reshape(-1)] = True
+            else:
+                vm[:] = True
+        return vm.reshape(nav_shape)
+
     def _regress(self, y_corr, x_corr, mode):
-        """Fit and subtract a constant or linear plane per component;
-        returns corrected components and the (3, 2) coefficient matrix
-        rows = (intercept, d/drow, d/dcol), cols = (y, x)."""
+        """Fit a constant or linear plane per component on the VALID
+        nav positions and subtract it there — invalid (unprocessed /
+        outside-roi) positions are neither fit nor modified
+        (reference com.py:600 get_regression + apply_*_regression).
+        Returns corrected components and the (3, 2) coefficient
+        matrix, rows = (intercept, d/drow, d/dcol), cols = (y, x)."""
         nav_shape = tuple(self.meta.dataset_shape.nav)
         regression = np.zeros((3, 2), dtype=np.float32)
         if len(nav_shape) != 2:
@@ -296,24 +348,42 @@ class CoMUDF(UDF):
         y2d = self._embed_nav2d(y_corr)
         x2d = self._embed_nav2d(x_corr)
         rows, cols = np.mgrid[0:nav_shape[0], 0:nav_shape[1]]
-        valid = np.isfinite(y2d) & np.isfinite(x2d)
-        if valid.sum() < 3:
+        valid = (
+            self._valid_nav2d()
+            & np.isfinite(y2d) & np.isfinite(x2d)
+        )
+        given = None
+        if not isinstance(mode, (int, np.integer)):
+            given = np.asarray(mode, dtype=np.float64)
+            if given.shape != (3, 2):
+                raise ValueError(
+                    f"regression parameter {mode!r} doesn't have "
+                    "the required shape (3, 2)"
+                )
+            regression[:] = given
+        elif valid.sum() < 3:
             return y_corr, x_corr, regression
-        if mode == RegressionOptions.SUBTRACT_MEAN:
-            A = np.ones((valid.sum(), 1))
-        else:
-            A = np.stack(
-                [np.ones(valid.sum()), rows[valid], cols[valid]],
-                axis=-1,
-            )
         for ci, comp2d in enumerate((y2d, x2d)):
-            coef, *_ = np.linalg.lstsq(A, comp2d[valid], rcond=None)
-            regression[:len(coef), ci] = coef
-            if mode == RegressionOptions.SUBTRACT_MEAN:
-                fit = np.full(nav_shape, coef[0])
-            else:
+            if given is not None:
+                coef = given[:, ci]
+            elif mode == RegressionOptions.SUBTRACT_MEAN:
+                coef = np.array([comp2d[valid].mean()])
+            else:  # SUBTRACT_LINEAR
+                A = np.stack(
+                    [np.ones(valid.sum()), rows[valid],
+                     cols[valid]],
+                    axis=-1,
+                )
+                coef, *_ = np.linalg.lstsq(
+                    A, comp2d[valid], rcond=None
+                )
+            if given is None:
+                regression[:len(coef), ci] = coef
+            if len(coef) > 1 and not np.allclose(coef[1:], 0):
                 fit = coef[0] + coef[1] * rows + coef[2] * cols
-            comp2d -= fit
+            else:
+                fit = np.full(nav_shape, coef[0])
+            comp2d[valid] -= fit[valid]
         return (
             self._compress_nav2d(y2d),
             self._compress_nav2d(x2d),

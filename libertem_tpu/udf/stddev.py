@@ -98,8 +98,11 @@ class StdDevUDF(UDF):
         }
 
 
-def run_stddev(ctx, dataset, roi=None, progress=False):
-    """Convenience wrapper (reference stddev.py:501)."""
+def run_stddev(ctx, dataset, roi=None, progress=False,
+               use_numba=True):
+    """Convenience wrapper (reference stddev.py:501); ``use_numba``
+    picks the reference's CPU kernel flavor — meaningless on the
+    device path, accepted for signature parity."""
     res = ctx.run_udf(
         dataset, StdDevUDF(), roi=roi, progress=progress
     )
@@ -107,3 +110,60 @@ def run_stddev(ctx, dataset, roi=None, progress=False):
         k: res[k].data
         for k in ("num_frames", "sum", "varsum", "var", "std", "mean")
     }
+
+
+# -- reference-named numeric primitives ---------------------------------
+# (reference stddev.py:12/75/124 — numba kernels there; vectorized
+# numpy here.  The same Schubert & Gertz 2018 one-pass combine the
+# device kernel uses, exposed for host-side code ported from the
+# reference.)
+
+def merge_single(n, n_0, sum_0, varsum_0, n_1, sum_1, varsum_1,
+                 mean_1):
+    """Numerically stable combine of (sum, varsum) aggregates
+    (reference stddev.py:12); works elementwise on arrays.  The
+    abs() makes the cross term real/positive for complex data."""
+    mean_0 = sum_0 / n_0
+    delta = mean_1 - mean_0
+    mean = mean_0 + (n_1 * delta) / n
+    partial_delta = mean_1 - mean
+    varsum = varsum_0 + varsum_1 + (
+        n_1 * np.abs(delta) * np.abs(partial_delta)
+    )
+    return sum_0 + sum_1, varsum
+
+
+def merge(dest_n, dest_sum, dest_varsum, src_n, src_sum, src_varsum,
+          src_mean):
+    """Merge src aggregation buffers into dest IN PLACE; returns the
+    new frame count (reference stddev.py:75)."""
+    if dest_n == 0:
+        dest_sum[:] = src_sum
+        dest_varsum[:] = src_varsum
+        return src_n
+    if src_n == 0:
+        # empty partitions happen with sync offsets
+        return dest_n
+    n = dest_n + src_n
+    s, v = merge_single(
+        n, dest_n, dest_sum, dest_varsum,
+        src_n, src_sum, src_varsum, src_mean,
+    )
+    dest_sum[:] = s
+    dest_varsum[:] = v
+    return n
+
+
+def process_tile(tile, n_0, sum_inout, varsum_inout):
+    """Fold a (frames, pixels) tile into the aggregation buffers IN
+    PLACE; returns the new frame count (reference stddev.py:124)."""
+    n_frames = tile.shape[0]
+    if n_frames == 0:
+        return n_0
+    tile_sum = tile.sum(axis=0)
+    mean = tile_sum / n_frames
+    tile_varsum = (np.abs(tile - mean) ** 2).sum(axis=0)
+    return merge(
+        n_0, sum_inout, varsum_inout,
+        n_frames, tile_sum, tile_varsum, mean,
+    )

@@ -88,7 +88,8 @@ def test_pick_analysis(lt_ctx, ds, data):
 
 def test_com_analysis(lt_ctx, ds, data):
     res = lt_ctx.run(lt_ctx.create_com_analysis(dataset=ds))
-    assert res.field.raw_data.shape == (8, 9, 2)
+    # reference layout: field raw_data is an (x, y) tuple
+    assert np.asarray(res.field.raw_data).shape == (2, 8, 9)
     assert res.magnitude.raw_data.shape == (8, 9)
     assert np.isfinite(res.x.raw_data).all()
     # field visualized is RGB

@@ -31,6 +31,7 @@ CASES = [
     ("test_masks.py", None),
     ("udf/test_auto.py", "weird or monitor"),
     ("udf/test_logsum.py", None),
+    ("udf/test_com.py", None),
 ]
 
 _UTILS_SHIM = '''\
@@ -70,6 +71,16 @@ ND_BACKENDS = (NUMPY,)
 DENSE_BACKENDS = (NUMPY,)
 SPARSE_BACKENDS = ()
 CPU_BACKENDS = (NUMPY,)
+CUPY_SCIPY_CSC = "cupyx.scipy.sparse.csc_matrix"
+CUPY_SCIPY_CSR = "cupyx.scipy.sparse.csr_matrix"
+CUPY_SCIPY_COO = "cupyx.scipy.sparse.coo_matrix"
+SCIPY_CSC = "scipy.sparse.csc_matrix"
+SCIPY_CSR = "scipy.sparse.csr_matrix"
+SCIPY_COO = "scipy.sparse.coo_matrix"
+SPARSE_DOK = "sparse.DOK"
+CUDA = "cuda"
+CUDA_BACKENDS = ()
+D2_BACKENDS = (NUMPY,)
 ArrayBackend = str
 
 
@@ -103,6 +114,14 @@ def delayed_ctx():
     from libertem.api import Context
     from libertem.executor.delayed import DelayedJobExecutor
     return Context(executor=DelayedJobExecutor())
+
+
+@pytest.fixture
+def npy_8x8x8x8_ds(tmp_path, lt_ctx):
+    import numpy as np
+    path = str(tmp_path / "d.npy")
+    np.save(path, np.random.randn(8, 8, 8, 8).astype("float32"))
+    return lt_ctx.load("npy", path=path)
 '''
 
 

@@ -123,9 +123,10 @@ def test_com(lt_ctx, ds, data):
     raw_com = res["raw_com"].data.reshape(-1, 2)
     assert np.allclose(raw_com[:, 0], ref_y, rtol=1e-3, atol=1e-3)
     assert np.allclose(raw_com[:, 1], ref_x, rtol=1e-3, atol=1e-3)
-    # shifts relative to default center (11.5, 11.5)
+    # shifts relative to the reference's default INTEGER center
+    # (h//2, w//2) = (12, 12)
     shifts = res["raw_shifts"].data.reshape(-1, 2)
-    assert np.allclose(shifts[:, 0], ref_y - 11.5, rtol=1e-3, atol=5e-3)
+    assert np.allclose(shifts[:, 0], ref_y - 12, rtol=1e-3, atol=5e-3)
     assert res["field"].data.shape == (14, 15, 2)
     assert res["magnitude"].data.shape == (14, 15)
     assert res["divergence"].data.shape == (14, 15)

@@ -711,16 +711,17 @@ class TestGuiWorkflow(WebTestBase):
         self._wait_job("job-com")
         resp = self.fetch("/api/jobs/job-com/download/?fmt=NPZ")
         arrays = np.load(io.BytesIO(resp.body))
-        field = arrays["field"]
+        # the field tuple is excluded from downloads like the
+        # reference (include_in_download=False, com.py:243); the
+        # x/y component channels carry the same values
+        assert "field" not in arrays
         yy, xx = np.mgrid[0:nav[0], 0:nav[1]]
         inside = (yy - 2) ** 2 + (xx - 2) ** 2 <= 4
-        # outside the roi: invalid (nan); inside: finite values
-        assert np.isfinite(
-            field.reshape(nav + (-1,))[inside]
-        ).all()
-        assert np.isnan(
-            field.reshape(nav + (-1,))[~inside]
-        ).all()
+        for chan in ("x", "y"):
+            comp = arrays[chan].reshape(nav)
+            # outside the roi: invalid (nan); inside: finite values
+            assert np.isfinite(comp[inside]).all(), chan
+            assert np.isnan(comp[~inside]).all(), chan
 
 
 class TestClientConsistency(WebTestBase):
