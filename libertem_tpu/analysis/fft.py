@@ -27,16 +27,20 @@ def _fft_ring_mask(sig_shape, rad_in, rad_out):
     cy, cx = h // 2, w // 2
     y, x = np.ogrid[0:h, 0:w]
     d = np.sqrt((y - cy) ** 2 + (x - cx) ** 2)
-    sel = (d >= rad_in) & (d < rad_out)
+    # reference semantics (crystallinity.py:59: disk(out) - disk(in)
+    # with d <= r disks): rad_in < d <= rad_out
+    sel = (d > rad_in) & (d <= rad_out)
     return np.fft.ifftshift(sel).astype(np.float32)
 
 
 def _real_aperture(sig_shape, real_rad, real_cy, real_cx):
+    """Real-space mask BLOCKING the zero-order peak: 1 - disk
+    (reference crystallinity.py:54 '1-1*_make_circular_mask')."""
     if real_rad is None or real_cy is None or real_cx is None:
         return None
     h, w = sig_shape
     y, x = np.ogrid[0:h, 0:w]
-    return (
+    return 1.0 - (
         ((y - real_cy) ** 2 + (x - real_cx) ** 2) <= real_rad ** 2
     ).astype(np.float32)
 

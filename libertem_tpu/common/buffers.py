@@ -342,6 +342,31 @@ class AuxBufferWrapper(BufferWrapper):
     def aux_data(self) -> Optional[np.ndarray]:
         return self._aux_data
 
+    @property
+    def raw_data(self) -> Optional[np.ndarray]:
+        """The aux input in storage layout (flat nav + extra_shape),
+        roi-compressed when bound with a roi — reference aux buffers
+        answer .raw_data/.data like result buffers do."""
+        if self._aux_data is None:
+            return None
+        if getattr(self, "_roi", None) is not None:
+            return self._aux_data[self._roi]
+        return self._aux_data
+
+    @property
+    def data(self) -> Optional[np.ndarray]:
+        if self._aux_data is None:
+            return None
+        if self._ds_shape is None:
+            return self._aux_data
+        # delegate to the result-accessor logic (nav-shaped, roi
+        # gaps filled) by viewing the aux array as the stored data
+        self._data = self.raw_data
+        try:
+            return super().data
+        finally:
+            self._data = None
+
     def new_for_partition(self, *a, **kw):  # API compat no-op
         return self
 

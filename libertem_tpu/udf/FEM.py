@@ -49,7 +49,9 @@ class FEMUDF(UDF):
         cy, cx = self.params.center
         y, x = np.ogrid[0:h, 0:w]
         d = np.sqrt((y - cy) ** 2 + (x - cx) ** 2)
-        sel = (d >= self.params.rad_in) & (d < self.params.rad_out)
+        # reference ring semantics (FEM.py:48: disk(out) - disk(in)
+        # with d <= r disks): rad_in < d <= rad_out
+        sel = (d > self.params.rad_in) & (d <= self.params.rad_out)
         idx = np.flatnonzero(sel.reshape(-1))
         if len(idx) == 0:
             raise ValueError("FEM ring selects no pixels")

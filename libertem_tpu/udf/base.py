@@ -843,6 +843,14 @@ class UDFRunner:
         plan = []
         for udf in udfs:
             udf.meta = meta
+            # bind aux parameters to the dataset BEFORE the buffer
+            # declarations run: reference UDFs inspect
+            # self.params.<aux>.shape there (reference allocates aux
+            # against the dataset first, udf/base.py set_views)
+            from ..common.buffers import AuxBufferWrapper
+            for v in udf._kwargs.values():
+                if isinstance(v, AuxBufferWrapper):
+                    v.set_shape_ds(meta0.shape, roi)
             decls = dict(udf.get_result_buffers())
             for b in decls.values():
                 b.set_shape_ds(meta0.shape, roi)
@@ -860,6 +868,8 @@ class UDFRunner:
             task_data = udf.get_task_data()
             udf.task_data = UDFData(task_data) if task_data else UDFData({})
             plan.append(entry)
+
+        self._auto_host_fallback(plan, meta, scheme, input_dtype)
 
         # aux buffers: compress by roi, keep as host arrays for now
         aux_arrays, aux_host = self._build_aux(
@@ -902,6 +912,106 @@ class UDFRunner:
             "corr_plan": corr_plan,
             "roi": roi,
         }
+
+    def _auto_host_fallback(self, plan, meta, scheme, input_dtype):
+        """UDFs ported from the reference are often written with
+        numpy mutable-view semantics and declare no backends; instead
+        of failing at first dispatch with a tracer error, probe each
+        DEFAULTED device entry with an abstract block and route the
+        untraceable ones through the host engine (the reference's
+        numpy semantics), with a warning.  Explicit get_backends()
+        declarations are trusted either way."""
+        for entry in plan:
+            if entry.host:
+                continue
+            udf = entry.udf
+            if type(udf).get_backends is not UDF.get_backends:
+                continue
+            if not self._probe_traceable(entry, meta, scheme,
+                                         input_dtype):
+                import warnings
+                warnings.warn(
+                    f"{type(udf).__name__}.process_"
+                    f"{entry.method} is not jax-traceable; running "
+                    "it on the HOST engine with numpy semantics. "
+                    "Declare get_backends() explicitly to silence "
+                    "this warning (see docs/migration.md)."
+                )
+                entry.host = True
+
+    def _probe_traceable(self, entry, meta, scheme, input_dtype):
+        """Abstractly evaluate one process_* call with bindings
+        shaped like the real traced step's — no FLOPs spent."""
+        from ..common.buffers import AuxBufferWrapper
+        from ..common.slice import Slice
+
+        udf = entry.udf
+        depth = scheme.depth
+        sig = tuple(meta.dataset_shape.sig)
+        nav_dims = meta.dataset_shape.nav.dims
+        decls = entry.decls
+        method = entry.method
+        frame = method == "frame"
+
+        def run(block):
+            views = {}
+            for name in entry.nav_names:
+                b = decls[name]
+                shp = (
+                    b.extra_shape if frame
+                    else (depth,) + b.extra_shape
+                )
+                views[name] = jnp.zeros(shp, b.dtype)
+            for name in entry.part_names:
+                b = decls[name]
+                shp = (
+                    sig + b.extra_shape if b.kind == "sig"
+                    else b.extra_shape
+                )
+                views[name] = jnp.zeros(shp, b.dtype)
+            udf.results = UDFData(views)
+            aux_views = {}
+            for k, v in udf._kwargs.items():
+                if isinstance(v, AuxBufferWrapper):
+                    shp = (
+                        v.extra_shape if frame
+                        else (depth,) + v.extra_shape
+                    )
+                    aux_views[k] = jnp.zeros(shp, v.dtype)
+            udf.params = UDFParams(udf._kwargs, aux_views)
+            meta.coordinates = jnp.zeros(
+                ((nav_dims,) if frame else (depth, nav_dims)),
+                jnp.int32,
+            )
+            meta.tile_valid = jnp.ones((depth,), bool)
+            meta.valid_frames = jnp.int32(depth)
+            meta.global_offset = jnp.int32(0)
+            meta.sig_slice = Slice.from_shape(sig, sig_dims=len(sig))
+            if frame:
+                udf.process_frame(block[0])
+            elif method == "partition":
+                udf.process_partition(block)
+            else:
+                udf.process_tile(block)
+            res = udf.results
+            return [res[n] for n in views]
+
+        try:
+            jax.eval_shape(
+                run,
+                jax.ShapeDtypeStruct((depth,) + sig, input_dtype),
+            )
+            return True
+        except Exception:
+            return False
+        finally:
+            udf.results = None
+            udf.params = UDFParams(udf._kwargs)
+            # drop anything the UDF cached DURING the abstract probe
+            # (e.g. a mask built on first use): it would leak probe
+            # tracers into the real trace.  on_params_updated is the
+            # designed cache-reset hook.
+            udf.on_params_updated()
 
     def _build_aux(self, udfs, roi, n_nav, scheme, device):
         """Device + host copies of AuxBufferWrapper params (roi-
@@ -1702,13 +1812,24 @@ class UDFRunner:
             if n_sel == 0:
                 continue
             any_partition = True
-            for udf in self._udfs:
-                udf.preprocess()
             part_state = self._init_part_state(prep)
             host_part = (
                 host_runner.init_partition() if host_runner else None
             )
             goff0 = partition.roi_offset(roi)
+            # reference cadence: preprocess sees per-partition result
+            # and aux VIEWS for host-engine UDFs (mutable-view
+            # semantics, reference udf/base.py set_views); device
+            # UDFs get the bare lifecycle call (their state lives in
+            # the traced step)
+            if host_runner is not None:
+                host_runner.bind_partition_views(
+                    host_global, host_part, goff0, n_sel
+                )
+            for udf in self._udfs:
+                udf.preprocess()
+            if host_runner is not None:
+                host_runner.unbind_views()
 
             def to_device(block):
                 dev = None
@@ -1780,10 +1901,18 @@ class UDFRunner:
                         block.valid,
                     )
             state = merge(state, part_state)
+            # postprocess with partition views bound (host UDFs),
+            # BEFORE the partition fold — the reference's worker
+            # runs postprocess on the partition copy, then ships it
             if host_runner is not None:
-                host_runner.merge_partition(host_global, host_part)
+                host_runner.bind_partition_views(
+                    host_global, host_part, goff0, n_sel
+                )
             for udf in self._udfs:
                 udf.postprocess()
+            if host_runner is not None:
+                host_runner.unbind_views()
+                host_runner.merge_partition(host_global, host_part)
             damage_host[goff0:goff0 + n_sel] = True
             if pm is not None:
                 pm.partition_done(n_sel)

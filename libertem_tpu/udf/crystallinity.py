@@ -83,8 +83,15 @@ class CrystallinityUDF(UDF):
         ).sum(axis=(1, 2))
 
 
-def run_analysis_crystall(ctx, dataset, rad_in, rad_out, roi=None):
+def run_analysis_crystall(ctx, dataset, rad_in, rad_out,
+                          real_center=None, real_rad=None, roi=None,
+                          progress=False):
+    """Convenience wrapper (reference crystallinity.py:82)."""
     return ctx.run_udf(
-        dataset, CrystallinityUDF(rad_in=rad_in, rad_out=rad_out),
-        roi=roi,
+        dataset,
+        CrystallinityUDF(
+            rad_in=rad_in, rad_out=rad_out,
+            real_center=real_center, real_rad=real_rad,
+        ),
+        roi=roi, progress=progress,
     )

@@ -81,6 +81,38 @@ class HostUDFRunner:
             out.append(bufs)
         return out
 
+    def bind_partition_views(self, global_bufs, part_bufs,
+                             goff: int, n_sel: int):
+        """Bind reference-style per-partition result + aux VIEWS on
+        the host UDF instances for preprocess/postprocess (the
+        reference's worker binds views around those calls,
+        udf/base.py set_views_for_partition)."""
+        from .base import UDFData, UDFParams
+
+        for ei, entry in enumerate(self.entries):
+            udf = entry.udf
+            views = {}
+            for name in entry.nav_names:
+                views[name] = global_bufs[ei][name][
+                    goff:goff + n_sel
+                ]
+            for name in entry.part_names:
+                views[name] = part_bufs[ei][name]
+            udf._host_mode = True
+            udf.results = UDFData(views)
+            aux_views = {
+                k: np.asarray(arr[goff:goff + n_sel])
+                for k, arr in self.prep["aux"][ei].items()
+            } if self._aux_uis is not None else {}
+            udf.params = UDFParams(udf._kwargs, aux_views)
+
+    def unbind_views(self):
+        from .base import UDFParams
+
+        for entry in self.entries:
+            entry.udf.results = None
+            entry.udf.params = UDFParams(entry.udf._kwargs)
+
     # -- processing ------------------------------------------------------
 
     def process_block(
@@ -138,8 +170,12 @@ class HostUDFRunner:
                     )
                 else:  # frame mode
                     for i in range(valid):
+                        # 1-row VIEWS, not scalars: the reference's
+                        # per-frame nav views keep the flat-nav axis
+                        # so `self.results.x[:] = v` works for
+                        # scalar buffers too
                         frame_views = {
-                            n: views[n][i]
+                            n: views[n][i:i + 1]
                             for n in entry.nav_names
                         }
                         for n in entry.part_names:

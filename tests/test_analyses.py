@@ -128,7 +128,8 @@ def test_fft_analyses(lt_ctx, ds, data):
     h, w = 20, 22
     y, x = np.ogrid[0:h, 0:w]
     d = np.sqrt((y - h // 2) ** 2 + (x - w // 2) ** 2)
-    ring = np.fft.ifftshift((d >= 2) & (d < 8))
+    # reference ring semantics: rad_in < d <= rad_out
+    ring = np.fft.ifftshift((d > 2) & (d <= 8))
     expected = (spec * ring).sum(axis=(1, 2)).reshape(8, 9)
     assert np.allclose(
         res.intensity.raw_data, expected, rtol=1e-3

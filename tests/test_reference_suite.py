@@ -32,6 +32,10 @@ CASES = [
     ("udf/test_auto.py", "weird or monitor"),
     ("udf/test_logsum.py", None),
     ("udf/test_com.py", None),
+    ("udf/test_aux_data.py", None),
+    ("udf/test_crystallinity.py", None),
+    ("udf/test_FEM.py", None),
+    ("udf/test_pick.py", None),
 ]
 
 _UTILS_SHIM = '''\

@@ -168,7 +168,8 @@ def test_fem(lt_ctx, ds, data):
     res = lt_ctx.run_udf(ds, udf)
     y, x = np.ogrid[0:24, 0:24]
     d = np.sqrt((y - 12) ** 2 + (x - 12) ** 2)
-    sel = (d >= 4) & (d < 9)
+    # reference ring semantics: rad_in < d <= rad_out
+    sel = (d > 4) & (d <= 9)
     flat = data.reshape(-1, 24 * 24)
     expected = flat[:, sel.reshape(-1)].std(axis=1)
     assert np.allclose(
@@ -483,7 +484,7 @@ def test_udf_instance_reuse_across_sig_shapes(lt_ctx):
         h, w = sig
         y, x = np.ogrid[0:h, 0:w]
         dist = np.sqrt((y - 8) ** 2 + (x - 8) ** 2)
-        sel = (dist >= 2) & (dist < 6)
+        sel = (dist > 2) & (dist <= 6)
         expected = d.reshape(4, h, w)[:, sel].std(axis=1)
         got = np.asarray(res["intensity"].data).reshape(-1)
         assert np.allclose(got, expected, rtol=1e-3), sig
