@@ -7,7 +7,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.analysis import AnalysisResult, AnalysisResultSet
-from ..udf.com import CoMUDF, guess_corrections
+# re-exports matching the reference's analysis/com.py:16 surface
+from ..udf.com import (  # noqa: F401
+    CoMUDF, GuessResult, apply_correction, center_shifts,
+    com_masks_factory, com_masks_generic, coordinate_check, curl_2d,
+    divergence, guess_corrections, magnitude,
+)
 from ..viz.base import rgb_from_2dvector, visualize_simple
 from .base import BaseAnalysis
 

@@ -15,11 +15,28 @@ class PickFrameAnalysis(BaseAnalysis, id_="PICK_FRAME"):
     def get_coords(self):
         nav = tuple(self.dataset.shape.nav)
         p = self.parameters
+        # reference validation (analysis/raw.py): the coordinate
+        # count must match the nav dimensionality exactly
+        expected = {1: ("x",), 2: ("x", "y"),
+                    3: ("x", "y", "z")}.get(len(nav))
+        if expected is None:
+            raise ValueError(
+                f"cannot pick from a {len(nav)}D navigation shape"
+            )
+        given = tuple(
+            k for k in ("x", "y", "z") if p.get(k) is not None
+        )
+        if set(given) != set(expected):
+            raise ValueError(
+                f"for a {len(nav)}D navigation shape, pick needs "
+                f"exactly the coordinates {expected}, got "
+                f"{given or ('nothing',)}"
+            )
         if len(nav) == 1:
             return (int(p["x"]),)
-        coords = (int(p.get("y", 0)), int(p["x"]))
+        coords = (int(p["y"]), int(p["x"]))
         if len(nav) == 3:
-            coords = (int(p.get("z", 0)),) + coords
+            coords = (int(p["z"]),) + coords
         return coords
 
     def get_udf(self):

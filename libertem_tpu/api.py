@@ -454,6 +454,24 @@ class Context:
         self, dataset, cx=None, cy=None, mask_radius=None,
         flip_y=False, scan_rotation=0.0, mask_radius_inner=None,
     ):
+        # reference validations (api.py create_com_analysis): CoM
+        # needs a 2D scan over 2D frames, and the annular mode needs
+        # BOTH radii
+        if dataset.shape.nav.dims != 2:
+            raise ValueError(
+                "CoM analysis needs a 2D navigation shape, got "
+                f"{tuple(dataset.shape.nav)}"
+            )
+        if dataset.shape.sig.dims != 2:
+            raise ValueError(
+                "CoM analysis needs a 2D signal shape, got "
+                f"{tuple(dataset.shape.sig)}"
+            )
+        if mask_radius_inner is not None and mask_radius is None:
+            raise ValueError(
+                "mask_radius_inner requires mask_radius (annular "
+                "mode needs both radii)"
+            )
         from .analysis.com import COMAnalysis
         return COMAnalysis(
             dataset=dataset,

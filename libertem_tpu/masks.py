@@ -40,7 +40,9 @@ def _disk_aa(
     y, x = np.ogrid[0:imageSizeY, 0:imageSizeX]
     d2 = (y - centerY) ** 2 + (x - centerX) ** 2
     if not antialiased:
-        return (d2 <= radius ** 2).astype(np.float64)
+        # reference returns a BOOL mask here (masks.py:50) — rois
+        # index with it directly
+        return d2 <= radius ** 2
     # oversample ONLY the boundary band (pixels whose square can
     # straddle the edge, half-diagonal ~0.71) — a full-frame 4x4
     # float64 oversample costs GBs on K2IS-sized detectors
@@ -75,6 +77,9 @@ def ring(centerX, centerY, imageSizeX, imageSizeY, radius,
         centerX, centerY, imageSizeX, imageSizeY, radius_inner,
         antialiased=antialiased,
     )
+    if not antialiased:
+        # bool like the reference's mask difference
+        return outer & ~inner
     return (outer - inner).astype(np.float64)
 
 
@@ -82,7 +87,7 @@ def rectangular(X, Y, Width, Height, imageSizeX, imageSizeY):
     """Rectangle from corner (X, Y) extending Width/Height (either
     sign); the far corner is INCLUSIVE and zero-area rectangles
     select nothing (reference masks.py:370-411 exactly)."""
-    mask = np.zeros((imageSizeY, imageSizeX), dtype=np.float64)
+    mask = np.zeros((imageSizeY, imageSizeX), dtype=bool)
     if Height == 0 or Width == 0:
         return mask
     y0, y1 = sorted((int(Y), int(Y + Height)))
@@ -90,7 +95,7 @@ def rectangular(X, Y, Width, Height, imageSizeX, imageSizeY):
     mask[
         max(0, y0):min(y1 + 1, imageSizeY),
         max(0, x0):min(x1 + 1, imageSizeX),
-    ] = 1.0
+    ] = True
     return mask
 
 
@@ -101,8 +106,8 @@ def radial_gradient(centerX, centerY, imageSizeX, imageSizeY, radius,
     disk = _disk_aa(
         centerX, centerY, imageSizeX, imageSizeY, radius,
         antialiased=antialiased,
-    )
-    return (r * disk / radius).astype(np.float64)
+    ).astype(np.float64)
+    return r * disk / radius
 
 
 def polar_map(centerX, centerY, imageSizeX, imageSizeY,
@@ -202,10 +207,12 @@ def background_subtraction(
         centerX, centerY, imageSizeX, imageSizeY,
         radius, radius_inner, antialiased=antialiased,
     )
+    disk = disk.astype(np.float64)
+    outer = outer.astype(np.float64)
     s_outer = outer.sum()
     if s_outer > 0:
         outer = outer * (disk.sum() / s_outer)
-    return (disk - outer).astype(np.float64)
+    return disk - outer
 
 
 def radial_gradient_background_subtraction(

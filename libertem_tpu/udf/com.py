@@ -13,7 +13,7 @@ matching the reference's split.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -61,12 +61,14 @@ def com_masks(sig_shape, cy, cx, r=None, ri=None) -> np.ndarray:
         d2 = (y - cy) ** 2 + (x - cx) ** 2
         base = (d2 <= r ** 2).astype(np.float32)
         if ri is not None and ri > 0:
-            base *= (d2 >= ri ** 2).astype(np.float32)
+            # reference annulus: disk(r) minus disk(ri) keeps
+            # d > ri (com_masks_generic with masks.ring)
+            base *= (d2 > ri ** 2).astype(np.float32)
     else:
         base = np.ones((h, w), dtype=np.float32)
         if ri is not None and ri > 0:
             d2 = (y - cy) ** 2 + (x - cx) ** 2
-            base *= (d2 >= ri ** 2).astype(np.float32)
+            base *= (d2 > ri ** 2).astype(np.float32)
     return np.stack([base, y * base, x * base], axis=0)
 
 
@@ -458,18 +460,32 @@ def guess_corrections(y_centers, x_centers, roi=None):
 # (reference com.py:47-205; kept callable under the same names so
 # notebooks and scripts written against the reference port directly)
 
-class GuessResult(dict):
-    """CoM parameter guess (reference com.py:192).  Mapping AND
-    attribute access: ``guess["cy"]`` and ``guess.cy`` both work —
-    the web RPC serializes it as a plain dict."""
+class GuessResult(NamedTuple):
+    """CoM parameter guess (reference com.py:192 NamedTuple, same
+    field order — unpacks positionally).  String indexing and
+    keys()/get() are added so mapping-style consumers (the web RPC)
+    keep working: ``guess["cy"]``, ``dict(guess)``."""
 
-    def __getattr__(self, name):
-        # KeyError must become AttributeError or hasattr()/getattr
-        # probes (deepcopy, serializers, IPython display) blow up
-        try:
-            return self[name]
-        except KeyError:
-            raise AttributeError(name) from None
+    scan_rotation: float
+    flip_y: bool
+    cy: float
+    cx: float
+
+    def __getitem__(self, k):
+        if isinstance(k, str):
+            return getattr(self, k)
+        return tuple.__getitem__(self, k)
+
+    def keys(self):
+        return self._fields
+
+    def get(self, k, default=None):
+        return getattr(self, k, default)
+
+    def __contains__(self, k):
+        # mapping-style membership (field names), matching the
+        # dict-compatible accessors above
+        return k in self._fields
 
 
 def com_masks_generic(detector_y, detector_x, base_mask_factory):

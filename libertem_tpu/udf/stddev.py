@@ -16,6 +16,14 @@ import jax.numpy as jnp
 from .base import UDF
 
 
+def _abs2(x):
+    """|x|^2, real-valued for complex inputs without the sqrt
+    round-trip of abs()**2; delta*delta unchanged for real data."""
+    if jnp.iscomplexobj(x):
+        return (x * jnp.conj(x)).real
+    return x * x
+
+
 def _combine(n0, sum0, varsum0, n1, sum1, varsum1):
     """Combine two (count, sum, varsum) variance states."""
     n = n0 + n1
@@ -25,7 +33,9 @@ def _combine(n0, sum0, varsum0, n1, sum1, varsum1):
     mean0 = sum0 / safe_n0
     mean1 = sum1 / safe_n1
     delta = mean1 - mean0
-    corr = delta * delta * (n0 * n1 / safe_n)
+    # |delta|^2 keeps the variance REAL for complex data (reference
+    # stddev.py:70 takes the absolute for the same reason)
+    corr = _abs2(delta) * (n0 * n1 / safe_n)
     varsum = jnp.where(
         n0 == 0, varsum1,
         jnp.where(n1 == 0, varsum0, varsum0 + varsum1 + corr),
@@ -37,15 +47,23 @@ class StdDevUDF(UDF):
     """Per-pixel mean / variance / std over all frames in one pass."""
 
     def get_result_buffers(self):
+        # complex data keeps complex sums/means; the variance of a
+        # complex variable is REAL (E|x - mean|^2) — reference
+        # stddev.py:70 takes the absolute for the same reason
+        sum_dtype = np.result_type(self.meta.input_dtype, np.float32)
+        if sum_dtype.kind == "c":
+            sum_dtype = np.dtype(np.complex64)
+        else:
+            sum_dtype = np.dtype(np.float32)
         return {
             "num_frames": self.buffer(kind="single", dtype="float32"),
-            "sum": self.buffer(kind="sig", dtype="float32"),
+            "sum": self.buffer(kind="sig", dtype=sum_dtype),
             "varsum": self.buffer(kind="sig", dtype="float32"),
             "var": self.buffer(kind="sig", dtype="float32",
                                use="result_only"),
             "std": self.buffer(kind="sig", dtype="float32",
                                use="result_only"),
-            "mean": self.buffer(kind="sig", dtype="float32",
+            "mean": self.buffer(kind="sig", dtype=sum_dtype,
                                 use="result_only"),
         }
 
@@ -58,7 +76,7 @@ class StdDevUDF(UDF):
             (-1,) + (1,) * (tile.ndim - 1)
         )
         diff = (tile - mean1) * vmask
-        varsum1 = (diff * diff).sum(axis=0)
+        varsum1 = _abs2(diff).sum(axis=0)
         n, s, v = _combine(
             self.results.num_frames, self.results.sum,
             self.results.varsum, n1, sum1, varsum1,

@@ -237,7 +237,10 @@ def test_com_helper_api():
                         cy=1.0, cx=2.0)
     assert g.scan_rotation == g["scan_rotation"] == 10.0
     import json
-    assert json.loads(json.dumps(g)) == dict(g)
+    assert json.loads(json.dumps(dict(g))) == dict(g)
+    # reference NamedTuple order: positional unpack works
+    rot, flip, cy, cx = g
+    assert (rot, flip, cy, cx) == (g.scan_rotation, g.flip_y, g.cy, g.cx)
 
 
 def test_slice_usage_error():
@@ -591,7 +594,8 @@ def test_run_events_on_iter_and_balance_and_guess():
     b = m.balance(np.array([[2, -1], [2, -3]]))
     assert abs(b.sum()) < 1e-12  # int template: no UFuncTypeError
 
-    g = GuessResult(cy=1.0, cx=2.0)
+    g = GuessResult(scan_rotation=10.0, flip_y=False,
+                cy=1.0, cx=2.0)
     assert not hasattr(g, "bogus")  # KeyError -> AttributeError
     assert copy.deepcopy(g) == g
 

@@ -5,12 +5,10 @@ not anything written here.
 
 Files are copied into a tmp dir so the reference's dask-importing
 conftest never loads; minimal shims stand in for its test utilities
+(_mk_random mirrors the reference's DISCRETE value distribution — the
+tight f32 allclose expectations depend on exactly-representable sums)
 and the not-installed ``sparseconverter`` package (numpy backend
-only).  DESELECTED tests are ones asserting f32 ``np.allclose``
-against numpy's pairwise summation — a single XLA ``jnp.sum`` already
-differs from numpy at the last few ulps (measured: 1.5e-5 abs on
-128-element f32 randn sums), so that tolerance is unreachable for ANY
-XLA engine at f32; see docs/migration.md "reduction-order tolerance".
+only).
 """
 import os
 import shutil
@@ -29,31 +27,46 @@ CASES = [
     ("common/test_shape.py", None),
     ("common/test_slice.py", None),
     ("test_masks.py", None),
-    ("udf/test_auto.py", "weird or monitor"),
+    ("udf/test_auto.py", None),
     ("udf/test_logsum.py", None),
     ("udf/test_com.py", None),
     ("udf/test_aux_data.py", None),
     ("udf/test_crystallinity.py", None),
     ("udf/test_FEM.py", None),
     ("udf/test_pick.py", None),
+    ("udf/test_sum.py", None),
+    ("udf/test_sumsig.py", None),
+    # fuzz is @slow in the reference too (100 x 512x512 runs)
+    ("udf/test_stddev.py", "not fuzz"),
+    ("analysis/test_analysis_com.py", None),
+    ("analysis/test_analysis_sum.py", None),
+    ("analysis/test_analysis_raw.py", None),
+    ("analysis/test_analysis_disk.py", None),
+    ("analysis/test_analysis_sd.py", None),
 ]
 
-_UTILS_SHIM = '''\
-"""Minimal stand-in for the reference tests' utils module."""
+_UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
+_mk_random mirrors the reference's DISCRETE value distribution
+(tests/utils.py:50: {0,1} resp. complex choices + two salted hot
+pixels), which several tolerance expectations depend on."""
 from contextlib import contextmanager
 
 import numpy as np
 
 
-def _mk_random(size, dtype="float32", array_backend=None):
+def _mk_random(size, dtype="float32", array_backend=None,
+               sparse_density=None):
+    size = tuple(size)
     dtype = np.dtype(dtype)
-    if dtype.kind in "ui":
-        return np.random.randint(0, 128, size=size).astype(dtype)
     if dtype.kind == "c":
-        return (
-            np.random.randn(*size) + 1j * np.random.randn(*size)
-        ).astype(dtype)
-    return np.random.randn(*size).astype(dtype)
+        choice = [0, 1, -1, 0 + 1j, 0 - 1j, 2.3 + 17j, -23 + 42j]
+    else:
+        choice = [0, 1]
+    data = np.random.choice(choice, size=size).astype(dtype)
+    for scale in (sum(size), 10 * sum(size)):
+        coords = tuple(np.random.choice(range(c)) for c in size)
+        data[coords] = np.random.choice(choice) * scale
+    return data
 
 
 @contextmanager
@@ -102,8 +115,25 @@ def get_device_class(backend):
     return "cpu"
 '''
 
-_CONFTEST_SHIM = '''\
-import pytest
+_NUMBA_SHIM = '''\
+"""Minimal numba stand-in (not installed): njit is identity, so the
+reference's jitted helpers run as plain Python."""
+
+
+def njit(*args, **kwargs):
+    if args and callable(args[0]):
+        return args[0]
+
+    def deco(f):
+        return f
+
+    return deco
+
+
+prange = range
+'''
+
+_CONFTEST_SHIM = '''import pytest
 
 
 @pytest.fixture
@@ -120,12 +150,62 @@ def delayed_ctx():
     return Context(executor=DelayedJobExecutor())
 
 
+import numpy as np
+
+
 @pytest.fixture
 def npy_8x8x8x8_ds(tmp_path, lt_ctx):
-    import numpy as np
     path = str(tmp_path / "d.npy")
     np.save(path, np.random.randn(8, 8, 8, 8).astype("float32"))
     return lt_ctx.load("npy", path=path)
+
+
+@pytest.fixture
+def ds_complex(lt_ctx):
+    from libertem.io.dataset.memory import MemoryDataSet
+    data = np.random.choice(
+        a=[0, 1, 0 + 1j, 0 - 1j, 1 + 1j, 1 - 1j],
+        size=(16, 16, 16, 16),
+    ).astype("complex64")
+    return MemoryDataSet(data=data, tileshape=(1, 16, 16),
+                         num_partitions=2, sig_dims=2)
+
+
+@pytest.fixture
+def ds_random(lt_ctx):
+    from libertem.io.dataset.memory import MemoryDataSet
+    data = np.random.randn(16, 16, 16, 16).astype("float32")
+    return MemoryDataSet(data=data, tileshape=(1, 16, 16),
+                         num_partitions=2, sig_dims=2)
+
+
+class _H5File:
+    def __init__(self, filename):
+        self.filename = filename
+
+
+@pytest.fixture
+def _same_4d_data():
+    return np.random.randn(2, 10, 26, 26).astype("float32")
+
+
+@pytest.fixture
+def hdf5_same_data_4d(tmp_path, _same_4d_data):
+    import h5py
+    path = str(tmp_path / "same-4d.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=_same_4d_data)
+    return _H5File(path)
+
+
+@pytest.fixture
+def raw_same_dataset_4d(tmp_path, _same_4d_data, lt_ctx):
+    path = str(tmp_path / "same-4d.raw")
+    _same_4d_data.tofile(path)
+    return lt_ctx.load(
+        "raw", path=path, dtype="float32",
+        nav_shape=(2, 10), sig_shape=(26, 26),
+    )
 '''
 
 
@@ -146,6 +226,7 @@ def test_reference_file_passes(relpath, k_expr, tmp_path):
         _SPARSECONVERTER_SHIM
     )
     (tmp_path / "conftest.py").write_text(_CONFTEST_SHIM)
+    (tmp_path / "numba.py").write_text(_NUMBA_SHIM)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
