@@ -302,16 +302,82 @@ class BufferWrapper:
         )
 
 
+class InvalidMaskError(Exception):
+    """The mask is not compatible with the array (wrong shape or
+    dtype) — reference common/buffers.py:187."""
+
+
+def get_bbox_slice(arr: np.ndarray) -> tuple:
+    """Smallest slice tuple bounding all truthy entries of ``arr``
+    (reference common/buffers.py:315)."""
+    arr = np.asarray(arr)
+    out = []
+    for ax in range(arr.ndim):
+        other = tuple(i for i in range(arr.ndim) if i != ax)
+        nz = np.flatnonzero(arr.any(axis=other))
+        if len(nz) == 0:
+            out.append(slice(0, 0))
+        else:
+            out.append(slice(int(nz[0]), int(nz[-1]) + 1))
+    return tuple(out)
+
+
+def get_bbox(arr: np.ndarray) -> tuple:
+    """(min0, max0, min1, max1, ...) inclusive bounds of the truthy
+    region (reference common/buffers.py:298)."""
+    out = []
+    for sl in get_bbox_slice(arr):
+        out.extend((sl.start, max(sl.start, sl.stop - 1)))
+    return tuple(out)
+
+
+def get_inner_slice(arr: np.ndarray, axis: int = 0) -> tuple:
+    """First contiguous run along ``axis`` where every element on the
+    other axes is truthy (reference common/buffers.py:235)."""
+    arr = np.asarray(arr)
+    other = tuple(i for i in range(arr.ndim) if i != axis)
+    rows = (arr != 0).all(axis=other)
+    nz = np.flatnonzero(rows)
+    if len(nz) == 0:
+        lo = hi = 0
+    else:
+        lo = int(nz[0])
+        breaks = np.flatnonzero(np.diff(nz) != 1)
+        hi = int(nz[breaks[0]] if len(breaks) else nz[-1]) + 1
+    return tuple(
+        slice(lo, hi) if d == axis else slice(None)
+        for d in range(arr.ndim)
+    )
+
+
 class ArrayWithMask:
     """A result array bundled with an explicit validity mask
     (reference: common/buffers.py:195) — returned from
     ``UDF.get_results`` via ``UDF.with_mask``."""
 
     def __init__(self, arr, mask):
-        self.arr = np.asarray(arr)
         if isinstance(mask, bool):
-            mask = np.full(self.arr.shape, mask, dtype=bool)
-        self.mask = np.asarray(mask, dtype=bool)
+            mask = np.array([mask])
+        mask = np.asarray(mask)
+        if mask.dtype != np.dtype(bool):
+            raise InvalidMaskError(
+                f"mask should have dtype=bool (have {mask.dtype})"
+            )
+        try:
+            np.broadcast_to(mask, np.asarray(arr).shape)
+        except ValueError:
+            raise InvalidMaskError(
+                "arr and mask must have compatible shapes "
+                f"(arr.shape={np.asarray(arr).shape} vs "
+                f"mask.shape={mask.shape})"
+            ) from None
+        self._init(arr, mask)
+
+    def _init(self, arr, mask):
+        self.arr = np.asarray(arr)
+        self.mask = np.broadcast_to(
+            np.asarray(mask, dtype=bool), self.arr.shape
+        )
 
     def __array__(self, dtype=None):
         a = self.arr

@@ -81,6 +81,35 @@ from ..common.exceptions import UDFException  # noqa: E402
 # accessors
 # ---------------------------------------------------------------------------
 
+class MergeAttrMapping:
+    """Reference-compat dest/src wrapper for host-side ``merge``
+    (reference udf/base.py:596): attribute access over a dict of
+    arrays, attribute ASSIGNMENT writes in place (``[:] =``
+    semantics).  The engine itself uses :class:`UDFData`; this exists
+    for code and tests constructing the reference type directly."""
+
+    def __init__(self, dict_input: dict):
+        object.__setattr__(self, "_dict", dict_input)
+
+    def __iter__(self):
+        return iter(self._dict)
+
+    def __contains__(self, k) -> bool:
+        return k in self._dict
+
+    def __getattr__(self, k):
+        try:
+            return object.__getattribute__(self, "_dict")[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def __setattr__(self, k, v):
+        self._dict[k][:] = v
+
+    def __getitem__(self, k):
+        return self._dict[k]
+
+
 class UDFData:
     """Attribute-style accessor over a dict of arrays; records writes."""
 

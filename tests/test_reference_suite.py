@@ -43,6 +43,11 @@ CASES = [
     ("analysis/test_analysis_raw.py", None),
     ("analysis/test_analysis_disk.py", None),
     ("analysis/test_analysis_sd.py", None),
+    # udf/test_by_tile.py is left out entirely: all four of its
+    # tests assert reference-internal tiling mechanics (exact
+    # tileshape pass-through, MemPartition internals, meta.slice) —
+    # deliberate deviations, docs/migration.md
+    ("udf/test_by_partition.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
