@@ -39,7 +39,7 @@ def main():
                 fy=fy, fx=fx, zero=zero, a=a0 * (1 + strain),
                 radius=3, all_equal=True,
             )
-            frames[i, j] = frame
+            frames[i, j] = frame[0]
     ds = MemoryDataSet(data=frames, sig_dims=2).initialize()
     ctx = Context.make_with("sharded")
 

@@ -32,7 +32,7 @@ def make_dataset(nav=(32, 32), sig=(64, 64)):
                 fy=sig[0], fx=sig[1], zero=(zy, zx),
                 a=(sig[0] // 4, 0), radius=3,
             )
-            frames[i, j] = frame + rng.poisson(
+            frames[i, j] = frame[0] + rng.poisson(
                 0.5, sig
             ).astype(np.float32)
     return MemoryDataSet(data=frames, sig_dims=2).initialize()

@@ -147,14 +147,34 @@ class ClusterAnalysis(BaseAnalysis, id_="CLUST"):
             ),
         ])
 
-    def controller(self, ctx, job_is_cancelled=None):
-        """Analysis-owned web job controller (reference clust.py:93 +
-        web/engine.py:176): drives the multi-pass clustering pipeline
-        (StdDev -> peak features -> AgglomerativeClustering) instead
-        of the single-UDF engine path."""
-        return self.run_clustering(
-            ctx, job_is_cancelled=job_is_cancelled,
+    async def controller(self, cancel_id=None, executor=None,
+                         job_is_cancelled=None, send_results=None,
+                         ctx=None):
+        """Analysis-owned web job controller with the REFERENCE's
+        async signature (clust.py:182 + web/engine.py:176): drives
+        the multi-pass clustering pipeline (StdDev -> peak features
+        -> AgglomerativeClustering) off the event loop and streams
+        the final result set via ``send_results``.  Accepts either a
+        ready Context (``ctx=``, the web engine's spelling) or an
+        ``executor`` like the reference."""
+        import asyncio
+
+        if ctx is None:
+            from ..api import Context
+            sync_exec = (
+                executor.ensure_sync() if executor is not None
+                else None
+            )
+            ctx = Context(executor=sync_exec)
+        loop = asyncio.get_running_loop()
+        result_set = await loop.run_in_executor(
+            None, lambda: self.run_clustering(
+                ctx, job_is_cancelled=job_is_cancelled,
+            )
         )
+        if send_results is not None:
+            await send_results(result_set, True)
+        return result_set
 
     def get_udf_results(self, udf_results, roi, damage):
         std = udf_results["std"].data

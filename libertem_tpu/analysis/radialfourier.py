@@ -16,7 +16,7 @@ import numpy as np
 from ..common.analysis import AnalysisResult, AnalysisResultSet
 from ..masks import polar_map, radial_bins
 from ..udf.masks import ApplyMasksUDF
-from ..viz.base import visualize_simple
+from ..viz.base import rgb_from_2dvector, visualize_simple
 from .base import BaseAnalysis
 
 
@@ -152,4 +152,19 @@ class RadialFourierAnalysis(BaseAnalysis, id_="RADIAL_FOURIER"):
                         desc=f"phase of Fourier order {o} in radial "
                              f"bin {b}",
                     ))
+                # raw complex coefficient on the 2D-vector color
+                # wheel (reference radialfourier.py:274)
+                carr = coeffs[..., b, o]
+                results.append(AnalysisResult(
+                    raw_data=carr,
+                    visualized=(
+                        lambda a=carr: rgb_from_2dvector(
+                            a.imag, a.real
+                        )
+                    ),
+                    key=f"complex_{b}_{o}",
+                    title=f"c{o} [bin {b}]",
+                    desc=f"complex Fourier order {o} in radial "
+                         f"bin {b}",
+                ))
         return AnalysisResultSet(results, raw_results=udf_results)

@@ -235,3 +235,12 @@ class JobExecutor:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+def __getattr__(name):
+    # reference layout compat: AsyncAdapter is importable from
+    # executor.base there (lazy here to avoid a circular import)
+    if name == "AsyncAdapter":
+        from .async_adapter import AsyncAdapter
+        return AsyncAdapter
+    raise AttributeError(name)

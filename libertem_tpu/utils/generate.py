@@ -31,11 +31,17 @@ def cbed_frame(
         r=margin if margin is not None else radius,
         indices=indices,
     )
-    frame = np.zeros((fy, fx), dtype=np.float32)
+    # reference contract (generate.py:27): a (1, fy, fx) stack with
+    # per-peak intensities decreasing with distance from the zero
+    # beam (offset by the peak index so no two are equal)
+    frame = np.zeros((1, fy, fx), dtype=np.float32)
+    dists = np.linalg.norm(peaks - zero, axis=-1)
+    max_val = max(dists.max() + 1, len(peaks) + 1) if len(peaks) \
+        else 1.0
     for i, p in enumerate(peaks):
-        intensity = 1.0 if all_equal else max(
-            0.1, 1.0 - 0.05 * np.linalg.norm(p - zero) / max(fy, fx)
-            * 16
+        intensity = (
+            1.0 if all_equal
+            else max(1.0, max_val - dists[i] + i)
         )
         frame += intensity * mask_lib.circular(
             p[1], p[0], fx, fy, radius, antialiased=True
@@ -56,10 +62,24 @@ def make_cartesian(r_phi):
     return np.array([r * np.sin(phi), r * np.cos(phi)])
 
 
+def regularize_indices(indices) -> np.ndarray:
+    """Accept either a list of (i, j) pairs (n, 2) or mgrid output
+    (2, n, m) — reference utils/__init__.py:135."""
+    indices = np.asarray(indices)
+    s = indices.shape
+    if len(s) == 3 and s[0] == 2:
+        return np.concatenate(indices.T)
+    if len(s) == 2 and s[1] == 2:
+        return indices
+    raise ValueError(
+        f"shape of indices is {s}, expected (n, 2) or (2, n, m)"
+    )
+
+
 def frame_peaks(fy, fx, zero, a, b, r=0, indices=None):
     if indices is None:
         indices = np.mgrid[-10:11, -10:11]
-    idx = indices.reshape(2, -1).T
+    idx = regularize_indices(indices)
     peaks = zero + idx[:, 0:1] * a + idx[:, 1:2] * b
     sel = (
         (peaks[:, 0] >= r) & (peaks[:, 0] < fy - r)

@@ -177,14 +177,13 @@ class JobEngine:
         """Analysis-owned job controller (reference engine.py:176-185,
         used by ClusterAnalysis): the analysis drives its own multi-
         pass pipeline against the Context."""
-        loop = asyncio.get_running_loop()
         ctx = self.state.executor_state.get_context()
 
         def cancelled():
             return self.state.job_state.is_cancelled(job_uuid)
 
-        result_set = await loop.run_in_executor(
-            None, lambda: controller(ctx, job_is_cancelled=cancelled)
+        result_set = await controller(
+            ctx=ctx, cancel_id=job_uuid, job_is_cancelled=cancelled,
         )
         if cancelled():
             await self.event_registry.broadcast({

@@ -31,7 +31,7 @@ def cbed_data():
                 fy=fy, fx=fx, zero=(zy, zx), a=(16, 0),
                 radius=3, all_equal=True,
             )
-            frames[i, j] = frame
+            frames[i, j] = frame[0]
             true_pos[i, j] = (zy, zx)
     return frames, true_pos
 

@@ -161,7 +161,8 @@ def test_utils_devices_generate():
     d = detect()
     assert len(d["cpus"]) >= 1
     frame, indices, peaks = cbed_frame(fy=64, fx=64, radius=3)
-    assert frame.shape == (64, 64)
+    # reference contract: a 1-frame stack
+    assert frame.shape == (1, 64, 64)
     assert frame.max() > 0
     holo = hologram_frame(
         np.ones((32, 32)), np.zeros((32, 32))
