@@ -23,8 +23,14 @@ _EXPLICIT = {
     # corrections live under io/ here
     "libertem.corrections": "libertem_tpu.io.corrections",
     "libertem.corrections.corrset": "libertem_tpu.io.corrections",
+    "libertem.corrections.detector": "libertem_tpu.io.corrections",
     "libertem.corrections.coordinates":
         "libertem_tpu.common.coordinates",
+    # reference io/corrections is a package; ours is one module
+    "libertem.io.corrections": "libertem_tpu.io.corrections",
+    "libertem.io.corrections.corrset": "libertem_tpu.io.corrections",
+    "libertem.io.corrections.detector":
+        "libertem_tpu.io.corrections",
     # the executor interfaces live in executor/, not common/
     "libertem.common.executor": "libertem_tpu.executor.base",
     # MaskContainer lives with the masks UDF
@@ -43,7 +49,7 @@ _EXPLICIT = {
 
 # aliased to a plain MODULE on our side but a PACKAGE in the
 # reference (children resolved via _EXPLICIT)
-_FORCE_PACKAGE = {"libertem.corrections"}
+_FORCE_PACKAGE = {"libertem.corrections", "libertem.io.corrections"}
 
 
 class _CompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):

@@ -57,7 +57,12 @@ class AnalysisResultSet:
         for r in object.__getattribute__(self, "_results"):
             if r.key == key:
                 return r
-        raise AttributeError(key)
+        keys = [r.key for r in object.__getattribute__(self, "_results")]
+        raise AttributeError(
+            "result with key '{}' not found, have: {}".format(
+                key, ", ".join(keys)
+            )
+        )
 
     def __getitem__(self, k):
         if isinstance(k, str):

@@ -121,7 +121,10 @@ class BufferWrapper:
         elif self._kind == "sig":
             return tuple(self._ds_shape.sig) + self._extra_shape
         else:
-            return self._extra_shape
+            # reference semantics (common/buffers.py:462): a 'single'
+            # buffer with no extra_shape is (1,), never 0-d — UDFs
+            # index it as results.x[0]
+            return self._extra_shape if self._extra_shape else (1,)
 
     @property
     def size(self) -> int:
@@ -231,6 +234,14 @@ class BufferWrapper:
         if dtype is not None:
             arr = np.asarray(arr, dtype=dtype)
         return np.array(arr, copy=True) if copy else np.asarray(arr)
+
+    @property
+    def _valid_mask(self) -> Optional[np.ndarray]:
+        """Raw-storage-shaped validity mask (the reference keeps this
+        as a private attribute, common/buffers.py:562, and its tests
+        index ``raw_data[buf._valid_mask]``)."""
+        m = self.raw_masked_data
+        return None if m is None else ~np.asarray(m.mask)
 
     @property
     def raw_masked_data(self) -> Optional[np.ma.MaskedArray]:

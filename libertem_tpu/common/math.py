@@ -12,37 +12,55 @@ from typing import Iterable, Sequence
 import numpy as np
 
 
+_prod_accepted = (
+    int, bool,
+    np.bool_, np.signedinteger, np.unsignedinteger,
+)
+
+
 def prod(iterable: Iterable[int]) -> int:
-    """Exact product as a Python int (no numpy overflow)."""
+    """Exact product as a Python int (no numpy overflow).
+
+    Raises ValueError on non-integer entries (reference
+    common/math.py:18 — shape math must never silently truncate
+    floats)."""
     result = 1
     for item in iterable:
+        if not isinstance(item, _prod_accepted):
+            raise ValueError(
+                f"prod() accepts integer types only, got {type(item)}"
+            )
         result *= int(item)
     return result
 
 
 def count_nonzero(mask) -> int:
-    """Count truthy entries in a dense or scipy.sparse mask."""
+    """Count truthy entries in a dense or sparse mask (reference
+    common/math.py:36: np.count_nonzero with an astype(bool).sum()
+    fallback — the fallback handles sparse arrays with fill_value
+    and non-canonical scipy COO without densifying)."""
     if mask is None:
         return 0
-    if hasattr(mask, "nnz"):  # scipy.sparse
-        return int(mask.nnz)
-    return int(np.count_nonzero(np.asarray(mask)))
+    try:
+        return int(np.count_nonzero(mask))
+    except (TypeError, ValueError):
+        return int(mask.astype(bool).sum())
 
 
 def make_2D_square(shape: Sequence[int]) -> tuple[int, ...]:
-    """Reshape a flat size into the most-square 2D factorization.
-
-    Used when visualizing 1D nav shapes as 2D images.
-    """
-    size = prod(shape)
-    if len(shape) == 2:
+    """Reshape a 1D shape into 2D square when its size is a perfect
+    square; pass anything else through (reference common/math.py:47 —
+    non-square 1D nav stays 1D so indices remain meaningful).
+    Raises ValueError on zero/negative sizes."""
+    if len(shape) != 1:
         return tuple(int(s) for s in shape)
-    if size == 0:
-        return (0, 0)
-    side = int(math.sqrt(size))
-    while side > 1 and size % side != 0:
-        side -= 1
-    return (side, size // side)
+    size = prod(shape)
+    if size < 1:
+        raise ValueError("Zero or negative shape.size")
+    side = math.isqrt(size)
+    if side * side == size:
+        return (side, side)
+    return tuple(int(s) for s in shape)
 
 
 def flat_nonzero(mask) -> np.ndarray:

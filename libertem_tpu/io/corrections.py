@@ -24,13 +24,84 @@ import numpy as np
 from ..common.math import prod
 
 
+class RepairValueError(ValueError):
+    """An excluded pixel has no usable repair environment (reference
+    io/corrections/detector.py:155)."""
+
+
+def check_repair_environments(sig_shape, coords):
+    """Raise RepairValueError if any excluded pixel's radius-1
+    neighborhood consists entirely of other excluded pixels /
+    out-of-bounds positions (reference RepairDescriptor,
+    detector.py:290: the fixed 3^ndim-1 environment, filtered for
+    collisions, must be non-empty for every pixel).
+
+    The actual repair here uses GROWING environments (so it could
+    repair such pixels anyway), but the reference-constructed
+    validation error is part of the CorrectionSet API contract.
+    """
+    coords = np.asarray(coords, np.int64)  # (n, ndim)
+    if coords.size == 0:
+        return
+    ndim = coords.shape[1]
+    sig_shape = tuple(int(s) for s in sig_shape)
+    excluded_flat = {
+        int(i) for i in np.ravel_multi_index(
+            tuple(coords.T), sig_shape, mode="clip"
+        )
+    }
+    offsets = np.stack(np.meshgrid(
+        *([np.array([-1, 0, 1])] * ndim), indexing="ij"
+    ), axis=-1).reshape(-1, ndim)
+    offsets = offsets[np.any(offsets != 0, axis=1)]
+    for i, c in enumerate(coords):
+        env = c[None, :] + offsets
+        ok = np.all((env >= 0) & (env < np.array(sig_shape)), axis=1)
+        env = env[ok]
+        flat = np.ravel_multi_index(tuple(env.T), sig_shape)
+        if all(int(f) in excluded_flat for f in flat):
+            raise RepairValueError(
+                f"Empty repair environments for pixel(s) number "
+                f"[[{i}]]."
+            )
+
+
+def _conflict_free_multiple(excluded, extent, base, target):
+    """Integer close to ``target``, a multiple of ``base``, such that
+    no positive multiple of it below ``extent`` lands on an excluded
+    position (reference disjunct_multiplier, corrset.py:13).  The
+    search alternates outward from the rounded target (+0, -1, +2,
+    ...) in base-sized steps so the chosen size is the closest
+    eligible one; when nothing is eligible it returns the first
+    multiple of ``base`` past the largest excluded position."""
+    if len(excluded) == 0:
+        return max(base, int(round(target / base)) * base)
+    max_excluded = int(np.max(excluded))
+    excluded_set = set(int(e) for e in excluded)
+    current = base * int(round(target / base))
+    sign = 1 if current >= target else -1
+    for offset in range(max_excluded // base + 1):
+        current += offset * sign * base
+        sign *= -1
+        if current <= 0:
+            continue
+        clear = all(
+            (current * k) not in excluded_set
+            for k in range(1, max_excluded // current + 1)
+            if current * k < extent
+        )
+        if clear:
+            return current
+    return min((max_excluded // base + 1) * base, extent)
+
+
 class CorrectionSet:
     def __init__(
         self,
         dark: Optional[np.ndarray] = None,
         gain: Optional[np.ndarray] = None,
         excluded_pixels: Optional[np.ndarray] = None,
-        allow_empty: bool = True,
+        allow_empty: bool = False,
     ):
         """
         dark: (*sig) array subtracted from each frame
@@ -43,8 +114,10 @@ class CorrectionSet:
             ndim)`` is also accepted when unambiguous (when both
             orientations match — a square array — the reference's
             ``(ndim, n)`` reading wins).
-        allow_empty: when False, raise if no correction data was
-            given (reference corrset.py:72).
+        allow_empty: when False (default, reference corrset.py:105),
+            validate at construction that every excluded pixel has a
+            non-empty radius-1 repair environment, raising
+            RepairValueError otherwise.
         """
         self._dark = None if dark is None else np.asarray(dark, np.float32)
         self._gain = None if gain is None else np.asarray(gain, np.float32)
@@ -78,11 +151,25 @@ class CorrectionSet:
                     else:
                         coords = ex
             self._excluded_coords = coords.astype(np.int64)
-        if not allow_empty and not self.have_corrections():
-            raise ValueError(
-                "allow_empty=False, but no dark/gain/excluded_pixels "
-                "correction data was given"
-            )
+        if not allow_empty and self._excluded_coords is not None:
+            sig_shape = None
+            if hasattr(excluded_pixels, "shape") and not isinstance(
+                excluded_pixels, np.ndarray
+            ):
+                sig_shape = tuple(excluded_pixels.shape)
+            elif (
+                isinstance(excluded_pixels, np.ndarray)
+                and excluded_pixels.dtype == bool
+            ):
+                sig_shape = excluded_pixels.shape
+            elif self._dark is not None:
+                sig_shape = self._dark.shape
+            elif self._gain is not None:
+                sig_shape = self._gain.shape
+            if sig_shape is not None:
+                check_repair_environments(
+                    sig_shape, self._excluded_coords
+                )
         self._cache = {}
 
     @property
@@ -177,6 +264,49 @@ class CorrectionSet:
         return TilingScheme.make_for_shape(
             tileshape, dataset_shape, intent=scheme.intent
         )
+
+    def adjust_tileshape(self, tile_shape, sig_shape, base_shape):
+        """Find a per-dimension tile size (a multiple of base_shape,
+        close to the proposed tile_shape) whose tile boundaries never
+        touch an excluded pixel or its left neighbor, so radius-1
+        repair environments stay inside one tile (reference
+        corrset.py:180 adjust_tileshape / adjust / the
+        disjunct_multiplier search).  Dimensions with no conflict-free
+        multiple fall back to the full signal extent."""
+        coords = self._excluded_coords
+        if coords is None or len(coords) == 0:
+            return tile_shape
+        adjusted = list(int(t) for t in tile_shape)
+        for dim in range(len(adjusted)):
+            extent = int(sig_shape[dim])
+            if extent <= 1:
+                continue
+            unique = np.unique(coords[:, dim])
+            if len(unique) > extent / 3:
+                # dense damage: chances of a clean multiple are low
+                adjusted[dim] = extent
+                continue
+            # a boundary at p splits the environment of a pixel at p
+            # (left side) or p-1 (right side) → both p and p+1 are
+            # forbidden boundary positions
+            forbidden = np.concatenate((unique, unique + 1))
+            forbidden = forbidden[forbidden <= extent]
+            nonzero = forbidden[forbidden != 0]
+            m = min(extent, _conflict_free_multiple(
+                nonzero, extent, int(base_shape[dim]),
+                adjusted[dim],
+            ))
+            # a pixel at 0 cannot be protected by sizing (every
+            # tiling has a boundary at 0); just avoid degenerate 1
+            min_size = max(m, 2) if len(nonzero) != len(forbidden) \
+                else m
+            if adjusted[dim] < min_size or adjusted[dim] % m != 0:
+                adjusted[dim] = m
+        out = []
+        for dim, a in enumerate(adjusted):
+            extent = int(sig_shape[dim])
+            out.append(extent if (a <= 0 or a > extent) else a)
+        return tuple(out)
 
     def apply_numpy(self, frames: np.ndarray) -> np.ndarray:
         """Host/numpy reference implementation (for tests)."""

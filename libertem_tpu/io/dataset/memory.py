@@ -33,7 +33,7 @@ class MemPartition(Partition):
 class MemoryDataSet(DataSet):
     def __init__(
         self,
-        data: np.ndarray,
+        data: Optional[np.ndarray] = None,
         sig_dims: int = 2,
         nav_shape: Optional[Sequence[int]] = None,
         sig_shape: Optional[Sequence[int]] = None,
@@ -41,9 +41,20 @@ class MemoryDataSet(DataSet):
         tileshape=None,  # accepted for reference-API compat; advisory
         tiledelay=None,  # artificial per-read delay (tests)
         sync_offset: int = 0,
+        datashape=None,  # zero-filled dataset of this shape
         **kwargs,  # accept remaining reference-API knobs
     ):
         super().__init__(num_partitions=num_partitions)
+        if data is None:
+            # reference memory.py:222: an empty (zeros) dataset from
+            # just a shape, for API/GUI testing
+            if datashape is None:
+                raise ValueError(
+                    "MemoryDataSet needs either data or datashape"
+                )
+            data = np.zeros(
+                tuple(int(s) for s in tuple(datashape)), np.float32
+            )
         data = np.asarray(data)
         if sig_shape is not None:
             sig_shape = tuple(int(s) for s in sig_shape)

@@ -102,7 +102,11 @@ class AutoUDF(UDF):
             )
 
     def merge(self, dest, src):
-        # only the monitor ('single') buffer reaches merge; later
-        # partitions win — "some recent frame", like the reference
+        # a custom merge receives ALL buffers and must write each
+        # (reference udf/base.py:1420): nav rows copy positionally,
+        # the monitor ('single') buffer takes the latest partition —
+        # "some recent frame", like the reference
+        if "result" in src:
+            dest.result[...] = src.result
         if "monitor" in src:
             dest.monitor = src.monitor

@@ -213,6 +213,11 @@ class UDFMeta:
         # udf/base.py:538)
         self.array_backend: str = "jax"
         self._valid_nav_mask = None
+        # concrete Slice when one is known (host engine blocks,
+        # get_task_data at run scope) — None on the traced path,
+        # where `slice` raises a guided error instead
+        self._slice: Optional[Slice] = None
+        self._partition_slice: Optional[Slice] = None
 
     def get_valid_nav_mask(self, full_nav: bool = False):
         """Mask of already-computed nav positions, flat 1D (reference
@@ -234,11 +239,15 @@ class UDFMeta:
 
     @property
     def slice(self):
-        """Not available: the reference's per-tile Slice carries a
-        host int origin, but blocks here have a TRACED position
-        (``meta.global_offset``) inside one compiled step.  Use
-        ``meta.global_offset`` / ``meta.coordinates`` /
-        ``meta.sig_slice`` instead."""
+        """The current processing Slice (flattened nav + sig), when a
+        concrete one exists: the host engine sets it per block/frame
+        (reference UDFMeta.slice, udf/base.py:419), and it covers the
+        whole selected nav range during ``get_task_data``.  On the
+        traced device path blocks have a TRACED position instead, so
+        this raises a guided error — use ``meta.global_offset`` /
+        ``meta.coordinates`` / ``meta.sig_slice`` there."""
+        if self._slice is not None:
+            return self._slice
         raise AttributeError(
             "meta.slice is not available in the traced TPU engine; "
             "use meta.global_offset / meta.coordinates / "
@@ -247,11 +256,13 @@ class UDFMeta:
 
     @property
     def partition_slice(self):
-        """Not available: this engine's unit of compute is the
-        fixed-shape block, not the reference's Partition (a traced
-        static slice would bake one partition into the compiled
-        step).  Use ``meta.coordinates`` (per-frame nav coords) or
-        ``meta.global_offset`` instead."""
+        """The current partition's Slice when a concrete one exists
+        (host engine); on the traced path the unit of compute is the
+        fixed-shape block, not the reference's Partition, so this
+        raises a guided error — use ``meta.coordinates`` (per-frame
+        nav coords) or ``meta.global_offset`` instead."""
+        if self._partition_slice is not None:
+            return self._partition_slice
         raise AttributeError(
             "partition_slice is not available in the traced TPU "
             "engine; use meta.coordinates / meta.global_offset "
@@ -671,12 +682,38 @@ class UDFRunner:
     def run_for_dataset(
         self,
         dataset: DataSet,
+        executor=None,
         roi: Optional[np.ndarray] = None,
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
         device=None,
         devices=None,
+        backends=None,
+        dry: bool = False,
     ) -> UDFResults:
+        """Run all UDFs over ``dataset`` and return the final results.
+
+        Mirrors the reference entry point (udf/base.py:2559): the
+        optional ``executor`` argument (second positional there) is
+        honored by deriving the device set from it — this framework's
+        executors are thin handles onto the single jax mesh loop, so
+        the executor's identity only selects single-device vs sharded
+        execution.
+        """
+        if backends is not None:
+            self._backends = (
+                (backends,) if isinstance(backends, str)
+                else tuple(backends)
+            )
+        if executor is not None:
+            if device is None:
+                device = getattr(executor, "main_device", None)
+            if devices is None:
+                exec_devices = getattr(executor, "devices", None)
+                if exec_devices is not None and len(exec_devices) > 1:
+                    devices = exec_devices
+        if dry:
+            return self.dry_run(dataset, roi=roi)
         result = None
         for result in self.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections,
@@ -823,6 +860,21 @@ class UDFRunner:
             # corrections are active, corrset.py)
             input_dtype = np.dtype(np.float32)
 
+        # self.meta must already be usable inside
+        # get_tiling_preferences (reference contract, udf/base.py:1525
+        # — SSB-style UDFs size their tiles from the dataset shape);
+        # bind a preliminary meta (no tiling scheme yet), the full one
+        # replaces it below
+        pre_meta = UDFMeta(
+            dataset_shape=meta0.shape,
+            dataset_dtype=meta0.native_dtype,
+            input_dtype=input_dtype,
+            roi=roi,
+            tiling_scheme=None,
+        )
+        for u in udfs:
+            u.meta = pre_meta
+
         scheme = Negotiator().get_scheme(
             udfs,
             meta0.shape,
@@ -869,6 +921,29 @@ class UDFRunner:
             else meta0.shape.nav.size
         )
 
+        # concrete slice/coordinates for get_task_data (reference
+        # calls it per partition with the partition slice + coords,
+        # udf/base.py:2213; this single-controller engine calls it
+        # once per run with the full selected span — task_data that
+        # sizes itself from meta.coordinates sees every selected
+        # frame exactly once either way)
+        sig = tuple(meta0.shape.sig)
+        nav_shape = tuple(meta0.shape.nav)
+        flat_ids = (
+            np.flatnonzero(np.asarray(roi).reshape(-1))
+            if roi is not None else np.arange(n_nav)
+        )
+        run_coords = np.stack(
+            np.unravel_index(flat_ids, nav_shape), axis=-1
+        ).astype(np.int32) if n_nav else np.zeros(
+            (0, len(nav_shape)), np.int32
+        )
+        meta._slice = Slice(
+            origin=(0,) * (1 + len(sig)),
+            shape=Shape((n_nav,) + sig, sig_dims=len(sig)),
+        )
+        meta.coordinates = run_coords
+
         plan = []
         for udf in udfs:
             udf.meta = meta
@@ -897,6 +972,13 @@ class UDFRunner:
             task_data = udf.get_task_data()
             udf.task_data = UDFData(task_data) if task_data else UDFData({})
             plan.append(entry)
+
+        # reset the run-scope concrete slice/coords BEFORE the
+        # traceability probe: the traced path must not see them (a
+        # probe with a concrete meta.slice would judge slice-using
+        # UDFs traceable and then fail inside jit)
+        meta._slice = None
+        meta.coordinates = None
 
         self._auto_host_fallback(plan, meta, scheme, input_dtype)
 
@@ -1139,6 +1221,104 @@ class UDFRunner:
                     bufs[name] = device_zeros_safe(b.shape, b.dtype)
             state.append(bufs)
         return state
+
+    def _refresh_task_data(self, prep, partition, roi, goff0, n_sel):
+        """Per-partition get_task_data cadence (reference _init_udfs,
+        udf/base.py:2213) — but only where it is OBSERVABLE: host
+        entries and UDFs overriding pre/postprocess.  Purely-traced
+        UDFs keep the once-per-run call from _prepare (their
+        task_data is a compiled-step constant; per-partition values
+        would be stale inside the trace anyway, and recomputing
+        expensive task_data per partition costs real time)."""
+        meta = prep["meta"]
+        nav_shape = tuple(meta.dataset_shape.nav)
+        sig = tuple(meta.dataset_shape.sig)
+        part_coords = None
+        for entry in prep["plan"]:
+            udf = entry.udf
+            if type(udf).get_task_data is UDF.get_task_data:
+                continue
+            if not (
+                entry.host
+                or type(udf).postprocess is not UDF.postprocess
+                or type(udf).preprocess is not UDF.preprocess
+            ):
+                continue
+            if part_coords is None:
+                flat_ids = partition.local_frame_ids(roi)
+                part_coords = np.stack(
+                    np.unravel_index(flat_ids, nav_shape), axis=-1
+                ).astype(np.int32)
+            meta._slice = Slice(
+                origin=(goff0,) + (0,) * len(sig),
+                shape=Shape((n_sel,) + sig, sig_dims=len(sig)),
+            )
+            meta._partition_slice = meta._slice
+            meta.coordinates = part_coords
+            try:
+                udf.cleanup()
+                td = udf.get_task_data()
+                udf.task_data = (
+                    UDFData(td) if td else UDFData({})
+                )
+            finally:
+                meta._slice = None
+                meta._partition_slice = None
+                meta.coordinates = None
+
+    def _bind_device_postprocess(
+        self, prep, state, part_state, goff0, n_sel
+    ):
+        """Bind concrete host copies of a device entry's buffers as
+        ``udf.results`` for an OVERRIDDEN postprocess (reference
+        cadence: postprocess mutates the partition's result buffers,
+        udf/base.py:2311).  Entries with the default no-op postprocess
+        skip the device round-trip entirely."""
+        bound = []
+        for ei, entry in enumerate(prep["plan"]):
+            udf = entry.udf
+            if entry.host or (
+                type(udf).postprocess is UDF.postprocess
+            ):
+                bound.append(None)
+                continue
+            views = {}
+            for n in entry.nav_names:
+                views[n] = np.array(asarray_safe(
+                    state[ei][n][goff0:goff0 + n_sel]
+                ))
+            for n in entry.part_names:
+                views[n] = np.array(asarray_safe(part_state[ei][n]))
+            udf.results = UDFData(views)
+            bound.append(views)
+        return bound
+
+    def _writeback_device_postprocess(
+        self, prep, state, part_state, goff0, n_sel, bound
+    ):
+        """Write postprocess-mutated host copies back into device
+        state.  Mutation of the bound numpy copies is undetectable,
+        so every bound buffer is written back (cheap: only runs for
+        UDFs overriding postprocess, once per partition)."""
+        device = prep["device"]
+        for ei, entry in enumerate(prep["plan"]):
+            if bound[ei] is None:
+                continue
+            udf = entry.udf
+            res = udf.results
+            for n in entry.nav_names:
+                new = device_put_safe(
+                    np.asarray(res[n]), device
+                )
+                state[ei][n] = state[ei][n].at[
+                    goff0:goff0 + n_sel
+                ].set(new)
+            for n in entry.part_names:
+                part_state[ei][n] = device_put_safe(
+                    np.asarray(res[n]), device
+                )
+            udf.results = None
+        return state, part_state
 
     # -- traced step construction -------------------------------------------
 
@@ -1846,6 +2026,7 @@ class UDFRunner:
                 host_runner.init_partition() if host_runner else None
             )
             goff0 = partition.roi_offset(roi)
+            self._refresh_task_data(prep, partition, roi, goff0, n_sel)
             # reference cadence: preprocess sees per-partition result
             # and aux VIEWS for host-engine UDFs (mutable-view
             # semantics, reference udf/base.py set_views); device
@@ -1929,19 +2110,39 @@ class UDFRunner:
                         block.global_offset, block.coords,
                         block.valid,
                     )
-            state = merge(state, part_state)
-            # postprocess with partition views bound (host UDFs),
-            # BEFORE the partition fold — the reference's worker
-            # runs postprocess on the partition copy, then ships it
+            # postprocess BEFORE the partition fold — the reference's
+            # worker runs postprocess on the partition copy, then
+            # ships it (udf/base.py:2311).  Host UDFs get partition
+            # views; device UDFs that OVERRIDE postprocess get
+            # concrete host copies of their buffers bound (nav rows
+            # of this partition + per-partition sig/single
+            # accumulators), written back into device state after.
             if host_runner is not None:
                 host_runner.bind_partition_views(
                     host_global, host_part, goff0, n_sel
                 )
+            post_bound = self._bind_device_postprocess(
+                prep, state, part_state, goff0, n_sel
+            )
             for udf in self._udfs:
                 udf.postprocess()
+            state, part_state = self._writeback_device_postprocess(
+                prep, state, part_state, goff0, n_sel, post_bound
+            )
             if host_runner is not None:
                 host_runner.unbind_views()
-                host_runner.merge_partition(host_global, host_part)
+            state = merge(state, part_state)
+            if host_runner is not None:
+                # during merge, the valid nav mask is the positions
+                # merged so far — NOT including this partition
+                # (reference udf/base.py:561 + test_valid_mask)
+                prep["meta"]._valid_nav_mask = damage_host.copy()
+                try:
+                    host_runner.merge_partition(
+                        host_global, host_part, goff0, n_sel
+                    )
+                finally:
+                    prep["meta"]._valid_nav_mask = None
             damage_host[goff0:goff0 + n_sel] = True
             if pm is not None:
                 pm.partition_done(n_sel)
@@ -2411,11 +2612,20 @@ class UDFRunner:
                     yield wrapped
             if host_runner is not None:
                 # fold each shard's partition buffers in shard order
-                # (the host analogue of the device fold)
+                # (the host analogue of the device fold); the shard's
+                # nav window plays the partition-slice role so custom
+                # merges see their nav buffers (reference semantics)
                 for d in range(n_dev):
-                    host_runner.merge_partition(
-                        host_global, host_parts[d]
-                    )
+                    lo, hi = int(bounds[d]), int(bounds[d + 1])
+                    mask = damage_host.copy()
+                    mask[lo:hi] = False  # this shard: not merged yet
+                    prep["meta"]._valid_nav_mask = mask
+                    try:
+                        host_runner.merge_partition(
+                            host_global, host_parts[d], lo, hi - lo
+                        )
+                    finally:
+                        prep["meta"]._valid_nav_mask = None
             # postprocess cadence: once per shard, on that shard's
             # instance (see preprocess); clones are cleaned up right
             # after (per-task lifecycle) — the REAL instances (shard

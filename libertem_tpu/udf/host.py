@@ -120,8 +120,11 @@ class HostUDFRunner:
         coords: np.ndarray, valid: int,
     ):
         from .base import UDFData, UDFParams
+        from ..common.shape import Shape
+        from ..common.slice import Slice
 
         meta = self.prep["meta"]
+        sig = tuple(meta.dataset_shape.sig)
         corrections = meta.corrections
         if corrections is not None and corrections.have_corrections():
             x = corrections.apply_numpy(block[:valid]).astype(
@@ -160,6 +163,15 @@ class HostUDFRunner:
                 if entry.method in ("tile", "partition"):
                     udf.results = UDFData(views)
                     meta.coordinates = coords
+                    # concrete flattened-nav Slice of this block
+                    # (reference UDFMeta.slice, udf/base.py:419)
+                    meta._slice = Slice(
+                        origin=(goff,) + (0,) * len(sig),
+                        shape=Shape((valid,) + sig,
+                                    sig_dims=len(sig)),
+                    )
+                    if entry.method == "partition":
+                        meta._partition_slice = meta._slice
                     if entry.method == "tile":
                         udf.process_tile(x)
                     else:
@@ -187,7 +199,14 @@ class HostUDFRunner:
                             udf._kwargs, frame_aux
                         )
                         udf.results = UDFData(frame_views)
-                        meta.coordinates = coords[i]
+                        # (1, nav_dims) — the reference's frame-mode
+                        # coordinates keep the leading frame axis
+                        meta.coordinates = coords[i:i + 1]
+                        meta._slice = Slice(
+                            origin=(goff + i,) + (0,) * len(sig),
+                            shape=Shape((1,) + sig,
+                                        sig_dims=len(sig)),
+                        )
                         udf.process_frame(x[i])
                         res = udf.results
                         # rebinding assignments (rather than in-place
@@ -203,6 +222,10 @@ class HostUDFRunner:
                                 part_bufs[ei][n][...] = res[n]
             finally:
                 udf._host_mode = False
+                # meta is shared with traced entries of the same run:
+                # never leak a stale concrete slice into their view
+                meta._slice = None
+                meta._partition_slice = None
 
     def _writeback(self, entry, res, global_u, part_u, goff, valid):
         for n in entry.nav_names:
@@ -212,25 +235,50 @@ class HostUDFRunner:
             if n in res._touched:
                 part_u[n][...] = res[n]
 
-    def merge_partition(self, global_bufs, part_bufs):
+    def merge_partition(self, global_bufs, part_bufs,
+                        goff0=None, n_sel=None):
         from .base import UDFData
         for ei, entry in enumerate(self.entries):
-            if not entry.part_names:
-                continue
             udf = entry.udf
+            custom = udf._has_custom_merge()
+            if not entry.part_names and not (
+                custom and entry.nav_names and goff0 is not None
+            ):
+                continue
             udf._host_mode = True
             try:
-                dest = UDFData({
+                dest_d = {
                     n: global_bufs[ei][n]
                     for n in entry.part_names
-                })
-                src = UDFData({
+                }
+                src_d = {
                     n: part_bufs[ei][n]
                     for n in entry.part_names
-                })
+                }
+                nav_rows = {}
+                if custom and goff0 is not None:
+                    # reference semantics: a CUSTOM merge receives the
+                    # nav buffers too — dest is the (zero) global
+                    # partition window, src the partition's result —
+                    # and is responsible for writing every buffer
+                    # (udf/base.py:1420).  The host loop processes
+                    # straight into global rows, so hand those rows to
+                    # src and a zero scratch to dest, then write dest
+                    # back.
+                    for n in entry.nav_names:
+                        rows = global_bufs[ei][n][
+                            goff0:goff0 + n_sel
+                        ]
+                        src_d[n] = rows.copy()
+                        dest_d[n] = np.zeros_like(src_d[n])
+                        nav_rows[n] = rows
+                dest = UDFData(dest_d)
+                src = UDFData(src_d)
                 udf.merge(dest, src)
                 for n in entry.part_names:
                     if n in dest._touched:
                         global_bufs[ei][n][...] = dest[n]
+                for n, rows in nav_rows.items():
+                    rows[...] = dest[n]
             finally:
                 udf._host_mode = False

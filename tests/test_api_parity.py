@@ -148,10 +148,30 @@ def test_meta_array_backend(ds):
     assert seen["host"] == "numpy"
 
 
-def test_meta_slice_unavailable(ds):
+def test_meta_slice_host_fallback_and_traced_guidance(ds):
     d, _ = ds
 
+    seen = []
+
     class SliceProbe(UDF):
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            # concrete per-frame Slice via the auto host fallback
+            # (reference UDFMeta.slice semantics)
+            seen.append(tuple(self.meta.slice.origin))
+
+    with pytest.warns(UserWarning, match="HOST engine"):
+        UDFRunner([SliceProbe()]).run_for_dataset(d)
+    n = d.shape.nav.size
+    assert seen[:2] == [(0, 0, 0), (1, 0, 0)]
+    assert len(seen) == n
+
+    class TracedSliceProbe(UDF):
+        def get_backends(self):
+            return (self.BACKEND_JAX,)
+
         def get_result_buffers(self):
             return {"s": self.buffer(kind="nav", dtype="float32")}
 
@@ -159,7 +179,7 @@ def test_meta_slice_unavailable(ds):
             _ = self.meta.slice  # must raise with guidance
 
     with pytest.raises(Exception, match="global_offset"):
-        UDFRunner([SliceProbe()]).run_for_dataset(d)
+        UDFRunner([TracedSliceProbe()]).run_for_dataset(d)
 
 
 def test_requires_custom_merge_all():

@@ -392,8 +392,17 @@ def test_corrections_force_float_input(lt_ctx):
 
 def test_corrections_validation():
     """Shape and emptiness validation with clear messages."""
-    with pytest.raises(ValueError, match="allow_empty"):
-        CorrectionSet(allow_empty=False)
+    from libertem_tpu.io.corrections import RepairValueError
+    # reference allow_empty semantics (corrset.py:105): default
+    # validates repair environments — a pixel whose whole radius-1
+    # neighborhood is excluded raises at construction
+    mask = np.zeros((19,), bool)
+    mask[[1, 2, 3]] = True
+    with pytest.raises(RepairValueError):
+        CorrectionSet(excluded_pixels=mask)
+    CorrectionSet(excluded_pixels=mask, allow_empty=True)
+    # an empty CorrectionSet is fine (the reference default too)
+    CorrectionSet()
     corr = CorrectionSet(dark=np.zeros((1, 21), np.float32))
     with pytest.raises(ValueError, match="dark frame shape"):
         corr.make_plan((19, 21))

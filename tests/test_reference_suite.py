@@ -57,6 +57,21 @@ CASES = [
     ("analysis/test_analysis_clust.py", None),
     ("analysis/test_analysis_shapes.py", None),
     ("analysis/test_analysis_rawfft.py", None),
+    ("analysis/test_analysis_sumsig.py", None),
+    ("analysis/test_analysis_sumfft.py", None),
+    ("analysis/test_analysis_base.py", None),
+    ("udf/test_multi_udf.py", None),
+    ("udf/test_meta.py", None),
+    # the three excluded tests assert reference-internal TILE DEPTH
+    # pass-through at specific origins (same deviation as
+    # udf/test_by_tile.py, docs/migration.md); partition/frame/roi
+    # coordinate semantics are covered by the kept tests
+    ("udf/test_coords.py",
+     "not test_tiles_no_offset and not test_tiles_positive_offset "
+     "and not test_tiles_negative_offset"),
+    ("common/test_math.py", None),
+    ("corrections/test_coordinates.py", None),
+    ("corrections/test_corrset.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -136,6 +151,8 @@ ArrayBackend = str
 def for_backend(arr, backend=NUMPY):
     if backend != NUMPY:
         raise RuntimeError(f"backend {backend} not available")
+    if hasattr(arr, "toarray"):  # scipy.sparse
+        return arr.toarray()
     return np.asarray(arr)
 
 
@@ -163,6 +180,62 @@ def njit(*args, **kwargs):
 
 
 prange = range
+'''
+
+_SPARSE_SHIM = '''\
+"""Minimal sparse.pydata stand-in (not installed): a COO carrying
+coords/data/fill_value/shape with just enough arithmetic for the
+reference's count_nonzero tests — refuses densification so huge
+shapes exercise the no-densify code path."""
+import numpy as np
+
+
+class COO:
+    def __init__(self, coords, data=None, shape=None, fill_value=0):
+        if data is None and shape is None:
+            # from a dense array
+            dense = np.asarray(coords)
+            self.coords = np.argwhere(dense).T
+            self.data = dense[dense != 0]
+            self.shape = dense.shape
+            self.fill_value = fill_value
+            return
+        self.coords = np.asarray(coords)
+        self.data = np.asarray(data)
+        self.shape = tuple(int(s) for s in shape)
+        self.fill_value = fill_value
+
+    @property
+    def size(self):
+        size = 1
+        for s in self.shape:
+            size *= s
+        return size
+
+    @property
+    def nnz(self):
+        return int(self.data.size)
+
+    def __array__(self, *args, **kwargs):
+        if self.size >= 2 ** 22:
+            raise TypeError("shim COO refuses huge densification")
+        out = np.full(self.shape, self.fill_value,
+                      dtype=self.data.dtype)
+        out[tuple(self.coords)] = self.data
+        return out
+
+    def astype(self, dtype):
+        dtype = np.dtype(dtype)
+        return COO(
+            self.coords, self.data.astype(dtype), shape=self.shape,
+            fill_value=dtype.type(self.fill_value),
+        )
+
+    def sum(self):
+        background = (self.size - self.data.size) * int(
+            bool(self.fill_value)
+        )
+        return int(self.data.sum()) + background
 '''
 
 _CONFTEST_SHIM = '''import pytest
@@ -246,6 +319,53 @@ def inline_executor():
     return InlineJobExecutor()
 
 
+@pytest.fixture(scope="session")
+def default_raw_data():
+    from utils import _mk_random
+    return _mk_random(size=(16, 16, 128, 128), dtype="float32")
+
+
+@pytest.fixture(scope="session")
+def default_raw_file(tmp_path_factory, default_raw_data):
+    path = tmp_path_factory.mktemp("data") / "raw-test-default"
+    default_raw_data.tofile(str(path))
+    return str(path)
+
+
+@pytest.fixture
+def default_raw(default_raw_file, lt_ctx):
+    return lt_ctx.load(
+        "raw", path=default_raw_file, dtype="float32",
+        nav_shape=(16, 16), sig_shape=(128, 128),
+    )
+
+
+@pytest.fixture
+def lt_ctx_fast(lt_ctx):
+    return lt_ctx
+
+
+@pytest.fixture(scope="session")
+def large_raw_file(tmp_path_factory):
+    # sparse file: apparent size ~29 GB, zero blocks on disk
+    path = tmp_path_factory.mktemp("data") / "raw-test-large-sparse"
+    shape = (100, 100, 1216, 1216)
+    dtype = np.dtype("uint16")
+    size = int(np.prod(np.array(shape, dtype=np.int64))) * dtype.itemsize
+    with open(path, "wb") as f:
+        f.truncate(size)
+    return str(path), shape, dtype
+
+
+@pytest.fixture
+def large_raw(large_raw_file, lt_ctx):
+    filename, shape, dtype = large_raw_file
+    return lt_ctx.load(
+        "raw", path=filename, dtype=dtype,
+        nav_shape=shape[:2], sig_shape=shape[2:],
+    )
+
+
 import asyncio
 import inspect
 
@@ -282,6 +402,7 @@ def test_reference_file_passes(relpath, k_expr, tmp_path):
     )
     (tmp_path / "conftest.py").write_text(_CONFTEST_SHIM)
     (tmp_path / "numba.py").write_text(_NUMBA_SHIM)
+    (tmp_path / "sparse.py").write_text(_SPARSE_SHIM)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )

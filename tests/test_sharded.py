@@ -499,9 +499,11 @@ def test_sharded_host_udf_matches_inline(data):
             self.results.pernav[:] = tile.sum(axis=(1, 2))
 
         def merge(self, dest, src):
-            # nav buffers merge positionally; merge() sees only the
-            # sig/single buffers
+            # reference semantics: a CUSTOM merge receives nav
+            # buffers too and must write them itself (dest is the
+            # partition's zeroed window of the global buffer)
             dest.persig[:] += src.persig
+            dest.pernav[:] = src.pernav
 
     ds = MemoryDataSet(
         data=data, sig_dims=2, num_partitions=4
