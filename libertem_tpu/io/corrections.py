@@ -45,10 +45,10 @@ def check_repair_environments(sig_shape, coords):
         return
     ndim = coords.shape[1]
     sig_shape = tuple(int(s) for s in sig_shape)
+    # default mode='raise': out-of-bounds excluded coordinates must
+    # fail loudly (reference behavior), not clip onto a valid pixel
     excluded_flat = {
-        int(i) for i in np.ravel_multi_index(
-            tuple(coords.T), sig_shape, mode="clip"
-        )
+        int(i) for i in np.ravel_multi_index(tuple(coords.T), sig_shape)
     }
     offsets = np.stack(np.meshgrid(
         *([np.array([-1, 0, 1])] * ndim), indexing="ij"

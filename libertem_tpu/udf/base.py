@@ -683,6 +683,7 @@ class UDFRunner:
         self,
         dataset: DataSet,
         executor=None,
+        *,
         roi: Optional[np.ndarray] = None,
         corrections: Optional[CorrectionSet] = None,
         progress: bool = False,
@@ -698,7 +699,10 @@ class UDFRunner:
         honored by deriving the device set from it — this framework's
         executors are thin handles onto the single jax mesh loop, so
         the executor's identity only selects single-device vs sharded
-        execution.
+        execution.  Everything after ``executor`` is keyword-only:
+        the reference's positional order differs (roi, progress,
+        corrections, ...), so ambiguous positional calls are rejected
+        rather than silently misbound.
         """
         if backends is not None:
             self._backends = (
@@ -2615,17 +2619,20 @@ class UDFRunner:
                 # (the host analogue of the device fold); the shard's
                 # nav window plays the partition-slice role so custom
                 # merges see their nav buffers (reference semantics)
+                # valid_nav_mask exposes only positions merged SO FAR
+                # (reference udf/base.py:2351): accumulate across the
+                # fold instead of showing not-yet-merged shards as valid
+                merged = np.zeros_like(damage_host)
                 for d in range(n_dev):
                     lo, hi = int(bounds[d]), int(bounds[d + 1])
-                    mask = damage_host.copy()
-                    mask[lo:hi] = False  # this shard: not merged yet
-                    prep["meta"]._valid_nav_mask = mask
+                    prep["meta"]._valid_nav_mask = merged.copy()
                     try:
                         host_runner.merge_partition(
                             host_global, host_parts[d], lo, hi - lo
                         )
                     finally:
                         prep["meta"]._valid_nav_mask = None
+                    merged[lo:hi] = damage_host[lo:hi]
             # postprocess cadence: once per shard, on that shard's
             # instance (see preprocess); clones are cleaned up right
             # after (per-task lifecycle) — the REAL instances (shard

@@ -392,9 +392,6 @@ class CoMUDF(UDF):
             regression,
         )
 
-    def merge(self, dest, src):  # pragma: no cover - nav-only
-        pass
-
     def fused_moments_spec(self):
         """Join the cross-UDF fused moments pass with the 3-column
         (total, y·, x·) CoM mask stack."""

@@ -357,9 +357,6 @@ class ApplyMasksUDF(UDF):
 
         return jax.vmap(roll_one)(tile, shifts)
 
-    def merge(self, dest, src):  # pragma: no cover - nav-only
-        pass
-
     def fused_moments_spec(self):
         """Join the cross-UDF fused moments pass: contribute the mask
         stack as matmul columns (real-valued, unshifted masks only)."""

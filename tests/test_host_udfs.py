@@ -243,3 +243,36 @@ def test_sig_tiled_scheme_keeps_fusion(monkeypatch):
         res.buffers[3]["intensity"].data.reshape(-1),
         flat.sum(axis=(1, 2)), rtol=1e-4,
     )
+
+
+def test_nav_only_library_udfs_have_no_custom_merge():
+    """Nav-only library UDFs must NOT declare a custom merge: under
+    the host engine's custom-merge contract (merge_partition hands
+    nav rows to custom merges as src with a zeroed dest and writes
+    dest back) a no-op ``merge(dest, src): pass`` silently returns
+    all-zero results (advisor round-3 finding)."""
+    from libertem_tpu.udf.masks import ApplyMasksUDF
+    from libertem_tpu.udf.com import CoMUDF
+
+    masks = [lambda: np.ones((12, 12), dtype=np.float32)]
+    assert not ApplyMasksUDF(mask_factories=masks)._has_custom_merge()
+    assert not CoMUDF.with_params()._has_custom_merge()
+
+
+def test_default_merge_nav_only_on_host_engine(lt_ctx, ds, data):
+    """A nav-only UDF WITHOUT a custom merge must round-trip the host
+    engine (the default merge copies nav rows positionally)."""
+    class NavOnlySum(UDF):
+        def get_backends(self):
+            return (self.BACKEND_NUMPY,)
+
+        def get_result_buffers(self):
+            return {"s": self.buffer(kind="nav", dtype="float32")}
+
+        def process_frame(self, frame):
+            self.results.s = float(frame.sum())
+
+    res = lt_ctx.run_udf(ds, NavOnlySum())
+    assert np.allclose(
+        res["s"].data, data.sum(axis=(2, 3)), rtol=1e-4
+    )

@@ -433,3 +433,32 @@ def test_detect_extension_priority(lt_ctx, tmp_path):
     np.save(p, np.zeros((2, 3, 4, 4), np.float32))
     ds = lt_ctx.load("auto", path=p)
     assert type(ds).__name__ == "NPYDataSet"
+
+
+def test_corrections_out_of_bounds_excluded_raise():
+    """Out-of-bounds excluded-pixel coordinates must fail loudly
+    (reference np.ravel_multi_index default mode='raise'), not be
+    clipped onto a valid pixel (advisor round-3 finding)."""
+    from libertem_tpu.io.corrections import check_repair_environments
+    with pytest.raises(ValueError):
+        check_repair_environments((8, 8), np.array([[9, 3]]))
+    with pytest.raises(ValueError):
+        check_repair_environments((8, 8), np.array([[3, -9]]))
+    # in-bounds: fine
+    check_repair_environments((8, 8), np.array([[3, 3]]))
+
+
+def test_run_for_dataset_rejects_ambiguous_positionals(lt_ctx):
+    """run_for_dataset's post-executor params are keyword-only: the
+    reference's positional order differs (roi, progress, corrections,
+    ...), so a reference-style positional call must raise TypeError
+    instead of silently misbinding (advisor round-3 finding)."""
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+    from libertem_tpu.udf import SumUDF
+    from libertem_tpu.udf.base import UDFRunner
+    data = np.ones((2, 2, 4, 4), np.float32)
+    ds = MemoryDataSet(data=data, num_partitions=1)
+    ds.initialize(lt_ctx.executor)
+    runner = UDFRunner([SumUDF()])
+    with pytest.raises(TypeError):
+        runner.run_for_dataset(ds, None, None, True)
