@@ -407,6 +407,7 @@ class AuxBufferWrapper(BufferWrapper):
     def __init__(self, kind, extra_shape=(), dtype="float32", data=None):
         super().__init__(kind, extra_shape, dtype)
         self._aux_data: Optional[np.ndarray] = None
+        self._data_coords_global = True
         if data is not None:
             self.set_buffer(data)
 
@@ -414,6 +415,11 @@ class AuxBufferWrapper(BufferWrapper):
         data = np.ascontiguousarray(data, dtype=self._dtype)
         flat = data.reshape((-1,) + self._extra_shape)
         self._aux_data = flat
+        # reference semantics (common/buffers.py:1010): a freshly-set
+        # buffer holds the FULL dataset's rows in global coordinates;
+        # new_for_partition() derives partition-local views
+        self._data = flat
+        self._data_coords_global = True
 
     @property
     def aux_data(self) -> Optional[np.ndarray]:
@@ -438,14 +444,27 @@ class AuxBufferWrapper(BufferWrapper):
             return self._aux_data
         # delegate to the result-accessor logic (nav-shaped, roi
         # gaps filled) by viewing the aux array as the stored data
+        prev = self._data
         self._data = self.raw_data
         try:
             return super().data
         finally:
-            self._data = None
+            self._data = prev
 
-    def new_for_partition(self, *a, **kw):  # API compat no-op
-        return self
+    def new_for_partition(self, partition, roi=None):
+        """Partition-local view of the aux rows: sliced to the
+        partition's nav window, roi-compressed (reference
+        common/buffers.py:1022)."""
+        new = AuxBufferWrapper(
+            self._kind, self._extra_shape, self._dtype
+        )
+        ps = partition.slice.get(nav_only=True)
+        data = self._aux_data[ps]
+        if roi is not None:
+            data = data[np.asarray(roi).reshape(-1)[ps]]
+        new._aux_data = new._data = data
+        new._data_coords_global = False
+        return new
 
 
 class PlaceholderBufferWrapper(BufferWrapper):
@@ -454,5 +473,23 @@ class PlaceholderBufferWrapper(BufferWrapper):
 
     def __init__(self, kind, extra_shape=(), dtype="float32"):
         super().__init__(kind, extra_shape, dtype, use="result_only")
+
+    def __array__(self, *a, **kw):
+        if self._data is None:
+            raise ValueError(
+                "this BufferWrapper has no array associated with it "
+                "(use='result_only' placeholders are filled by "
+                "get_results)"
+            )
+        return np.asarray(self._data)
+
+
+def reshaped_view(a: np.ndarray, shape) -> np.ndarray:
+    """A reshaped VIEW of ``a`` — raises AttributeError when a copy
+    would be required (reference common/buffers.py:53), unlike
+    ``np.reshape`` which silently copies."""
+    v = a.view()
+    v.shape = shape
+    return v
 
 

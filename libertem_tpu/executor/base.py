@@ -34,12 +34,33 @@ class Environment:
         return False
 
 
+# resource-name -> requested/provided amount (reference
+# common/executor.py:29)
+ResourceDef = dict
+
+
 class Worker:
-    def __init__(self, name: str, host: str, device, resources: dict):
+    def __init__(self, name: str, host: str, device=None,
+                 resources: Optional[dict] = None, nthreads: int = 1):
         self.name = name
         self.host = host
         self.device = device
-        self.resources = resources
+        self.resources = {} if resources is None else resources
+        self.nthreads = nthreads
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Worker):
+            return NotImplemented
+        return (
+            self.name == other.name
+            and self.host == other.host
+            and self.device == other.device
+            and self.resources == other.resources
+            and self.nthreads == other.nthreads
+        )
+
+    def __hash__(self):
+        return hash((self.name, self.host))
 
     def __repr__(self):
         return f"<Worker {self.name} device={self.device}>"
@@ -55,9 +76,19 @@ class WorkerSet:
     def __iter__(self):
         return iter(self.workers)
 
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, WorkerSet):
+            return NotImplemented
+        return self.workers == other.workers
+
+    def extend(self, other: "WorkerSet") -> "WorkerSet":
+        return WorkerSet(self.workers + list(other))
+
     def has_tpu(self) -> bool:
         return any(
-            w.device.platform in ("tpu", "axon") for w in self.workers
+            w.device is not None
+            and getattr(w.device, "platform", None) in ("tpu", "axon")
+            for w in self.workers
         )
 
 

@@ -24,6 +24,11 @@ import numpy as np
 from ..common.math import prod
 
 
+class CorrectError(Exception):
+    """Invalid input for the standalone correction functions
+    (reference io/corrections/detector.py:13)."""
+
+
 class RepairValueError(ValueError):
     """An excluded pixel has no usable repair environment (reference
     io/corrections/detector.py:155)."""
@@ -373,3 +378,194 @@ def _neighbor_plan(
         dtype=np.int32,
     )
     return repair_idx, nbr_idx, nbr_w
+
+
+# -- standalone detector-correction API ---------------------------------
+# Reference contract: io/corrections/detector.py — correct():194,
+# correct_dot_masks():315, RepairDescriptor:290.  The engine's fused
+# device-side correction above uses GROWING repair environments; this
+# PUBLIC API follows the reference's FIXED radius-1 semantics (pixels
+# whose whole radius-1 ring is excluded/out-of-bounds stay unrepaired
+# when allow_empty=True), implemented as vectorized numpy instead of a
+# numba loop.
+
+
+def _radius1_environments(coords, sig_shape):
+    """Per excluded pixel: flat indices of its in-bounds radius-1
+    neighbors that are not themselves excluded.
+
+    Returns (exclude_flat (k,), repair_flat (k, 3^ndim-1),
+    repair_counts (k,)); rows are left-packed, padding is 0.
+    """
+    coords = np.asarray(coords, np.int64)  # (k, ndim)
+    k, ndim = coords.shape
+    sig_shape = tuple(int(s) for s in sig_shape)
+    offsets = np.stack(np.meshgrid(
+        *([np.array([-1, 0, 1])] * ndim), indexing="ij"
+    ), axis=-1).reshape(-1, ndim)
+    offsets = offsets[np.any(offsets != 0, axis=1)]  # drop center
+    excluded_flat = np.ravel_multi_index(tuple(coords.T), sig_shape)
+    excluded_set = set(int(e) for e in excluded_flat)
+    m = len(offsets)
+    repair_flat = np.zeros((k, m), dtype=np.intp)
+    repair_counts = np.zeros(k, dtype=np.intp)
+    for i in range(k):
+        env = coords[i][None, :] + offsets
+        ok = np.all(
+            (env >= 0) & (env < np.array(sig_shape)), axis=1
+        )
+        env = env[ok]
+        if len(env):
+            flat = np.ravel_multi_index(tuple(env.T), sig_shape)
+            flat = flat[[int(f) not in excluded_set for f in flat]]
+            repair_flat[i, :len(flat)] = flat
+            repair_counts[i] = len(flat)
+    return excluded_flat.astype(np.intp), repair_flat, repair_counts
+
+
+class RepairDescriptor:
+    """Precomputed radius-1 repair environments for a set of excluded
+    pixels (reference detector.py:290) — reusable across calls to
+    :func:`correct` for tiled processing."""
+
+    def __init__(self, sig_shape, excluded_pixels=None,
+                 allow_empty=False):
+        if excluded_pixels is None:
+            excluded_pixels = np.zeros((len(sig_shape), 0), np.intp)
+        coords = np.asarray(excluded_pixels).T  # (k, ndim)
+        self.exclude_flat, self.repair_flat, self.repair_counts = (
+            _radius1_environments(coords, sig_shape)
+        )
+        self.check_empty_repairs(allow_empty=allow_empty)
+
+    def empty_repairs(self):
+        return np.argwhere(self.repair_counts == 0)
+
+    def check_empty_repairs(self, allow_empty):
+        if not allow_empty:
+            empty = self.empty_repairs()
+            if len(empty) > 0:
+                raise RepairValueError(
+                    f"Empty repair environments for pixel(s) number "
+                    f"{empty}."
+                )
+
+
+def _apply_repairs(flat, desc):
+    """Patch excluded pixels in-place on (n, n_sig) ``flat`` with the
+    mean of their (already corrected) repair environments."""
+    if len(desc.exclude_flat) == 0:
+        return
+    reparable = desc.repair_counts > 0
+    if not np.any(reparable):
+        return
+    ex = desc.exclude_flat[reparable]
+    env = desc.repair_flat[reparable]           # (k, m)
+    counts = desc.repair_counts[reparable]      # (k,)
+    vals = flat[:, env]                         # (n, k, m)
+    # padding entries index pixel 0; zero their weight
+    w = (np.arange(env.shape[1])[None, :] < counts[:, None])
+    means = (vals * w[None, :, :]).sum(axis=-1) / counts[None, :]
+    flat[:, ex] = means.astype(flat.dtype, copy=False)
+
+
+def correct(buffer, dark_image=None, gain_map=None,
+            excluded_pixels=None, repair_descriptor=None,
+            inplace=False, sig_shape=None, allow_empty=False):
+    """Apply dark/gain correction and excluded-pixel repair to an
+    (\\*nav, \\*sig) array (reference detector.py:194).
+
+    ``excluded_pixels`` is an (ndim, k) index array in sig space.
+    ``inplace=True`` requires float data (TypeError otherwise) and a
+    C-contiguous buffer (CorrectError otherwise).
+    """
+    if dark_image is not None:
+        dark_image = np.asarray(dark_image)
+        sig_shape = dark_image.shape
+    if gain_map is not None:
+        gain_map = np.asarray(gain_map)
+        sig_shape = gain_map.shape
+    if sig_shape is None:
+        raise ValueError(
+            "need either `dark_image`, `gain_map`, or `sig_shape`"
+        )
+    sig_shape = tuple(int(s) for s in sig_shape)
+    nav_shape = buffer.shape[:buffer.ndim - len(sig_shape)]
+    if inplace:
+        if buffer.dtype.kind not in ("f", "c"):
+            raise TypeError(
+                "In-place correction only supported for floating "
+                "point data."
+            )
+        out = buffer
+    else:
+        out = buffer.astype(np.result_type(np.float32, buffer))
+    if not out.flags["C_CONTIGUOUS"] or np.isfortran(buffer):
+        raise CorrectError(
+            "For in-place operation, the buffer given must be "
+            "C-contiguous"
+        )
+    if repair_descriptor is None:
+        repair_descriptor = RepairDescriptor(
+            sig_shape=sig_shape,
+            excluded_pixels=excluded_pixels,
+            allow_empty=allow_empty,
+        )
+    else:
+        repair_descriptor.check_empty_repairs(allow_empty=allow_empty)
+        if excluded_pixels is not None:
+            raise ValueError(
+                "Invalid arguments: both repair_descriptor and "
+                "excluded_pixels set"
+            )
+    flat = out.reshape((prod(nav_shape), prod(sig_shape)))
+    if dark_image is not None:
+        flat -= dark_image.reshape(-1)
+    if gain_map is not None:
+        flat *= gain_map.reshape(-1)
+    _apply_repairs(flat, repair_descriptor)
+    return out
+
+
+def correct_dot_masks(masks, gain_map, excluded_pixels=None,
+                      allow_empty=False):
+    """Fold dark/gain/repair into MASKS instead of data (reference
+    detector.py:315): excluded mask weight is redistributed equally
+    onto the pixel's repair environment, then the gain map multiplies
+    in — so ``damaged_data @ corrected_masks.T`` reproduces
+    ``data @ masks.T`` (minus the dark term, handled by the caller).
+    Sparse mask stacks stay sparse."""
+    from ..common.sparse import is_sparse
+    mask_shape = masks.shape
+    sig_shape = gain_map.shape
+    sparse_in = is_sparse(masks)
+    dense = np.asarray(masks).reshape((-1, prod(sig_shape)))
+    if excluded_pixels is not None:
+        desc = RepairDescriptor(
+            sig_shape, excluded_pixels=excluded_pixels,
+            allow_empty=allow_empty,
+        )
+        result = dense.copy()
+        reparable = desc.repair_counts > 0
+        result[:, desc.exclude_flat] = 0
+        if np.any(reparable):
+            ex = desc.exclude_flat[reparable]
+            env = desc.repair_flat[reparable]       # (k, m)
+            counts = desc.repair_counts[reparable]
+            share = dense[:, ex] / counts[None, :]  # (n_masks, k)
+            m = env.shape[1]
+            valid = (np.arange(m)[None, :] < counts[:, None])
+            # scatter-add each pixel's share onto its environment
+            np.add.at(
+                result,
+                (slice(None), env.reshape(-1)),
+                (share[:, :, None] * valid[None, :, :]).reshape(
+                    result.shape[0], -1
+                ),
+            )
+    else:
+        result = dense
+    result = (result * gain_map.reshape(-1)).reshape(mask_shape)
+    if sparse_in:
+        result = type(masks)(result)
+    return result

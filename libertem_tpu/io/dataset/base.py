@@ -90,6 +90,52 @@ def resolve_sig_override(sig_shape, native) -> tuple:
     return sig
 
 
+class DataTile:
+    """Slice-tagged tile carrier (reference io/dataset/base/tiling.py
+    :274).  The engine itself streams :class:`Block` s; DataTile is the
+    public API type handed to MaskContainer.get() and compat callers
+    that address data by a :class:`Slice`."""
+
+    def __init__(self, data, tile_slice: Slice, scheme_idx: int):
+        if isinstance(data, DataTile):
+            data = data.data
+        if tuple(data.shape) != tuple(tile_slice.shape):
+            raise ValueError(
+                f"shape mismatch: data {tuple(data.shape)} vs "
+                f"tile_slice {tuple(tile_slice.shape)}"
+            )
+        self._data = data
+        self.tile_slice = tile_slice
+        self.scheme_idx = scheme_idx
+
+    @property
+    def data(self):
+        return self._data
+
+    @property
+    def flat_data(self) -> np.ndarray:
+        """(n_frames, n_sig_pixels) view of the tile."""
+        shape = self.tile_slice.shape
+        return self._data.reshape(
+            (shape.nav.size, shape.sig.size)
+        )
+
+    @property
+    def dtype(self):
+        return self._data.dtype
+
+    @property
+    def shape(self):
+        return tuple(self.tile_slice.shape)
+
+    @property
+    def size(self):
+        return self.tile_slice.shape.size
+
+    def __repr__(self):
+        return f"<DataTile {self.tile_slice!r} scheme_idx={self.scheme_idx}>"
+
+
 @dataclass
 class Block:
     """One fixed-shape chunk of frames headed for the device.
@@ -160,6 +206,12 @@ class Partition:
                 sig_dims=self.meta.shape.sig.dims,
             ),
         )
+
+    @property
+    def shape(self) -> Shape:
+        """(n_frames, *sig) — the partition's flat-nav shape
+        (reference io/dataset/base/partition.py)."""
+        return self.slice.shape
 
     def __repr__(self):
         return (
@@ -337,6 +389,38 @@ class Partition:
         if roi is None:
             return self.num_frames
         return len(self.local_frame_ids(roi))
+
+    def get_tiles(
+        self,
+        tiling_scheme: TilingScheme,
+        roi: Optional[np.ndarray] = None,
+        dest_dtype=None,
+        array_backend=None,
+    ) -> Iterator[DataTile]:
+        """Public tile stream (reference Partition.get_tiles,
+        io/dataset/base/partition.py): depth-chunks of (roi-selected)
+        frames split into the scheme's sig slices, yielded as
+        :class:`DataTile` s whose ``tile_slice`` origins are
+        flat-nav (roi-COMPRESSED when a roi is given, reference
+        semantics).  The engine itself consumes :meth:`gen_blocks`;
+        this adapter serves compat consumers that want slice-tagged
+        tiles."""
+        sig_dims = self.meta.shape.sig.dims
+        for block in self.gen_blocks(tiling_scheme, roi=roi):
+            data = block.data[:block.valid]
+            if dest_dtype is not None:
+                data = data.astype(dest_dtype, copy=False)
+            for idx, sig_slice in tiling_scheme.slices:
+                sub = data[(slice(None),) + sig_slice.get()]
+                tile_slice = Slice(
+                    (block.global_offset,) + tuple(sig_slice.origin),
+                    Shape(
+                        (block.valid,) + tuple(sig_slice.shape),
+                        sig_dims=sig_dims,
+                    ),
+                )
+                yield DataTile(sub, tile_slice=tile_slice,
+                               scheme_idx=idx)
 
 
 class RoiHelper:

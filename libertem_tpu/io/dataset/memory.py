@@ -94,3 +94,44 @@ class MemoryDataSet(DataSet):
                 self._data, self._tiledelay,
                 self.meta, start, stop - start, idx=idx,
             )
+
+
+class MemoryFile:
+    """File-table entry for in-memory data (reference io/dataset/
+    memory.py:29) — a plain carrier; this engine reads memory
+    partitions directly from the backing array, so MemoryFile exists
+    for API compatibility (subclassed dataset tests, diagnostics)."""
+
+    def __init__(self, path, start_idx, end_idx, native_dtype,
+                 sig_shape, data, check_cast=True):
+        self.path = path
+        self.start_idx = int(start_idx)
+        self.end_idx = int(end_idx)
+        self.native_dtype = native_dtype
+        self.sig_shape = tuple(sig_shape)
+        self.data = data
+        self.check_cast = check_cast
+
+    @property
+    def num_frames(self) -> int:
+        return self.end_idx - self.start_idx
+
+
+class FileSet:
+    """Ordered collection of file-table entries (reference
+    io/dataset/base/fileset.py) — API-compat carrier."""
+
+    def __init__(self, files, frame_header_bytes=0,
+                 frame_footer_bytes=0):
+        self._files = list(files)
+        self.frame_header_bytes = frame_header_bytes
+        self.frame_footer_bytes = frame_footer_bytes
+
+    def __iter__(self):
+        return iter(self._files)
+
+    def __len__(self):
+        return len(self._files)
+
+    def __getitem__(self, idx):
+        return self._files[idx]

@@ -46,13 +46,128 @@ class MaskContainer:
         self,
         mask_factories: Union[Callable, Sequence[Callable]],
         dtype=None,
+        use_sparse=None,
         count: Optional[int] = None,
+        backend=None,
+        default_sparse="scipy.sparse",
     ):
         self._factories = mask_factories
         self._dtype = dtype
         self._count = count
         self._stack: Optional[np.ndarray] = None  # (n_masks, *sig)
         self._cache: dict = {}
+        # -- reference-parity sparse/backend negotiation ---------------
+        # (common/container.py:122) — the TPU compute path is dense
+        # MXU, but the declared use_sparse/backend contract is public
+        # API: resolve it the same way.
+        self.backend = "numpy" if backend is None else backend
+        self._default_sparse = default_sparse
+        # "sparse" resolution follows the reference: the stack counts
+        # as sparse only when ALL factories return sparse masks
+        self._all_sparse_factories = False
+        self._get_masks_for_slice: dict = {}
+        if use_sparse is True:
+            self._use_sparse = default_sparse
+        elif use_sparse is False:
+            self._use_sparse = False
+        elif isinstance(use_sparse, str) and (
+            use_sparse.lower().startswith("scipy.sparse")
+            or use_sparse.lower().startswith("sparse.pydata")
+        ):
+            self._use_sparse = use_sparse
+        elif use_sparse is None:
+            if (
+                default_sparse.startswith("sparse.pydata")
+                and str(self.backend).startswith("cupy")
+            ):
+                # pydata sparse cannot run on cupy-style backends
+                self._use_sparse = False
+            else:
+                self._use_sparse = None  # resolve on first access
+        else:
+            raise ValueError(
+                f"use_sparse not an allowed value: {use_sparse}"
+            )
+
+    @property
+    def dtype(self):
+        if self._dtype is not None:
+            return self._dtype
+        return self.computed_masks.dtype
+
+    @property
+    def use_sparse(self):
+        if self._use_sparse is None:
+            self._compute_stack(None)
+            self._use_sparse = (
+                self._default_sparse if self._all_sparse_factories
+                else False
+            )
+        return self._use_sparse
+
+    @property
+    def computed_masks(self) -> np.ndarray:
+        """The merged (n_masks, *sig) stack — dense (the TPU operand
+        layout), whatever the factories returned."""
+        return self._compute_stack(None)
+
+    def __len__(self):
+        return self.n_masks
+
+    def get(self, key, dtype=None, sparse_backend=None,
+            transpose=True, backend=None):
+        """Mask operand for a tile/partition Slice — nav is discarded,
+        so all tiles sharing a sig slice share one cache entry
+        (reference common/container.py:221)."""
+        if not isinstance(key, Slice):
+            raise TypeError(
+                "MaskContainer.get() can only be called with "
+                "DataTile/Slice/Partition instances"
+            )
+        return self.get_masks_for_slice(
+            key.discard_nav(), dtype=dtype,
+            sparse_backend=sparse_backend, transpose=transpose,
+            backend=backend or self.backend,
+        )
+
+    def get_masks_for_slice(self, slice_, dtype=None,
+                            sparse_backend=None, transpose=True,
+                            backend="numpy"):
+        """Flattened (pixels, n_masks) [transpose=True] or (n_masks,
+        pixels) operand for a sig slice, with a per-(dtype, sparse,
+        transpose, backend) LRU cache keyed by the slice (reference
+        get_masks_for_slice, common/container.py:316)."""
+        import functools
+        if dtype is None:
+            dtype = self.dtype
+        if sparse_backend is None:
+            sparse_backend = self.use_sparse
+        if backend is None:
+            backend = self.backend
+        key = (dtype, sparse_backend, transpose, backend)
+        if key not in self._get_masks_for_slice:
+            stack = self.computed_masks
+
+            @functools.lru_cache(maxsize=None)
+            def slicer(slc: Slice):
+                slc = slc.discard_nav()
+                sub = stack[(slice(None),) + slc.get(sig_only=True)]
+                flat = sub.reshape(sub.shape[0], -1).astype(dtype)
+                if transpose:
+                    flat = flat.T
+                out = np.ascontiguousarray(flat)
+                if sparse_backend:
+                    import scipy.sparse as sp
+                    if str(sparse_backend).endswith("csc"):
+                        return sp.csc_matrix(out)
+                    return sp.csr_matrix(out)
+                return out
+
+            self._get_masks_for_slice[key] = slicer
+        return self._get_masks_for_slice[key](slice_)
+
+    def _is_sparse_mask(self, m) -> bool:
+        return hasattr(m, "todense") or hasattr(m, "toarray")
 
     def _compute_stack(self, sig_shape) -> np.ndarray:
         if self._stack is not None:
@@ -60,17 +175,28 @@ class MaskContainer:
         if callable(self._factories):
             raw = self._factories()
             if isinstance(raw, (list, tuple)):
+                self._all_sparse_factories = all(
+                    self._is_sparse_mask(m) for m in raw
+                )
                 masks = [_to_dense(m) for m in raw]
             else:
+                self._all_sparse_factories = self._is_sparse_mask(raw)
                 raw = _to_dense(raw)
-                if raw.ndim == len(sig_shape):
+                if sig_shape is not None and \
+                        raw.ndim == len(sig_shape):
+                    masks = [raw]
+                elif sig_shape is None and raw.ndim <= 2:
                     masks = [raw]
                 else:
                     masks = list(raw)
         else:
-            masks = [_to_dense(f()) for f in self._factories]
+            raws = [f() for f in self._factories]
+            self._all_sparse_factories = all(
+                self._is_sparse_mask(m) for m in raws
+            )
+            masks = [_to_dense(m) for m in raws]
         stack = np.stack(masks, axis=0)
-        if stack.shape[1:] != tuple(sig_shape):
+        if sig_shape is not None and stack.shape[1:] != tuple(sig_shape):
             raise ValueError(
                 f"mask shape {stack.shape[1:]} != sig {tuple(sig_shape)}"
             )

@@ -124,14 +124,30 @@ def gradient_data(nav_dims, sig_dims):
     return data.reshape(tuple(nav_dims) + tuple(sig_dims))
 
 
-def exclude_pixels(sig_dims, num_excluded):
-    """Reproducible set of excluded-pixel coordinates, (ndim, n)."""
+def exclude_pixels(sig_dims, num_excluded, rng=None):
+    """Excluded-pixel coordinates, (ndim, n), chosen so each pixel can
+    be reconstructed FAITHFULLY from its radius-1 neighbors in a
+    linear-gradient dataset (reference generate.py:128): interior
+    pixels only, and no two excluded pixels within each other's
+    neighborhood — so every repair environment is full and symmetric.
+    """
     if num_excluded == 0:
         return None
-    rng = np.random.default_rng(9)
-    coords = set()
-    while len(coords) < num_excluded:
-        coords.add(tuple(
-            int(rng.integers(0, s)) for s in sig_dims
-        ))
-    return np.array(sorted(coords)).T
+    if rng is None:
+        rng = np.random.default_rng(9)
+    free = np.ones(tuple(sig_dims), dtype=bool)
+    for dim in range(len(sig_dims)):
+        border = tuple(
+            slice(None) if i != dim else (0, -1)
+            for i in range(len(sig_dims))
+        )
+        free[border] = False
+    picked = []
+    while len(picked) < num_excluded:
+        cand = tuple(
+            int(rng.integers(1, s - 1)) for s in sig_dims
+        )
+        if free[cand]:
+            picked.append(cand)
+            free[tuple(slice(c - 1, c + 2) for c in cand)] = False
+    return np.array(picked).T
