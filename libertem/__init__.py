@@ -14,6 +14,7 @@ import importlib
 import importlib.abc
 import importlib.util
 import sys
+import types
 
 from libertem_tpu import __version__  # noqa: F401
 
@@ -52,6 +53,46 @@ _EXPLICIT = {
 _FORCE_PACKAGE = {"libertem.corrections", "libertem.io.corrections"}
 
 
+class _DelegatingModule(types.ModuleType):
+    """Alias module forwarding attribute access — AND assignment — to
+    the real module, so ``monkeypatch.setattr('libertem.x.y', ...)``
+    patches the implementation the engine actually runs.  Dunder
+    attributes (``__name__``, ``__spec__``, ...) stay local so the
+    import machinery doesn't rename the real module."""
+
+    def __init__(self, name, real):
+        super().__init__(name, real.__doc__)
+        object.__setattr__(self, "_compat_real", real)
+
+    def __getattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            # never forward dunders: importlib must see the alias's
+            # OWN (empty) __path__ etc. — forwarding the real
+            # package's __path__ would let the file-system finder
+            # re-execute submodules under the alias name
+            raise AttributeError(name)
+        return getattr(
+            object.__getattribute__(self, "_compat_real"), name
+        )
+
+    def __setattr__(self, name, value):
+        if name.startswith("__") and name.endswith("__"):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(
+                object.__getattribute__(self, "_compat_real"),
+                name, value,
+            )
+
+    def __delattr__(self, name):
+        if name.startswith("__") and name.endswith("__"):
+            object.__delattr__(self, name)
+        else:
+            delattr(
+                object.__getattribute__(self, "_compat_real"), name
+            )
+
+
 class _CompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
     def find_spec(self, fullname, path=None, target=None):
         if not fullname.startswith("libertem."):
@@ -74,15 +115,10 @@ class _CompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         return spec
 
     def create_module(self, spec):
-        return None  # default fresh module object
+        return _DelegatingModule(spec.name, spec._compat_real)
 
     def exec_module(self, module):
         real = module.__spec__._compat_real
-        module.__doc__ = real.__doc__
-        # PEP 562: attribute access falls through to the real module
-        module.__dict__["__getattr__"] = (
-            lambda name, _real=real: getattr(_real, name)
-        )
         if hasattr(real, "__all__"):
             module.__dict__["__all__"] = real.__all__
 

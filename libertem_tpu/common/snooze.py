@@ -1,9 +1,18 @@
 """Idle-timeout resource snoozing
 (reference: libertem/common/snooze.py:22 SnoozeManager, keep_alive
-decorators :158,173 — there it scales a dask cluster down to one
-worker after idle timeout; here it releases cached device state /
+decorator :158 — there it scales a dask cluster down to one worker
+after an idle timeout; here it releases cached device state /
 compilation-independent buffers and notifies subscribers, since JAX
 devices are process-local).
+
+Concurrency contract (mirrors the reference):
+- ``_snooze_lock`` serializes the up/down TRANSITIONS themselves, so
+  the user callbacks never overlap; concurrent snooze()/unsnooze()
+  calls beyond the first short-circuit once they observe the state
+  already changed.
+- ``keep_alive`` counts in-flight tasks; snooze is refused while any
+  are running.
+- The background timer only ever calls :meth:`snooze`.
 """
 from __future__ import annotations
 
@@ -14,18 +23,16 @@ from enum import Enum
 from typing import Callable, Optional
 
 
-class SnoozeMessage(str, Enum):
-    SNOOZE = "SNOOZE"
-    UNSNOOZE = "UNSNOOZE"
-    UNSNOOZE_DONE = "UNSNOOZE_DONE"
-    UPDATE_ACTIVITY = "UPDATE_ACTIVITY"
+class SnoozeMessage(Enum):
+    SNOOZE = "snooze"
+    UNSNOOZE_START = "unsnooze_start"
+    UNSNOOZE_DONE = "unsnooze_done"
+    UPDATE_ACTIVITY = "update_activity"
 
 
 class SnoozeManager:
     """Calls ``down()`` after ``timeout`` seconds without activity and
-    ``up()`` on the next touch.  User callbacks and subscriber sends
-    run OUTSIDE the internal lock (a callback may re-enter the
-    manager); state transitions are decided under the lock."""
+    ``up()`` on the next touch."""
 
     def __init__(
         self,
@@ -34,6 +41,10 @@ class SnoozeManager:
         timeout: float = 300.0,
         subscriptions=None,
     ):
+        if timeout <= 0:
+            raise ValueError(
+                f"snooze timeout must be > 0, got {timeout}"
+            )
         self._up = up or (lambda: None)
         self._down = down or (lambda: None)
         self._timeout = timeout
@@ -42,7 +53,12 @@ class SnoozeManager:
         self._snoozed = False
         self._keep_alive = 0
         self._closed = False
+        # guards counters / timestamps (held briefly, never across
+        # user callbacks)
         self._lock = threading.Lock()
+        # serializes the up/down transitions (held ACROSS the user
+        # callbacks so they never overlap)
+        self._snooze_lock = threading.Lock()
         self._timer: Optional[threading.Timer] = None
         self._schedule()
 
@@ -50,9 +66,15 @@ class SnoozeManager:
     def is_snoozing(self) -> bool:
         return self._snoozed
 
+    @property
+    def keep_alive(self) -> int:
+        """Number of in-flight keep-alive tasks (reference
+        snooze.py keep_alive counter)."""
+        return self._keep_alive
+
     def _emit(self, msg: SnoozeMessage):
         if self._subs is not None:
-            self._subs.send(msg.value, {})
+            self._subs.send(msg, {"timestamp": time.monotonic()})
 
     def _schedule(self):
         with self._lock:
@@ -61,41 +83,56 @@ class SnoozeManager:
             if self._timer is not None:
                 self._timer.cancel()
             self._timer = threading.Timer(
-                max(1.0, self._timeout / 4), self._check
+                min(1.0, self._timeout / 4), self._check
             )
             self._timer.daemon = True
             self._timer.start()
 
     def _check(self):
-        fire_down = False
-        with self._lock:
-            if self._closed:
-                return
-            idle = time.monotonic() - self._last_activity
-            if (
-                not self._snoozed
-                and self._keep_alive == 0
-                and idle >= self._timeout
-            ):
-                self._snoozed = True
-                fire_down = True
-        if fire_down:
-            self._emit(SnoozeMessage.SNOOZE)
-            self._down()
+        if self._closed:
+            return
+        idle = time.monotonic() - self._last_activity
+        if (
+            not self._snoozed
+            and self._keep_alive == 0
+            and idle >= self._timeout
+        ):
+            self.snooze()
         self._schedule()
 
-    def touch(self):
-        fire_up = False
-        with self._lock:
-            self._last_activity = time.monotonic()
-            if self._snoozed:
-                self._snoozed = False
-                fire_up = True
-        self._emit(SnoozeMessage.UPDATE_ACTIVITY)
-        if fire_up:
-            self._emit(SnoozeMessage.UNSNOOZE)
+    def snooze(self):
+        """Release resources now (idle timer path / explicit call).
+        Refused while keep-alive tasks run; concurrent calls beyond
+        the first return without acting."""
+        with self._snooze_lock:
+            if self._snoozed or self._keep_alive > 0 or self._closed:
+                return
+            self._snoozed = True
+            self._emit(SnoozeMessage.SNOOZE)
+            self._down()
+
+    def unsnooze(self):
+        """Bring resources back up; concurrent calls beyond the first
+        return without acting."""
+        with self._snooze_lock:
+            if not self._snoozed:
+                return
+            # flip the flag BEFORE calling up(): an up() callback may
+            # re-enter touch() (which would otherwise re-enter
+            # unsnooze and deadlock on the non-reentrant lock)
+            self._snoozed = False
+            self._emit(SnoozeMessage.UNSNOOZE_START)
             self._up()
             self._emit(SnoozeMessage.UNSNOOZE_DONE)
+        with self._lock:
+            self._last_activity = time.monotonic()
+
+    def touch(self):
+        with self._lock:
+            self._last_activity = time.monotonic()
+        self._emit(SnoozeMessage.UPDATE_ACTIVITY)
+        if self._snoozed:
+            self.unsnooze()
 
     def keep_alive_enter(self):
         with self._lock:
@@ -116,8 +153,9 @@ class SnoozeManager:
 
 
 def keep_alive(fn):
-    """Method decorator: hold the owner's snooze manager awake for the
-    duration of the call (reference snooze.py:158)."""
+    """Method decorator: hold the owner's snooze manager awake (and
+    unsnoozed) for the duration of the call (reference snooze.py:158).
+    """
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
         manager = getattr(self, "snooze_manager", None)

@@ -12,9 +12,131 @@ jit-compiled tile loop) lives in :class:`libertem_tpu.udf.base.UDFRunner`.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Optional, Sequence
 
 import jax
+
+
+class WorkerQueueEmpty(Exception):
+    """Non-blocking get on an empty queue, or a blocking get timed
+    out (reference common/executor.py:521)."""
+
+
+class WorkerQueue:
+    """Interface for main<->worker streaming queues (reference
+    common/executor.py:529).  ``get`` is a context manager yielding
+    ``(header, payload)``."""
+
+    def get(self, block: bool = True, timeout=None):
+        raise NotImplementedError()
+
+    def put(self, header, payload=None):
+        raise NotImplementedError()
+
+    def close(self, drain: bool = True, force: bool = False):
+        raise NotImplementedError()
+
+    def size(self) -> int:
+        raise NotImplementedError()
+
+
+class SimpleWorkerQueue(WorkerQueue):
+    """Threading-queue-backed WorkerQueue (reference
+    common/executor.py:596) — the natural fit for this engine's
+    single-process controller."""
+
+    def __init__(self):
+        import queue as _queue
+        self._queue_mod = _queue
+        self.q = _queue.Queue()
+
+    def put(self, header, payload=None):
+        self.q.put((header, payload))
+
+    @contextmanager
+    def get(self, block: bool = True, timeout=None):
+        try:
+            yield self.q.get(block=block, timeout=timeout)
+        except self._queue_mod.Empty:
+            raise WorkerQueueEmpty()
+
+    def close(self, drain: bool = True, force: bool = False):
+        pass
+
+    def size(self) -> int:
+        return self.q.qsize()
+
+
+class WorkerContext:
+    """Streaming communication handle between main process and
+    workers (reference common/executor.py:682)."""
+
+    def get_worker_queue(self) -> WorkerQueue:
+        raise NotImplementedError()
+
+    def signal(self, ident: str, topic: str, msg_dict: dict):
+        raise NotImplementedError()
+
+
+class SimpleWorkerContext(WorkerContext):
+    """In-process WorkerContext bound to one queue: ``signal``
+    enqueues ``(topic, {..., 'ident': ident})`` headers."""
+
+    def __init__(self, queue: WorkerQueue):
+        self._queue = queue
+
+    def get_worker_queue(self) -> WorkerQueue:
+        return self._queue
+
+    def signal(self, ident: str, topic: str, msg_dict: dict):
+        if "ident" in msg_dict:
+            raise ValueError("'ident' is a reserved message key")
+        self._queue.put((topic, {**msg_dict, "ident": ident}))
+
+
+class TaskCommHandler:
+    """Interface implemented by datasets/acquisitions for streaming
+    communication with the processing loop (reference
+    common/executor.py:694): progress messages flow back through
+    ``monitor``; live datasets push detector data via
+    ``handle_task``."""
+
+    def handle_task(self, task, queue: WorkerQueue):
+        pass
+
+    def start(self):
+        pass
+
+    def done(self):
+        pass
+
+    @property
+    def subscriptions(self) -> dict:
+        try:
+            return self._subscriptions
+        except AttributeError:
+            self._subscriptions = {}
+            return self._subscriptions
+
+    def subscribe(self, topic: str, callback) -> None:
+        """Register ``callback(topic, message_dict)`` for messages on
+        ``topic``; messages carry an 'ident' sender key."""
+        self.subscriptions.setdefault(topic, []).append(callback)
+
+    @contextmanager
+    def monitor(self, queue: WorkerQueue):
+        """Dispatch queue messages to subscribed callbacks from a
+        background thread for the duration of the block."""
+        from ..common.progress import CommsDispatcher
+        with CommsDispatcher(queue, self.subscriptions):
+            yield
+
+
+class NoopCommHandler(TaskCommHandler):
+    """Comm handler that streams nothing (reference
+    common/executor.py:777) — the engine skips per-frame progress
+    signalling entirely when it sees this type."""
 
 
 class Environment:

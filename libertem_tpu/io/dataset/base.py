@@ -213,6 +213,11 @@ class Partition:
         (reference io/dataset/base/partition.py)."""
         return self.slice.shape
 
+    def get_ident(self) -> str:
+        """Stable identity for progress/comm messages (reference
+        partition.py:181)."""
+        return f"part-{self.idx}"
+
     def __repr__(self):
         return (
             f"<{type(self).__name__} #{self.idx} "
@@ -463,6 +468,14 @@ class DataSet:
 
     def initialize(self, executor=None) -> "DataSet":
         raise NotImplementedError()
+
+    def get_task_comm_handler(self):
+        """Streaming comm handler for this dataset (reference
+        io/dataset/base/dataset.py get_task_comm_handler): file-backed
+        datasets stream nothing — live/acquisition datasets override
+        this to push data and receive fine-grained progress."""
+        from ...executor.base import NoopCommHandler
+        return NoopCommHandler()
 
     def set_num_cores(self, cores: int) -> None:
         self._cores = max(1, int(cores))

@@ -38,7 +38,7 @@ class MemoryDataSet(DataSet):
         nav_shape: Optional[Sequence[int]] = None,
         sig_shape: Optional[Sequence[int]] = None,
         num_partitions: Optional[int] = None,
-        tileshape=None,  # accepted for reference-API compat; advisory
+        tileshape=None,  # depth component honored; sig is never split
         tiledelay=None,  # artificial per-read delay (tests)
         sync_offset: int = 0,
         datashape=None,  # zero-filled dataset of this shape
@@ -82,6 +82,18 @@ class MemoryDataSet(DataSet):
 
     def initialize(self, executor=None) -> "MemoryDataSet":
         return self
+
+    def adjust_tileshape(self, tileshape, roi):
+        """Honor the explicit ``tileshape`` DEPTH hint (reference
+        MemoryDataSet tiles exactly as told — tests depend on the
+        block granularity, e.g. progress-message cadence).  The sig
+        part of the hint is ignored: full-sig blocks are this
+        engine's device layout (sig splits are only ever vetoed, not
+        requested, see Negotiator)."""
+        if self._tileshape is None:
+            return tileshape
+        depth = min(int(self._tileshape[0]), int(tileshape[0]))
+        return (max(1, depth),) + tuple(tileshape)[1:]
 
     def get_num_partitions(self) -> int:
         if self._num_partitions is not None:

@@ -728,6 +728,54 @@ class UDFRunner:
         assert result is not None
         return result
 
+    def run_for_dataset_async(
+        self,
+        dataset: DataSet,
+        executor=None,
+        roi: Optional[np.ndarray] = None,
+        corrections: Optional[CorrectionSet] = None,
+        progress: bool = False,
+        cancel_id=None,
+        device=None,
+        devices=None,
+    ):
+        """Async generator of UDFResults snapshots (reference
+        udf/base.py:2735): the synchronous partition loop is driven
+        on a worker thread so the event loop stays responsive between
+        snapshots.  ``cancel_id`` is accepted for API parity (the
+        in-process loop cancels by dropping the iterator)."""
+        if executor is not None:
+            sync_exec = getattr(executor, "ensure_sync", None)
+            if sync_exec is not None:
+                executor = sync_exec()
+            if device is None:
+                device = getattr(executor, "main_device", None)
+            if devices is None:
+                exec_devices = getattr(executor, "devices", None)
+                if exec_devices is not None and len(exec_devices) > 1:
+                    devices = exec_devices
+
+        async def agen():
+            import asyncio
+            loop = asyncio.get_event_loop()
+            gen = self.run_for_dataset_iter(
+                dataset, roi=roi, corrections=corrections,
+                progress=progress, device=device, devices=devices,
+            )
+            sentinel = object()
+            try:
+                while True:
+                    item = await loop.run_in_executor(
+                        None, next, gen, sentinel
+                    )
+                    if item is sentinel:
+                        break
+                    yield item
+            finally:
+                gen.close()
+
+        return agen()
+
     def run_for_dataset_iter(
         self,
         dataset: DataSet,
@@ -892,6 +940,11 @@ class UDFRunner:
         adjusted = dataset.adjust_tileshape(
             tuple(scheme.shape), roi
         )
+        if adjusted is not None and scheme.intent == "partition":
+            # PARTITION-method UDFs need whole partitions as one
+            # device block (structural invariant of the traced step):
+            # the dataset may veto the sig split but never the depth
+            adjusted = (tuple(scheme.shape)[0],) + tuple(adjusted)[1:]
         if adjusted is not None and tuple(adjusted) != tuple(
             scheme.shape
         ):
@@ -1860,10 +1913,13 @@ class UDFRunner:
 
     # -- main loop -----------------------------------------------------------
 
-    def _make_progress(self, progress, n_frames, n_parts, prep):
+    def _make_progress(self, progress, n_frames, n_parts, prep,
+                       task_max=None, sig_size=1):
         """progress may be False, True (tqdm or the runner-level
         ``progress_reporter``), or a ProgressReporter instance (e.g.
-        the web engine's)."""
+        the web engine's).  ``task_max`` maps partition idents to
+        their frame budgets so fine-grained comms updates and the
+        synchronous completion fallback never double-count."""
         if not progress:
             return None
         from ..common.progress import (
@@ -1877,6 +1933,7 @@ class UDFRunner:
             reporter = TQDMProgressReporter()
         return ProgressManager(
             n_frames, n_parts, reporter, progress_id=str(id(prep)),
+            task_max=task_max, sig_size=sig_size,
         )
 
     @staticmethod
@@ -1977,17 +2034,54 @@ class UDFRunner:
         )
 
         partitions = prep["partitions"]
+        sig_size = int(np.prod(tuple(dataset.shape.sig)))
         pm = self._make_progress(
-            progress, prep["n_nav"], len(partitions), prep
+            progress, prep["n_nav"], len(partitions), prep,
+            task_max={
+                p.get_ident(): p.frames_in_roi(roi)
+                for p in partitions
+            },
+            sig_size=sig_size,
         )
 
+        # task comms (reference TaskCommHandler protocol,
+        # common/executor.py:694): datasets with a real handler get a
+        # worker queue + per-partition trackers streaming
+        # partition_start/tile_complete messages, dispatched to the
+        # progress manager by the handler's monitor thread
+        from ..executor.base import (
+            NoopCommHandler, SimpleWorkerContext, SimpleWorkerQueue,
+        )
+        comms = dataset.get_task_comm_handler()
+        # fine-grained signalling runs when the dataset streams
+        # (a real comm handler) OR progress is requested — the
+        # reference's worker contexts are executor-level, so plain
+        # datasets get tile-level progress messages too
+        comms_active = (
+            not isinstance(comms, NoopCommHandler) or pm is not None
+        )
+        worker_context = None
+        comms_queue = None
+        if pm is not None:
+            pm.connect(comms)
+        if comms_active:
+            comms_queue = SimpleWorkerQueue()
+            worker_context = SimpleWorkerContext(comms_queue)
+
         densify_cache: dict = {}
+        from contextlib import ExitStack
         try:
-            yield from self._run_loop_body(
-                prep, dataset, roi, yield_partial, partitions, pm,
-                host_runner, host_global, device_entries_exist,
-                densify_cache, damage_host, state, step, merge,
-            )
+            with ExitStack() as stack:
+                if comms_active:
+                    comms.start()
+                    stack.callback(comms.done)
+                    stack.enter_context(comms.monitor(comms_queue))
+                yield from self._run_loop_body(
+                    prep, dataset, roi, yield_partial, partitions, pm,
+                    host_runner, host_global, device_entries_exist,
+                    densify_cache, damage_host, state, step, merge,
+                    worker_context=worker_context,
+                )
         finally:
             # always runs — including when a partial-results iterator
             # is abandoned mid-run (GeneratorExit) — so task_data
@@ -2001,7 +2095,12 @@ class UDFRunner:
         self, prep, dataset, roi, yield_partial, partitions, pm,
         host_runner, host_global, device_entries_exist,
         densify_cache, damage_host, state, step, merge,
+        worker_context=None,
     ):
+        from ..common.progress import (
+            PartitionProgressTracker, PartitionTrackerNoOp,
+        )
+        sig_size = int(np.prod(tuple(dataset.shape.sig)))
         scheme = prep["scheme"]
         device = prep["device"]
         any_partition = False
@@ -2025,6 +2124,14 @@ class UDFRunner:
             if n_sel == 0:
                 continue
             any_partition = True
+            tracker = (
+                PartitionProgressTracker(
+                    partition.get_ident(), worker_context, sig_size
+                )
+                if worker_context is not None
+                else PartitionTrackerNoOp()
+            )
+            tracker.signal_start()
             part_state = self._init_part_state(prep)
             host_part = (
                 host_runner.init_partition() if host_runner else None
@@ -2114,6 +2221,7 @@ class UDFRunner:
                         block.global_offset, block.coords,
                         block.valid,
                     )
+                tracker.signal_frames_complete(block.valid)
             # postprocess BEFORE the partition fold — the reference's
             # worker runs postprocess on the partition copy, then
             # ships it (udf/base.py:2311).  Host UDFs get partition
@@ -2149,7 +2257,7 @@ class UDFRunner:
                     prep["meta"]._valid_nav_mask = None
             damage_host[goff0:goff0 + n_sel] = True
             if pm is not None:
-                pm.partition_done(n_sel)
+                pm.partition_done(n_sel, ident=partition.get_ident())
             if yield_partial:
                 yield self._wrap_results(prep, state, damage_host.copy())
         # final wrap happens BEFORE cleanup (the caller's finally):

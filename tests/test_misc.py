@@ -605,17 +605,17 @@ def test_snooze_manager_wired_and_closeable():
     mgr = SnoozeManager(
         up=lambda: calls.append("up"),
         down=lambda: calls.append("down"),
-        timeout=0.0,
+        timeout=1e-9,
     )
-    # timeout 0 -> first _check snoozes; invoke directly rather than
-    # waiting for the (>= 1 s) timer
+    # near-zero timeout -> first _check snoozes; invoke directly
+    # rather than waiting for the timer
     mgr._check()
     assert calls == ["down"] and mgr.is_snoozing
     mgr.touch()
     assert calls == ["down", "up"] and not mgr.is_snoozing
     # a touch callback may re-enter the manager (no deadlock)
     mgr2 = SnoozeManager(
-        up=lambda: mgr2.touch(), down=lambda: None, timeout=0.0,
+        up=lambda: mgr2.touch(), down=lambda: None, timeout=1e-9,
     )
     mgr2._check()
     t = _time.monotonic()
