@@ -531,6 +531,12 @@ class Context:
         elif hasattr(roi, "todense"):  # sparse.pydata COO
             roi = np.asarray(roi.todense())
         if isinstance(roi, np.ndarray):
+            if roi.dtype is not np.dtype(bool):
+                import warnings
+                warnings.warn(
+                    f"ROI dtype is {roi.dtype}, expected bool. "
+                    "Attempting cast to bool."
+                )
             return roi.astype(bool).reshape(-1)
         nav_shape = tuple(dataset.shape.nav)
         entries = list(roi)

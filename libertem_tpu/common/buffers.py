@@ -136,17 +136,24 @@ class BufferWrapper:
         data: np.ndarray,
         valid_nav_mask: Optional[np.ndarray] = None,
         custom_mask: Optional[np.ndarray] = None,
+        full_data: Optional[np.ndarray] = None,
     ) -> None:
         """Install the final (host) result array.
 
         ``valid_nav_mask`` is the roi-compressed flat-nav damage mask
         (True where data has been merged).  ``custom_mask`` (from
         ``UDF.with_mask``, reference udf/base.py:1611) overrides the
-        default validity computation for this buffer.
+        default validity computation for this buffer.  ``full_data``
+        (nav buffers only) keeps a user-provided FULL-nav-shaped
+        array verbatim for ``.data`` instead of nan-filling the roi
+        gaps (get_results self-embedded results).
         """
         self._data = np.asarray(data)
         self._valid_nav_mask = valid_nav_mask
         self._custom_mask = custom_mask
+        self._full_data = (
+            None if full_data is None else np.asarray(full_data)
+        )
 
     @property
     def raw_data(self) -> Optional[np.ndarray]:
@@ -156,6 +163,8 @@ class BufferWrapper:
     @property
     def data(self) -> Optional[np.ndarray]:
         """The result with full nav shape; roi gaps filled with nan/0."""
+        if getattr(self, "_full_data", None) is not None:
+            return self._full_data
         if self._data is None:
             return None
         if self._kind != "nav":
@@ -250,7 +259,21 @@ class BufferWrapper:
         (reference common/buffers.py:625)."""
         if self._data is None:
             return None
-        if self._kind == "nav":
+        custom = getattr(self, "_custom_mask", None)
+        if custom is not None:
+            full = np.broadcast_to(
+                np.asarray(custom, dtype=bool), self.data.shape
+            )
+            if self._kind == "nav":
+                flat = full.reshape(
+                    (self._ds_shape.nav.size,) + self._extra_shape
+                )
+                mask = (
+                    flat[self._roi] if self._roi is not None else flat
+                )
+            else:
+                mask = full
+        elif self._kind == "nav":
             vm = (
                 self._valid_nav_mask
                 if self._valid_nav_mask is not None
@@ -270,6 +293,36 @@ class BufferWrapper:
             )
             mask = np.full(self._data.shape, any_valid, dtype=bool)
         return np.ma.MaskedArray(self._data, mask=~mask)
+
+    def make_default_mask(
+        self,
+        valid_nav_mask: np.ndarray,
+        dataset_shape: Shape,
+        roi: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Default raw-storage-shaped validity mask for this buffer
+        kind given the upstream flat-nav mask (reference
+        common/buffers.py:524): nav broadcasts the nav mask over
+        extra_shape; sig/single are all-valid."""
+        valid_nav_mask = np.asarray(valid_nav_mask, dtype=bool)
+        if self._kind == "nav":
+            n = (
+                int(np.count_nonzero(roi)) if roi is not None
+                else dataset_shape.nav.size
+            )
+            mask = np.zeros(
+                (n,) + self._extra_shape, dtype=bool
+            )
+            mask[:] = valid_nav_mask.reshape(
+                valid_nav_mask.shape + (1,) * len(self._extra_shape)
+            )
+            return mask
+        if self._kind == "sig":
+            return np.ones(
+                tuple(dataset_shape.sig) + self._extra_shape,
+                dtype=bool,
+            )
+        return np.ones(self._extra_shape, dtype=bool)
 
     @property
     def valid_slice_bounding(self) -> tuple:

@@ -161,6 +161,21 @@ class Environment:
 ResourceDef = dict
 
 
+class TaskProtocol:
+    """Structural interface for tasks handed to executors (reference
+    common/executor.py:143) — callable with (params, env), plus
+    partition/resource accessors."""
+
+    def __call__(self, params, env):
+        pass
+
+    def get_partition(self):
+        ...
+
+    def get_resources(self) -> dict:
+        ...
+
+
 class Worker:
     def __init__(self, name: str, host: str, device=None,
                  resources: Optional[dict] = None, nthreads: int = 1):

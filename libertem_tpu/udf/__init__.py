@@ -6,6 +6,7 @@ from .base import (
     UDFResults,
     UDFRunner,
 )
+from ..common.exceptions import UDFRunCancelled  # noqa: F401
 from .auto import AutoUDF
 from .blobfinder import (
     BackgroundSubtraction,

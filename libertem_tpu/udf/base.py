@@ -107,7 +107,27 @@ class MergeAttrMapping:
         self._dict[k][:] = v
 
     def __getitem__(self, k):
+        from ..warnings import UseDiscouragedWarning
+        import warnings
+        warnings.warn(
+            "dict-style access on merge arguments is discouraged; "
+            "use attribute access (dest.name)",
+            UseDiscouragedWarning, stacklevel=2,
+        )
         return self._dict[k]
+
+
+class _LegacyBufferView(np.ndarray):
+    """ndarray view answering the legacy BufferWrapper accessors that
+    dict-style ``self.results['name']`` used to return."""
+
+    @property
+    def raw_data(self):
+        return np.asarray(self)
+
+    @property
+    def data(self):
+        return np.asarray(self)
 
 
 class UDFData:
@@ -128,6 +148,23 @@ class UDFData:
         self._touched.add(k)
 
     def __getitem__(self, k):
+        # user-facing dict-style access is a reference legacy idiom
+        # (the engine uses _get); warn like the reference does, and
+        # hand back a view that still answers the old BufferWrapper
+        # accessors (.raw_data/.data) legacy code expects
+        from ..warnings import UseDiscouragedWarning
+        import warnings
+        warnings.warn(
+            "dict-style access on UDF results is discouraged; use "
+            "attribute access (self.results.name)",
+            UseDiscouragedWarning, stacklevel=2,
+        )
+        v = self._data[k]
+        if isinstance(v, np.ndarray):
+            return v.view(_LegacyBufferView)
+        return v
+
+    def _get(self, k):
         return self._data[k]
 
     def __setitem__(self, k, v):
@@ -196,7 +233,7 @@ class UDFMeta:
         self.dataset_shape = dataset_shape
         self.dataset_dtype = np.dtype(dataset_dtype)
         self.input_dtype = np.dtype(input_dtype)
-        self.roi = roi
+        self._roi = roi
         self.tiling_scheme = tiling_scheme
         self.device_class = device_class
         self.corrections = corrections
@@ -218,6 +255,20 @@ class UDFMeta:
         # where `slice` raises a guided error instead
         self._slice: Optional[Slice] = None
         self._partition_slice: Optional[Slice] = None
+
+    @property
+    def roi(self):
+        """The run's roi in NAV shape (reference UDFMeta.roi keeps
+        the navigation dimensions; the engine stores it flat)."""
+        if self._roi is None:
+            return None
+        return np.asarray(self._roi, dtype=bool).reshape(
+            tuple(self.dataset_shape.nav)
+        )
+
+    @roi.setter
+    def roi(self, value):
+        self._roi = value
 
     def get_valid_nav_mask(self, full_nav: bool = False):
         """Mask of already-computed nav positions, flat 1D (reference
@@ -1106,6 +1157,52 @@ class UDFRunner:
                     "this warning (see docs/migration.md)."
                 )
                 entry.host = True
+            elif not self._probe_merge_traceable(entry, meta):
+                import warnings
+                warnings.warn(
+                    f"{type(udf).__name__}.merge is not "
+                    "jax-traceable (e.g. in-place slice "
+                    "assignment); running the UDF on the HOST "
+                    "engine with numpy semantics. Declare "
+                    "get_backends() explicitly to silence this "
+                    "warning (see docs/migration.md)."
+                )
+                entry.host = True
+
+    def _probe_merge_traceable(self, entry, meta):
+        """Abstractly evaluate a custom merge() against device-shaped
+        sig/single namespaces: reference UDFs often merge with numpy
+        in-place slice assignment (``dest.x[:] += src.x``), which the
+        jitted device fold cannot trace — those run on the host
+        engine instead."""
+        udf = entry.udf
+        if not udf._has_custom_merge() or not entry.part_names:
+            return True
+        sig = tuple(meta.dataset_shape.sig)
+        decls = entry.decls
+
+        def shapes():
+            out = {}
+            for name in entry.part_names:
+                b = decls[name]
+                shp = (
+                    sig + b.extra_shape if b.kind == "sig"
+                    else b.extra_shape
+                )
+                out[name] = jnp.zeros(shp, b.dtype)
+            return out
+
+        def run(_):
+            dest = UDFData(shapes())
+            src = UDFData(shapes())
+            udf.merge(dest, src)
+            return [dest._get(n) for n in entry.part_names]
+
+        try:
+            jax.eval_shape(run, jax.ShapeDtypeStruct((1,), jnp.float32))
+            return True
+        except Exception:
+            return False
 
     def _probe_traceable(self, entry, meta, scheme, input_dtype):
         """Abstractly evaluate one process_* call with bindings
@@ -1137,6 +1234,9 @@ class UDFRunner:
                     else b.extra_shape
                 )
                 views[name] = jnp.zeros(shp, b.dtype)
+            ro_names = entry.result_only_names
+            for name in ro_names:
+                views[name] = None
             udf.results = UDFData(views)
             aux_views = {}
             for k, v in udf._kwargs.items():
@@ -1162,7 +1262,7 @@ class UDFRunner:
             else:
                 udf.process_tile(block)
             res = udf.results
-            return [res[n] for n in views]
+            return [res._get(n) for n in views if n not in ro_names]
 
         try:
             jax.eval_shape(
@@ -1365,14 +1465,14 @@ class UDFRunner:
             res = udf.results
             for n in entry.nav_names:
                 new = device_put_safe(
-                    np.asarray(res[n]), device
+                    np.asarray(res._get(n)), device
                 )
                 state[ei][n] = state[ei][n].at[
                     goff0:goff0 + n_sel
                 ].set(new)
             for n in entry.part_names:
                 part_state[ei][n] = device_put_safe(
-                    np.asarray(res[n]), device
+                    np.asarray(res._get(n)), device
                 )
             udf.results = None
         return state, part_state
@@ -1778,6 +1878,11 @@ class UDFRunner:
                     views[name] = sig_view(name)
                 else:
                     views[name] = part_u[name]
+            for name in entry.result_only_names:
+                # result_only buffers exist only in get_results
+                # (reference rule: self.results.<x> is None during
+                # processing)
+                views[name] = None
             udf.results = UDFData(views)
             udf.params = UDFParams(udf._kwargs, aux_views)
             meta.coordinates = coords
@@ -1789,7 +1894,7 @@ class UDFRunner:
                 udf.process_partition(tile)
             res = udf.results
             for name in entry.nav_names:
-                new = res[name]
+                new = res._get(name)
                 if name in res._touched:
                     bshape = valid_mask.shape + (1,) * (new.ndim - 1)
                     new = jnp.where(
@@ -1803,22 +1908,24 @@ class UDFRunner:
                 if name in res._touched:
                     if decls[name].kind == "sig":
                         sig_writeback(
-                            name, res[name].astype(decls[name].dtype)
+                            name, res._get(name).astype(decls[name].dtype)
                         )
                     else:
-                        part_u[name] = res[name].astype(
+                        part_u[name] = res._get(name).astype(
                             decls[name].dtype
                         )
         elif entry.frame_navonly:
             # vmap over frames — embarrassingly parallel
             def per_frame(frame, coord, olds, auxr):
                 views = dict(olds)
+                for name in entry.result_only_names:
+                    views[name] = None
                 udf.results = UDFData(views)
                 udf.params = UDFParams(udf._kwargs, auxr)
                 meta.coordinates = coord
                 udf.process_frame(frame)
                 return {
-                    n: udf.results[n].astype(decls[n].dtype)
+                    n: udf.results._get(n).astype(decls[n].dtype)
                     for n in entry.nav_names
                 }
 
@@ -1854,7 +1961,7 @@ class UDFRunner:
                 new_carry = {
                     n: jnp.where(
                         fvalid,
-                        res[n].astype(decls[n].dtype),
+                        res._get(n).astype(decls[n].dtype),
                         carry[n],
                     )
                     for n in entry.part_names
@@ -1862,7 +1969,7 @@ class UDFRunner:
                 nav_out = {
                     n: jnp.where(
                         fvalid,
-                        res[n].astype(decls[n].dtype),
+                        res._get(n).astype(decls[n].dtype),
                         olds[n],
                     )
                     for n in entry.nav_names
@@ -1904,7 +2011,7 @@ class UDFRunner:
                 udf.merge(dest, src)
                 for n in entry.part_names:
                     if n in dest._touched:
-                        new_state[ui][n] = dest[n].astype(
+                        new_state[ui][n] = dest._get(n).astype(
                             entry.decls[n].dtype
                         )
             return new_state
@@ -2815,7 +2922,7 @@ class UDFRunner:
                     })
                     udf.merge(dest, src)
                     acc = {
-                        n: dest[n].astype(entry.decls[n].dtype)
+                        n: dest._get(n).astype(entry.decls[n].dtype)
                         for n in entry.part_names
                     }
                 out.append(acc)
@@ -2900,8 +3007,19 @@ class UDFRunner:
         n_nav = prep["n_nav"]
         meta = prep["meta"]
         # expose the damage state to UDF.get_results via
-        # meta.get_valid_nav_mask (reference udf/base.py:561)
+        # meta.get_valid_nav_mask (reference udf/base.py:561) — ONLY
+        # for the duration of the wrap: process functions must see
+        # None (the reference's availability contract, test_valid_mask)
         meta._valid_nav_mask = np.asarray(damage_host, dtype=bool)
+        try:
+            return self._wrap_results_inner(
+                prep, state, damage_host, n_nav, meta
+            )
+        finally:
+            meta._valid_nav_mask = None
+
+    def _wrap_results_inner(self, prep, state, damage_host, n_nav,
+                            meta) -> UDFResults:
         all_buffers = []
         host_global = prep.get("host_global") or {}
         for ui, entry in enumerate(prep["plan"]):
@@ -2945,10 +3063,32 @@ class UDFRunner:
 
     def _wrap_one(self, prep, entry, udf, raw, damage_host, meta):
         """Raw storage arrays -> {name: BufferWrapper} for one UDF
-        (runs get_results post-processing)."""
+        (runs get_results post-processing, enforcing the reference's
+        declaration rules, udf/base.py get_results contract)."""
         udf.meta = meta
-        udf.results = UDFData(raw)
+        full = dict(raw)
+        for name in entry.result_only_names:
+            full.setdefault(name, None)
+        udf.results = UDFData(full)
         derived = udf.get_results() or {}
+        for name in derived:
+            if name not in entry.decls:
+                raise KeyError(
+                    f"get_results returned {name!r} which is not "
+                    f"declared in get_result_buffers"
+                )
+            if entry.decls[name].use == "private":
+                raise UDFException(
+                    f"get_results must not include the "
+                    f"use='private' buffer {name!r}"
+                )
+        for name in entry.result_only_names:
+            if name not in derived:
+                raise UDFException(
+                    f"don't know how to set use='result_only' "
+                    f"buffer {name!r}; please implement "
+                    f"`get_results`"
+                )
         buffers = {}
         for name, decl in entry.decls.items():
             if decl.use == "private":
@@ -2965,6 +3105,32 @@ class UDFRunner:
                     custom_mask = value.mask
                     value = value.arr
                 data = asarray_safe(value)
+                if (
+                    decl.kind == "nav"
+                    and prep["roi"] is not None
+                    and data.shape == tuple(meta.dataset_shape.nav)
+                    + decl.extra_shape
+                ):
+                    # get_results may hand back a FULL-nav-shaped
+                    # array (self-embedded roi result, reference
+                    # test_get_results_nav_with_roi_full_shape):
+                    # keep it verbatim as .data, store the
+                    # roi-compressed rows as .raw_data
+                    flat = data.reshape(
+                        (meta.dataset_shape.nav.size,)
+                        + decl.extra_shape
+                    )
+                    roi_flat = np.asarray(
+                        prep["roi"], dtype=bool
+                    ).reshape(-1)
+                    out.set_result(
+                        flat[roi_flat],
+                        valid_nav_mask=damage_host,
+                        custom_mask=custom_mask,
+                        full_data=data,
+                    )
+                    buffers[name] = out
+                    continue
             elif decl.use == "result_only":
                 continue  # not produced
             else:

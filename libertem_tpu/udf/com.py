@@ -290,7 +290,8 @@ class CoMUDF(UDF):
         )
         full = np.full(int(np.prod(nav_shape)), np.nan, dtype=dt)
         if self.meta.roi is not None:
-            full[self.meta.roi] = flat
+            roi_flat = np.asarray(self.meta.roi, bool).reshape(-1)
+            full[roi_flat] = flat
         else:
             full[:] = flat
         return full.reshape(nav_shape)
@@ -298,7 +299,7 @@ class CoMUDF(UDF):
     def _compress_nav2d(self, grid):
         flat = grid.reshape(-1)
         if self.meta.roi is not None:
-            return flat[self.meta.roi]
+            return flat[np.asarray(self.meta.roi, bool).reshape(-1)]
         return flat
 
     def _div_curl(self, y_corr, x_corr):

@@ -145,6 +145,9 @@ class HostUDFRunner:
                 ]
             for name in entry.part_names:
                 views[name] = part_bufs[ei][name]
+            for name in entry.result_only_names:
+                # only produced in get_results; None while processing
+                views[name] = None
             aux_views = {}
             for k, arr in self.prep["aux"][ei].items():
                 aux_views[k] = np.asarray(
@@ -192,6 +195,8 @@ class HostUDFRunner:
                         }
                         for n in entry.part_names:
                             frame_views[n] = views[n]
+                        for n in entry.result_only_names:
+                            frame_views[n] = None
                         frame_aux = {
                             k: v[i] for k, v in aux_views.items()
                         }
@@ -215,11 +220,11 @@ class HostUDFRunner:
                         for n in entry.nav_names:
                             if n in res._touched:
                                 global_bufs[ei][n][goff + i] = (
-                                    res[n]
+                                    res._get(n)
                                 )
                         for n in entry.part_names:
                             if n in res._touched:
-                                part_bufs[ei][n][...] = res[n]
+                                part_bufs[ei][n][...] = res._get(n)
             finally:
                 udf._host_mode = False
                 # meta is shared with traced entries of the same run:
@@ -230,10 +235,10 @@ class HostUDFRunner:
     def _writeback(self, entry, res, global_u, part_u, goff, valid):
         for n in entry.nav_names:
             if n in res._touched:
-                global_u[n][goff:goff + valid] = res[n]
+                global_u[n][goff:goff + valid] = res._get(n)
         for n in entry.part_names:
             if n in res._touched:
-                part_u[n][...] = res[n]
+                part_u[n][...] = res._get(n)
 
     def merge_partition(self, global_bufs, part_bufs,
                         goff0=None, n_sel=None):
@@ -277,8 +282,8 @@ class HostUDFRunner:
                 udf.merge(dest, src)
                 for n in entry.part_names:
                     if n in dest._touched:
-                        global_bufs[ei][n][...] = dest[n]
+                        global_bufs[ei][n][...] = dest._get(n)
                 for n, rows in nav_rows.items():
-                    rows[...] = dest[n]
+                    rows[...] = dest._get(n)
             finally:
                 udf._host_mode = False

@@ -90,6 +90,8 @@ CASES = [
     # counts tiles across partitions here, once per partition there)
     ("common/test_progress.py", "not slow"),
     ("udf/test_udf_runner.py", None),
+    ("udf/test_valid_mask.py", None),
+    ("udf/test_buffer_declarations.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -208,7 +210,15 @@ densification so huge shapes exercise the no-densify code path."""
 import numpy as np
 
 
-class COO:
+class SparseArray:
+    pass
+
+
+class COO(SparseArray):
+    @classmethod
+    def from_numpy(cls, arr):
+        return cls(np.asarray(arr))
+
     def __init__(self, coords, data=None, shape=None, fill_value=0):
         if data is None and shape is None:
             # from a dense array
@@ -299,6 +309,14 @@ def zeros(shape, dtype=float):
     shape = (shape,) if isinstance(shape, int) else tuple(shape)
     return COO(np.zeros((len(shape), 0), dtype=np.intp),
                np.zeros((0,), dtype=dtype), shape=shape)
+
+
+class DOK(COO):
+    pass
+
+
+class GCXS(COO):
+    pass
 '''
 
 _CONFTEST_SHIM = '''import pytest
@@ -380,6 +398,12 @@ def raw_same_dataset_4d(tmp_path, _same_4d_data, lt_ctx):
 def inline_executor():
     from libertem.executor.inline import InlineJobExecutor
     return InlineJobExecutor()
+
+
+@pytest.fixture
+def delayed_executor():
+    from libertem.executor.delayed import DelayedJobExecutor
+    return DelayedJobExecutor()
 
 
 @pytest.fixture
