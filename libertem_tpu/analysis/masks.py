@@ -35,13 +35,13 @@ class BaseMasksAnalysis(BaseAnalysis):
         data = udf_results["intensity"].data  # (*nav, n_masks)
         dmg = self.nav_damage(damage)
         results = []
-        single = data.shape[-1] == 1
         for i in range(data.shape[-1]):
             chan = data[..., i]
-            # reference channel naming (masks.py:173): mask_<i> per
-            # mask; a single-mask stack keeps the 'intensity' key
-            key = "intensity" if single else f"mask_{i}"
-            title = "intensity" if single else f"mask {i}"
+            # reference channel naming (masks.py:172): mask_<i> per
+            # mask, also for a single-mask stack (SingleMaskAnalysis
+            # subclasses own the 'intensity' spelling)
+            key = f"mask_{i}"
+            title = f"mask {i}"
             if np.iscomplexobj(chan):
                 results.extend(self.get_complex_results(
                     chan, key_prefix=key, title=title,

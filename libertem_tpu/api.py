@@ -75,6 +75,32 @@ class ResultGenerator:
         self._emit_end()
 
 
+class AsyncResultGenerator:
+    """Async counterpart of :class:`ResultGenerator` (reference
+    ResultAsyncGenerator, api.py:1460): supports ``async for``,
+    ``await .update_parameters_experimental(...)``, ``athrow`` and
+    ``aclose``."""
+
+    def __init__(self, agen, sync_gen: "ResultGenerator"):
+        self._agen = agen
+        self._sync_gen = sync_gen
+
+    def __aiter__(self):
+        return self
+
+    def __anext__(self):
+        return self._agen.__anext__()
+
+    async def update_parameters_experimental(self, patches):
+        self._sync_gen.update_parameters_experimental(patches)
+
+    def athrow(self, *args):
+        return self._agen.athrow(*args)
+
+    def aclose(self):
+        return self._agen.aclose()
+
+
 class Context:
     """Entry point: load datasets, run UDFs and analyses."""
 
@@ -125,8 +151,8 @@ class Context:
     @classmethod
     def make_with(
         cls, executor_spec: str = "inline", /, *,
-        cpus=None, gpus=None, tpus=None, plot_class=None,
-        snooze_timeout=None, **kwargs,
+        cpus=None, gpus=None, tpus=None, main_process_gpu=None,
+        plot_class=None, snooze_timeout=None, **kwargs,
     ) -> "Context":
         """Create a Context with a named executor
         (reference api.py:238).  All of the reference's distributed
@@ -139,10 +165,51 @@ class Context:
             -> ShardedJobExecutor over all devices
         'delayed' -> DelayedJobExecutor (requires dask)
         """
-        if executor_spec in (
-            "inline", "synchronous", "threads", "concurrent",
+        from .common.exceptions import ExecutorSpecException
+
+        # worker-spec validity rules (reference api.py:355): executors
+        # without tunable workers reject cpus=/gpus= loudly
+        limited = (
+            "inline", "synchronous", "dask-integration", "delayed",
+        )
+        if cpus is not None and executor_spec in limited:
+            raise ExecutorSpecException(
+                f"Executor type {executor_spec} does not support "
+                f"specifying CPU workers at this time"
+            )
+        if gpus is not None and executor_spec in limited + (
+            "threads",
         ):
+            raise ExecutorSpecException(
+                f"Executor type {executor_spec} does not support "
+                f"specifying GPU workers at this time"
+            )
+        if gpus:
+            from .utils.devices import detect
+            if not detect()["cudas"]:
+                raise ExecutorSpecException(
+                    "Cannot specify GPU workers as no GPUs detected"
+                )
+        if main_process_gpu is True or isinstance(
+            main_process_gpu, int
+        ) and not isinstance(main_process_gpu, bool):
+            # reference make_canonical (api.py:237): requesting
+            # main-process GPU compute needs CuPy + a CUDA device —
+            # neither exists on a TPU host
+            from .utils.devices import detect
+            d = detect()
+            if not d["has_cupy"] or not d["cudas"]:
+                raise ExecutorSpecException(
+                    "main_process_gpu requested but no GPU/CuPy "
+                    "available on this host"
+                )
+        if executor_spec in ("inline", "synchronous"):
             return cls(executor=InlineJobExecutor(),
+                       plot_class=plot_class,
+                       snooze_timeout=snooze_timeout)
+        elif executor_spec in ("threads", "concurrent"):
+            from .executor.compat import ConcurrentJobExecutor
+            return cls(executor=ConcurrentJobExecutor(),
                        plot_class=plot_class,
                        snooze_timeout=snooze_timeout)
         elif executor_spec in (
@@ -163,7 +230,12 @@ class Context:
             return cls(executor=DelayedJobExecutor(**kwargs),
                        plot_class=plot_class,
                        snooze_timeout=snooze_timeout)
-        raise ValueError(f"unknown executor spec {executor_spec!r}")
+        raise ExecutorSpecException(
+            f"Argument `executor_spec` is {executor_spec}. Allowed "
+            f'are "synchronous", "inline", "threads", "dask", '
+            f'"dask-integration", "dask-make-default", "delayed", '
+            f'"pipelined" (or this framework\'s "sharded"/"tpu").'
+        )
 
     # -- datasets -----------------------------------------------------------
 
@@ -216,14 +288,9 @@ class Context:
         reference's async variant).
         """
         if not sync:
-            if plots:
-                raise ValueError(
-                    "plots= is not supported with sync=False; drive "
-                    "run_udf_iter_async and update plots yourself"
-                )
             return self.run_udf_async(
                 dataset, udf, roi=roi, corrections=corrections,
-                progress=progress, backends=backends,
+                progress=progress, backends=backends, plots=plots,
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
@@ -300,13 +367,13 @@ class Context:
         yielded partial; ``sync=False`` returns an async generator
         (the reference's async variant)."""
         if not sync:
-            if plots:
-                raise ValueError(
-                    "plots= is not supported with sync=False"
-                )
-            return self.run_udf_iter_async(
+            sync_gen = self.run_udf_iter(
                 dataset, udf, roi=roi, corrections=corrections,
-                progress=progress, backends=backends,
+                progress=progress, backends=backends, plots=plots,
+            )
+            from .common.async_utils import async_generator_eager
+            return AsyncResultGenerator(
+                async_generator_eager(iter(sync_gen)), sync_gen
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
@@ -327,21 +394,23 @@ class Context:
 
     async def run_udf_iter_async(
         self, dataset, udf, roi=None, corrections=None,
-        progress=False, backends=None,
+        progress=False, backends=None, plots=None,
     ):
         """Async generator of partial results (reference:
-        run_for_dataset_async udf/base.py:2735 via AsyncAdapter)."""
+        run_for_dataset_async udf/base.py:2735 via AsyncAdapter).
+        ``plots`` updates live plots on each yielded partial like the
+        sync variant (plot updates run on the driving thread)."""
         from .common.async_utils import async_generator_eager
         gen = self.run_udf_iter(
             dataset, udf, roi=roi, corrections=corrections,
-            progress=progress, backends=backends,
+            progress=progress, backends=backends, plots=plots,
         )
         async for item in async_generator_eager(iter(gen)):
             yield item
 
     async def run_udf_async(
         self, dataset, udf, roi=None, corrections=None,
-        progress=False, backends=None,
+        progress=False, backends=None, plots=None,
     ):
         """Awaitable variant of run_udf (the reference's
         ``run_udf(..., sync=False)``, api.py:914)."""
@@ -349,7 +418,7 @@ class Context:
         return await sync_to_async(
             self.run_udf, dataset, udf, roi=roi,
             corrections=corrections, progress=progress,
-            backends=backends,
+            backends=backends, plots=plots,
         )
 
     def inspect_udf(self, udf, dataset, roi=None):
@@ -360,16 +429,45 @@ class Context:
         return SingleUDFResults(results.buffers[0], results.damage)
 
     def display(self, dataset, udf, roi=None):
-        """Repr-style summary of what a UDF would produce
-        (reference api.py:1543)."""
+        """Notebook-displayable summary of what a UDF would produce
+        (reference api.py:1543 — returns an object with both str and
+        ``_repr_html_`` representations)."""
         res = self.inspect_udf(udf, dataset, roi)
-        lines = [f"{type(udf).__name__} on {dataset}:"]
-        for name, buf in res.items():
-            lines.append(
-                f"  {name}: kind={buf.kind} dtype={buf.dtype} "
-                f"extra_shape={buf.extra_shape}"
-            )
-        return "\n".join(lines)
+
+        class UDFDisplay:
+            def __init__(self, title, rows):
+                self._title = title
+                self._rows = rows
+
+            def __str__(self):
+                lines = [self._title]
+                for name, kind, dtype, extra in self._rows:
+                    lines.append(
+                        f"  {name}: kind={kind} dtype={dtype} "
+                        f"extra_shape={extra}"
+                    )
+                return "\n".join(lines)
+
+            __repr__ = __str__
+
+            def _repr_html_(self):
+                cells = "".join(
+                    f"<tr><td>{name}</td><td>{kind}</td>"
+                    f"<td>{dtype}</td><td>{extra}</td></tr>"
+                    for name, kind, dtype, extra in self._rows
+                )
+                return (
+                    f"<p>{self._title}</p>"
+                    f"<table><tr><th>name</th><th>kind</th>"
+                    f"<th>dtype</th><th>extra_shape</th></tr>"
+                    f"{cells}</table>"
+                )
+
+        rows = [
+            (name, buf.kind, buf.dtype, buf.extra_shape)
+            for name, buf in res.items()
+        ]
+        return UDFDisplay(f"{type(udf).__name__} on {dataset}:", rows)
 
     def map(self, dataset: DataSet, f, roi=None, progress=False,
             corrections=None, backends=None):
@@ -511,7 +609,11 @@ class Context:
     def _normalize_udfs(self, udf):
         if isinstance(udf, UDF):
             return [udf], True
-        return list(udf), False
+        udfs = list(udf)
+        if not udfs:
+            # reference api.py run_udf contract (test_context)
+            raise ValueError("empty list of UDFs - nothing to do!")
+        return udfs, False
 
     def _normalize_roi(self, roi, dataset):
         """Accept bool ndarray (nav or flat), sparse-like, or
@@ -591,26 +693,65 @@ class Context:
         through."""
         if not plots:
             return None
+        import warnings
+
         from .viz.base import Live2DPlot
-        from .viz.mpl import MPLLive2DPlot
         prepared = []
-        if plots is True:
-            for udf in udfs:
-                p = self.plot_class(dataset, udf, roi=roi)
-                p.display()
-                prepared.append(p)
-            return prepared
-        for i, p in enumerate(plots):
+        chan_lists = (
+            isinstance(plots, (list, tuple))
+            and all(isinstance(p, (list, tuple)) for p in plots)
+            and all(
+                all(isinstance(pp, (str, list, tuple)) for pp in p)
+                for p in plots
+            )
+        )
+        if plots is True or chan_lists:
+            # dry run yields the declared buffer set per UDF, used
+            # both for the default channel choice and for validating
+            # requested channel names (reference api.py:1477)
+            dry = UDFRunner(udfs).dry_run(dataset, roi)
+            if plots is True:
+                channels = []
+                for idx, udf in enumerate(udfs):
+                    chans = [
+                        k
+                        for k, buf in dry.buffers[idx].items()
+                        if buf.data is not None
+                        and len(np.squeeze(buf.data).shape) == 2
+                    ]
+                    if not chans:
+                        warnings.warn(
+                            f"No plottable channels found for UDF "
+                            f"#{idx}: {type(udf).__name__}, "
+                            f"not plotting."
+                        )
+                    channels.append(chans)
+            else:
+                channels = plots
+                for idx, udf_channels in enumerate(channels):
+                    for ch in udf_channels:
+                        name = (
+                            ch[0]
+                            if isinstance(ch, (list, tuple)) else ch
+                        )
+                        if name not in dry.buffers[idx]:
+                            raise ValueError(
+                                f"channel {name} not found, have: "
+                                f"{list(dry.buffers[idx].keys())}"
+                            )
+            for udf, udf_channels in zip(udfs, channels):
+                for channel in udf_channels:
+                    if isinstance(channel, list):
+                        channel = tuple(channel)
+                    p = self.plot_class(
+                        dataset, udf, roi=roi, channel=channel,
+                    )
+                    p.display()
+                    prepared.append(p)
+            return prepared or None
+        for p in plots:
             if isinstance(p, Live2DPlot):
                 prepared.append(p)
-            elif isinstance(p, (list, tuple)):
-                for channel in p:
-                    lp = MPLLive2DPlot(
-                        dataset, udfs[min(i, len(udfs) - 1)],
-                        roi=roi, channel=channel,
-                    )
-                    lp.display()
-                    prepared.append(lp)
         return prepared or None
 
     def _update_plots(self, plots, results, udfs, final=False):

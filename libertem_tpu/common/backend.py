@@ -21,12 +21,25 @@ def get_use_device() -> Optional[int]:
     return int(v) if v is not None else None
 
 
-def set_use_cpu(flag: bool = True) -> None:
-    os.environ[_ENV_CPU] = "1" if flag else "0"
+def set_use_cpu(cpu_id: int = 0) -> None:
+    """Pin processing to the host CPU (reference
+    common/backend.py:35 set_use_cpu(cpu_id) — the id selects a CPU
+    'device'; jax exposes one host backend, so only presence
+    matters).  Clears any TPU-device pinning."""
+    os.environ[_ENV_CPU] = str(int(cpu_id))
+    os.environ.pop(_ENV_TPU, None)
+
+
+def set_use_cuda(gpu_id: int) -> None:
+    """Reference-API alias (common/backend.py:22 set_use_cuda):
+    there is no CUDA on a TPU host — the id maps to a local mesh
+    device index instead, and CPU pinning is cleared."""
+    set_use_device(gpu_id)
+    os.environ.pop(_ENV_CPU, None)
 
 
 def get_use_cpu() -> bool:
-    return os.environ.get(_ENV_CPU, "0") == "1"
+    return _ENV_CPU in os.environ
 
 
 def get_pinned_device():

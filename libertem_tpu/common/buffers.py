@@ -192,6 +192,11 @@ class BufferWrapper:
             return complex(np.nan, np.nan)
         if k == "b":
             return False
+        if k == "O":
+            # roi gaps in object buffers are None (reference
+            # common/buffers.py object fill; ValidationUDF relies
+            # on it to distinguish never-processed frames)
+            return None
         return 0
 
     @property

@@ -139,11 +139,23 @@ class NoopCommHandler(TaskCommHandler):
     signalling entirely when it sees this type."""
 
 
+class JobCancelledError(Exception):
+    """The current job was cancelled — raised from inside a task (a
+    UDF process function or the data source running dry); the runner
+    translates it into :class:`UDFRunCancelled` (reference
+    common/executor.py:45)."""
+
+
 class Environment:
     """Per-task environment (reference common/executor.py:52)."""
 
-    def __init__(self, threads_per_worker: int = 1, device=None):
+    def __init__(self, threads_per_worker: int = 1,
+                 threaded_executor: bool = False,
+                 worker_context=None, gpu_id=None, device=None):
         self.threads_per_worker = threads_per_worker
+        self.threaded_executor = threaded_executor
+        self.worker_context = worker_context
+        self.gpu_id = gpu_id
         self.device = device
 
     def enter(self):

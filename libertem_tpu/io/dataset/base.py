@@ -417,6 +417,10 @@ class Partition:
                 data = data.astype(dest_dtype, copy=False)
             for idx, sig_slice in tiling_scheme.slices:
                 sub = data[(slice(None),) + sig_slice.get()]
+                if len(tiling_scheme) > 1:
+                    # reference tiles are assembled contiguous
+                    # (consumers rely on reshaped_view working)
+                    sub = np.ascontiguousarray(sub)
                 tile_slice = Slice(
                     (block.global_offset,) + tuple(sig_slice.origin),
                     Shape(

@@ -38,7 +38,7 @@ class MemoryDataSet(DataSet):
         nav_shape: Optional[Sequence[int]] = None,
         sig_shape: Optional[Sequence[int]] = None,
         num_partitions: Optional[int] = None,
-        tileshape=None,  # depth component honored; sig is never split
+        tileshape=None,  # forced verbatim (reference memory.py:365)
         tiledelay=None,  # artificial per-read delay (tests)
         sync_offset: int = 0,
         datashape=None,  # zero-filled dataset of this shape
@@ -83,17 +83,26 @@ class MemoryDataSet(DataSet):
     def initialize(self, executor=None) -> "MemoryDataSet":
         return self
 
+    @property
+    def tileshape(self):
+        """The forced tile shape, if one was given (reference
+        memory.py:356)."""
+        if self._tileshape is None:
+            return None
+        return Shape(
+            tuple(int(s) for s in self._tileshape),
+            sig_dims=self.shape.sig.dims,
+        )
+
     def adjust_tileshape(self, tileshape, roi):
-        """Honor the explicit ``tileshape`` DEPTH hint (reference
-        MemoryDataSet tiles exactly as told — tests depend on the
-        block granularity, e.g. progress-message cadence).  The sig
-        part of the hint is ignored: full-sig blocks are this
-        engine's device layout (sig splits are only ever vetoed, not
-        requested, see Negotiator)."""
+        """Honor an explicit ``tileshape`` verbatim (reference
+        MemoryDataSet tiles exactly as told, memory.py:362 — tests
+        depend on block granularity AND sig splitting; a sig-split
+        hint makes the scheme sig-split, which the device step and
+        the host tile dispatch both honor)."""
         if self._tileshape is None:
             return tileshape
-        depth = min(int(self._tileshape[0]), int(tileshape[0]))
-        return (max(1, depth),) + tuple(tileshape)[1:]
+        return tuple(int(s) for s in tuple(self._tileshape))
 
     def get_num_partitions(self) -> int:
         if self._num_partitions is not None:

@@ -39,6 +39,7 @@ never by in-place slice mutation (jax arrays are immutable).
 """
 from __future__ import annotations
 
+import enum
 import logging
 import os
 from typing import Any, Callable, Optional, Sequence
@@ -74,7 +75,11 @@ log = logging.getLogger(__name__)
 
 # single canonical exception type — user code catching
 # common.exceptions.UDFException must also catch runner-raised ones
-from ..common.exceptions import UDFException  # noqa: E402
+from ..common.exceptions import (  # noqa: E402
+    UDFException,
+    UDFRunCancelled,
+)
+from ..executor.base import JobCancelledError  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +219,32 @@ class UDFParams:
     def items(self):
         return self._kwargs.items()
 
+    @classmethod
+    def from_udfs(cls, udfs, roi=None, corrections=None,
+                  tiling_scheme=None) -> "UDFParams":
+        """Bundle run parameters for the worker protocol (reference
+        UDFParams.from_udfs, udf/base.py:1804) — consumed by
+        :class:`UDFPartRunner`."""
+        return cls({
+            "kwargs": [dict(u._kwargs) for u in udfs],
+            "roi": roi,
+            "corrections": corrections,
+            "tiling_scheme": tiling_scheme,
+        })
+
+
+class UDFMethod(str, enum.Enum):
+    """Which ``process_*`` entry point a UDF runs through (reference:
+    common/udf.py:12 UDFMethod).  A ``str`` enum so engine-internal
+    comparisons against the plain spellings keep working."""
+
+    TILE = "tile"
+    FRAME = "frame"
+    PARTITION = "partition"
+
+    def __str__(self):  # str(UDFMethod.TILE) == 'tile'
+        return self.value
+
 
 class UDFMeta:
     """Metadata visible to process functions as ``self.meta``
@@ -229,6 +260,8 @@ class UDFMeta:
         device_class: str = "tpu",
         corrections: Optional[CorrectionSet] = None,
         threads_per_worker: int = 1,
+        partition_slice: Optional[Slice] = None,
+        array_backend: Optional[str] = None,
     ):
         self.dataset_shape = dataset_shape
         self.dataset_dtype = np.dtype(dataset_dtype)
@@ -248,13 +281,15 @@ class UDFMeta:
         # 'jax' on the traced device path, 'numpy' while the host
         # engine drives this UDF (reference UDFMeta.array_backend,
         # udf/base.py:538)
-        self.array_backend: str = "jax"
+        self.array_backend: str = (
+            "jax" if array_backend is None else array_backend
+        )
         self._valid_nav_mask = None
         # concrete Slice when one is known (host engine blocks,
         # get_task_data at run scope) — None on the traced path,
         # where `slice` raises a guided error instead
         self._slice: Optional[Slice] = None
-        self._partition_slice: Optional[Slice] = None
+        self._partition_slice: Optional[Slice] = partition_slice
 
     @property
     def roi(self):
@@ -321,6 +356,12 @@ class UDFMeta:
         )
 
     @property
+    def partition_shape(self) -> Shape:
+        """Shape of the current partition, roi-adjusted (reference
+        UDFMeta.partition_shape, udf/base.py:409)."""
+        return self.partition_slice.shape
+
+    @property
     def sig_shape(self) -> tuple:
         return tuple(self.dataset_shape.sig)
 
@@ -339,6 +380,7 @@ class UDF:
     """
 
     USE_NATIVE_DTYPE = np.bool_  # result_type(bool, x) == x
+    UDF_METHOD = UDFMethod
     TILE_SIZE_BEST_FIT = TILE_SIZE_BEST_FIT
     TILE_SIZE_MAX = TILE_SIZE_MAX
     TILE_DEPTH_DEFAULT = TILE_DEPTH_DEFAULT
@@ -385,6 +427,88 @@ class UDF:
 
     def copy(self) -> "UDF":
         return type(self)(**self._kwargs)
+
+    def __deepcopy__(self, memo):
+        """Deep-copy ONLY the constructor kwargs: runtime bindings
+        (meta/results) may hold traced jax values mid-run, which
+        cannot be deep-copied — and a copied UDF is for a FRESH run
+        anyway (reference semantics: copies are reconstructed from
+        kwargs, udf/base.py copy_for_partition)."""
+        import copy as _copy
+        return type(self)(**_copy.deepcopy(self._kwargs, memo))
+
+    # -- reference worker protocol (compat) ------------------------------
+    # The TPU engine binds buffers and meta itself (see UDFRunner);
+    # these methods exist for user code and tests that drive the
+    # reference's worker-side protocol directly
+    # (reference udf/base.py:961–1060 set_meta/set_backend/
+    # init_result_buffers/allocate_for_part, used by UDFPartRunner).
+
+    def copy_for_partition(self, partition, roi=None) -> "UDF":
+        """Fresh instance for processing one partition (reference
+        udf/base.py:1005)."""
+        return type(self)(**self._kwargs)
+
+    def set_backend(self, backend: str) -> None:
+        self._array_backend = backend
+
+    def set_meta(self, meta: "UDFMeta") -> None:
+        self.meta = meta
+
+    def set_slice(self, slc: Slice) -> None:
+        if self.meta is not None:
+            self.meta._slice = slc
+
+    def set_tile_idx(self, idx: int) -> None:
+        if self.meta is not None:
+            self.meta.tiling_scheme_idx = idx
+
+    def init_result_buffers(self, executor=None) -> None:
+        """Declare this instance's result buffers (worker protocol).
+        Shapes bind in :meth:`allocate_for_part`."""
+        self._part_decls = self.get_result_buffers()
+
+    def allocate_for_part(self, partition, roi) -> None:
+        """Allocate host arrays for one partition's results (worker
+        protocol; reference udf/base.py:1043).  ``kind='nav'`` buffers
+        get the partition's roi-selected frame count; sig/single get
+        their full shapes."""
+        decls = getattr(self, "_part_decls", None)
+        if decls is None:
+            self.init_result_buffers()
+            decls = self._part_decls
+        if roi is None:
+            n_sel = partition.num_frames
+        else:
+            flat = np.asarray(roi).reshape(-1)
+            lo = partition.start_frame
+            n_sel = int(np.count_nonzero(
+                flat[lo:lo + partition.num_frames]
+            ))
+        sig = tuple(partition.meta.shape.sig)
+        bufs = {}
+        for name, decl in decls.items():
+            if decl.use == "result_only":
+                bufs[name] = None
+            elif decl.kind == "nav":
+                bufs[name] = np.zeros(
+                    (n_sel,) + decl.extra_shape, dtype=decl.dtype
+                )
+            elif decl.kind == "sig":
+                bufs[name] = np.zeros(
+                    sig + decl.extra_shape, dtype=decl.dtype
+                )
+            else:  # 'single'
+                bufs[name] = np.zeros(
+                    decl.extra_shape or (1,), dtype=decl.dtype
+                )
+        self.results = UDFData(bufs)
+
+    def clear_views(self) -> None:
+        pass
+
+    def init_task_data(self) -> None:
+        self.task_data = UDFData(self.get_task_data())
 
     # -- declarations --------------------------------------------------
 
@@ -443,6 +567,14 @@ class UDF:
     def get_results(self) -> dict:
         return {}
 
+    def _do_get_results(self) -> dict:
+        """Run ``get_results`` post-processing and wrap every public
+        buffer into a result :class:`BufferWrapper` (reference
+        udf/base.py:1226).  Called by the runner at wrap time;
+        override to post-process the WRAPPED results (e.g. the
+        reference's ValidationUDF coverage check)."""
+        return UDFRunner._default_do_get_results(self)
+
     def preprocess(self):
         pass
 
@@ -476,14 +608,18 @@ class UDF:
     def get_task_data(self) -> dict:
         return {}
 
-    def get_method(self) -> str:
+    def get_method(self) -> "UDFMethod":
+        """Which entry point to dispatch through; override to choose
+        among several implemented ``process_*`` methods (reference
+        udf/base.py:1544 — default priority tile > frame > partition,
+        TypeError when nothing is implemented)."""
         if hasattr(self, "process_tile"):
-            return "tile"
+            return UDFMethod.TILE
         if hasattr(self, "process_frame"):
-            return "frame"
+            return UDFMethod.FRAME
         if hasattr(self, "process_partition"):
-            return "partition"
-        raise UDFException(
+            return UDFMethod.PARTITION
+        raise TypeError(
             f"{type(self).__name__} must implement one of process_tile / "
             f"process_frame / process_partition"
         )
@@ -563,11 +699,27 @@ class NoOpUDF(UDF):
 
 class UDFResults:
     """Results of a (possibly partial) run: one dict of BufferWrappers
-    per UDF + the damage buffer (reference: UDFResults udf/base.py:2806)."""
+    per UDF + the damage buffer (reference: UDFResults udf/base.py:2806).
 
-    def __init__(self, buffers: Sequence[dict], damage: BufferWrapper):
-        self.buffers = list(buffers)
+    ``buffers`` is LAZY when built from a thunk: ``UDF.get_results``
+    post-processing runs only when the buffers are first accessed
+    (reference contract, test_lazy_get_results_not_called) — a
+    partial-results consumer that only watches ``damage`` never pays
+    for result derivation."""
+
+    def __init__(self, buffers: Optional[Sequence[dict]] = None,
+                 damage: BufferWrapper = None, buffers_thunk=None):
+        self._buffers = (
+            list(buffers) if buffers is not None else None
+        )
+        self._buffers_thunk = buffers_thunk
         self.damage = damage
+
+    @property
+    def buffers(self) -> list:
+        if self._buffers is None:
+            self._buffers = list(self._buffers_thunk())
+        return self._buffers
 
 
 class SingleUDFResults(dict):
@@ -614,8 +766,27 @@ class _UDFPlanEntry:
         self.result_only_names = [
             n for n, b in decls.items() if b.use == "result_only"
         ]
-        self.method = udf.get_method()
+        # validate get_method (possibly overridden) like the reference
+        # runner does (udf/base.py:2243): unknown values and methods
+        # the UDF does not actually implement both raise UDFException
+        method = udf.get_method()
+        if method not in tuple(UDFMethod):
+            raise UDFException(
+                f"{type(udf).__name__}.get_method() returned "
+                f"unrecognized method {method!r}"
+            )
+        self.method = UDFMethod(method).value
+        if not hasattr(udf, f"process_{self.method}"):
+            raise UDFException(
+                f"{type(udf).__name__}.get_method() chose "
+                f"{self.method!r} but process_{self.method} is not "
+                f"implemented"
+            )
         backends = udf.get_backends()
+        # the reference accepts a bare string declaration
+        # (udf/test_sparse.py OnlySparseSumUDF returns one spelling)
+        if isinstance(backends, str):
+            backends = (backends,)
         # the per-RUN restriction (Context.run_udf backends=) and the
         # per-INSTANCE one (ApplyMasksUDF(backends=...)) both apply
         restriction = getattr(udf, "_backend_restriction", None)
@@ -663,6 +834,16 @@ class _UDFPlanEntry:
         self.host = bool(
             bset & host_like and UDF.BACKEND_JAX not in bset
         )
+        # the host feed format: first host-capable spelling in the
+        # UDF's DECLARED order (reference TileConverter semantics —
+        # a sparse-only UDF receives sparse tiles, converted from
+        # the dense host blocks; udf/test_sparse.py)
+        self.host_array_backend = UDF.BACKEND_NUMPY
+        if self.host:
+            for b in backends:
+                if b in host_like:
+                    self.host_array_backend = b
+                    break
         # frame-mode UDFs that only write nav buffers can be vmapped
         self.frame_navonly = self.method == "frame" and not self.part_names
 
@@ -769,14 +950,19 @@ class UDFRunner:
                     devices = exec_devices
         if dry:
             return self.dry_run(dataset, roi=roi)
-        result = None
-        for result in self.run_for_dataset_iter(
+        gen = self.run_for_dataset_iter(
             dataset, roi=roi, corrections=corrections,
             progress=progress, device=device, devices=devices,
             yield_partial=False,
-        ):
+        )
+        result = next(gen)
+        # the sync entry point materializes NOW — get_results must
+        # run while task_data is still alive (cleanup happens when
+        # the generator is driven to completion below); only
+        # iterator partials stay lazy
+        result.buffers
+        for _ in gen:
             pass
-        assert result is not None
         return result
 
     def run_for_dataset_async(
@@ -1004,6 +1190,17 @@ class UDFRunner:
                       sig_dims=meta0.shape.sig.dims),
                 meta0.shape, intent=scheme.intent,
             )
+        if len(scheme) > 1 and any(
+            u.get_method() == UDFMethod.FRAME for u in udfs
+        ):
+            # a dataset that forces sig-split tiles cannot serve
+            # process_frame (reference: the frame dispatch loop
+            # fails on partial-sig tiles, udf/base.py:2278)
+            raise UDFException(
+                "a process_frame UDF needs whole frames, but the "
+                "dataset forces sig-split tiles "
+                f"({len(scheme)} sig slices)"
+            )
 
         # NOTE: `device` stays None for the sharded path — aux and
         # state placement is the sharded loop's job (multi-host safe);
@@ -1073,7 +1270,10 @@ class UDFRunner:
                 udf.requires_custom_merge(decls)
                 and not udf._has_custom_merge()
             ):
-                raise UDFException(
+                # NotImplementedError for reference parity (the
+                # default UDF.merge raises it there,
+                # udf/base.py:1420; test_no_default_merge asserts it)
+                raise NotImplementedError(
                     f"{type(udf).__name__} declares non-nav buffers "
                     f"{entry.part_names} and must implement merge()"
                 )
@@ -1089,6 +1289,30 @@ class UDFRunner:
         meta.coordinates = None
 
         self._auto_host_fallback(plan, meta, scheme, input_dtype)
+
+        # the f64/c128 -> f32/c64 clamp above exists for the TPU
+        # step; a run whose UDFs ALL ended up on the host engine
+        # keeps full 64-bit precision like the reference
+        # (test_simple_udf test_dtypes complex128)
+        raw_dtype = _get_input_dtype(udfs, meta0.native_dtype)
+        if raw_dtype != input_dtype and plan and all(
+            e.host for e in plan
+        ):
+            input_dtype = raw_dtype
+            meta.input_dtype = np.dtype(raw_dtype)
+            # declarations may derive from meta.input_dtype
+            # (dtype=self.meta.input_dtype) — rebuild them with the
+            # widened meta, keeping the probe's host/device verdicts
+            for i, entry in enumerate(plan):
+                decls = dict(entry.udf.get_result_buffers())
+                for b in decls.values():
+                    b.set_shape_ds(meta0.shape, roi)
+                e2 = _UDFPlanEntry(
+                    entry.udf, decls,
+                    run_restriction=self._backends,
+                )
+                e2.host = entry.host
+                plan[i] = e2
 
         # aux buffers: compress by roi, keep as host arrays for now
         aux_arrays, aux_host = self._build_aux(
@@ -1275,6 +1499,13 @@ class UDFRunner:
         finally:
             udf.results = None
             udf.params = UDFParams(udf._kwargs)
+            # the probe body stored abstract values on the shared
+            # meta — clear them so they cannot escape into user code
+            # (deepcopy, pickling) or a later trace
+            meta.coordinates = None
+            meta.tile_valid = None
+            meta.valid_frames = None
+            meta.global_offset = None
             # drop anything the UDF cached DURING the abstract probe
             # (e.g. a mask built on first use): it would leak probe
             # tracers into the real trace.  on_params_updated is the
@@ -2177,18 +2408,28 @@ class UDFRunner:
 
         densify_cache: dict = {}
         from contextlib import ExitStack
+        self._partitions_done = 0
         try:
             with ExitStack() as stack:
                 if comms_active:
                     comms.start()
                     stack.callback(comms.done)
                     stack.enter_context(comms.monitor(comms_queue))
-                yield from self._run_loop_body(
-                    prep, dataset, roi, yield_partial, partitions, pm,
-                    host_runner, host_global, device_entries_exist,
-                    densify_cache, damage_host, state, step, merge,
-                    worker_context=worker_context,
-                )
+                try:
+                    yield from self._run_loop_body(
+                        prep, dataset, roi, yield_partial,
+                        partitions, pm, host_runner, host_global,
+                        device_entries_exist, densify_cache,
+                        damage_host, state, step, merge,
+                        worker_context=worker_context,
+                    )
+                except JobCancelledError:
+                    # a task signalled cancellation (reference
+                    # contract: test_context test_udf_cancellation)
+                    raise UDFRunCancelled(
+                        f"UDF run cancelled after "
+                        f"{self._partitions_done} partitions"
+                    ) from None
         finally:
             # always runs — including when a partial-results iterator
             # is abandoned mid-run (GeneratorExit) — so task_data
@@ -2250,6 +2491,7 @@ class UDFRunner:
             # semantics, reference udf/base.py set_views); device
             # UDFs get the bare lifecycle call (their state lives in
             # the traced step)
+            host_init = None
             if host_runner is not None:
                 host_runner.bind_partition_views(
                     host_global, host_part, goff0, n_sel
@@ -2258,6 +2500,11 @@ class UDFRunner:
                 udf.preprocess()
             if host_runner is not None:
                 host_runner.unbind_views()
+                # pre-merge dest state for custom merges (the
+                # reference main-node buffer after preprocess)
+                host_init = host_runner.snapshot_init(
+                    host_global, goff0, n_sel
+                )
 
             def to_device(block):
                 dev = None
@@ -2358,11 +2605,13 @@ class UDFRunner:
                 prep["meta"]._valid_nav_mask = damage_host.copy()
                 try:
                     host_runner.merge_partition(
-                        host_global, host_part, goff0, n_sel
+                        host_global, host_part, goff0, n_sel,
+                        init_rows=host_init,
                     )
                 finally:
                     prep["meta"]._valid_nav_mask = None
             damage_host[goff0:goff0 + n_sel] = True
+            self._partitions_done += 1
             if pm is not None:
                 pm.partition_done(n_sel, ident=partition.get_ident())
             if yield_partial:
@@ -3004,72 +3253,99 @@ class UDFRunner:
     # -- result wrapping --------------------------------------------------
 
     def _wrap_results(self, prep, state, damage_host) -> UDFResults:
+        """Snapshot raw result storage NOW (device buffers are
+        donated to the next step; host buffers mutate in place) but
+        defer ``get_results`` post-processing to first ``.buffers``
+        access (lazy, reference contract
+        test_lazy_get_results_not_called)."""
         n_nav = prep["n_nav"]
         meta = prep["meta"]
-        # expose the damage state to UDF.get_results via
-        # meta.get_valid_nav_mask (reference udf/base.py:561) — ONLY
-        # for the duration of the wrap: process functions must see
-        # None (the reference's availability contract, test_valid_mask)
-        meta._valid_nav_mask = np.asarray(damage_host, dtype=bool)
-        try:
-            return self._wrap_results_inner(
-                prep, state, damage_host, n_nav, meta
-            )
-        finally:
-            meta._valid_nav_mask = None
-
-    def _wrap_results_inner(self, prep, state, damage_host, n_nav,
-                            meta) -> UDFResults:
-        all_buffers = []
         host_global = prep.get("host_global") or {}
+        raws = []
         for ui, entry in enumerate(prep["plan"]):
-            udf = entry.udf
             raw = {}
             if entry.host:
                 src_bufs = host_global.get(ui, {})
                 for name in (
                     entry.nav_names + entry.part_names
                 ):
-                    raw[name] = np.asarray(
-                        src_bufs.get(
-                            name,
-                            np.zeros(
-                                entry.decls[name].shape
-                                if entry.decls[name].kind != "nav"
-                                else (n_nav,)
-                                + entry.decls[name].extra_shape,
-                                entry.decls[name].dtype,
-                            ),
+                    arr = src_bufs.get(name)
+                    if arr is None:
+                        arr = np.zeros(
+                            entry.decls[name].shape
+                            if entry.decls[name].kind != "nav"
+                            else (n_nav,)
+                            + entry.decls[name].extra_shape,
+                            entry.decls[name].dtype,
                         )
-                    )
-                all_buffers.append(
+                    else:
+                        # snapshot: later partitions keep mutating
+                        # the live host buffers
+                        arr = np.array(arr, copy=True)
+                    raw[name] = arr
+            else:
+                for name in entry.nav_names:
+                    raw[name] = asarray_safe(
+                        state[ui][name]
+                    )[:n_nav]
+                for name in entry.part_names:
+                    raw[name] = asarray_safe(state[ui][name])
+            raws.append(raw)
+        damage_snap = np.array(damage_host, dtype=bool, copy=True)
+
+        def wrap_all():
+            # expose the damage state to UDF.get_results via
+            # meta.get_valid_nav_mask (reference udf/base.py:561) —
+            # ONLY for the duration of the wrap: process functions
+            # must see None (the reference's availability contract,
+            # test_valid_mask)
+            meta._valid_nav_mask = damage_snap
+            try:
+                return [
                     self._wrap_one(
-                        prep, entry, udf, raw, damage_host, meta
+                        prep, entry, entry.udf, raw, damage_snap,
+                        meta,
                     )
-                )
-                continue
-            for name in entry.nav_names:
-                raw[name] = asarray_safe(state[ui][name])[:n_nav]
-            for name in entry.part_names:
-                raw[name] = asarray_safe(state[ui][name])
-            all_buffers.append(
-                self._wrap_one(prep, entry, udf, raw, damage_host,
-                               meta)
-            )
+                    for entry, raw in zip(prep["plan"], raws)
+                ]
+            finally:
+                meta._valid_nav_mask = None
+
         damage_buf = BufferWrapper("nav", (), bool)
         damage_buf.set_shape_ds(meta.dataset_shape, prep["roi"])
-        damage_buf.set_result(damage_host, valid_nav_mask=damage_host)
-        return UDFResults(all_buffers, damage_buf)
+        damage_buf.set_result(damage_snap, valid_nav_mask=damage_snap)
+        return UDFResults(buffers_thunk=wrap_all, damage=damage_buf)
 
     def _wrap_one(self, prep, entry, udf, raw, damage_host, meta):
         """Raw storage arrays -> {name: BufferWrapper} for one UDF
-        (runs get_results post-processing, enforcing the reference's
-        declaration rules, udf/base.py get_results contract)."""
+        via ``udf._do_get_results()`` (overridable, reference
+        udf/base.py:1226), enforcing the reference's declaration
+        rules along the way."""
         udf.meta = meta
         full = dict(raw)
         for name in entry.result_only_names:
             full.setdefault(name, None)
         udf.results = UDFData(full)
+        udf._wrap_ctx = (prep, entry, damage_host)
+        # result wrapping happens on the controller with HOST arrays
+        # (the reference main node): self.xp is numpy inside
+        # get_results regardless of where processing ran
+        udf._host_mode = True
+        try:
+            return udf._do_get_results()
+        finally:
+            udf._host_mode = False
+            udf._wrap_ctx = None
+
+    @staticmethod
+    def _default_do_get_results(udf):
+        """Default ``UDF._do_get_results`` body — runs
+        ``get_results`` post-processing and wraps every public buffer
+        into a result :class:`BufferWrapper` (reference
+        udf/base.py:1226)."""
+        prep, entry, damage_host = udf._wrap_ctx
+        meta = udf.meta
+        raw = udf.results.as_dict()
         derived = udf.get_results() or {}
         for name in derived:
             if name not in entry.decls:
@@ -3135,9 +3411,221 @@ class UDFRunner:
                 continue  # not produced
             else:
                 data = raw[name]
+                if data is not None and np.asarray(
+                    data
+                ).dtype != np.dtype(decl.dtype):
+                    # the device computes 64-bit declarations in
+                    # 32-bit (TPU f64 is emulated; jax x64 is off) —
+                    # the RESULT honors the declared dtype, like the
+                    # reference's f64 buffers
+                    # (test_multi_mask_autodtype_wide)
+                    data = np.asarray(data).astype(decl.dtype)
             out.set_result(
                 data, valid_nav_mask=damage_host,
                 custom_mask=custom_mask,
             )
             buffers[name] = out
         return buffers
+
+
+class UDFPartRunner:
+    """Compat worker-protocol runner: execute UDFs over ONE partition
+    on the host CPU, mirroring the reference's per-tile dispatch loop
+    (reference udf/base.py:2094 UDFPartRunner).  The TPU engine never
+    routes through this — it exists for user code and tests that
+    drive the reference's worker protocol directly
+    (``UDFParams.from_udfs`` + ``run_for_partition``).
+
+    Corrections are applied only for whole-sig tiling schemes; a
+    sig-split scheme with active corrections raises (the main engine
+    fuses corrections into the device step instead — use
+    ``Context.run_udf``).
+    """
+
+    def __init__(self, udfs: Sequence[UDF], debug: bool = False):
+        self._udfs = list(udfs)
+        self._debug = debug
+
+    def run_for_partition(self, partition, params, env,
+                          backend_choice=None):
+        import pickle
+
+        roi = params.get("roi")
+        corrections = params.get("corrections")
+        scheme = params.get("tiling_scheme")
+        ds_shape = partition.meta.shape
+        sig = ds_shape.sig
+        if scheme is None:
+            scheme = TilingScheme.make_for_shape(
+                Shape(
+                    (max(1, min(32, partition.num_frames)),)
+                    + tuple(sig),
+                    sig_dims=sig.dims,
+                ),
+                ds_shape,
+            )
+        if self._debug:
+            # disjoint-cache-key / pickle-safety check (reference
+            # debug=True semantics)
+            for udf in self._udfs:
+                pickle.loads(pickle.dumps(udf._kwargs))
+        have_corr = (
+            corrections is not None and corrections.have_corrections()
+        )
+        if have_corr and len(scheme) > 1:
+            raise NotImplementedError(
+                "UDFPartRunner applies corrections only for whole-sig "
+                "tiling schemes; use Context.run_udf for the fused "
+                "corrections path"
+            )
+        input_dtype = _get_input_dtype(
+            self._udfs, partition.meta.native_dtype
+        )
+        if have_corr and np.dtype(input_dtype).kind not in "fc":
+            input_dtype = np.dtype(np.float32)
+        pslice = partition.slice
+        if roi is not None:
+            pslice = pslice.adjust_for_roi(
+                np.asarray(roi).reshape(-1)
+            )
+        methods = []
+        for udf in self._udfs:
+            method = udf.get_method()
+            if method not in tuple(UDFMethod):
+                raise UDFException(
+                    f"{type(udf).__name__}.get_method() returned "
+                    f"unrecognized method {method!r}"
+                )
+            method = UDFMethod(method).value
+            if not hasattr(udf, f"process_{method}"):
+                raise UDFException(
+                    f"{type(udf).__name__}.get_method() chose "
+                    f"{method!r} but process_{method} is not "
+                    f"implemented"
+                )
+            methods.append(method)
+            meta = UDFMeta(
+                dataset_shape=ds_shape,
+                dataset_dtype=partition.meta.native_dtype,
+                input_dtype=input_dtype,
+                roi=roi,
+                tiling_scheme=scheme,
+                device_class="cpu",
+                corrections=corrections,
+                threads_per_worker=getattr(
+                    env, "threads_per_worker", 1
+                ) or 1,
+                partition_slice=pslice,
+                array_backend="numpy",
+            )
+            udf.set_backend("numpy")
+            udf.set_meta(meta)
+            udf.init_result_buffers()
+            udf.allocate_for_part(partition, roi)
+            udf.init_task_data()
+            udf._host_mode = True
+            if hasattr(udf, "preprocess"):
+                udf.preprocess()
+        goff0 = partition.roi_offset(roi)
+        try:
+            for udf, method in zip(self._udfs, methods):
+                if method == "partition":
+                    # whole selected partition in one call
+                    ids = partition.local_frame_ids(roi)
+                    data = partition._read_selected_with_offset(
+                        ids
+                    ).astype(input_dtype, copy=False)
+                    if have_corr:
+                        data = corrections.apply_numpy(data).astype(
+                            input_dtype, copy=False
+                        )
+                    udf.meta._slice = pslice
+                    udf.meta.sig_slice = scheme[0]
+                    udf.process_partition(data)
+                    continue
+                for tile in partition.get_tiles(
+                    scheme, roi=roi, dest_dtype=input_dtype
+                ):
+                    data = tile.data
+                    if have_corr:
+                        data = corrections.apply_numpy(data).astype(
+                            input_dtype, copy=False
+                        )
+                    sig_slice = scheme[tile.scheme_idx]
+                    whole_sig = tuple(sig_slice.shape) == tuple(sig)
+                    udf.set_slice(tile.tile_slice)
+                    udf.set_tile_idx(tile.scheme_idx)
+                    udf.meta.sig_slice = sig_slice
+                    r0 = tile.tile_slice.origin[0] - goff0
+                    n = tile.tile_slice.shape[0]
+                    full = udf.results
+                    views = {}
+                    sig_wb = []
+                    for name, decl in udf._part_decls.items():
+                        arr = full._get(name)
+                        if decl.use == "result_only":
+                            views[name] = None
+                        elif decl.kind == "nav":
+                            views[name] = arr[r0:r0 + n]
+                        elif decl.kind == "sig" and not whole_sig:
+                            idx = sig_slice.get() + tuple(
+                                slice(None)
+                                for _ in decl.extra_shape
+                            )
+                            cont = np.ascontiguousarray(arr[idx])
+                            views[name] = cont
+                            sig_wb.append((arr, idx, cont))
+                        else:
+                            views[name] = arr
+                    udf.results = UDFData(views)
+                    try:
+                        if method == "tile":
+                            udf.process_tile(data)
+                        else:  # frame
+                            if not whole_sig:
+                                raise UDFException(
+                                    "process_frame needs whole "
+                                    "frames but the tiling scheme "
+                                    "splits the signal dimensions"
+                                )
+                            for i in range(n):
+                                frame_views = {
+                                    k: (
+                                        v[i:i + 1]
+                                        if udf._part_decls[k].kind
+                                        == "nav" and v is not None
+                                        else v
+                                    )
+                                    for k, v in views.items()
+                                }
+                                udf.results = UDFData(frame_views)
+                                udf.meta._slice = Slice(
+                                    origin=(
+                                        tile.tile_slice.origin[0]
+                                        + i,
+                                    )
+                                    + tile.tile_slice.origin[1:],
+                                    shape=Shape(
+                                        (1,)
+                                        + tuple(
+                                            tile.tile_slice.shape
+                                        )[1:],
+                                        sig_dims=sig.dims,
+                                    ),
+                                )
+                                udf.process_frame(data[i])
+                    finally:
+                        for arr, idx, cont in sig_wb:
+                            arr[idx] = cont
+                        udf.results = full
+        finally:
+            for udf in self._udfs:
+                if hasattr(udf, "postprocess"):
+                    try:
+                        udf.postprocess()
+                    finally:
+                        pass
+                udf._host_mode = False
+                if udf.meta is not None:
+                    udf.meta._slice = None
+        return tuple(udf.results for udf in self._udfs)

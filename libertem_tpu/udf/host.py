@@ -156,14 +156,29 @@ class HostUDFRunner:
             meta.tile_valid = np.ones(valid, dtype=bool)
             meta.valid_frames = valid
             meta.global_offset = goff
-            meta.array_backend = "numpy"
-            # host UDFs always receive WHOLE frames (the feed is the
-            # undivided block), so sig_slice must cover the full sig
-            # even when the device scheme sig-splits
+            backend = getattr(
+                entry, "host_array_backend", "numpy"
+            )
+            meta.array_backend = backend
+            # the host engine IS the reference's cpu worker
+            prev_device_class = meta.device_class
+            meta.device_class = "cpu"
+            # host UDFs receive WHOLE frames unless the run's scheme
+            # sig-splits (a dataset tileshape veto): then tile-method
+            # UDFs iterate the scheme's sig slices like the
+            # reference's per-tile dispatch (udf/base.py:2188)
+            scheme = self.prep.get("scheme")
+            sig_split = scheme is not None and len(scheme) > 1
             meta.sig_slice = self._whole_sig_slice
             udf.params = UDFParams(udf._kwargs, aux_views)
             try:
-                if entry.method in ("tile", "partition"):
+                if entry.method == "tile" and sig_split:
+                    meta.coordinates = coords
+                    self._process_sig_tiles(
+                        entry, x, views, scheme, meta, goff, valid,
+                        sig, global_bufs[ei], part_bufs[ei],
+                    )
+                elif entry.method in ("tile", "partition"):
                     udf.results = UDFData(views)
                     meta.coordinates = coords
                     # concrete flattened-nav Slice of this block
@@ -175,15 +190,26 @@ class HostUDFRunner:
                     )
                     if entry.method == "partition":
                         meta._partition_slice = meta._slice
+                    xe = self._convert_backend(x, backend)
                     if entry.method == "tile":
-                        udf.process_tile(x)
+                        meta.tiling_scheme_idx = 0
+                        self._dispatch(udf.process_tile, xe)
                     else:
-                        udf.process_partition(x)
+                        self._dispatch(udf.process_partition, xe)
                     self._writeback(
                         entry, udf.results, global_bufs[ei],
                         part_bufs[ei], goff, valid,
                     )
                 else:  # frame mode
+                    if sig_split:
+                        from ..common.exceptions import UDFException
+                        raise UDFException(
+                            f"{type(udf).__name__} uses process_frame"
+                            f", which needs whole frames, but the "
+                            f"dataset forces sig-split tiles "
+                            f"(tiling scheme has {len(scheme)} sig "
+                            f"slices)"
+                        )
                     for i in range(valid):
                         # 1-row VIEWS, not scalars: the reference's
                         # per-frame nav views keep the flat-nav axis
@@ -212,7 +238,10 @@ class HostUDFRunner:
                             shape=Shape((1,) + sig,
                                         sig_dims=len(sig)),
                         )
-                        udf.process_frame(x[i])
+                        self._dispatch(
+                            udf.process_frame,
+                            self._convert_backend(x[i], backend),
+                        )
                         res = udf.results
                         # rebinding assignments (rather than in-place
                         # mutation of the views) need explicit
@@ -227,10 +256,116 @@ class HostUDFRunner:
                                 part_bufs[ei][n][...] = res._get(n)
             finally:
                 udf._host_mode = False
+                meta.device_class = prev_device_class
                 # meta is shared with traced entries of the same run:
                 # never leak a stale concrete slice into their view
                 meta._slice = None
                 meta._partition_slice = None
+
+    @staticmethod
+    def _convert_backend(x: np.ndarray, backend: str):
+        """Convert a dense host block to the UDF's declared array
+        backend (reference TileConverter, udf/base.py:2189):
+        pydata-sparse formats keep the (depth, *sig) shape, scipy
+        formats are 2D and get the flattened-sig layout."""
+        if backend in (None, "numpy"):
+            return x
+        b = str(backend)
+        if b.startswith("sparse."):
+            import sparse as pydata_sparse
+            cls = getattr(pydata_sparse, b.split(".", 1)[1])
+            return cls.from_numpy(x)
+        if b.startswith("scipy.sparse"):
+            import scipy.sparse as sp
+            # scipy formats are 2D: tiles flatten sig; a 2D frame
+            # passes through with its own shape
+            flat = x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+            if "csc" in b:
+                return sp.csc_matrix(flat)
+            if "coo" in b:
+                return sp.coo_matrix(flat)
+            return sp.csr_matrix(flat)
+        return x
+
+    @staticmethod
+    def _dispatch(fn, data):
+        """Call a process function, translating AttributeErrors on
+        removed DataTile attributes into the reference's guided
+        message (udf/base.py:2196)."""
+        try:
+            return fn(data)
+        except AttributeError as e:
+            removed = {
+                "tile_slice": "self.meta.slice",
+                "scheme_idx": "self.meta.tiling_scheme_idx",
+            }
+            msg = e.args[0] if e.args else ""
+            for r, repl in removed.items():
+                if isinstance(msg, str) and r in msg:
+                    raise AttributeError(
+                        f"Attribute {r} for input tiles was removed. "
+                        f"Please use {repl} instead."
+                    ) from e
+            raise
+
+    def _process_sig_tiles(self, entry, x, views, scheme, meta,
+                           goff, valid, sig, global_u, part_u):
+        """Tile-method dispatch for a sig-split scheme: each sig
+        slice becomes one contiguous tile (the reference's
+        set_contiguous_views_for_tile semantics — sig-kind buffer
+        views are contiguous copies of the sub-rectangle, written
+        back after the call)."""
+        from ..common.shape import Shape
+        from ..common.slice import Slice
+        from .base import UDFData
+
+        udf = entry.udf
+        backend = getattr(entry, "host_array_backend", "numpy")
+        for k, sig_slice in scheme.slices:
+            tile = self._convert_backend(
+                np.ascontiguousarray(
+                    x[(slice(None),) + sig_slice.get()]
+                ),
+                backend,
+            )
+            tile_views = dict(views)
+            sig_wb = []
+            for name in entry.part_names:
+                if entry.decls[name].kind != "sig":
+                    continue
+                idx = sig_slice.get() + tuple(
+                    slice(None)
+                    for _ in entry.decls[name].extra_shape
+                )
+                cont = np.ascontiguousarray(views[name][idx])
+                tile_views[name] = cont
+                sig_wb.append((views[name], idx, cont))
+            udf.results = UDFData(tile_views)
+            meta.sig_slice = sig_slice
+            meta.tiling_scheme_idx = k
+            meta._slice = Slice(
+                origin=(goff,) + tuple(sig_slice.origin),
+                shape=Shape(
+                    (valid,) + tuple(sig_slice.shape),
+                    sig_dims=len(sig),
+                ),
+            )
+            try:
+                self._dispatch(udf.process_tile, tile)
+            finally:
+                res = udf.results
+                for full, idx, cont in sig_wb:
+                    full[idx] = cont
+                # rebinding assignments on nav/single buffers
+                for n in entry.nav_names:
+                    if n in res._touched:
+                        global_u[n][goff:goff + valid] = res._get(n)
+                for n in entry.part_names:
+                    if (
+                        n in res._touched
+                        and entry.decls[n].kind != "sig"
+                    ):
+                        part_u[n][...] = res._get(n)
 
     def _writeback(self, entry, res, global_u, part_u, goff, valid):
         for n in entry.nav_names:
@@ -240,9 +375,34 @@ class HostUDFRunner:
             if n in res._touched:
                 part_u[n][...] = res._get(n)
 
+    def snapshot_init(self, global_bufs, goff, n_sel):
+        """Copy each custom-merge entry's just-preprocessed nav rows:
+        they become the merge's ``dest`` side (the reference's main-
+        node buffer state before this partition merges,
+        udf/base.py:2530 main-node preprocess + per-partition merge).
+        Object rows are deep-copied — preprocess typically plants
+        fresh mutable containers and src/dest must not alias."""
+        import copy
+
+        out = []
+        for ei, entry in enumerate(self.entries):
+            udf = entry.udf
+            if not udf._has_custom_merge() or not entry.nav_names:
+                out.append(None)
+                continue
+            snap = {}
+            for n in entry.nav_names:
+                rows = global_bufs[ei][n][goff:goff + n_sel]
+                snap[n] = (
+                    copy.deepcopy(rows)
+                    if rows.dtype == object else rows.copy()
+                )
+            out.append(snap)
+        return out
+
     def merge_partition(self, global_bufs, part_bufs,
-                        goff0=None, n_sel=None):
-        from .base import UDFData
+                        goff0=None, n_sel=None, init_rows=None):
+        from .base import UDFData, UDFParams
         for ei, entry in enumerate(self.entries):
             udf = entry.udf
             custom = udf._has_custom_merge()
@@ -263,22 +423,42 @@ class HostUDFRunner:
                 nav_rows = {}
                 if custom and goff0 is not None:
                     # reference semantics: a CUSTOM merge receives the
-                    # nav buffers too — dest is the (zero) global
-                    # partition window, src the partition's result —
-                    # and is responsible for writing every buffer
+                    # nav buffers too — dest is the main-node buffer
+                    # window in its pre-merge state (allocation +
+                    # preprocess initialization — see snapshot_init),
+                    # src the partition's result — and the merge is
+                    # responsible for writing every buffer
                     # (udf/base.py:1420).  The host loop processes
                     # straight into global rows, so hand those rows to
-                    # src and a zero scratch to dest, then write dest
-                    # back.
+                    # src and the snapshot (zeros when none was taken)
+                    # to dest, then write dest back.
+                    snap = (
+                        init_rows[ei]
+                        if init_rows is not None else None
+                    )
                     for n in entry.nav_names:
                         rows = global_bufs[ei][n][
                             goff0:goff0 + n_sel
                         ]
                         src_d[n] = rows.copy()
-                        dest_d[n] = np.zeros_like(src_d[n])
+                        dest_d[n] = (
+                            snap[n] if snap is not None
+                            else np.zeros_like(src_d[n])
+                        )
                         nav_rows[n] = rows
                 dest = UDFData(dest_d)
                 src = UDFData(src_d)
+                aux_all = self.prep.get("aux")
+                if goff0 is not None and aux_all is not None:
+                    # merge sees the partition's aux rows like the
+                    # process functions do (reference: views are set
+                    # for the partition around merge,
+                    # test_dynamic_parameter_aux_data)
+                    aux_views = {
+                        k: np.asarray(arr[goff0:goff0 + n_sel])
+                        for k, arr in aux_all[ei].items()
+                    }
+                    udf.params = UDFParams(udf._kwargs, aux_views)
                 udf.merge(dest, src)
                 for n in entry.part_names:
                     if n in dest._touched:
@@ -287,3 +467,4 @@ class HostUDFRunner:
                     rows[...] = dest._get(n)
             finally:
                 udf._host_mode = False
+                udf.params = UDFParams(udf._kwargs)

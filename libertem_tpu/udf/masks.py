@@ -157,8 +157,12 @@ class MaskContainer:
                     flat = flat.T
                 out = np.ascontiguousarray(flat)
                 if sparse_backend:
+                    sb = str(sparse_backend).lower()
+                    if sb.startswith("sparse.pydata"):
+                        import sparse as pydata_sparse
+                        return pydata_sparse.COO.from_numpy(out)
                     import scipy.sparse as sp
-                    if str(sparse_backend).endswith("csc"):
+                    if sb.endswith("csc"):
                         return sp.csc_matrix(out)
                     return sp.csr_matrix(out)
                 return out
@@ -306,6 +310,25 @@ class ApplyMasksUDF(UDF):
         # this repo's original spelling of preferred_dtype
         if preferred_dtype is not None and dtype is None:
             dtype = preferred_dtype
+        if shifts is not None and isinstance(use_sparse, str) and \
+                use_sparse.lower().startswith("scipy.sparse"):
+            # scipy.sparse cannot express the shifted-mask roll
+            # (reference udf/masks.py:262 raises the same way)
+            raise ValueError(
+                "use_sparse='scipy.sparse' is not supported together "
+                "with shifts; use 'sparse.pydata' or dense masks"
+            )
+        if backends is not None:
+            known = set(UDF.BACKEND_ALL)
+            bad = set(
+                (backends,) if isinstance(backends, str)
+                else backends
+            ) - known
+            if bad:
+                raise ValueError(
+                    f"unknown backends {sorted(bad)}; valid: "
+                    f"{sorted(known)}"
+                )
         super().__init__(
             mask_factories=mask_factories,
             use_sparse=use_sparse,
@@ -321,8 +344,16 @@ class ApplyMasksUDF(UDF):
                 backends = (backends,)
             self._backend_restriction = tuple(backends)
         self._container = MaskContainer(
-            mask_factories, dtype=mask_dtype, count=mask_count
+            mask_factories, dtype=mask_dtype, count=mask_count,
+            use_sparse=use_sparse,
         )
+
+    @property
+    def masks(self) -> "MaskContainer":
+        """The mask container (reference udf/masks.py:330 .masks) —
+        public API for inspecting the resolved operands and sparse
+        policy."""
+        return self._container
 
     def on_params_updated(self):
         # rebuild mask operands from the patched factories
@@ -330,6 +361,7 @@ class ApplyMasksUDF(UDF):
             self._kwargs["mask_factories"],
             dtype=self._kwargs.get("mask_dtype"),
             count=self._kwargs.get("mask_count"),
+            use_sparse=self._kwargs.get("use_sparse"),
         )
 
     def get_preferred_input_dtype(self):
@@ -348,15 +380,22 @@ class ApplyMasksUDF(UDF):
         return prefs
 
     def get_result_buffers(self):
-        dtype = self._container.dtype_for(
-            self.meta.input_dtype, tuple(self.meta.sig_shape)
+        # result dtype = result_type(input, masks) — the
+        # dtype/preferred_dtype kwarg only shapes the INPUT dtype via
+        # get_preferred_input_dtype (reference udf/masks.py:362; a
+        # dtype=USE_NATIVE_DTYPE sentinel must not leak into the
+        # buffer declaration).  The DECLARED input dtype is the
+        # reference's unclamped result_type(preference, dataset) —
+        # meta.input_dtype may be the engine's narrower device
+        # compute dtype (f64 is emulated on TPU); the result buffer
+        # still declares the wide dtype and the wrap casts up
+        # (test_multi_mask_autodtype_wide).
+        declared_input = np.result_type(
+            self.get_preferred_input_dtype(), self.meta.dataset_dtype
         )
-        if self._kwargs.get("dtype") is not None:
-            dtype = np.dtype(self._kwargs["dtype"])
-        if dtype == np.float64:
-            dtype = np.dtype(np.float32)
-        if dtype == np.complex128:
-            dtype = np.dtype(np.complex64)
+        dtype = self._container.dtype_for(
+            declared_input, tuple(self.meta.sig_shape)
+        )
         return {
             "intensity": self.buffer(
                 kind="nav",
@@ -372,7 +411,62 @@ class ApplyMasksUDF(UDF):
             self._operand_dtype(),
         )
 
+    def _wants_64bit(self) -> bool:
+        """An EXPLICIT 64-bit dtype request (mask_dtype= or dtype=)
+        is a precision demand: TPU f64 is emulated, so those runs
+        execute on the host engine with real numpy f64 accumulation
+        (reference numerics contract, test_numerics_succeed)."""
+        for k in ("mask_dtype", "dtype"):
+            v = self._kwargs.get(k)
+            if v is None:
+                continue
+            d = np.dtype(v)
+            if (d.kind == "f" and d.itemsize >= 8) or (
+                d.kind == "c" and d.itemsize >= 16
+            ):
+                return True
+        return False
+
+    def get_backends(self):
+        if getattr(self, "_backend_restriction", None) is not None:
+            # reference semantics: backends= IS the declared set
+            # (udf/masks.py:371 returns params.backends) — an
+            # explicit choice overrides the 64-bit host rerouting
+            return tuple(self._backend_restriction)
+        if self._wants_64bit():
+            return (self.BACKEND_NUMPY,)
+        return (self.BACKEND_JAX,)
+
+    def _process_tile_host(self, tile):
+        """Host-engine path (numpy semantics): exact f64/c128
+        accumulation for explicit 64-bit requests."""
+        shifts = self.params.get("shifts")
+        if shifts is not None:
+            tile = np.asarray(
+                self._shift_tile(jnp.asarray(tile), shifts)
+            )
+        flat = np.asarray(tile).reshape(tile.shape[0], -1)
+        dtype = self._container.dtype_for(
+            np.result_type(
+                self.get_preferred_input_dtype(),
+                self.meta.dataset_dtype,
+            ),
+            self.meta.sig_shape,
+        )
+        stack = self._container._compute_stack(self.meta.sig_shape)
+        sub = stack[
+            (slice(None),) + self.meta.sig_slice.get(sig_only=True)
+        ]
+        op = np.ascontiguousarray(
+            sub.reshape(sub.shape[0], -1).T
+        ).astype(dtype)
+        self.results.intensity[:] += flat.astype(
+            np.result_type(dtype, flat.dtype)
+        ) @ op
+
     def process_tile(self, tile):
+        if self._host_mode:
+            return self._process_tile_host(tile)
         flat = tile.reshape(tile.shape[0], -1)
         shifts = self.params.get("shifts")
         if shifts is not None:

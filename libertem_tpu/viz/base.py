@@ -123,10 +123,25 @@ class Live2DPlot:
             return ch(udf_results, damage)
         if isinstance(ch, tuple):
             name, fn = ch
+            if name not in udf_results:
+                raise ValueError(
+                    f"channel {name} not found, have: "
+                    f"{list(udf_results.keys())}"
+                )
             buf = udf_results[name]
             return fn(buf.data), damage
         if ch is None:
+            if not udf_results:
+                raise ValueError(
+                    f"No plottable 2D channel found for "
+                    f"{type(self.udf).__name__}"
+                )
             ch = next(iter(udf_results.keys()))
+        if ch not in udf_results:
+            raise ValueError(
+                f"channel {ch} not found, have: "
+                f"{list(udf_results.keys())}"
+            )
         buf = udf_results[ch]
         data = buf.data
         if data is not None and data.ndim > 2:

@@ -114,7 +114,7 @@ ANALYSIS_TEMPLATES = {
         "analysis = ctx.create_mask_analysis(dataset=ds, "
         "factories=factories)\n"
         "result = ctx.run(analysis)\n"
-        "plt.imshow(result.intensity.raw_data)\n",
+        "plt.imshow(result.mask_0.raw_data)\n",
     ),
     "APPLY_FFT_MASK": (
         "FFT ring mask",

@@ -406,11 +406,20 @@ def test_udf_signature_parity(ds):
         np.asarray(res.buffers[0]["intensity"].data).reshape(-1),
         expected, rtol=1e-5,
     )
-    # an impossible restriction errors loudly at prepare time
-    from libertem_tpu.udf.base import UDFException
-    bad = ApplyMasksUDF(mask_factories=mf, backends=("cupy",))
-    with pytest.raises(UDFException, match="restriction"):
-        UDFRunner([bad]).run_for_dataset(d)
+    # backends= IS the declared set (reference udf/masks.py:371);
+    # a cupy-only declaration maps to the device path (the TPU is
+    # this framework's accelerator) and still computes correctly
+    cupy_only = ApplyMasksUDF(mask_factories=mf, backends=("cupy",))
+    res2 = UDFRunner([cupy_only]).run_for_dataset(d)
+    got = np.asarray(
+        res2.buffers[0]["intensity"].data
+    ).reshape(-1)
+    assert np.allclose(got, expected, rtol=1e-4)
+    # an unknown backend name errors loudly at construction
+    with pytest.raises(ValueError, match="unknown backends"):
+        ApplyMasksUDF(
+            mask_factories=mf, backends=("BACKEND_DOES_NOT_EXIST",)
+        )
 
     calls = {"start": 0, "update": 0, "end": 0}
 
@@ -453,9 +462,11 @@ def test_backend_constants_parity(ds):
             self.results.s = frame.sum()
 
     res = UDFRunner([SparseDecl()]).run_for_dataset(d)
-    assert seen["type"] == "ndarray"  # host engine, dense blocks
+    # host engine, tiles CONVERTED to the first declared backend
+    # (reference TileConverter semantics, udf/base.py:2189)
+    assert seen["type"] == "csr_matrix"
     assert np.allclose(
-        res.buffers[0]["s"].data.reshape(-1),
+        np.asarray(res.buffers[0]["s"].data).reshape(-1),
         data.reshape(16, -1).sum(axis=1), rtol=1e-5,
     )
 

@@ -25,7 +25,8 @@ def test_make_with_specs():
     for spec in ("sharded", "dask", "pipelined", "tpu"):
         ctx = Context.make_with(spec)
         assert len(ctx.executor.devices) >= 1
-    with pytest.raises(ValueError):
+    from libertem_tpu.common.exceptions import ExecutorSpecException
+    with pytest.raises(ExecutorSpecException):
         Context.make_with("bogus")
 
 
@@ -42,8 +43,10 @@ def test_inspect_and_display(lt_ctx, ds):
     res = lt_ctx.inspect_udf(SumUDF(), ds)
     assert "intensity" in res
     assert res["intensity"].kind == "sig"
-    text = lt_ctx.display(ds, SumSigUDF())
+    disp = lt_ctx.display(ds, SumSigUDF())
+    text = str(disp)
     assert "intensity" in text and "nav" in text
+    assert "intensity" in disp._repr_html_()
 
 
 def test_run_udf_async_via_loop(lt_ctx, ds):

@@ -92,6 +92,23 @@ CASES = [
     ("udf/test_udf_runner.py", None),
     ("udf/test_valid_mask.py", None),
     ("udf/test_buffer_declarations.py", None),
+    # test_validation_skips subclasses the reference's RawPartition
+    # with a get_tiles override and a fileset/slice-tuple constructor
+    # protocol this engine's partitions do not share (gen_blocks
+    # engine, docs/migration.md — same class as udf/test_by_tile.py)
+    ("udf/test_simple_udf.py", "not test_validation_skips"),
+    ("test_context.py", None),
+    # the two excluded tests assert that masks are NOT computed on
+    # the "client" process (reference MaskContainer._computed_masks
+    # laziness across a dask cluster's process boundary) — this
+    # engine is a single-controller design: the controller IS the
+    # worker, and it must evaluate the factories to build the device
+    # operands.  No process boundary exists to keep them lazy across.
+    ("analysis/test_analysis_masks.py",
+     "not test_avoid_calculating_masks_on_client"),
+    # test_on_cuda skips (no CUDA in this env, same as the
+    # reference's CUDA-less CI)
+    ("io/test_sparse.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -115,29 +132,135 @@ def _mk_random(size, dtype="float32", array_backend=None,
     for scale in (sum(size), 10 * sum(size)):
         coords = tuple(np.random.choice(range(c)) for c in size)
         data[coords] = np.random.choice(choice) * scale
+    if array_backend in ("sparse.COO", "sparse.GCXS", "sparse.DOK"):
+        import sparse as _sparse
+        cls = getattr(_sparse, array_backend.split(".", 1)[1])
+        return cls.from_numpy(data)
     return data
 
 
 @contextmanager
 def set_device_class(device_class):
+    # mirror of reference tests/utils.py:392 — cupy/cuda cells skip
+    # on a host without CUDA
+    if device_class in ("cupy", "cuda"):
+        import pytest
+        pytest.skip(
+            f"No CUDA device, skipping test with device class "
+            f"{device_class}."
+        )
     yield
 
 
+class _SeenList(list):
+    pass
+
+
+def _make_validation_udf():
+    from libertem.udf.base import UDF
+
+    class ValidationUDF(UDF):
+        """Compares every tile fed to process_tile against a
+        flat-nav reference array and verifies complete sig coverage
+        of every frame at result time (mirror of the reference
+        tests/utils.py:167 contract, written against this engine's
+        UDF API)."""
+
+        def __init__(self, reference,
+                     preferred_dtype=UDF.USE_NATIVE_DTYPE,
+                     validation_function=None):
+            if validation_function is None:
+                validation_function = np.allclose
+            super().__init__(
+                reference=reference,
+                preferred_dtype=preferred_dtype,
+                validation_function=validation_function,
+            )
+
+        def get_backends(self):
+            return ("numpy",)
+
+        def get_preferred_input_dtype(self):
+            return self.params.preferred_dtype
+
+        def get_result_buffers(self):
+            return {"seen": self.buffer(kind="nav", dtype=object)}
+
+        def preprocess(self):
+            self.results.seen[:] = [
+                _SeenList() for _ in range(self.results.seen.size)
+            ]
+
+        def process_tile(self, tile):
+            sig_o = self.meta.slice.origin[1:]
+            sig_s = self.meta.slice.shape[1:]
+            frame_slices = tuple(
+                slice(o, o + s) for o, s in zip(sig_o, sig_s)
+            )
+            for i in range(self.results.seen.size):
+                self.results.seen[i].append(frame_slices)
+            assert self.params.validation_function(
+                self.meta.slice.get(self.params.reference), tile
+            )
+
+        def merge(self, dest, src):
+            for i in range(dest.seen.size):
+                dest.seen[i].extend(src.seen[i])
+
+        def _do_get_results(self):
+            results = super()._do_get_results()
+            roi = self.meta.roi
+            if roi is not None:
+                roi = roi.reshape((-1,))
+            sig_shape = tuple(self.meta.dataset_shape.sig)
+            frame_mask = np.zeros(sig_shape, dtype=bool)
+            flat_idx = -1
+            for flat_idx, slices in enumerate(
+                results["seen"].data.ravel()
+            ):
+                frame_mask[:] = False
+                if slices is None:
+                    assert roi is not None and not roi[flat_idx]
+                    continue
+                if roi is not None:
+                    assert roi[flat_idx]
+                for sl in slices:
+                    frame_mask[sl] = True
+                assert frame_mask.all()
+            assert (
+                flat_idx + 1
+            ) == self.meta.dataset_shape.nav.size
+            return results
+
+    return ValidationUDF
+
+
+def __getattr__(name):
+    # lazy: building ValidationUDF imports libertem, which several
+    # consumers of this shim must be able to import first
+    if name == "ValidationUDF":
+        return _make_validation_udf()
+    raise AttributeError(name)
+
+
 def _naive_mask_apply(masks, data):
-    """Brute-force mask application oracle (reference
-    tests/utils.py:25)."""
-    res = np.zeros(
-        (len(masks),) + tuple(data.shape[:2]), dtype="complex64"
-    )
+    """Brute-force mask application oracle (same contract as the
+    reference tests/utils.py:25): densify each mask, accumulate in
+    the result_type of all operands."""
+    from libertem.common.sparse import to_dense
+
+    if hasattr(masks, "todense") or hasattr(masks, "toarray"):
+        masks = to_dense(masks)  # sparse (n, h, w) stack
+    data = np.asarray(data)
+    assert len(data.shape) == 4
+    dtype = np.result_type(*(m.dtype for m in masks), data.dtype)
+    res = np.zeros((len(masks),) + tuple(data.shape[:2]), dtype=dtype)
     for n in range(len(masks)):
-        mask = np.asarray(masks[n])
+        mask = to_dense(masks[n])
+        assert mask.shape == data.shape[2:]
         for i in range(data.shape[0]):
             for j in range(data.shape[1]):
-                item = (data[i, j] * mask).sum()
-                res[n, i, j] = item
-    if all(np.asarray(m).dtype.kind != "c" for m in masks) \
-            and data.dtype.kind != "c":
-        res = res.real
+                res[n, i, j] = data[i, j].ravel().dot(mask.ravel())
     return res
 '''
 
@@ -164,6 +287,7 @@ SCIPY_COO = "scipy.sparse.coo_matrix"
 SPARSE_DOK = "sparse.DOK"
 CUDA = "cuda"
 CUDA_BACKENDS = ()
+CUPY_BACKENDS = ()
 D2_BACKENDS = (NUMPY,)
 ArrayBackend = str
 
@@ -172,15 +296,35 @@ def for_backend(arr, backend=NUMPY):
     if backend != NUMPY:
         raise RuntimeError(f"backend {backend} not available")
     if hasattr(arr, "toarray"):  # scipy.sparse
-        return arr.toarray()
+        return np.asarray(arr.toarray())
+    if hasattr(arr, "todense"):  # pydata sparse (shim)
+        return np.asarray(arr.todense())
     return np.asarray(arr)
 
 
 def get_backend(arr):
+    try:
+        import scipy.sparse as _sp
+        if _sp.issparse(arr):
+            return f"scipy.sparse.{type(arr).__name__}"
+    except ImportError:
+        pass
+    try:
+        import sparse as _sparse
+        if isinstance(arr, _sparse.GCXS):
+            return SPARSE_GCXS
+        if isinstance(arr, _sparse.DOK):
+            return SPARSE_DOK
+        if isinstance(arr, _sparse.COO):
+            return SPARSE_COO
+    except ImportError:
+        pass
     return NUMPY
 
 
 def get_device_class(backend):
+    if backend in (CUPY, CUDA) or str(backend).startswith("cupyx"):
+        return "cuda"
     return "cpu"
 '''
 
@@ -279,6 +423,11 @@ class COO(SparseArray):
             fill_value=dtype.type(self.fill_value),
         )
 
+    def __getitem__(self, idx):
+        # slicing densifies and re-wraps (fine for the small masks
+        # the reference tests slice)
+        return COO(self.todense()[idx])
+
     def reshape(self, shape):
         if isinstance(shape, int):
             shape = (shape,)
@@ -294,11 +443,14 @@ class COO(SparseArray):
                    self.data, shape=shape,
                    fill_value=self.fill_value)
 
-    def sum(self):
-        background = (self.size - self.data.size) * int(
-            bool(self.fill_value)
-        )
-        return int(self.data.sum()) + background
+    def sum(self, axis=None, dtype=None, out=None):
+        if axis is None and self.size >= 2 ** 22:
+            # huge arrays: sparse math, no densification
+            background = (self.size - self.data.size) * int(
+                bool(self.fill_value)
+            )
+            return int(self.data.sum()) + background
+        return self.todense().sum(axis=axis, dtype=dtype, out=out)
 
 
 def dot(a, b):
@@ -398,6 +550,28 @@ def raw_same_dataset_4d(tmp_path, _same_4d_data, lt_ctx):
 def inline_executor():
     from libertem.executor.inline import InlineJobExecutor
     return InlineJobExecutor()
+
+
+@pytest.fixture
+def concurrent_executor():
+    from libertem.executor.concurrent import ConcurrentJobExecutor
+    return ConcurrentJobExecutor()
+
+
+@pytest.fixture
+def local_cluster_ctx():
+    from libertem.api import Context
+    ctx = Context.make_with("dask")
+    yield ctx
+    ctx.close()
+
+
+@pytest.fixture
+def pipelined_ctx():
+    from libertem.api import Context
+    ctx = Context.make_with("pipelined")
+    yield ctx
+    ctx.close()
 
 
 @pytest.fixture

@@ -263,8 +263,6 @@ def test_3d_nav(lt_ctx):
 
 
 def test_missing_merge_raises(lt_ctx, ds):
-    from libertem_tpu.udf.base import UDFException
-
     class BadUDF(UDF):
         def get_result_buffers(self):
             return {"x": self.buffer(kind="sig", dtype="float32")}
@@ -272,7 +270,9 @@ def test_missing_merge_raises(lt_ctx, ds):
         def process_tile(self, tile):
             self.results.x += tile.sum(axis=0)
 
-    with pytest.raises(UDFException):
+    # NotImplementedError for reference parity (the default
+    # UDF.merge raises it; reference test_no_default_merge)
+    with pytest.raises(NotImplementedError):
         lt_ctx.run_udf(ds, BadUDF())
 
 
