@@ -32,13 +32,18 @@ def radial_fourier_masks(
         cx, cy, w, h, radius=ro, radius_inner=ri, n_bins=n_bins
     )
     _, phi = polar_map(cx, cy, w, h)
-    orders = np.arange(max_order + 1, dtype=np.complex64)
-    modulator = np.exp(
-        phi.astype(np.complex64)
-        * orders[:, None, None] * 1j
-    )
+    # build the modulator in f64 and cast ONCE at the end: an
+    # f32-truncated phase makes o*(phi - pi) drift ~4e-7 rad from
+    # o*phi - o*pi, so mirrored pixels lose their exact m(-p) = ±m(p)
+    # symmetry and symmetric frames stop cancelling (reference
+    # test_symmetries, atol 1e-6).  f64 phases keep mirrored values
+    # within ~1e-15 relative, so the final c64 rounding lands them on
+    # the SAME float32 — cancellation is then exact given a wide
+    # accumulator (the c128 host path engages for f64 datasets).
+    orders = np.arange(max_order + 1, dtype=np.float64)
+    modulator = np.exp(1j * phi * orders[:, None, None])
     stack = (
-        bins[:, None, :, :].astype(np.complex64) * modulator[None]
+        bins[:, None, :, :].astype(np.float64) * modulator[None]
     )
     return stack.reshape(-1, h, w).astype(np.complex64)
 

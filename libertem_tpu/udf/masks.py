@@ -412,9 +412,14 @@ class ApplyMasksUDF(UDF):
         )
 
     def _wants_64bit(self) -> bool:
-        """An EXPLICIT 64-bit dtype request (mask_dtype= or dtype=)
-        is a precision demand: TPU f64 is emulated, so those runs
-        execute on the host engine with real numpy f64 accumulation
+        """A 64-bit EFFECTIVE compute dtype is a precision demand:
+        the reference computes the projection at
+        result_type(mask_dtype, result_type(preferred_input, dataset))
+        (udf/masks.py:311 + base.py:1495) — e.g. complex64 masks over
+        a float64 dataset accumulate in complex128, which is what lets
+        its radialfourier test_symmetries cancel symmetric disks to
+        atol=1e-6.  TPU f64 is emulated, so those runs execute on the
+        host engine with real numpy f64/c128 accumulation instead
         (reference numerics contract, test_numerics_succeed)."""
         for k in ("mask_dtype", "dtype"):
             v = self._kwargs.get(k)
@@ -424,6 +429,14 @@ class ApplyMasksUDF(UDF):
             if (d.kind == "f" and d.itemsize >= 8) or (
                 d.kind == "c" and d.itemsize >= 16
             ):
+                return True
+        meta = getattr(self, "meta", None)
+        if meta is not None and meta.dataset_dtype is not None:
+            eff = self._container.dtype_for(np.result_type(
+                self.get_preferred_input_dtype(),
+                meta.dataset_dtype,
+            ))
+            if eff.itemsize >= (16 if eff.kind == "c" else 8):
                 return True
         return False
 

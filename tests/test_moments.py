@@ -357,3 +357,46 @@ def test_fused_dispatch_split_eligibility():
     assert _splittable(mk(np.float32))
     assert not _splittable(mk(np.int32))
     assert not _splittable(mk(np.float64))
+
+
+def test_precision_env_flips_between_runs(lt_ctx, monkeypatch):
+    """LIBERTEM_TPU_MATMUL_PRECISION is latched per RUN, not per
+    process (round-2/3 advisor): _prepare re-reads the env, so a
+    mid-process flip changes the precision threaded into the fused
+    kernel on the very next run — no stale cached executable.
+
+    CPU ignores lax.Precision numerically, so assert on the value the
+    engine actually hands to the op instead of on result bits."""
+    import jax
+    import libertem_tpu.ops.moments as moments
+    from libertem_tpu.udf.masks import ApplyMasksUDF
+    from libertem_tpu.io.dataset.memory import MemoryDataSet
+
+    data = np.random.default_rng(7).random(
+        (4, 4, 16, 16)
+    ).astype(np.float32)
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+    udf = ApplyMasksUDF(
+        mask_factories=[lambda: np.ones((16, 16), np.float32)],
+    )
+    seen = []
+    real = moments.fused_moments
+
+    def spy(*a, **kw):
+        seen.append(kw.get("precision", "MISSING"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(moments, "fused_moments", spy)
+
+    monkeypatch.setenv("LIBERTEM_TPU_MATMUL_PRECISION", "highest")
+    lt_ctx.run_udf(ds, udf)
+    assert seen and all(
+        p is jax.lax.Precision.HIGHEST for p in seen
+    ), seen
+
+    seen.clear()
+    monkeypatch.setenv("LIBERTEM_TPU_MATMUL_PRECISION", "default")
+    lt_ctx.run_udf(ds, udf)
+    assert seen and all(p is None for p in seen), seen

@@ -48,12 +48,10 @@ CASES = [
     # tileshape pass-through, MemPartition internals, meta.slice) —
     # deliberate deviations, docs/migration.md
     ("udf/test_by_partition.py", None),
-    # test_symmetries asserts EXACT cancellation of symmetric disks
-    # to atol=1e-6; the f32 complex matmul lands at 1.9e-6 (the
-    # reference's numpy dot rounds luckier) — a last-ulp tolerance
-    # case, not a semantic gap
-    ("analysis/test_analysis_radialfourier.py",
-     "not test_symmetries"),
+    # test_symmetries included: f64-built modulator masks + the c128
+    # host accumulation for f64 datasets cancel symmetric disks
+    # exactly (analysis/radialfourier.py radial_fourier_masks)
+    ("analysis/test_analysis_radialfourier.py", None),
     ("analysis/test_analysis_clust.py", None),
     ("analysis/test_analysis_shapes.py", None),
     ("analysis/test_analysis_rawfft.py", None),
