@@ -2815,6 +2815,36 @@ class UDFRunner:
         step = make_step()
         fold = self._make_sharded_fold(prep, mesh)
 
+        # Pre-warm the fold's trace+compile in the background: the
+        # first fold otherwise costs ~0.4 s (trace+compile) inside
+        # the first partial snapshot, ~100x its steady state (~3 ms,
+        # benchmarks/bench_sharded_overhead.py) — a live GUI's first
+        # partial result pays it on the critical path.  Warming here
+        # overlaps the step's own first compile and the first
+        # super-step's streaming (XLA compiles release the GIL).
+        # A DUMMY zeros state keeps the real initial state
+        # un-referenced (the step donates its state argument).
+        # Skipped under multihost: an out-of-band SPMD program could
+        # order its collectives differently per process.
+        if not multihost and any(
+            e.part_names and not e.host for e in prep["plan"]
+        ):
+            import threading as _threading
+
+            def _warm_fold():
+                try:
+                    dummy = jax.tree.map(jnp.zeros_like, state)
+                    jax.block_until_ready(fold(dummy))
+                except Exception:
+                    # warming is best-effort; a real fold failure
+                    # surfaces on the foreground call
+                    pass
+
+            _threading.Thread(
+                target=_warm_fold, daemon=True,
+                name="sharded-fold-warm",
+            ).start()
+
         damage_host = np.zeros(n_nav, dtype=bool)
         pm = self._make_progress(progress, n_nav, n_steps, prep)
 

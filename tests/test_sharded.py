@@ -585,9 +585,14 @@ def test_sharded_overhead_budget(monkeypatch):
     assert stats["step_s"] > 0
     assert stats["assembly_s"] > 0
     assert stats["h2d_s"] > 0
-    # fold + wrap (per-snapshot work) must not dominate the step
+    # fold + wrap (per-snapshot work) must stay a small fraction of
+    # the step.  Measured envelope on the 8-dev CPU mesh with the
+    # background fold pre-warm: 0.04-0.08 (3 runs,
+    # benchmarks/bench_sharded_overhead.py); 0.35 gives ~4x headroom
+    # for CI noise while still catching a fold regression to the
+    # old in-band trace+compile behavior (~0.8)
     ratio = (stats["fold_s"] + stats["wrap_s"]) / stats["step_s"]
-    assert ratio < 1.5, stats
+    assert ratio < 0.35, stats
 
 
 def test_sharded_preprocess_clone_isolation(ds):
@@ -682,3 +687,35 @@ def test_sharded_host_udf_aux_patch_mid_run(data):
         "aux patch never reached the host runner"
     )
     assert np.isclose(ratio, 1.0, rtol=1e-3).any()
+
+
+def test_mesh_scaling_overhead(tmp_path):
+    """Scaling-at-rate floor (BASELINE config #5 'streaming + merge
+    at rate'; VERDICT r3 weak #1): the 8-way mesh moves the same
+    total work through the same host silicon as one device, so an
+    ideal sharded engine lands at wall ratio T8/T1 ~ 1.0 — excess is
+    engine overhead (per-shard assembly, put_sharded, shard_map
+    dispatch, fold).  Measured 0.97 on this workload
+    (benchmarks/bench_scaling.py, SCALING_r04.json); 1.4 catches a
+    regression to serialized per-shard work while absorbing CI noise.
+    """
+    import time
+
+    from libertem_tpu.udf import CoMUDF, StdDevUDF
+
+    data = _mk_random((64, 64, 32, 32), dtype="uint16")
+    mds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=8
+    ).initialize()
+    udfs = lambda: [CoMUDF.with_params(), StdDevUDF(), SumUDF()]
+    times = {}
+    for label, devs in (("t1", devices()[:1]), ("t8", devices())):
+        UDFRunner(udfs()).run_for_dataset(mds, devices=devs)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            UDFRunner(udfs()).run_for_dataset(mds, devices=devs)
+            best = min(best, time.perf_counter() - t0)
+        times[label] = best
+    ratio = times["t8"] / times["t1"]
+    assert ratio < 1.4, times
