@@ -132,8 +132,11 @@ class LiveDataSet(DataSet):
     acquisition order; backpressure comes from the bounded ring.
     """
 
-    # the ring is strictly in-order single-consumer; the sharded
-    # executor's concurrent per-device readers would corrupt it
+    # the ring is strictly in-order single-consumer: the sharded
+    # loop switches to BLOCK-CYCLIC shard assignment with serial
+    # in-order reads (udf/base.py _run_loop_sharded), so each mesh
+    # super-step consumes the next contiguous slice of the
+    # acquisition as it arrives
     supports_concurrent_reads = False
 
     def __init__(
@@ -169,6 +172,18 @@ class LiveDataSet(DataSet):
             self._meta.shape.sig.size * self._meta.raw_dtype.itemsize
         )
         return max(1, self.ring._capacity // 2) * frame_bytes
+
+    @property
+    def max_inflight_frames(self) -> int:
+        """Largest read window a consumer may have outstanding: half
+        the ring, so the producer can stay ahead (the sharded loop
+        clamps n_dev * depth to this)."""
+        return max(1, self.ring._capacity // 2)
+
+    def frames_valid_count(self) -> int:
+        """Frames actually pushed so far — the runner clips damage to
+        this on early ``finish()`` (frames past it read as zeros)."""
+        return self.ring.frames_received
 
     def push_frames(self, frames: np.ndarray):
         self.ring.push_frames(frames)

@@ -1058,14 +1058,9 @@ class UDFRunner:
                     "per-partition-identity statistics need the "
                     "single-device loop", ", ".join(part_udfs),
                 )
-            if not getattr(dataset, "supports_concurrent_reads", True):
-                raise UDFException(
-                    "this dataset requires in-order single-threaded "
-                    "reads (live stream ring) and cannot run on the "
-                    "sharded executor's concurrent per-device "
-                    "readers; use an InlineJobExecutor / "
-                    "single-device Context"
-                )
+            # in-order single-consumer sources (live rings) run via
+            # BLOCK-CYCLIC shard assignment + serial reads — see
+            # _run_loop_sharded; no rejection needed
             # device=None: prep stays host-side; the sharded loop
             # owns device placement (replication / NamedShardings)
             prep = self._prepare(dataset, roi, corrections, None)
@@ -2610,7 +2605,23 @@ class UDFRunner:
                     )
                 finally:
                     prep["meta"]._valid_nav_mask = None
-            damage_host[goff0:goff0 + n_sel] = True
+            fvc = getattr(dataset, "frames_valid_count", None)
+            if fvc is None:
+                damage_host[goff0:goff0 + n_sel] = True
+            else:
+                # early-finish sources (live ring finish()): only
+                # frames that actually arrived are damage=True —
+                # reads past the arrived count returned zeros
+                vc = int(fvc())
+                sel_ids = (
+                    np.flatnonzero(np.asarray(roi).reshape(-1))[
+                        goff0:goff0 + n_sel
+                    ]
+                    if roi is not None
+                    else np.arange(goff0, goff0 + n_sel)
+                )
+                cut = int(np.searchsorted(sel_ids, vc))
+                damage_host[goff0:goff0 + cut] = True
             self._partitions_done += 1
             if pm is not None:
                 pm.partition_done(n_sel, ident=partition.get_ident())
@@ -2713,10 +2724,41 @@ class UDFRunner:
             ids_all = np.flatnonzero(np.asarray(roi).reshape(-1))
         else:
             ids_all = np.arange(n_nav, dtype=np.int64)
+        # in-order sources (live detector rings): BLOCK-CYCLIC shard
+        # assignment — super-step s covers compressed positions
+        # [s*G, (s+1)*G), G = n_dev*depth, device d taking the
+        # contiguous sub-run [s*G + d*depth, +depth).  Each
+        # super-step then consumes the next contiguous slice of the
+        # acquisition, so the mesh processes frames AS THEY ARRIVE —
+        # the contiguous-shard layout would park shard d>0 until the
+        # acquisition reaches its region (reference live pushes to
+        # whichever worker runs the partition, common/executor.py:694
+        # TaskCommHandler; here the mesh replaces the workers).
+        block_cyclic = not getattr(
+            dataset, "supports_concurrent_reads", True
+        )
+        if block_cyclic:
+            # one super-step's reads must fit the source's in-flight
+            # window (e.g. half the live ring) or the producer and
+            # the blocking reader deadlock
+            cap = getattr(dataset, "max_inflight_frames", None)
+            if cap is not None and n_dev * depth > int(cap):
+                depth = max(1, int(cap) // n_dev)
         bounds = np.linspace(0, n_nav, n_dev + 1).astype(np.int64)
         shard_sizes = np.diff(bounds)
         shard_max = int(shard_sizes.max()) if n_nav else 0
-        n_steps = max(1, -(-shard_max // depth))
+        if block_cyclic:
+            n_steps = max(1, -(-n_nav // (n_dev * depth)))
+            # local nav buffers hold n_steps*depth rows; the
+            # (shard_max + depth) allocation below always covers it:
+            # n_steps*depth <= n_nav/n_dev + depth <= shard_max + depth
+            prep["block_cyclic"] = (depth, n_steps)
+        else:
+            n_steps = max(1, -(-shard_max // depth))
+            prep["block_cyclic"] = None
+        frames_valid_count = getattr(
+            dataset, "frames_valid_count", None
+        )
 
         def read_ds_range(lo, hi):
             out = np.zeros((hi - lo,) + sig, dtype=meta0.native_dtype)
@@ -2944,18 +2986,27 @@ class UDFRunner:
 
                 def read_device_chunk(d):
                     off = s * depth
-                    size_d = int(shard_sizes[d])
-                    if off >= size_d:
-                        return None
-                    chunk = ids_all[
-                        bounds[d] + off:
-                        min(bounds[d] + off + depth, bounds[d + 1])
-                    ]
+                    if block_cyclic:
+                        base = s * (n_dev * depth) + d * depth
+                        if base >= n_nav:
+                            return None
+                        chunk = ids_all[
+                            base:min(base + depth, n_nav)
+                        ]
+                    else:
+                        size_d = int(shard_sizes[d])
+                        if off >= size_d:
+                            return None
+                        base = int(bounds[d]) + off
+                        chunk = ids_all[
+                            base:
+                            min(base + depth, int(bounds[d + 1]))
+                        ]
                     # offsets/coords/spans are global knowledge (every
                     # process computes them); only the DATA read is
                     # skipped for devices owned by other processes
                     loffs[d] = off
-                    goffs[d] = bounds[d] + off
+                    goffs[d] = base
                     valids[d] = len(chunk)
                     if len(nav_shape):
                         unr = np.unravel_index(chunk, nav_shape)
@@ -2976,16 +3027,38 @@ class UDFRunner:
                         if flat_feed:
                             rows = rows.reshape(rows.shape[0], -1)
                         blk[d, :len(chunk)] = rows
-                    return (
-                        int(bounds[d] + off),
-                        int(bounds[d] + off + len(chunk)),
-                    )
+                    return (base, base + len(chunk))
 
-                for span in reader_pool.map(
-                    read_device_chunk, range(n_dev)
-                ):
+                if block_cyclic:
+                    # in-order single-consumer source: reads MUST
+                    # arrive ascending (the ring frees consumed
+                    # frames), so read serially in device order —
+                    # arrival order dominates anyway, concurrency
+                    # buys nothing against a live producer
+                    span_iter = map(read_device_chunk, range(n_dev))
+                else:
+                    span_iter = reader_pool.map(
+                        read_device_chunk, range(n_dev)
+                    )
+                for span in span_iter:
                     if span is not None:
                         spans.append(span)
+                if frames_valid_count is not None:
+                    # early-finish damage: the source reports how
+                    # many frames actually arrived (ring reads
+                    # return zeros past finish()); clip each span's
+                    # damage to the arrived prefix.  chunk ids are
+                    # ascending, so the compressed-space cut is a
+                    # searchsorted over this step's id slice.
+                    vc = int(frames_valid_count())
+                    clipped = []
+                    for lo, hi in spans:
+                        cut = int(np.searchsorted(
+                            ids_all[lo:hi], vc
+                        ))
+                        if cut > 0:
+                            clipped.append((lo, lo + cut))
+                    spans = clipped
                 # value-range probe over the whole super-step (all
                 # shards share ONE compiled step, so the certificate
                 # must hold for every shard's block).  Multi-host:
@@ -3117,16 +3190,47 @@ class UDFRunner:
                 # (reference udf/base.py:2351): accumulate across the
                 # fold instead of showing not-yet-merged shards as valid
                 merged = np.zeros_like(damage_host)
+                bc = prep.get("block_cyclic")
                 for d in range(n_dev):
-                    lo, hi = int(bounds[d]), int(bounds[d + 1])
+                    if bc is not None:
+                        # block-cyclic: shard d owns one depth-run
+                        # per super-step, not one contiguous window
+                        bdepth, bsteps = bc
+                        runs = []
+                        for s in range(bsteps):
+                            lo = s * n_dev * bdepth + d * bdepth
+                            if lo >= n_nav:
+                                break
+                            runs.append(
+                                (lo, min(bdepth, n_nav - lo))
+                            )
+                        window = None
+                    else:
+                        lo, hi = int(bounds[d]), int(bounds[d + 1])
+                        window = (lo, hi - lo)
+                        runs = None
                     prep["meta"]._valid_nav_mask = merged.copy()
                     try:
-                        host_runner.merge_partition(
-                            host_global, host_parts[d], lo, hi - lo
-                        )
+                        if runs is not None:
+                            host_runner.merge_partition(
+                                host_global, host_parts[d],
+                                runs=runs,
+                            )
+                        else:
+                            host_runner.merge_partition(
+                                host_global, host_parts[d],
+                                window[0], window[1],
+                            )
                     finally:
                         prep["meta"]._valid_nav_mask = None
-                    merged[lo:hi] = damage_host[lo:hi]
+                    if runs is not None:
+                        for lo, n in runs:
+                            merged[lo:lo + n] = (
+                                damage_host[lo:lo + n]
+                            )
+                    else:
+                        lo, n = window
+                        merged[lo:lo + n] = damage_host[lo:lo + n]
             # postprocess cadence: once per shard, on that shard's
             # instance (see preprocess); clones are cleaned up right
             # after (per-task lifecycle) — the REAL instances (shard
@@ -3267,10 +3371,28 @@ class UDFRunner:
                 full = np.zeros(
                     (n_nav + depth,) + arr.shape[2:], arr.dtype
                 )
-                for d in range(arr.shape[0]):
-                    full[bounds[d]:bounds[d + 1]] = arr[d][
-                        :int(bounds[d + 1] - bounds[d])
-                    ]
+                bc = prep.get("block_cyclic")
+                if bc is not None:
+                    # block-cyclic (live) layout: device d's local
+                    # row (s, k) holds compressed position
+                    # s*n_dev*depth + d*depth + k — de-interleave by
+                    # a (dev, step, depth) -> (step, dev, depth)
+                    # transpose
+                    bdepth, n_steps = bc
+                    n_dev = arr.shape[0]
+                    inter = arr[:, :n_steps * bdepth].reshape(
+                        (n_dev, n_steps, bdepth) + arr.shape[2:]
+                    ).transpose(
+                        (1, 0, 2) + tuple(range(3, arr.ndim + 1))
+                    ).reshape(
+                        (n_dev * n_steps * bdepth,) + arr.shape[2:]
+                    )
+                    full[:n_nav] = inter[:n_nav]
+                else:
+                    for d in range(arr.shape[0]):
+                        full[bounds[d]:bounds[d + 1]] = arr[d][
+                            :int(bounds[d + 1] - bounds[d])
+                        ]
                 bufs[name] = full
             if entry.part_names:
                 # both call sites always pass fold, so folded is set

@@ -401,13 +401,26 @@ class HostUDFRunner:
         return out
 
     def merge_partition(self, global_bufs, part_bufs,
-                        goff0=None, n_sel=None, init_rows=None):
+                        goff0=None, n_sel=None, init_rows=None,
+                        runs=None):
+        """Fold one partition/shard's buffers into the global state.
+
+        ``runs`` (block-cyclic live-on-mesh shards): a list of
+        (goff, n) windows the shard owns instead of one contiguous
+        [goff0, goff0+n_sel) window — custom merges see the
+        CONCATENATION of the runs' nav rows as src, and dest is
+        written back per run.  sig/single part buffers merge exactly
+        once either way.
+        """
         from .base import UDFData, UDFParams
+        if runs is not None:
+            assert goff0 is None and init_rows is None
+        have_nav_window = goff0 is not None or runs is not None
         for ei, entry in enumerate(self.entries):
             udf = entry.udf
             custom = udf._has_custom_merge()
             if not entry.part_names and not (
-                custom and entry.nav_names and goff0 is not None
+                custom and entry.nav_names and have_nav_window
             ):
                 continue
             udf._host_mode = True
@@ -421,7 +434,18 @@ class HostUDFRunner:
                     for n in entry.part_names
                 }
                 nav_rows = {}
-                if custom and goff0 is not None:
+                if custom and runs is not None:
+                    # block-cyclic shard: src nav rows are the
+                    # concatenation of the shard's runs; dest starts
+                    # zeroed and is written back per run
+                    for n in entry.nav_names:
+                        src_d[n] = np.concatenate([
+                            global_bufs[ei][n][lo:lo + cnt]
+                            for lo, cnt in runs
+                        ])
+                        dest_d[n] = np.zeros_like(src_d[n])
+                        nav_rows[n] = None  # written back below
+                elif custom and goff0 is not None:
                     # reference semantics: a CUSTOM merge receives the
                     # nav buffers too — dest is the main-node buffer
                     # window in its pre-merge state (allocation +
@@ -449,22 +473,44 @@ class HostUDFRunner:
                 dest = UDFData(dest_d)
                 src = UDFData(src_d)
                 aux_all = self.prep.get("aux")
-                if goff0 is not None and aux_all is not None:
+                if aux_all is not None and (
+                    goff0 is not None or runs is not None
+                ):
                     # merge sees the partition's aux rows like the
                     # process functions do (reference: views are set
                     # for the partition around merge,
                     # test_dynamic_parameter_aux_data)
-                    aux_views = {
-                        k: np.asarray(arr[goff0:goff0 + n_sel])
-                        for k, arr in aux_all[ei].items()
-                    }
+                    if runs is not None:
+                        aux_views = {
+                            k: np.concatenate([
+                                np.asarray(arr[lo:lo + cnt])
+                                for lo, cnt in runs
+                            ])
+                            for k, arr in aux_all[ei].items()
+                        }
+                    else:
+                        aux_views = {
+                            k: np.asarray(arr[goff0:goff0 + n_sel])
+                            for k, arr in aux_all[ei].items()
+                        }
                     udf.params = UDFParams(udf._kwargs, aux_views)
                 udf.merge(dest, src)
                 for n in entry.part_names:
                     if n in dest._touched:
                         global_bufs[ei][n][...] = dest._get(n)
                 for n, rows in nav_rows.items():
-                    rows[...] = dest._get(n)
+                    merged_rows = dest._get(n)
+                    if rows is None:
+                        # scatter the concatenated result back into
+                        # the shard's runs
+                        off = 0
+                        for lo, cnt in runs:
+                            global_bufs[ei][n][lo:lo + cnt] = (
+                                merged_rows[off:off + cnt]
+                            )
+                            off += cnt
+                    else:
+                        rows[...] = merged_rows
             finally:
                 udf._host_mode = False
                 udf.params = UDFParams(udf._kwargs)
