@@ -147,6 +147,19 @@ def device_zeros_safe(shape, dtype, device=None):
     import numpy as np
 
     dt = np.dtype(dtype)
+    if not jax.config.jax_enable_x64:
+        # clamp 64-bit requests up front: JAX would truncate anyway
+        # (with a UserWarning per allocation) — declared-wide result
+        # buffers hold the 32-bit COMPUTE dtype on device and the
+        # wrap casts up on host (udf/base.py buffer wrap)
+        if dt == np.float64:
+            dt = np.dtype(np.float32)
+        elif dt == np.complex128:
+            dt = np.dtype(np.complex64)
+        elif dt == np.int64:
+            dt = np.dtype(np.int32)
+        elif dt == np.uint64:
+            dt = np.dtype(np.uint32)
     if dt.kind != "c":
         return jax.device_put(jnp.zeros(shape, dtype=dt), device)
     f = jnp.float32 if dt == np.complex64 else jnp.float64

@@ -44,9 +44,11 @@ def _matmul_precision():
     (~1e-4 rel err, ~60% faster end-to-end).  Env:
     LIBERTEM_TPU_MATMUL_PRECISION=highest|default.
 
-    Read at TRACE time: set it before the process's first run —
-    flipping it mid-process does not invalidate already-compiled
-    executables (jit caches key on the traced precision)."""
+    Latched ONCE PER RUN: ``UDFRunner._prepare`` reads it at run
+    setup (udf/base.py ``matmul_precision`` prep entry), so a flip
+    takes effect at the NEXT run — never mid-run via a stale cached
+    executable (tests/test_moments.py
+    test_precision_env_flips_between_runs pins this contract)."""
     import os
     v = os.environ.get(
         "LIBERTEM_TPU_MATMUL_PRECISION", "highest"
@@ -78,13 +80,16 @@ def _pick_row_tile(
 _SUBLANE = {1: 32, 2: 16, 4: 8, 8: 8}
 
 
-def _cast_f32(x):
-    """VMEM cast to f32; Mosaic lacks direct small-uint -> f32."""
+def _cast_f32(x, via_i32=False):
+    """VMEM cast to f32; Mosaic lacks direct small-uint -> f32.
+    ``via_i32`` additionally routes 4-byte ints through i32 — exact
+    for value-certified blocks (|x| <= 65536), and the path Mosaic
+    reliably lowers for u32."""
     if x.dtype == jnp.float32:
         return x
-    if np.dtype(x.dtype).kind in "ui" and np.dtype(
-        x.dtype
-    ).itemsize < 4:
+    k = np.dtype(x.dtype).kind
+    sz = np.dtype(x.dtype).itemsize
+    if k in "ui" and (sz < 4 or via_i32):
         return x.astype(jnp.int32).astype(jnp.float32)
     return x.astype(jnp.float32)
 
@@ -111,12 +116,16 @@ def _fused_moments_pallas(
 
     ``data_terms`` (split path only) overrides the dtype-derived
     bf16 term count with a VALUE-derived one: the caller certifies
-    every element of ``x`` is exactly representable in that many
-    round-trip bf16 terms (1 term: integers with |x| <= 256 — bf16
-    carries 8 significand bits).  The host feed probes each block's
-    min/max (UDFRunner._block_data_terms), so u16 counting-detector
-    data with small counts runs ONE MXU pass per tile instead of
-    two, bit-identical results."""
+    every element of ``x`` is an INTEGER exactly representable in
+    that many round-trip bf16 terms (1 term: |x| <= 256 — bf16
+    carries 8 significand bits; 2 terms: |x| <= 65536 — the
+    round-trip residual of such an integer is itself an integer
+    <= 256, hence bf16-exact).  The host feed probes each block
+    (UDFRunner._block_data_terms): u16 counting-detector data with
+    small counts runs ONE MXU pass per tile instead of two, and f32
+    / 32-bit-int storage holding integer counts — post-processed
+    counting data, the reference's corrected-data common case —
+    drops from three passes to one or two.  Bit-identical results."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,24 +154,31 @@ def _fused_moments_pallas(
     if nterms is None:
         if kind in "ui" and itemsize == 1:
             nterms = 1
-        elif kind in "ui":
+        elif kind in "ui" and itemsize == 2:
             nterms = 2
         else:
+            # f32 (three-term bf16 decomposition, ~2^-24 residual)
+            # and 32-bit ints (cast to f32 first — same grade as the
+            # XLA fallback, which also computes in f32)
             nterms = 3
     # one-term INTEGER data (u8 by dtype, or value-certified
-    # |x| <= 256) has exact f32 squares (x^2 <= 65536, an exact
-    # integer) and an exact per-tile raw second moment
-    # (sum <= td * 2^16 < 2^24 for td <= 256): the variance can use
-    # sum(x^2) - n*mean^2 per tile — dropping the centered subtract
-    # (1 VPU op/element), the row-validity iota/compare/mask AND the
-    # lax.cond (padded zero rows contribute exactly 0 to both S2 and
-    # colsum, so no masking is needed at all).  Cross-tile Chan
-    # combination is unchanged, so there is no global raw-moment
-    # cancellation — only the per-tile n*mean^2 rounding (~ulp(S2)
-    # per tile, zero for constant data since mean is then exact).
+    # |x| <= 256 in ANY storage dtype) has exact f32 squares
+    # (x^2 <= 65536, an exact integer) and an exact per-tile raw
+    # second moment (sum <= td * 2^16 < 2^24 for td <= 256): the
+    # variance can use sum(x^2) - n*mean^2 per tile — dropping the
+    # centered subtract (1 VPU op/element), the row-validity
+    # iota/compare/mask AND the lax.cond (padded zero rows contribute
+    # exactly 0 to both S2 and colsum, so no masking is needed at
+    # all).  Cross-tile Chan combination is unchanged, so there is no
+    # global raw-moment cancellation — only the per-tile n*mean^2
+    # rounding (~ulp(S2) per tile, zero for constant data since mean
+    # is then exact).  data_terms certifies INTEGER values (see
+    # docstring), so the certificate alone justifies the raw form.
     raw_sq = raw_moment_var
     if raw_sq is None:
-        raw_sq = nterms == 1 and kind in "ui" and td <= 256
+        raw_sq = td <= 256 and (
+            (nterms == 1 and kind in "ui") or data_terms == 1
+        )
 
     def kernel(valid_ref, x_ref, masks_ref, y_ref, colsum_ref,
                colvar_ref):

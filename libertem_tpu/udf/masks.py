@@ -412,15 +412,26 @@ class ApplyMasksUDF(UDF):
         )
 
     def _wants_64bit(self) -> bool:
-        """A 64-bit EFFECTIVE compute dtype is a precision demand:
-        the reference computes the projection at
-        result_type(mask_dtype, result_type(preferred_input, dataset))
-        (udf/masks.py:311 + base.py:1495) — e.g. complex64 masks over
-        a float64 dataset accumulate in complex128, which is what lets
-        its radialfourier test_symmetries cancel symmetric disks to
-        atol=1e-6.  TPU f64 is emulated, so those runs execute on the
-        host engine with real numpy f64/c128 accumulation instead
-        (reference numerics contract, test_numerics_succeed)."""
+        """Only an EXPLICIT 64-bit request is a precision demand:
+
+        * ``mask_dtype=`` / ``dtype=`` kwarg of f64/c128, or
+        * a 64-bit dataset dtype — the data itself carries more than
+          f32 precision (e.g. radialfourier's test_symmetries feeds a
+          float64 dataset whose complex accumulation must cancel
+          symmetric disks to atol=1e-6; the reference computes at
+          result_type(mask_dtype, result_type(preferred_input,
+          dataset)), udf/masks.py:311 + base.py:1495).
+
+        TPU f64 is emulated, so those runs execute on the host engine
+        with real numpy f64/c128 accumulation (reference numerics
+        contract, test_numerics_succeed).  Implicit factory-output
+        float64 — numpy's DEFAULT dtype, what most mask factories
+        return — is NOT a precision demand: template/geometry mask
+        values are f32-exact, and reading the implicit dtype as a
+        demand silently evicted whole runs from the fused/compacted
+        MXU path to the single-threaded host engine (round-4
+        regression).  Those operands are cast to f32 on the device
+        path (``_operand_dtype``)."""
         for k in ("mask_dtype", "dtype"):
             v = self._kwargs.get(k)
             if v is None:
@@ -432,11 +443,10 @@ class ApplyMasksUDF(UDF):
                 return True
         meta = getattr(self, "meta", None)
         if meta is not None and meta.dataset_dtype is not None:
-            eff = self._container.dtype_for(np.result_type(
-                self.get_preferred_input_dtype(),
-                meta.dataset_dtype,
-            ))
-            if eff.itemsize >= (16 if eff.kind == "c" else 8):
+            ds = np.dtype(meta.dataset_dtype)
+            if (ds.kind == "f" and ds.itemsize >= 8) or (
+                ds.kind == "c" and ds.itemsize >= 16
+            ):
                 return True
         return False
 

@@ -163,6 +163,87 @@ def test_compacted_generic_path_with_pydata_style_masks(lt_ctx):
     )
 
 
+def test_implicit_f64_masks_stay_on_device(lt_ctx):
+    """Implicit float64 factory output — numpy's DEFAULT dtype — is
+    NOT a precision demand: the run stays on the fused/compacted
+    device path with f32 operands (round-4 regression pin: reading
+    the implicit dtype as a demand silently evicted whole runs to
+    the single-threaded host engine).  Reference dtype algebra:
+    udf/masks.py:311 — but the device-residency decision is this
+    framework's own."""
+    h = w = 64
+    data = _mk_random((3, 4, h, w), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=2
+    ).initialize()
+
+    def f64_factory():
+        # np.ones defaults to float64 — the common user factory
+        return np.ones((h, w)) * 0.5
+
+    udf = ApplyMasksUDF(mask_factories=[f64_factory])
+    runner = UDFRunner([udf])
+    prep = runner._prepare(ds, None, None, None)
+    assert udf.get_backends() == (udf.BACKEND_JAX,)
+    assert prep["fused"] is not None, (
+        "implicit-f64 masks must not evict the fused device path"
+    )
+    res = runner.run_for_dataset(ds)
+    got = np.asarray(res.buffers[0]["intensity"].data).reshape(-1)
+    expected = data.reshape(-1, h * w).astype(np.float64).sum(1) * 0.5
+    assert np.allclose(got, expected, rtol=1e-4)
+    # the repo's own sparse factory builds f64 too — the compacted
+    # MXU path must trigger for it (the round-4 failure mode)
+    def sparse_factory():
+        return mask_lib.sparse_template_multi_stack(
+            mask_index=np.arange(4),
+            offsetY=np.full(4, 28), offsetX=np.arange(4) * 8 + 10,
+            template=np.ones((5, 5)),  # implicit float64
+            imageSizeY=h, imageSizeX=w,
+        )
+    udf2 = ApplyMasksUDF(mask_factories=sparse_factory, mask_count=4)
+    prep2 = UDFRunner([udf2])._prepare(ds, None, None, None)
+    assert prep2["fused"] is not None
+    assert prep2["fused"]["compaction"] is not None
+
+
+def test_explicit_64bit_routes_host(lt_ctx):
+    """An EXPLICIT 64-bit request — mask_dtype=/dtype= kwarg or a
+    64-bit dataset dtype — is a precision demand and routes to the
+    host engine with real numpy f64 accumulation (reference numerics
+    contract, test_numerics_succeed)."""
+    h = w = 32
+    data = _mk_random((2, 3, h, w), dtype="float32")
+    ds = MemoryDataSet(
+        data=data, sig_dims=2, num_partitions=1
+    ).initialize()
+
+    def factory():
+        return np.ones((h, w))
+
+    # explicit mask_dtype=np.float64 -> host (no meta needed: the
+    # kwarg check is static)
+    udf = ApplyMasksUDF(mask_factories=[factory],
+                        mask_dtype=np.float64)
+    assert udf.get_backends() == (udf.BACKEND_NUMPY,)
+    # explicit preferred dtype=np.float64 -> host
+    udf = ApplyMasksUDF(mask_factories=[factory], dtype=np.float64)
+    assert udf.get_backends() == (udf.BACKEND_NUMPY,)
+    # float64 DATASET -> host (the data itself carries >f32 precision)
+    ds64 = MemoryDataSet(
+        data=data.astype(np.float64), sig_dims=2, num_partitions=1
+    ).initialize()
+    udf = ApplyMasksUDF(mask_factories=[factory])
+    runner = UDFRunner([udf])
+    runner._prepare(ds64, None, None, None)
+    assert udf.get_backends() == (udf.BACKEND_NUMPY,)
+    res = runner.run_for_dataset(ds64)
+    got = np.asarray(res.buffers[0]["intensity"].data).reshape(-1)
+    expected = data.reshape(-1, h * w).astype(np.float64).sum(1)
+    assert got.dtype == np.float64
+    assert np.allclose(got, expected, rtol=1e-12)
+
+
 def test_apply_masks_bf16_optin(lt_ctx):
     """use_bf16=True: matmul inputs in bfloat16, f32 accumulation —
     results within the documented ~0.4% precision contract."""
