@@ -94,6 +94,37 @@ def _cast_f32(x, via_i32=False):
     return x.astype(jnp.float32)
 
 
+def _split_mask_terms(masks_t):
+    """Decompose an f32 mask stack into THREE exactly-bf16-valued
+    f32 terms covering all 24 significand bits (m = m0 + m1 + m2).
+
+    FOLD-PROOF by construction: the backend compiles with
+    --xla_allow_excess_precision=true, which lets XLA fold a
+    convert(convert(m, bf16), f32) round-trip into the IDENTITY —
+    the original round-trip formulation silently degenerated the
+    decomposition to [m, 0, 0] on hardware (round-5 finding;
+    measured: the jitted residual was exactly zero on the axon
+    backend.  Mosaic inside the Pallas kernel does NOT fold, which
+    is why the data-side terms were unaffected).  Integer
+    bit-masking cannot be folded: zeroing the low 16 bits of the
+    f32 encoding IS the bf16 truncation (bf16 = the top 16 bits of
+    f32), each term is bf16-representable BY VALUE (m0, m1 keep 8
+    significand bits; the final residual holds the remaining <= 8
+    after normalization), and both subtractions are Sterbenz-exact
+    (|m0| <= |m| <= |m0|*(1 + 2^-7), same sign)."""
+
+    def trunc_bf16(v):
+        bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32
+        )
+
+    m0 = trunc_bf16(masks_t)
+    rm = masks_t - m0
+    m1 = trunc_bf16(rm)
+    return m0, m1, rm - m1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -135,9 +166,19 @@ def _fused_moments_pallas(
     import os
     # split default 6 MB -> td=64 at the headline 128x128 sig (best
     # in the round-3 hardware sweep, benchmarks/bench_split_tile.py;
-    # fits scoped VMEM now that the mask decomposition is hoisted)
+    # fits scoped VMEM now that the mask decomposition is hoisted).
+    # 4-byte split inputs (f32 / certified i32-u32) carry a 2x-wider
+    # input tile PLUS up to three f32 term copies: td=64 overflows
+    # the 16M scoped-VMEM limit at the headline sig (measured 18.67M
+    # for the 2-term f32 path; the dtype-derived 3-term f32 path
+    # failed compile the same way) -> 2 MB model budget lands td=32,
+    # ~12M worst case
+    if split_matmul:
+        default_mb = "2" if itemsize == 4 else "6"
+    else:
+        default_mb = "10"
     budget_mb = int(os.environ.get(
-        "LIBERTEM_TPU_MOMENTS_TILE_MB", "6" if split_matmul else "10"
+        "LIBERTEM_TPU_MOMENTS_TILE_MB", default_mb
     ))
     td = _pick_row_tile(
         depth, pixels, max(4, itemsize),
@@ -186,8 +227,13 @@ def _fused_moments_pallas(
         valid = valid_ref[0]
         # padding rows are zero on entry (host zero-pads; corrections
         # re-zero) — matmul and colsum need no masking, only the
-        # variance's centered term does
-        xt = _cast_f32(x_ref[:])  # (td, P)
+        # variance's centered term does.  Value-certified 4-byte int
+        # blocks (|x| <= 65536) cast via i32 — exact, and the path
+        # Mosaic reliably lowers for u32.
+        xt = _cast_f32(
+            x_ref[:],
+            via_i32=(itemsize == 4 and data_terms is not None),
+        )  # (td, P)
 
         # ---- mask projections (MXU), contracting over lanes ----
         if split_matmul:
@@ -231,6 +277,13 @@ def _fused_moments_pallas(
                     preferred_element_type=jnp.float32,
                 )
 
+            # data-side round-trips NEED round-to-nearest (truncation
+            # would leave 9-bit residuals for 16-bit integers) and
+            # live INSIDE the kernel: Mosaic lowers the convert pair
+            # natively and does not fold it under
+            # --xla_allow_excess_precision (measured on hardware,
+            # round 5) — unlike XLA, which does (see
+            # _split_mask_terms for the mask-side fix)
             if nterms == 1:
                 terms = [xt]
             else:
@@ -361,14 +414,14 @@ def _fused_moments_pallas(
             colsum_ref[:] = colsum_ref[:] + local_sum
 
     if split_matmul:
-        # hoisted mask decomposition (see the kernel comment): three
-        # exactly-bf16-valued f32 terms, computed ONCE at XLA level
-        # (loop-invariant, ~5 KB/mask) instead of per grid step on
-        # the kernel's VPU-bound critical path
-        m0 = masks_t.astype(jnp.bfloat16).astype(jnp.float32)
-        rm = masks_t - m0
-        m1 = rm.astype(jnp.bfloat16).astype(jnp.float32)
-        mask_op = jnp.concatenate([m0, m1, rm - m1], axis=0)
+        # hoisted mask decomposition (see the kernel comment and
+        # _split_mask_terms): three exactly-bf16-valued f32 terms,
+        # computed ONCE at XLA level (loop-invariant, ~5 KB/mask)
+        # instead of per grid step on the kernel's VPU-bound
+        # critical path
+        mask_op = jnp.concatenate(
+            _split_mask_terms(masks_t), axis=0
+        )
     else:
         mask_op = masks_t
     out_shapes = (
@@ -604,15 +657,24 @@ def fused_moments(
         and backend in ("tpu", "axon")
         and _pallas_eligible(x, masks_t)
     )
+    # a host-feed value certificate makes ANY storage dtype split-
+    # eligible: the certified term count bounds |x| <= 65536, so the
+    # bf16 round-trip decomposition is exact regardless of how wide
+    # the container is (i32/u32 counting data in wide storage)
+    certified = data_terms is not None
     use_pallas = USE_PALLAS
     if use_pallas is None:
         # auto: Pallas wins outright at native matmul precision; at
         # the default full-f32 precision the VMEM split-matmul
         # kernel (f32-grade products from native bf16 MXU passes)
         # beats XLA's multi-pass Precision.HIGHEST scheduling
-        use_pallas = precision is None or _splittable(x)
+        use_pallas = (
+            precision is None or _splittable(x) or certified
+        )
     if eligible and use_pallas:
-        split = precision is not None and _splittable(x)
+        split = precision is not None and (
+            _splittable(x) or certified
+        )
         return _fused_moments_pallas(
             x, masks_t, jnp.asarray(valid_count),
             compute_var=compute_var,

@@ -2021,18 +2021,27 @@ class UDFRunner:
     @staticmethod
     def _block_data_terms(prep, payload) -> Optional[int]:
         """Probe a host-side block for the split-matmul value-range
-        certificate (``ops.moments`` ``data_terms``): integer blocks
-        whose values all sit in [-256, 256] are exactly bf16-
-        representable, so the VMEM split kernel's residual term is
-        identically zero and ONE native MXU pass reproduces the
-        f32-exact products — the common case for u16 counting-
-        detector data (small electron counts in wide storage).
+        certificate (``ops.moments`` ``data_terms``): blocks whose
+        values are all INTEGERS in [-256, 256] are exactly bf16-
+        representable (1 term), and integers in [-65536, 65536]
+        split into two exactly-bf16 round-trip terms (the residual
+        of such an integer is itself an integer <= 256).  The VMEM
+        split kernel then runs that many MXU passes per tile instead
+        of the dtype-derived count, bit-identical results:
+
+        * u16/i16 counting-detector data with small counts: 2 -> 1
+          pass (the original certificate);
+        * f32 / 32-bit-int storage holding integer counts — post-
+          corrected counting data, the reference's common case
+          (docs/performance.md) — 3 -> 1 or 2 passes.  f32 blocks
+          additionally verify element-wise integrality via an exact
+          i32 round-trip (cheap early-out on the min/max first).
 
         Runs in the prefetch/assembly thread, overlapped with device
-        compute; the min/max scan is a SIMD reduce at host memory
-        bandwidth, far cheaper than the read+assembly copy the feed
-        already performs.  Returns None (no specialization) unless
-        the fused split path is active for this run.
+        compute; the probe is a SIMD scan at host memory bandwidth,
+        far cheaper than the read+assembly copy the feed already
+        performs.  Returns None (no specialization) unless the fused
+        split path is active for this run.
         """
         if (
             prep.get("fused") is None
@@ -2041,13 +2050,38 @@ class UDFRunner:
         ):
             return None
         dt = payload.dtype
-        if dt.kind not in "iu" or dt.itemsize != 2 or payload.size == 0:
+        if payload.size == 0:
             return None
-        if int(payload.max()) > 256:
-            return None
-        if dt.kind == "i" and int(payload.min()) < -256:
-            return None
-        return 1
+        kind = dt.kind
+        if kind in "iu" and dt.itemsize == 2:
+            if int(payload.max()) > 256:
+                return None
+            if kind == "i" and int(payload.min()) < -256:
+                return None
+            return 1
+        if kind in "iu" and dt.itemsize == 4:
+            mx = int(payload.max())
+            mn = int(payload.min()) if kind == "i" else 0
+            if mn < -65536 or mx > 65536:
+                return None
+            return 1 if (-256 <= mn and mx <= 256) else 2
+        if kind == "f" and dt.itemsize == 4:
+            mx = payload.max()
+            mn = payload.min()
+            # range check first (also rejects NaN/inf), then the
+            # cheap endpoint-integrality early-out before the full
+            # element-wise round-trip
+            if not (mn >= -65536.0 and mx <= 65536.0):
+                return None
+            if mn != np.floor(mn) or mx != np.floor(mx):
+                return None
+            ivals = payload.astype(np.int32)
+            if not np.array_equal(
+                ivals.astype(np.float32), payload
+            ):
+                return None
+            return 1 if (mn >= -256.0 and mx <= 256.0) else 2
+        return None
 
     def _run_udf_on_tile(
         self, entry, tile, scheme_idx, sig_slice, meta,

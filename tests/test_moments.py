@@ -279,8 +279,10 @@ def test_raw_moment_var_multi_tile_boundary(monkeypatch):
 
 
 def test_block_data_terms_probe():
-    """Host-feed value probe: certifies 1 term only for narrow-valued
-    16-bit integer blocks on the active fused split path."""
+    """Host-feed value probe: 16-bit integer blocks with |x| <= 256
+    certify 1 term; 32-bit integer / integer-valued f32 blocks (the
+    post-corrected counting-data case) certify 1 or 2 terms by value
+    range, on the active fused split path only."""
     from libertem_tpu.udf.base import UDFRunner
 
     prep = {
@@ -291,20 +293,186 @@ def test_block_data_terms_probe():
     big_u16 = np.full((4, 8), 257, np.uint16)
     small_i16 = np.full((4, 8), -200, np.int16)
     deep_i16 = np.full((4, 8), -300, np.int16)
-    f32 = np.full((4, 8), 1.5, np.float32)
     u8 = np.full((4, 8), 5, np.uint8)
     t = UDFRunner._block_data_terms
     assert t(prep, small_u16) == 1
     assert t(prep, big_u16) is None
     assert t(prep, small_i16) == 1
     assert t(prep, deep_i16) is None
-    assert t(prep, f32) is None      # cannot certify cheaply
     assert t(prep, u8) is None       # already one term by dtype
+    # 32-bit integers: 1 term <= 256, 2 terms <= 65536, else None
+    assert t(prep, np.full((4, 8), 200, np.int32)) == 1
+    assert t(prep, np.full((4, 8), -200, np.int32)) == 1
+    assert t(prep, np.full((4, 8), 60000, np.uint32)) == 2
+    assert t(prep, np.full((4, 8), -60000, np.int32)) == 2
+    assert t(prep, np.full((4, 8), 65536, np.int32)) == 2
+    assert t(prep, np.full((4, 8), 65537, np.uint32)) is None
+    # f32 holding exact integers — corrected counting data
+    assert t(prep, np.full((4, 8), 200.0, np.float32)) == 1
+    assert t(prep, np.full((4, 8), 60000.0, np.float32)) == 2
+    f = np.full((4, 8), 200.0, np.float32)
+    f[0, 0] = 1.5                    # one non-integer defeats it
+    assert t(prep, f) is None
+    f = np.full((4, 8), 200.0, np.float32)
+    f[1, 1] = np.nan                 # NaN rejected by range check
+    assert t(prep, f) is None
+    f[1, 1] = np.inf
+    assert t(prep, f) is None
+    assert t(prep, np.full((4, 8), 70000.0, np.float32)) is None
+    # endpoint-integrality early-out: integer min/max but fractional
+    # interior must still be rejected by the element-wise round-trip
+    f = np.full((4, 8), 100.0, np.float32)
+    f[0, 0], f[3, 7] = 0.0, 256.0
+    f[2, 3] = 0.25
+    assert t(prep, f) is None
     # gates: corrections change values on device; native precision
     # runs single-pass anyway; non-fused path has no split kernel
     assert t({**prep, "corr_plan": object()}, small_u16) is None
     assert t({**prep, "matmul_precision": None}, small_u16) is None
     assert t({**prep, "fused": None}, small_u16) is None
+
+
+def test_split_matmul_f32_certified_bit_identical():
+    """f32 storage holding integer counts: the value certificate
+    drops the three-term dtype-derived decomposition to 2 (|x| <=
+    65536) or 1 (|x| <= 256) MXU passes with BIT-IDENTICAL
+    projections and colsum — the dropped residual terms are exactly
+    zero for such values."""
+    rng = np.random.default_rng(31)
+    depth, n_pix, M = 64, 512, 4
+    base = rng.poisson(900.0, (depth, n_pix))
+    x = base.astype(np.float32)      # integers to ~1100 in f32
+    assert float(x.max()) <= 65536
+    masks = rng.normal(0, 1, (M, n_pix)).astype(np.float32)
+    valid = jnp.int32(depth - 5)
+    x[depth - 5:] = 0
+    out3 = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    out2 = _fused_moments_pallas(
+        jnp.asarray(x), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True, data_terms=2,
+    )
+    assert np.array_equal(np.asarray(out2[0]), np.asarray(out3[0]))
+    assert np.array_equal(np.asarray(out2[1]), np.asarray(out3[1]))
+    assert np.array_equal(np.asarray(out2[2]), np.asarray(out3[2]))
+    # f64 oracle on the projections
+    exp = x.astype(np.float64) @ masks.astype(np.float64).T
+    assert np.allclose(np.asarray(out2[0], np.float64), exp,
+                       rtol=1e-6, atol=1e-3)
+    # small integer values: one pass, raw-moment variance engages
+    xs = np.minimum(base, 256).astype(np.float32)
+    xs[depth - 5:] = 0
+    o3 = _fused_moments_pallas(
+        jnp.asarray(xs), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True,
+    )
+    o1 = _fused_moments_pallas(
+        jnp.asarray(xs), jnp.asarray(masks), valid,
+        interpret=True, split_matmul=True, data_terms=1,
+    )
+    assert np.array_equal(np.asarray(o1[0]), np.asarray(o3[0]))
+    assert np.array_equal(np.asarray(o1[1]), np.asarray(o3[1]))
+    xv = xs[:depth - 5].astype(np.float64)
+    ref_var = ((xv - xv.mean(axis=0)) ** 2).sum(axis=0)
+    assert np.allclose(np.asarray(o1[2], np.float64), ref_var,
+                       rtol=1e-5, atol=1e-2)
+
+
+def test_split_matmul_i32_certified():
+    """Certified 32-bit integer storage takes the split path (cast
+    via i32 in VMEM — exact for |x| <= 65536) and matches a float64
+    oracle at f32 grade."""
+    rng = np.random.default_rng(33)
+    depth, n_pix, M = 32, 256, 3
+    masks = rng.normal(0, 1, (M, n_pix)).astype(np.float32)
+    for dt, terms in ((np.int32, 2), (np.uint32, 2),
+                      (np.int32, 1), (np.uint32, 1)):
+        hi = 256 if terms == 1 else 60000
+        x = rng.integers(0, hi, (depth, n_pix)).astype(dt)
+        if np.dtype(dt).kind == "i":
+            x[1] = -x[1]
+        out = _fused_moments_pallas(
+            jnp.asarray(x), jnp.asarray(masks), jnp.int32(depth),
+            interpret=True, split_matmul=True, data_terms=terms,
+        )
+        exp = x.astype(np.float64) @ masks.astype(np.float64).T
+        rel = np.abs(np.asarray(out[0], np.float64) - exp) / (
+            np.maximum(np.abs(exp), 1.0)
+        )
+        assert rel.max() < 1e-5, (dt, rel.max())
+        assert np.allclose(
+            np.asarray(out[1], np.float64),
+            x.astype(np.float64).sum(axis=0), rtol=1e-6,
+        )
+
+
+def test_split_mask_terms_fold_proof():
+    """The hoisted mask decomposition must survive XLA optimization
+    UNDER JIT: with --xla_allow_excess_precision=true XLA folds a
+    bf16 convert round-trip into the identity, which silently
+    degenerated the split to [m, 0, 0] on hardware (round-5 fix:
+    integer bit-masking, which cannot fold).  Each term must be
+    exactly bf16-representable BY VALUE and the three must
+    reconstruct m exactly."""
+    from libertem_tpu.ops.moments import _split_mask_terms
+
+    rng = np.random.default_rng(41)
+    m = rng.normal(0, 1, (4, 256)).astype(np.float32)
+    m0, m1, m2 = [
+        np.asarray(t) for t in jax.jit(_split_mask_terms)(
+            jnp.asarray(m)
+        )
+    ]
+    # exact reconstruction
+    assert np.array_equal(m0 + m1 + m2, m)
+    # genuine decomposition — a folded round-trip gives m1 == 0
+    assert np.count_nonzero(m1) > m.size * 0.9
+    assert np.count_nonzero(m2) > m.size * 0.5
+    # every term bf16-representable by VALUE (numpy round-trip is
+    # ground truth — no XLA involved)
+    import ml_dtypes
+    for t in (m0, m1, m2):
+        rt = t.astype(ml_dtypes.bfloat16).astype(np.float32)
+        assert np.array_equal(rt, t)
+
+
+def test_fused_dispatch_certified_routes_split(monkeypatch):
+    """Dispatch contract: a value certificate makes ANY storage
+    dtype split-eligible — i32 blocks (not _splittable) route to the
+    Pallas split kernel when certified, and to XLA when not."""
+    import libertem_tpu.ops.moments as moments
+
+    calls = []
+
+    def fake_pallas(x, m, v, **kw):
+        calls.append(kw)
+        return moments._fused_moments_xla(
+            x, m, v, kw.get("compute_var", True), precision=None
+        )
+
+    monkeypatch.setattr(
+        moments, "_fused_moments_pallas", fake_pallas
+    )
+    monkeypatch.setattr(
+        moments.jax, "default_backend", lambda: "tpu"
+    )
+    x = np.ones((64, 256), np.int32)
+    masks = np.ones((2, 256), np.float32)
+    valid = jnp.int32(64)
+    moments.fused_moments(
+        x, masks, valid, precision=jax.lax.Precision.HIGHEST,
+        data_terms=2,
+    )
+    assert calls and calls[-1]["split_matmul"] is True
+    assert calls[-1]["data_terms"] == 2
+    calls.clear()
+    # uncertified i32 at HIGHEST: not splittable -> XLA fallback
+    moments.fused_moments(
+        x, masks, valid, precision=jax.lax.Precision.HIGHEST,
+    )
+    assert calls == []
 
 
 def test_engine_value_specialized_run(lt_ctx):
