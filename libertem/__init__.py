@@ -46,11 +46,37 @@ _EXPLICIT = {
     "libertem.executor.pipelined": "libertem_tpu.executor.compat",
     "libertem.executor.concurrent": "libertem_tpu.executor.compat",
     "libertem.executor.integration": "libertem_tpu.executor.compat",
+    # reference io/writers/results is a package; ours is one module
+    "libertem.io.writers.results": "libertem_tpu.io.writers",
+    "libertem.io.writers.results.base": "libertem_tpu.io.writers",
+    "libertem.io.writers.results.formats":
+        "libertem_tpu.io.writers",
+    # reference web/notebook_generator is a package
+    "libertem.web.notebook_generator":
+        "libertem_tpu.web.notebook_generator",
+    "libertem.web.notebook_generator.notebook_generator":
+        "libertem_tpu.web.notebook_generator",
+    "libertem.web.notebook_generator.copy":
+        "libertem_tpu.web.notebook_generator",
+    # reference web/events.py names
+    "libertem.web.events": "libertem_tpu.web.server",
+    "libertem.web.connect": "libertem_tpu.web.server",
+    "libertem.web.config": "libertem_tpu.web.server",
+    "libertem.web.jobs": "libertem_tpu.web.server",
+    "libertem.web.dataset": "libertem_tpu.web.server",
+    "libertem.web.analysis": "libertem_tpu.web.server",
+    "libertem.web.browse": "libertem_tpu.web.server",
+    "libertem.web.shutdown": "libertem_tpu.web.server",
+    "libertem.web.generator": "libertem_tpu.web.server",
 }
 
 # aliased to a plain MODULE on our side but a PACKAGE in the
 # reference (children resolved via _EXPLICIT)
-_FORCE_PACKAGE = {"libertem.corrections", "libertem.io.corrections"}
+_FORCE_PACKAGE = {
+    "libertem.corrections", "libertem.io.corrections",
+    "libertem.io.writers", "libertem.io.writers.results",
+    "libertem.web.notebook_generator",
+}
 
 
 class _DelegatingModule(types.ModuleType):
@@ -121,6 +147,21 @@ class _CompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         real = module.__spec__._compat_real
         if hasattr(real, "__all__"):
             module.__dict__["__all__"] = real.__all__
+
+    def get_code(self, fullname):
+        """Support ``python -m libertem.<mod>`` (runpy asks the
+        loader for code): compile the REAL module's source so its
+        ``if __name__ == "__main__"`` block runs; relative imports
+        resolve back through this finder via ``__package__``."""
+        target_name = _EXPLICIT.get(
+            fullname, "libertem_tpu." + fullname[len("libertem."):]
+        )
+        real = importlib.import_module(target_name)
+        path = getattr(real, "__file__", None)
+        if path is None:
+            raise ImportError(f"no source for {fullname}")
+        with open(path) as f:
+            return compile(f.read(), path, "exec")
 
 
 sys.meta_path.append(_CompatFinder())

@@ -174,13 +174,40 @@ class GuessParametersProc:
     test_com_guess_flip_conjugates_rotation)."""
 
     async def __call__(self, rpc_context):
+        """``rpc_context`` follows the reference RPCContext protocol
+        (web/rpc.py:22): find the CoM analysis in the compound
+        analysis, run it if it has no results yet, then guess from
+        its y/x shift fields (reference com.py:139
+        ParameterGuessProc)."""
         from ..udf.com import apply_com_correction
 
-        analysis = rpc_context.get_analysis()
-        res = rpc_context.run_analysis_default(analysis)
+        comp_ana = rpc_context.get_compound_analysis()
+        analyses = comp_ana["details"]["analyses"]
+        analysis_details = [
+            rpc_context.get_analysis_details(a) for a in analyses
+        ]
+        com_analyses = [
+            a for a in analysis_details
+            if a["details"]["analysisType"] == "CENTER_OF_MASS"
+        ]
+        if not com_analyses:
+            return {
+                "status": "error",
+                "message": "no CoM analysis found",
+            }
+        com_analysis_id = com_analyses[0]["analysis"]
+        if not rpc_context.have_analysis_results(com_analysis_id):
+            # run with the current analysis parameters as set in
+            # the GUI
+            await rpc_context.run_analysis(com_analysis_id)
+        result_info = rpc_context.get_analysis_results(
+            com_analysis_id
+        )
+        res = result_info.results
+        old = result_info.details["parameters"]
         y = res["y"].raw_data
         x = res["x"].raw_data
-        guess = guess_corrections(y, x)
+        guess = await rpc_context.run_sync(guess_corrections, y, x)
         # the y/x fields already have the analysis's current
         # rotation/flip applied, so the guess is *relative* to the
         # current parameters.  Convert to absolute GUI values so a
@@ -189,7 +216,6 @@ class GuessParametersProc:
         # center must be backtransformed into raw detector
         # coordinates (forward is flip-then-rotate, so the inverse is
         # rotate(-theta) then unflip).
-        old = analysis.parameters
         old_rot = float(old.get("scan_rotation", 0.0) or 0.0)
         old_flip = bool(old.get("flip_y", False))
         iy, ix = apply_com_correction(

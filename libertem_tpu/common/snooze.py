@@ -16,6 +16,7 @@ Concurrency contract (mirrors the reference):
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import threading
 import time
@@ -47,8 +48,15 @@ class SnoozeManager:
             )
         self._up = up or (lambda: None)
         self._down = down or (lambda: None)
-        self._timeout = timeout
+        # reference attribute names (snooze.py:66-69): tests and
+        # callers tune these directly
+        self._snooze_timeout = timeout
+        self._snooze_check_interval = min(
+            1.0, timeout * 0.1 if timeout else 30.0
+        )
         self._subs = subscriptions
+        # (topics, callback) pairs added via subscribe()
+        self._subscribers: list = []
         self._last_activity = time.monotonic()
         self._snoozed = False
         self._keep_alive = 0
@@ -73,8 +81,21 @@ class SnoozeManager:
         return self._keep_alive
 
     def _emit(self, msg: SnoozeMessage):
+        payload = {"timestamp": time.monotonic()}
         if self._subs is not None:
-            self._subs.send(msg, {"timestamp": time.monotonic()})
+            self._subs.send(msg, payload)
+        for topics, callback in self._subscribers:
+            if msg in topics:
+                try:
+                    callback(msg, payload)
+                except Exception:  # pragma: no cover
+                    pass
+
+    def subscribe(self, topics, callback):
+        """Register ``callback(topic, msg_dict)`` for the given
+        :class:`SnoozeMessage` topics (reference executor
+        ``subscribe`` API, used by the web ExecutorState)."""
+        self._subscribers.append((tuple(topics), callback))
 
     def _schedule(self):
         with self._lock:
@@ -83,7 +104,7 @@ class SnoozeManager:
             if self._timer is not None:
                 self._timer.cancel()
             self._timer = threading.Timer(
-                min(1.0, self._timeout / 4), self._check
+                self._snooze_check_interval, self._check
             )
             self._timer.daemon = True
             self._timer.start()
@@ -95,7 +116,7 @@ class SnoozeManager:
         if (
             not self._snoozed
             and self._keep_alive == 0
-            and idle >= self._timeout
+            and idle >= self._snooze_timeout
         ):
             self.snooze()
         self._schedule()
@@ -127,12 +148,26 @@ class SnoozeManager:
         with self._lock:
             self._last_activity = time.monotonic()
 
-    def touch(self):
+    def _update_last_activity(self):
+        """Reset the idle timer (reference snooze.py:80)."""
         with self._lock:
             self._last_activity = time.monotonic()
         self._emit(SnoozeMessage.UPDATE_ACTIVITY)
+
+    def touch(self):
+        self._update_last_activity()
         if self._snoozed:
             self.unsnooze()
+
+    @contextlib.contextmanager
+    def in_use(self):
+        """Keep-alive section: snooze is refused while inside
+        (reference snooze.py:87 in_use)."""
+        self.keep_alive_enter()
+        try:
+            yield
+        finally:
+            self.keep_alive_exit()
 
     def keep_alive_enter(self):
         with self._lock:

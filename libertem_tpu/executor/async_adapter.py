@@ -15,6 +15,18 @@ class AsyncAdapter:
         self._own_pool = pool is None
         self._pool = pool or ThreadPoolExecutor(max_workers=2)
 
+    @staticmethod
+    def make_pool():
+        """Thread pool for adapter use (reference
+        executor/base.py AsyncAdapter.make_pool)."""
+        return ThreadPoolExecutor(max_workers=4)
+
+    @property
+    def snooze_manager(self):
+        """Snooze manager of the wrapped executor, if any
+        (reference AsyncAdapter exposes the dask executor's)."""
+        return getattr(self._wrapped, "_snooze_manager", None)
+
     @property
     def devices(self):
         return self._wrapped.devices
@@ -38,6 +50,21 @@ class AsyncAdapter:
         return await sync_to_async(
             self._wrapped.get_available_workers, pool=self._pool
         )
+
+    async def get_resource_details(self):
+        return await sync_to_async(
+            self._wrapped.get_resource_details, pool=self._pool
+        )
+
+    async def cancel(self, cancel_id):
+        """Cancel a running job by id (reference AsyncAdapter.cancel).
+        The in-process executors have no per-job task registry — the
+        web JobState drives cancellation via its own job table, so
+        this forwards if the wrapped executor supports it and is a
+        no-op otherwise."""
+        fn = getattr(self._wrapped, "cancel", None)
+        if fn is not None:
+            await sync_to_async(fn, cancel_id, pool=self._pool)
 
     async def close(self):
         await sync_to_async(self._wrapped.close, pool=self._pool)

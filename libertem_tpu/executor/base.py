@@ -240,6 +240,11 @@ class WorkerSet:
             for w in self.workers
         )
 
+    def hosts(self) -> set:
+        """Set of worker host names (reference
+        common/scheduler.py WorkerSet.hosts)."""
+        return {w.host for w in self.workers}
+
 
 class _ScatterHandle:
     """In-process stand-in for a scattered-object handle
@@ -300,34 +305,26 @@ class JobExecutor:
         ])
 
     def get_resource_details(self) -> list:
-        """Per-device resource rows for the GUI cluster page
-        (reference: DaskJobExecutor.get_resource_details,
-        executor/dask.py:387 — dask workers there, mesh devices
-        here)."""
+        """Per-host resource rows for the GUI cluster page, in the
+        reference's exact shape (DaskJobExecutor.get_resource_details,
+        executor/dask.py:387): one row per host with {host, cpu,
+        cuda, service}.  ``cpu`` is the advertised CPU-worker count —
+        the GUI connection's ``numWorkers`` when one was given
+        (web/helpers.py create_executor), else the device count."""
+        workers = self.get_available_workers()
+        cpu_workers = getattr(self, "_cpu_workers", None)
         details = []
-        for w in self.get_available_workers():
-            d = w.device
-            row = {
-                "host": "localhost",
-                "name": w.name,
-                "device": str(d),
-                "platform": getattr(d, "platform", "unknown"),
-                "kind": getattr(d, "device_kind", ""),
-                "process_index": getattr(d, "process_index", 0),
-                "resources": dict(w.resources),
-            }
-            try:
-                # live HBM occupancy where the backend reports it
-                # (real TPUs do; the CPU backend returns None/raises)
-                stats = d.memory_stats()
-                if stats:
-                    row["memory"] = {
-                        "bytes_in_use": stats.get("bytes_in_use"),
-                        "bytes_limit": stats.get("bytes_limit"),
-                    }
-            except Exception:
-                pass
-            details.append(row)
+        for host in sorted(workers.hosts()):
+            on_host = [w for w in workers if w.host == host]
+            details.append({
+                "host": host,
+                "cpu": (
+                    cpu_workers if cpu_workers is not None
+                    else len(on_host)
+                ),
+                "cuda": 0,
+                "service": 1,
+            })
         return details
 
     # -- reference utility API (common/executor.py:185-432) ------------

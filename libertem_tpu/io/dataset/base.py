@@ -506,7 +506,29 @@ class DataSet:
 
     @property
     def diagnostics(self):
-        return self.get_diagnostics()
+        """Format diagnostics + the rows common to every DataSet
+        (reference base/dataset.py:177 — partition layout and
+        sync-offset alignment)."""
+        try:
+            p = next(self.get_partitions())
+            p_shape = str(p.shape)
+            n_part = str(self.get_num_partitions())
+        except Exception:
+            p_shape, n_part = "n/a", "n/a"
+        so_info = self.get_sync_offset_info()
+        return self.get_diagnostics() + [
+            {"name": "Partition shape", "value": p_shape},
+            {"name": "Number of partitions", "value": n_part},
+            {"name": "Number of frames skipped at the beginning",
+             "value": so_info["frames_skipped_start"]},
+            {"name": "Number of frames ignored at the end",
+             "value": so_info["frames_ignored_end"]},
+            {"name":
+             "Number of blank frames inserted at the beginning",
+             "value": so_info["frames_inserted_start"]},
+            {"name": "Number of blank frames inserted at the end",
+             "value": so_info["frames_inserted_end"]},
+        ]
 
     def get_diagnostics(self) -> list:
         """Format-specific diagnostics for display, as a list of
@@ -594,6 +616,20 @@ class DataSet:
         (reference: per-format MessageConverter)."""
         from .converters import CLASS_CONVERTERS
         return CLASS_CONVERTERS.get(cls.__name__)
+
+    @classmethod
+    def get_supported_io_backends(cls) -> list:
+        """IO backend ids usable with this format (reference
+        DataSet.get_supported_io_backends) — file-backed formats go
+        through the RangeReader, which supports all registered
+        backends; in-memory formats return []."""
+        return list(IOBackend.registry.keys())
+
+    @classmethod
+    def get_default_io_backend(cls) -> str:
+        """Default IO backend id (reference returns the backend
+        class; the web config wants its ``id_``)."""
+        return MMapBackend.id_
 
     @classmethod
     def get_supported_extensions(cls) -> set:

@@ -32,6 +32,13 @@ def _shape_tuples(data: dict) -> dict:
     return out
 
 
+# GUI-side knobs that validate but never reach the loader
+# (reference converters whitelist keys in convert_to_python, e.g.
+# raw.py:44 — 'name' labels the dataset in the GUI, 'enable_direct'/
+# 'io_backend' select read paths the RangeReader negotiates itself)
+_GUI_ONLY = {"type", "name", "enable_direct", "io_backend"}
+
+
 class _PathConverter(MessageConverter):
     TYPE = "BASE"
     EXTRA: dict = {}
@@ -43,18 +50,60 @@ class _PathConverter(MessageConverter):
             "type": "object",
             "properties": {
                 **_base_properties(self.TYPE), **self.EXTRA,
+                "name": {"type": "string"},
+                "enable_direct": {"type": "boolean"},
+                "io_backend": {"type": "string"},
             },
             "required": self.REQUIRED,
         }
 
     def convert_to_python(self, raw_data: dict) -> dict:
-        return _shape_tuples(raw_data)
+        # whitelist to the schema's declared properties (reference
+        # raw.py:44 convert_to_python)
+        props = set(self.SCHEMA["properties"]) - _GUI_ONLY
+        return _shape_tuples({
+            k: v for k, v in raw_data.items() if k in props
+        })
 
 
 class RawDatasetParams(_PathConverter):
     TYPE = "RAW"
     EXTRA = {"dtype": {"type": "string"}}
     REQUIRED = ["type", "path", "dtype", "nav_shape", "sig_shape"]
+
+
+class MemoryDatasetParams(MessageConverter):
+    """GUI/test parameters for the in-memory dataset
+    (reference memory.py:136 MemDatasetParams)."""
+    TYPE = "MEMORY"
+    SCHEMA = {
+        "type": "object",
+        "properties": {
+            "type": {"const": "MEMORY"},
+            "tileshape": _SHAPE,
+            "datashape": _SHAPE,
+            "num_partitions": {"type": "number", "minimum": 1},
+            "sig_dims": {"type": "number", "minimum": 1},
+            "tiledelay": {"type": "number"},
+            "nav_shape": _SHAPE,
+            "sig_shape": _SHAPE,
+            "sync_offset": {"type": "number"},
+        },
+        "required": ["type", "tileshape", "num_partitions"],
+    }
+
+    def convert_to_python(self, raw_data: dict) -> dict:
+        data = {
+            k: raw_data[k]
+            for k in ("tileshape", "num_partitions", "sig_dims",
+                      "tiledelay", "datashape", "sync_offset")
+            if k in raw_data
+        }
+        return _shape_tuples({
+            **data,
+            **{k: raw_data[k] for k in ("nav_shape", "sig_shape")
+               if k in raw_data},
+        })
 
 
 class NPYDatasetParams(_PathConverter):
@@ -112,6 +161,7 @@ class RawCSRDatasetParams(_PathConverter):
 
 CONVERTERS = {
     c.TYPE: c for c in (
+        MemoryDatasetParams,
         RawDatasetParams, NPYDatasetParams, HDF5DatasetParams,
         MIBDatasetParams, K2ISDatasetParams, EMPADDatasetParams,
         BLODatasetParams, MRCDatasetParams, SEQDatasetParams,
@@ -123,6 +173,7 @@ CONVERTERS = {
 
 # DataSet class name -> converter (for DataSet.get_msg_converter)
 CLASS_CONVERTERS = {
+    "MemoryDataSet": MemoryDatasetParams,
     "RawFileDataSet": RawDatasetParams,
     "NPYDataSet": NPYDatasetParams,
     "H5DataSet": HDF5DatasetParams,

@@ -83,6 +83,10 @@ class MemoryDataSet(DataSet):
     def initialize(self, executor=None) -> "MemoryDataSet":
         return self
 
+    @classmethod
+    def get_supported_io_backends(cls) -> list:
+        return []  # in-memory: no file IO backend applies
+
     @property
     def tileshape(self):
         """The forced tile shape, if one was given (reference

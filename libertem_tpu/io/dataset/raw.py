@@ -111,6 +111,12 @@ class RawFileDataSet(DataSet):
         self._sig_shape = tuple(sig_shape or detector_size or ())
         self._sync_offset = int(sync_offset)
 
+    def get_diagnostics(self) -> list:
+        # (reference raw.py:206)
+        return [
+            {"name": "dtype", "value": str(self.meta.raw_dtype)},
+        ]
+
     def initialize(self, executor=None) -> "RawFileDataSet":
         if not self._sig_shape:
             raise DataSetException("sig_shape is required for raw")

@@ -97,6 +97,23 @@ class ResultFormat:
             id_: f.description for id_, f in cls.registry.items()
         }
 
+    @classmethod
+    def get_format_by_id(cls, id_: str):
+        """(reference io/writers/results/base.py
+        ResultFormatRegistry.get_format_by_id)"""
+        return cls.registry[id_]
+
+    def serialize_to_buffer(self, fileobj):
+        """Reference API name (base.py ResultFormat
+        .serialize_to_buffer)."""
+        return self.serialize_to(fileobj)
+
+    def get_content_type(self) -> str:
+        return "application/octet-stream"
+
+    def get_filename(self) -> str:
+        return f"result.{self.extension}"
+
     def __init__(self, result_set):
         self._result_set = result_set
 
@@ -175,3 +192,16 @@ class TiffFormat(ResultFormat, id_="TIFF"):
                 fileobj, format="TIFF", save_all=True,
                 append_images=images[1:],
             )
+
+
+class ResultFormatRegistry:
+    """Reference-layout alias (io/writers/results/base.py
+    ResultFormatRegistry) — the registry lives on ResultFormat."""
+
+    @classmethod
+    def get_available_formats(cls):
+        return ResultFormat.get_available_formats()
+
+    @classmethod
+    def get_format_by_id(cls, id_: str):
+        return ResultFormat.get_format_by_id(id_)

@@ -1,48 +1,62 @@
 """Tornado web API server
-(reference: libertem/web/server.py:79 make_app, routes :95–116,
-token auth :61; handlers from web/dataset.py, web/jobs.py,
-web/analysis.py, web/browse.py).
+(reference: libertem/web/server.py:79 make_app, token auth :61
+CheckTokenAuthApp; handlers from web/dataset.py, web/jobs.py,
+web/analysis.py, web/connect.py, web/browse.py, web/generator.py —
+the REST + websocket protocol is reproduced verbatim for drop-in GUI
+compatibility; execution behind it is this repo's mesh engine).
 
 REST + websocket protocol:
   GET  /api/config/                         server/config info
+  GET  /api/config/cluster/                 per-host resource rows
+  GET/PUT /api/config/connection/           executor lifecycle
   GET  /api/datasets/detect/?path=          format auto-detection
+  GET  /api/datasets/schema/                per-format open schemas
   PUT  /api/datasets/<uuid>/                open a dataset
   DELETE /api/datasets/<uuid>/              close
-  PUT  /api/compoundAnalyses/<cuuid>/analyses/<uuid>/   create/update
-  DELETE .../analyses/<uuid>/
+  PUT  /api/compoundAnalyses/<cuuid>/       create/update compound
+  PUT  .../analyses/<uuid>/                 create/update analysis
+  GET  .../analyses/<uuid>/download/<FMT>/  download results
+  PUT  /api/compoundAnalyses/<cuuid>/rpc/<proc>/   analysis RPC
+  GET  /api/compoundAnalyses/<cuuid>/copy/notebook/     code cells
+  GET  /api/compoundAnalyses/<cuuid>/download/notebook/ .ipynb
   PUT  /api/jobs/<uuid>/                    start analysis job
   DELETE /api/jobs/<uuid>/                  cancel
-  GET  /api/jobs/<uuid>/download/?fmt=NPZ   download results
-  GET  /api/browse/?path=                   filesystem browser
+  GET  /api/browse/localfs/?path=           filesystem browser
+  GET  /api/browse/localfs/stat/?path=      stat one path
+  DELETE /api/shutdown/                     stop the server
   WS   /api/events/                         state + result stream
 
-Result images are streamed as binary websocket frames following a
-TASK_RESULT JSON header (matching the reference's protocol shape).
+Result images are streamed as binary PNG websocket frames following
+a TASK_RESULT/FINISH_JOB JSON header carrying the followup count.
 """
 from __future__ import annotations
 
+import asyncio
+import hashlib
+import hmac
 import io
 import json
 import logging
 import os
-import stat
-import uuid as uuid_mod
+import stat as stat_mod
 from typing import Optional
 
-import numpy as np
 import tornado.escape
+import tornado.ioloop
 import tornado.web
 import tornado.websocket
 
 from .engine import JobEngine
+from .messages import Message
 from .state import SharedState
+from .rpc import RPCContext
 
 log = logging.getLogger(__name__)
 
 
 class EventRegistry:
     """Connected websocket clients + broadcast
-    (reference: web/events.py:12)."""
+    (reference: web/events.py:12 EventRegistry)."""
 
     # a client whose TCP window closed without erroring accumulates
     # outgoing buffer; above this many queued bytes it is dropped
@@ -50,13 +64,14 @@ class EventRegistry:
     MAX_CLIENT_BACKLOG = 64 * 1024 * 1024
 
     def __init__(self):
-        self.handlers: set = set()
+        self.handlers: list = []
 
     def add_handler(self, h):
-        self.handlers.add(h)
+        self.handlers.append(h)
 
     def remove_handler(self, h):
-        self.handlers.discard(h)
+        if h in self.handlers:
+            self.handlers.remove(h)
 
     def _backlogged(self, h) -> bool:
         try:
@@ -69,52 +84,83 @@ class EventRegistry:
         except Exception:
             return False
 
-    def _send_all(self, payload, binary: bool):
-        dead = []
-        for h in self.handlers:
-            if self._backlogged(h):
+    def broadcast_event(self, message, binary: bool = False):
+        """Send to every client; returns an awaitable gathering the
+        per-client writes (reference events.py:22)."""
+        if isinstance(message, (dict, list)):
+            payload = json.dumps(message)
+        else:
+            payload = message
+        futures = []
+        for handler in list(self.handlers):
+            if self._backlogged(handler):
                 log.warning(
                     "dropping websocket client with >%d MB backlog",
                     self.MAX_CLIENT_BACKLOG // (1024 * 1024),
                 )
-                dead.append(h)
+                self.remove_handler(handler)
+                try:
+                    handler.close()
+                except Exception:
+                    pass
                 continue
             try:
-                # fire-and-forget: per-client backpressure is
-                # enforced via the backlog check above
-                h.write_message(payload, binary=binary)
-            except Exception:
-                dead.append(h)
-        for h in dead:
-            self.handlers.discard(h)
-            try:
-                h.close()
-            except Exception:
-                pass
+                futures.append(
+                    handler.write_message(payload, binary=binary)
+                )
+            except tornado.websocket.WebSocketClosedError:
+                self.remove_handler(handler)
+        return asyncio.gather(*futures, return_exceptions=True)
 
-    async def broadcast(self, message: dict):
-        # serialize once for all clients
-        self._send_all(json.dumps(message), binary=False)
+    # back-compat names used by older call sites
+    async def broadcast(self, message):
+        await self.broadcast_event(message)
 
     async def broadcast_binary(self, payload: bytes):
-        """Binary websocket frame (result images follow their
-        TASK_RESULT JSON header as raw PNG frames)."""
-        self._send_all(payload, binary=True)
+        await self.broadcast_event(payload, binary=True)
+
+
+def _get_token(request) -> str:
+    token = request.query_arguments.get("token", [b""])[0] \
+        .decode("utf-8")
+    if not token:
+        token = request.headers.get("X-Api-Key", "")
+    return token
+
+
+class CheckTokenAuthApp(tornado.web.Application):
+    """Application-level token gate: every request (REST, static,
+    websocket handshake) 403s without the right token
+    (reference web/server.py:61)."""
+
+    def __init__(self, *args, auth_token=None, **kwargs):
+        if auth_token is None:
+            self._auth_token_hash = None
+        else:
+            self._auth_token_hash = hashlib.sha256(
+                auth_token.encode("utf8")
+            ).hexdigest()
+        super().__init__(*args, **kwargs)
+
+    def find_handler(self, request, **kwargs):
+        from tornado.web import ErrorHandler
+        if self._auth_token_hash is not None:
+            given = hashlib.sha256(
+                _get_token(request).encode("utf8")
+            ).hexdigest()
+            if not hmac.compare_digest(given, self._auth_token_hash):
+                return self.get_handler_delegate(
+                    request, ErrorHandler, {"status_code": 403}
+                )
+        return super().find_handler(request, **kwargs)
 
 
 class _BaseHandler(tornado.web.RequestHandler):
     def initialize(self, state: SharedState, registry: EventRegistry,
-                   engine: JobEngine, token: Optional[str] = None):
+                   engine: JobEngine):
         self.state = state
         self.registry = registry
         self.engine = engine
-        self.token = token
-
-    def prepare(self):
-        if self.token is not None:
-            given = self.get_argument("token", None)
-            if given != self.token:
-                raise tornado.web.HTTPError(400, "token mismatch")
 
     def write_json(self, obj):
         self.set_header("Content-Type", "application/json")
@@ -123,29 +169,68 @@ class _BaseHandler(tornado.web.RequestHandler):
 
 class ConfigHandler(_BaseHandler):
     def get(self):
-        import jax
+        self.write_json(
+            Message().config(config=self.state.get_config())
+        )
 
-        from .. import __version__
-        devices = jax.devices()
+
+class ClusterDetailHandler(_BaseHandler):
+    async def get(self):
+        details = \
+            await self.state.executor_state.get_resource_details()
+        self.write_json(Message().cluster_details(details=details))
+
+
+class ConnectionHandler(_BaseHandler):
+    """Executor lifecycle over REST (reference web/connect.py:20 —
+    'connecting a cluster' here selects the in-process mesh
+    executor; a 'tcp' address is validated for reachability)."""
+
+    async def get(self):
+        try:
+            await self.state.executor_state.get_executor()
+            params = self.state.executor_state.get_cluster_params()
+            self.write_json({
+                "status": "ok",
+                "connection": params["connection"],
+            })
+        except RuntimeError:
+            self.write_json({
+                "status": "disconnected",
+                "connection": {},
+            })
+
+    async def put(self):
+        request_data = tornado.escape.json_decode(self.request.body)
+        from ..executor.async_adapter import AsyncAdapter
+        pool = AsyncAdapter.make_pool()
+        try:
+            executor = await self.state.executor_state.make_executor(
+                request_data, pool
+            )
+        except Exception as e:
+            msg = Message().cluster_conn_error(msg=str(e))
+            self.set_status(500)
+            self.write_json(msg)
+            return
+        await self.state.executor_state.set_executor(
+            executor, request_data
+        )
+        await self.state.dataset_state.verify()
+        datasets = await self.state.dataset_state.serialize_all()
+        msg = Message().initial_state(
+            jobs=self.state.job_state.serialize_all(),
+            datasets=datasets,
+            analyses=self.state.analysis_state.serialize_all(),
+            compound_analyses=(
+                self.state.compound_analysis_state.serialize_all()
+            ),
+        )
+        self.registry.broadcast_event(msg)
+        await self.engine.send_existing_job_results()
         self.write_json({
             "status": "ok",
-            "messageType": "CONFIG",
-            "config": {
-                "version": __version__,
-                "revision": "",
-                "localCores": os.cpu_count() or 1,
-                "devices": {
-                    "cpus": [0],
-                    "cudas": [],
-                    "tpus": [
-                        str(d) for d in devices
-                        if d.platform in ("tpu", "axon")
-                    ],
-                    "has_cupy": False,
-                },
-                "cwd": os.getcwd(),
-                "separator": os.sep,
-            },
+            "connection": request_data["connection"],
         })
 
 
@@ -178,244 +263,192 @@ class DataSetDetectHandler(_BaseHandler):
     async def get(self):
         path = self.get_argument("path")
         from ..io.dataset import detect
-        import asyncio as _asyncio
         # header probing can read GBs over slow filesystems: keep it
-        # off the event loop (same rule as DataSetDetailHandler.put)
-        params = await _asyncio.get_running_loop().run_in_executor(
-            None, detect, path, None
-        )
-        if params is None:
-            self.write_json({
-                "status": "error",
-                "messageType": "DATASET_DETECTION_FAILED",
-                "path": path,
-                "msg": "could not detect dataset format",
-            })
+        # off the event loop
+        detected = await self.engine.run_sync(detect, path, None)
+        if not detected:
+            self.write_json(Message().dataset_detect_failed(path))
             return
-        self.write_json({
-            "status": "ok",
-            "messageType": "DATASET_DETECTED",
-            "datasetParams": {
-                "type": params["type"].upper(),
-                **params["parameters"],
-            },
-        })
+        params = dict(detected["parameters"])
+        info = dict(detected.get("info", {}))
+        params["type"] = detected["type"].upper()
+        info["type"] = detected["type"].upper()
+        self.write_json(
+            Message().dataset_detect(params=params, info=info)
+        )
 
 
 class DataSetDetailHandler(_BaseHandler):
     async def put(self, uuid: str):
         request_data = tornado.escape.json_decode(self.request.body)
-        raw_params = dict(request_data["dataset"]["params"])
-        ds_type = raw_params["type"].lower()
-        ctx = self.state.executor_state.get_context()
-        from ..io.dataset.converters import get_converter
-        conv_cls = get_converter(ds_type)
+        params = request_data["dataset"]["params"]
+        params["type"] = ds_type = params["type"].upper()
         try:
+            from ..io.dataset.converters import get_converter
+            conv_cls = get_converter(ds_type)
             if conv_cls is not None:
-                params = conv_cls().to_python(raw_params)
+                converted = conv_cls().to_python(params)
             else:
-                params = {
-                    k: v for k, v in raw_params.items()
-                    if k != "type"
+                converted = {
+                    k: tuple(v) if k in ("nav_shape", "sig_shape")
+                    and v is not None else v
+                    for k, v in params.items() if k != "type"
                 }
-                for key in ("nav_shape", "sig_shape"):
-                    if params.get(key) is not None:
-                        params[key] = tuple(params[key])
-            import asyncio as _asyncio
-            loop = _asyncio.get_running_loop()
-            # dataset initialize can scan GBs of headers: keep it off
-            # the event loop
-            ds = await loop.run_in_executor(
-                None, lambda: ctx.load(ds_type, **params)
+            ctx = await self.state.executor_state.get_context()
+            # dataset initialize can scan GBs of headers: keep it
+            # off the event loop
+            ds = await self.engine.run_sync(
+                lambda: ctx.load(ds_type.lower(), **converted)
             )
+            if uuid in self.state.dataset_state:
+                # re-opening an existing uuid replaces the dataset;
+                # stale analyses/results must not survive
+                await self.state.dataset_state.remove(uuid)
+            self.state.dataset_state.register(
+                uuid=uuid, dataset=ds,
+                params=request_data["dataset"],
+                converted=converted,
+            )
+            details = await self.state.dataset_state.serialize(uuid)
+            msg = Message().create_dataset(
+                dataset=uuid, details=details
+            )
+            self.write_json(msg)
+            self.registry.broadcast_event(msg)
         except Exception as e:
-            self.write_json({
-                "status": "error",
-                "messageType": "CREATE_DATASET_ERROR",
-                "dataset": uuid,
-                "msg": str(e),
-            })
-            return
-        # re-opening an existing uuid replaces the dataset: stale
-        # cached analysis results must not survive
-        self.engine.invalidate_cache(ds_uuid=uuid)
-        self.state.dataset_state.register(uuid, ds, {
-            "type": ds_type.upper(), **params,
-        })
-        msg = {
-            "status": "ok",
-            "messageType": "CREATE_DATASET",
-            "dataset": uuid,
-            "details": self.state.dataset_state.serialize(uuid),
-        }
-        await self.registry.broadcast(msg)
-        self.write_json(msg)
+            log.exception("error creating dataset %s", uuid)
+            if uuid in self.state.dataset_state:
+                await self.state.dataset_state.remove(uuid)
+            self.write_json(
+                Message().create_dataset_error(uuid, str(e))
+            )
 
     async def delete(self, uuid: str):
-        self.engine.invalidate_cache(ds_uuid=uuid)
-        self.state.dataset_state.remove(uuid)
-        msg = {
-            "status": "ok",
-            "messageType": "DELETE_DATASET",
-            "dataset": uuid,
-        }
-        await self.registry.broadcast(msg)
+        if uuid not in self.state.dataset_state:
+            self.set_status(
+                404, "dataset with uuid %s not found" % uuid
+            )
+            return
+        await self.state.dataset_state.remove(uuid)
+        msg = Message().delete_dataset(uuid)
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
 
 class CompoundAnalysisHandler(_BaseHandler):
-    async def put(self, compound_uuid: str):
-        data = tornado.escape.json_decode(self.request.body)
-        details = data["details"]
-        # reference protocol puts the dataset id at the top level
-        # (web/messages.py CREATE_COMPOUND_ANALYSIS); accept a
-        # details-nested id too for robustness
-        dataset = data.get("dataset", details.get("dataset"))
-        self.state.compound_analyses[compound_uuid] = {
-            "dataset": dataset,
-            "details": details,
-        }
-        msg = {
-            "status": "ok",
-            "messageType": "COMPOUND_ANALYSIS_CREATED",
-            "compoundAnalysis": compound_uuid,
-            "details": details,
-        }
-        await self.registry.broadcast(msg)
+    async def put(self, uuid: str):
+        request_data = tornado.escape.json_decode(self.request.body)
+        dataset_id = request_data["dataset"]
+        details = request_data["details"]
+        created = self.state.compound_analysis_state.create_or_update(
+            uuid, details["mainType"], dataset_id,
+            details["analyses"],
+        )
+        serialized = \
+            self.state.compound_analysis_state.serialize(uuid)
+        if created:
+            msg = Message().compound_analysis_created(serialized)
+        else:
+            msg = Message().compound_analysis_updated(serialized)
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
-    async def delete(self, compound_uuid: str):
-        self.state.compound_analyses.pop(compound_uuid, None)
-        msg = {
-            "status": "ok",
-            "messageType": "COMPOUND_ANALYSIS_REMOVED",
-            "compoundAnalysis": compound_uuid,
-        }
-        await self.registry.broadcast(msg)
+    async def delete(self, uuid: str):
+        ca = self.state.compound_analysis_state[uuid]
+        for analysis_id in ca["details"]["analyses"]:
+            removed = await self.state.analysis_state.remove(
+                analysis_id
+            )
+            if removed:
+                msg = Message().analysis_removed(analysis_id)
+            else:
+                msg = Message().analysis_removal_failed(
+                    analysis_id, "analysis could not be removed"
+                )
+            self.registry.broadcast_event(msg)
+        self.state.compound_analysis_state.remove(uuid)
+        msg = Message().compound_analysis_removed(uuid)
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
 
 class AnalysisDetailHandler(_BaseHandler):
     async def put(self, compound_uuid: str, uuid: str):
-        data = tornado.escape.json_decode(self.request.body)
-        details = data["details"]
-        ds_uuid = data["dataset"]
-        if uuid in self.state.analysis_state:
-            self.state.analysis_state.update(uuid, details)
-            message_type = "ANALYSIS_UPDATED"
+        request_data = tornado.escape.json_decode(self.request.body)
+        dataset_id = request_data["dataset"]
+        details = request_data["details"]
+        params = details["parameters"]
+        analysis_type = details["analysisType"]
+        existing = self.state.analysis_state.get(uuid)
+        if existing is None:
+            self.state.analysis_state.create(
+                uuid, dataset_id, analysis_type, params
+            )
+            msg = Message().create_analysis(
+                uuid, dataset_id, analysis_type, params
+            )
         else:
-            self.state.analysis_state.create(uuid, ds_uuid, details)
-            message_type = "ANALYSIS_CREATED"
-        # auto-register the containing compound analysis so notebook
-        # download works without a separate compound PUT
-        comp = self.state.compound_analyses.get(compound_uuid)
-        if comp is None:
-            comp = {
-                "dataset": ds_uuid,
-                "details": {"analyses": []},
-            }
-            self.state.compound_analyses[compound_uuid] = comp
-        if uuid not in comp["details"]["analyses"]:
-            comp["details"]["analyses"].append(uuid)
-        msg = {
-            "status": "ok",
-            "messageType": message_type,
-            "analysis": uuid,
-            "dataset": ds_uuid,
-            "details": details,
-        }
-        await self.registry.broadcast(msg)
+            self.state.analysis_state.update(
+                uuid, analysis_type, params
+            )
+            msg = Message().update_analysis(
+                uuid, dataset_id, analysis_type, params
+            )
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
     async def delete(self, compound_uuid: str, uuid: str):
-        self.engine.invalidate_cache(analysis_uuid=uuid)
-        self.state.analysis_state.remove(uuid)
-        msg = {
-            "status": "ok",
-            "messageType": "ANALYSIS_REMOVED",
-            "analysis": uuid,
-        }
-        await self.registry.broadcast(msg)
+        removed = await self.state.analysis_state.remove(uuid)
+        if removed:
+            msg = Message().analysis_removed(uuid)
+        else:
+            msg = Message().analysis_removal_failed(
+                uuid, "analysis could not be removed"
+            )
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
 
 class JobDetailHandler(_BaseHandler):
-    async def put(self, uuid: str):
-        data = tornado.escape.json_decode(self.request.body)
-        analysis_uuid = data["job"]["analysis"]
-        self.write_json({
-            "status": "ok",
-            "messageType": "JOB_STARTED",
-            "job": uuid,
-        })
-        tornado.ioloop.IOLoop.current().add_callback(
-            self.engine.run_analysis, analysis_uuid, uuid
+    async def put(self, job_id: str):
+        request_data = tornado.escape.json_decode(self.request.body)
+        analysis_id = request_data["job"]["analysis"]
+        await self.engine.register_job(analysis_id, job_id)
+        serialized_job = self.state.job_state.serialize(job_id)
+        msg = Message().start_job(
+            serialized_job=serialized_job, analysis_id=analysis_id,
         )
+        self.write_json(msg)
+        await self.finish()
+        await self.engine.run_analysis(analysis_id, job_id)
 
-    async def delete(self, uuid: str):
-        self.state.job_state.cancel(uuid)
-        msg = {
-            "status": "ok",
-            "messageType": "CANCEL_JOB",
-            "job": uuid,
-        }
-        await self.registry.broadcast(msg)
+    async def delete(self, job_id: str):
+        removed = await self.state.job_state.remove(job_id)
+        if removed:
+            msg = Message().cancel_job(job_id)
+        else:
+            log.warning("tried to remove unknown job %s", job_id)
+            msg = Message().cancel_failed(job_id)
+        self.registry.broadcast_event(msg)
         self.write_json(msg)
 
 
-class ResultDownloadHandler(_BaseHandler):
-    async def get(self, job_uuid: str):
-        fmt = self.get_argument("fmt", "NPZ").upper()
-        job = self.state.job_state[job_uuid]
-        entry = self.state.analysis_state[job["analysis"]]
-        dataset = self.state.dataset_state[job["dataset"]]
-        from ..analysis.base import Analysis
-        analysis_cls = Analysis.get_analysis_by_type(
-            entry["details"]["analysisType"]
-        )
-        analysis = analysis_cls(
-            dataset=dataset,
-            parameters=entry["details"].get("parameters", {}),
-        )
-        ctx = self.state.executor_state.get_context()
-        import asyncio as _asyncio
-        cached = self.engine._result_cache.get(job["analysis"])
-        if cached is not None and analysis.need_rerun(
-            cached[0], entry["details"].get("parameters", {})
-        ):
-            # the cached raw results were computed with different
-            # non-display parameters — re-visualizing them would
-            # serve stale numbers
-            cached = None
-        loop = _asyncio.get_running_loop()
-        if cached is not None:
-            # the engine already holds the computed raw results —
-            # re-visualize without recomputing
-            from ..udf.base import SingleUDFResults
-            udf_results = cached[1]
-            wrapped = SingleUDFResults(
-                udf_results.buffers[0], udf_results.damage
-            )
-            result_set = await loop.run_in_executor(
-                None,
-                lambda: analysis.get_udf_results(
-                    wrapped, analysis.get_roi(), udf_results.damage
-                ),
-            )
-        else:
-            # recompute off the event loop so downloads don't stall
-            # every other request / websocket
-            result_set = await loop.run_in_executor(
-                None, lambda: ctx.run(analysis)
-            )
+class DownloadDetailHandler(_BaseHandler):
+    async def get(self, compound_uuid: str, uuid: str,
+                  file_format_id: str):
         from ..io.writers import ResultFormat
-        fmt_cls = ResultFormat.registry[fmt]
+        info = self.state.analysis_state.get_results(uuid)
+        fmt_cls = ResultFormat.registry[file_format_id.upper()]
+        formatter = fmt_cls({
+            r.key: r for r in info.results
+        })
         buf = io.BytesIO()
-        fmt_cls({
-            r.key: r for r in result_set
-        }).serialize_to(buf)
+        # serialization reads device buffers / encodes: off-loop
+        await self.engine.run_sync(formatter.serialize_to, buf)
         buf.seek(0)
-        self.set_header("Content-Type", "application/octet-stream")
+        self.set_header(
+            "Content-Type", "application/octet-stream"
+        )
         self.set_header(
             "Content-Disposition",
             f'attachment; filename="result.{fmt_cls.extension}"',
@@ -423,94 +456,42 @@ class ResultDownloadHandler(_BaseHandler):
         self.write(buf.read())
 
 
-class ConnectionHandler(_BaseHandler):
-    """Executor lifecycle over REST
-    (reference: web/connect.py:76 — here 'connecting a cluster' means
-    choosing single-device vs mesh execution)."""
-
-    def get(self):
-        ctx = self.state.executor_state.get_context()
-        self.write_json({
-            "status": "ok",
-            "messageType": "EXECUTOR_STATE",
-            "connection": {
-                "type": type(ctx.executor).__name__,
-                "numWorkers": len(ctx.executor.devices),
-                # per-device rows for the cluster page (reference GUI
-                # shows dask worker/resource details; here the mesh)
-                "details": ctx.executor.get_resource_details(),
-            },
-        })
-
-    async def put(self):
-        data = tornado.escape.json_decode(self.request.body)
-        conn = data.get("connection", {})
-        ctype = conn.get("type", "LOCAL").upper()
-        from ..api import Context
-        if ctype in ("LOCAL", "TCP", "SHARDED"):
-            ctx = Context.make_with("sharded")
-        else:
-            ctx = Context.make_with("inline")
-        running = any(
-            j["running"] for j in self.state.job_state.jobs.values()
-        )
-        self.state.executor_state.set_context(
-            ctx, jobs_running=running
-        )
-        msg = {
-            "status": "ok",
-            "messageType": "CLUSTER_CONNECTED",
-            "connection": {
-                "type": ctype,
-                "numWorkers": len(ctx.executor.devices),
-            },
-        }
-        await self.registry.broadcast(msg)
-        self.write_json(msg)
-
-
 class AnalysisRPCHandler(_BaseHandler):
-    """Per-analysis RPC procedures, e.g. CoM parameter guessing
-    (reference: web/rpc.py:1–103)."""
+    """Compound-analysis RPC procedures, e.g. CoM parameter guessing
+    (reference: web/analysis.py:158 + web/rpc.py)."""
 
-    async def put(self, compound_uuid: str, analysis_uuid: str,
-                  proc_name: str):
-        entry = self.state.analysis_state[analysis_uuid]
-        dataset = self.state.dataset_state[entry["dataset"]]
+    async def put(self, compound_analysis_id: str, proc_name: str):
+        import inspect
         from ..analysis.base import Analysis
-        cls = Analysis.get_analysis_by_type(
-            entry["details"]["analysisType"]
+        rpc_context = RPCContext(
+            state=self.state,
+            compound_analysis_id=compound_analysis_id,
+            engine=self.engine,
         )
-        procs = cls.get_rpc_definitions()
-        if proc_name not in procs:
-            raise tornado.web.HTTPError(
-                404, f"no rpc {proc_name} for this analysis"
-            )
-        analysis = cls(
-            dataset=dataset,
-            parameters=entry["details"].get("parameters", {}),
-        )
-        ctx = self.state.executor_state.get_context()
-
-        loop = tornado.ioloop.IOLoop.current()
-
-        class RpcContext:
-            def get_analysis(self):
-                return analysis
-
-            def run_analysis_default(self, a):
-                # runs on a thread via run_in_executor below; kept
-                # sync so procs can call it without awaiting
-                return ctx.run(a)
-
-        proc = procs[proc_name]()
-
-        # the UDF run inside the proc is CPU/TPU-bound; keep the
-        # event loop responsive (same pattern as the download handler)
-        import asyncio
-        result = await loop.run_in_executor(
-            None, lambda: asyncio.run(proc(RpcContext()))
-        )
+        try:
+            comp_ana = rpc_context.get_compound_analysis()
+        except KeyError:
+            self.set_status(404, "unknown compound analysis")
+            self.write_json({
+                "status": "error",
+                "msg": "unknown compound analysis",
+            })
+            return
+        ana_type = comp_ana["details"]["mainType"]
+        analysis_cls = Analysis.get_analysis_by_type(ana_type)
+        rpc_def = analysis_cls.get_rpc_definitions()
+        if proc_name not in rpc_def:
+            self.set_status(400, "Bad request: unknown RPC method")
+            self.write_json({
+                "status": "error",
+                "msg": "unknown RPC method",
+            })
+            return
+        proc = rpc_def[proc_name]()
+        if inspect.iscoroutinefunction(proc.__call__):
+            result = await proc(rpc_context)
+        else:
+            result = proc(rpc_context)
         self.write_json(result)
 
     get = put
@@ -518,61 +499,83 @@ class AnalysisRPCHandler(_BaseHandler):
 
 class NotebookDownloadHandler(_BaseHandler):
     async def get(self, compound_uuid: str):
-        comp = self.state.compound_analyses.get(compound_uuid)
-        if comp is None:
-            raise tornado.web.HTTPError(404)
-        ds_uuid = comp["dataset"]
-        entry = self.state.dataset_state.datasets[ds_uuid]
-        analyses = []
-        for entry_ in comp["details"].get("analyses", []):
-            if isinstance(entry_, dict):
-                # tolerated protocol variant: inline analysis details
-                # instead of an analysis uuid
-                if "analysisType" in entry_:
-                    analyses.append(entry_)
-            elif entry_ in self.state.analysis_state:
-                analyses.append(
-                    self.state.analysis_state[entry_]["details"]
-                )
-        if not analyses:
-            analyses = [
-                e["details"]
-                for e in
-                self.state.analysis_state.analyses.values()
-                if e["dataset"] == ds_uuid
-            ]
-        from .notebook_generator import notebook_for, notebook_to_bytes
-        nb = notebook_for(
-            entry["params"].get("type", "memory"),
-            {k: v for k, v in entry["params"].items()
-             if k != "type"},
-            analyses,
+        from .notebook_generator import notebook_for, \
+            notebook_to_bytes
+        ds_type, ds_params, analyses, ds_name = \
+            _collect_notebook_inputs(self.state, compound_uuid)
+        nb = notebook_for(ds_type, ds_params, analyses)
+        self.set_header(
+            "Content-Type", "application/x-ipynb+json"
         )
-        self.set_header("Content-Type", "application/x-ipynb+json")
         self.set_header(
             "Content-Disposition",
-            'attachment; filename="analysis.ipynb"',
+            f'attachment; filename="{ds_name}.ipynb"',
         )
         self.write(notebook_to_bytes(nb))
+
+
+class CopyScriptHandler(_BaseHandler):
+    async def get(self, compound_uuid: str):
+        from .notebook_generator import copy_notebook
+        ds_type, ds_params, analyses, _ = \
+            _collect_notebook_inputs(self.state, compound_uuid)
+        conn = self.state.executor_state.get_cluster_params()
+        self.write_json(
+            copy_notebook(conn, ds_type, ds_params, analyses)
+        )
+
+
+def _collect_notebook_inputs(state: SharedState,
+                             compound_uuid: str):
+    """(ds_type, loader params, analysis details list, filename
+    stem) for a compound analysis (reference web/generator.py)."""
+    ca = state.compound_analysis_state[compound_uuid]
+    listed = ca["details"].get("analyses", [])
+    analysis_ids = [
+        a for a in listed
+        if isinstance(a, str) and a in state.analysis_state
+    ]
+    # tolerated protocol variant: inline analysis detail dicts
+    # instead of analysis uuids
+    inline = [
+        a for a in listed
+        if isinstance(a, dict) and "analysisType" in a
+    ]
+    if analysis_ids:
+        ds_id = state.analysis_state[analysis_ids[0]]["dataset"]
+    else:
+        ds_id = ca["dataset"]
+    entry = state.dataset_state.datasets[ds_id]
+    raw_params = entry["params"]["params"]
+    ds_type = raw_params.get("type", "MEMORY")
+    analyses = [
+        state.analysis_state[a]["details"] for a in analysis_ids
+    ] + inline
+    if not analyses:
+        analyses = [
+            e["details"]
+            for e in state.analysis_state.analyses.values()
+            if e["dataset"] == ds_id
+        ]
+    main_type = ca["details"].get("mainType", "analysis").lower()
+    ds_name = "{}_{}".format(
+        main_type, raw_params.get("name", "dataset"),
+    )
+    return ds_type, entry["converted"], analyses, ds_name
 
 
 class BrowseHandler(_BaseHandler):
     async def get(self):
         path = self.get_argument("path")
-        import asyncio as _asyncio
-        loop = _asyncio.get_running_loop()
         try:
             # a large NFS directory must not stall the event loop
-            names = await loop.run_in_executor(
-                None, lambda: sorted(os.listdir(path))
+            names = await self.engine.run_sync(
+                lambda: sorted(os.listdir(path))
             )
         except OSError as e:
-            self.write_json({
-                "status": "error",
-                "messageType": "DIRECTORY_LISTING_FAILED",
-                "path": path, "code": "NOT_FOUND", "alternative": None,
-                "msg": str(e),
-            })
+            self.write_json(Message().browse_failed(
+                path, code="NOT_FOUND", msg=str(e),
+            ))
             return
         dirs, files = [], []
         for name in names:
@@ -582,60 +585,91 @@ class BrowseHandler(_BaseHandler):
             except OSError:
                 continue
             entry = {
-                "name": name, "size": st.st_size,
-                "ctime": st.st_ctime, "mtime": st.st_mtime,
-                "owner": str(st.st_uid),
+                "name": name, "stat": st, "owner": str(st.st_uid),
             }
-            if stat.S_ISDIR(st.st_mode):
+            if stat_mod.S_ISDIR(st.st_mode):
                 dirs.append(entry)
             else:
                 files.append(entry)
-        self.write_json({
-            "status": "ok",
-            "messageType": "DIRECTORY_LISTING",
-            "drives": ["/"],
-            "places": [{"key": "home",
-                        "title": "Home",
-                        "path": os.path.expanduser("~")}],
-            "path": path, "dirs": dirs, "files": files,
-        })
+        self.write_json(Message().directory_listing(
+            path, files=files, dirs=dirs, drives=["/"],
+            places=[{
+                "key": "home", "title": "Home",
+                "path": os.path.expanduser("~"),
+            }],
+        ))
+
+
+class StatHandler(_BaseHandler):
+    async def get(self):
+        path = self.get_argument("path")
+        try:
+            st = await self.engine.run_sync(os.stat, path)
+        except OSError as e:
+            self.write_json(Message().stat_failed(
+                path, code="NOT_FOUND", msg=str(e),
+            ))
+            return
+        # a directory given without a trailing separator stats as
+        # dirname == itself (reference web/browse.py:48-52)
+        if stat_mod.S_ISDIR(st.st_mode) and \
+                not path.endswith(os.path.sep):
+            path_slash = path + os.path.sep
+        else:
+            path_slash = path
+        self.write_json(Message().browse_stat_result(
+            path=path,
+            dirname=os.path.dirname(path_slash),
+            basename=os.path.basename(path_slash),
+            stat_result=st,
+        ))
 
 
 class ShutdownHandler(_BaseHandler):
     async def delete(self):
-        self.write_json({
+        log.info("Handling shutdown request")
+        self.state.executor_state.shutdown()
+        self.set_header("Content-Type", "application/json")
+        await self.finish(json.dumps({
             "status": "ok", "messageType": "SERVER_SHUTDOWN",
-        })
-        tornado.ioloop.IOLoop.current().add_callback(
-            tornado.ioloop.IOLoop.current().stop
-        )
+        }))
+        tornado.ioloop.IOLoop.current().stop()
 
 
-class EventsHandler(tornado.websocket.WebSocketHandler):
-    def initialize(self, state, registry, engine, token=None):
+class ResultEventHandler(tornado.websocket.WebSocketHandler):
+    def initialize(self, state, registry, engine):
         self.state = state
         self.registry = registry
-        self.token = token
+        self.engine = engine
 
     def check_origin(self, origin):
-        # Tornado-default same-origin check (reference web/events.py:49
-        # keeps it too): without it any website open in the browser
-        # could connect cross-origin to the localhost GUI websocket.
-        # A configured token is an explicit cross-origin credential.
-        if self.token is not None:
+        # Tornado-default same-origin check (reference
+        # web/events.py:49 keeps it too): without it any website
+        # open in the browser could connect cross-origin to the
+        # localhost GUI websocket.  A configured token is an
+        # explicit cross-origin credential.
+        app = self.application
+        if getattr(app, "_auth_token_hash", None) is not None:
             return True
         return super().check_origin(origin)
 
-    def open(self):
-        if self.token is not None and self.get_argument(
-            "token", None
-        ) != self.token:
-            self.close(code=4403)
-            return
+    async def open(self):
         self.registry.add_handler(self)
-        self.write_message(json.dumps(
-            self.state.serialize_initial()
-        ))
+        if self.state.executor_state.have_executor():
+            await self.state.dataset_state.verify()
+            datasets = \
+                await self.state.dataset_state.serialize_all()
+            msg = Message().initial_state(
+                jobs=self.state.job_state.serialize_all(),
+                datasets=datasets,
+                analyses=self.state.analysis_state.serialize_all(),
+                compound_analyses=(
+                    self.state.compound_analysis_state
+                        .serialize_all()
+                ),
+            )
+            await self.write_message(json.dumps(msg))
+            await self.engine.send_existing_job_results()
 
     def on_close(self):
         self.registry.remove_handler(self)
@@ -644,59 +678,123 @@ class EventsHandler(tornado.websocket.WebSocketHandler):
         pass
 
 
-def make_app(state: Optional[SharedState] = None,
-             token: Optional[str] = None) -> tornado.web.Application:
-    if state is None:
-        state = SharedState()
-    registry = EventRegistry()
-    engine = JobEngine(state, registry)
+# reference-layout class-name aliases (web/connect.py ConnectHandler,
+# web/browse.py LocalFSBrowseHandler/LocalFSStatHandler)
+ConnectHandler = ConnectionHandler
+LocalFSBrowseHandler = BrowseHandler
+LocalFSStatHandler = StatHandler
+
+
+def make_app(event_registry: Optional[EventRegistry] = None,
+             shared_state: Optional[SharedState] = None,
+             token: Optional[str] = None, *,
+             state: Optional[SharedState] = None
+             ) -> tornado.web.Application:
+    """Assemble the web application (reference web/server.py:79
+    make_app(event_registry, shared_state, token)); ``state=`` is a
+    keyword alias kept for earlier call sites."""
+    if shared_state is None:
+        shared_state = state
+    if shared_state is None:
+        shared_state = SharedState()
+    if event_registry is None:
+        event_registry = EventRegistry()
+    engine = JobEngine(shared_state, event_registry)
     common = dict(
-        state=state, registry=registry, engine=engine, token=token,
+        state=shared_state, registry=event_registry, engine=engine,
     )
-    app = tornado.web.Application([
+    client_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "client"
+    )
+    app = CheckTokenAuthApp([
         (r"/api/config/", ConfigHandler, common),
+        (r"/api/config/cluster/", ClusterDetailHandler, common),
         (r"/api/config/connection/", ConnectionHandler, common),
-        (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/rpc/"
-         r"([^/]+)/", AnalysisRPCHandler, common),
         (r"/api/datasets/detect/", DataSetDetectHandler, common),
         (r"/api/datasets/schema/", DataSetSchemaHandler, common),
         (r"/api/datasets/([^/]+)/", DataSetDetailHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/download/"
+         r"([^/]+)/", DownloadDetailHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/analyses/([^/]+)/",
          AnalysisDetailHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/rpc/([^/]+)/",
+         AnalysisRPCHandler, common),
+        (r"/api/compoundAnalyses/([^/]+)/copy/notebook/",
+         CopyScriptHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/download/notebook/",
          NotebookDownloadHandler, common),
         (r"/api/compoundAnalyses/([^/]+)/", CompoundAnalysisHandler,
          common),
-        (r"/api/jobs/([^/]+)/download/", ResultDownloadHandler,
-         common),
         (r"/api/jobs/([^/]+)/", JobDetailHandler, common),
+        (r"/api/browse/localfs/stat/", StatHandler, common),
         (r"/api/browse/localfs/", BrowseHandler, common),
         (r"/api/shutdown/", ShutdownHandler, common),
-        (r"/api/events/", EventsHandler, common),
+        (r"/api/events/", ResultEventHandler, common),
         (r"/()", tornado.web.StaticFileHandler, {
-            "path": os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "client"
-            ),
+            "path": client_path,
             "default_filename": "index.html",
         }),
-    ])
-    app.shared_state = state
-    app.event_registry = registry
+    ], auth_token=token)
+    app.shared_state = shared_state
+    app.event_registry = event_registry
+    app.job_engine = engine
     return app
 
 
 def run_server(host="localhost", port=9000, token=None,
-               browser=False):
-    app = make_app(token=token)
+               browser=False, executor_spec=None,
+               snooze_timeout=None, local_directory=None,
+               preload=(), open_ds=None):
+    """Start the server loop (reference web/server.py:201 run)."""
+    from .event_bus import EventBus, MessagePump
+    from .state import ExecutorState
+
+    try:
+        loop = asyncio.get_event_loop()
+    except RuntimeError:  # pragma: no cover
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+
+    event_bus = EventBus()
+    event_registry = EventRegistry()
+    pump = MessagePump(
+        event_bus=event_bus, event_registry=event_registry
+    )
+    executor_state = ExecutorState(
+        event_bus=event_bus, snooze_timeout=snooze_timeout,
+        loop=loop,
+    )
+    shared_state = SharedState(executor_state=executor_state)
+    executor_state.set_local_directory(local_directory)
+    executor_state.set_preload(preload)
+
+    app = make_app(event_registry, shared_state, token)
     app.listen(port, address=host)
-    log.info("libertem-tpu-server listening on %s:%d", host, port)
+    url = f"http://{host}:{port}"
+    if open_ds is not None:
+        url = f"{url}/#action=open&path={open_ds}"
+    # the reference CLI smoke test greps stderr for this exact
+    # phrase (reference server.py:254)
+    log.info("\n\n    LiberTEM listening on %s\n", url)
+
+    async def _startup():
+        if executor_spec is not None:
+            await shared_state.create_and_set_executor(
+                executor_spec
+            )
+
     if browser:  # pragma: no cover
         import urllib.parse
         import webbrowser
-        url = f"http://{host}:{port}"
+        burl = url
         if token is not None:
             # the client threads ?token= through every API call; a
             # browser opened without it gets an unusable GUI
-            url += "?token=" + urllib.parse.quote(token)
-        webbrowser.open(url)
-    tornado.ioloop.IOLoop.current().start()
+            burl += "?token=" + urllib.parse.quote(token)
+        webbrowser.open(burl)
+    asyncio.ensure_future(pump.run())
+    asyncio.ensure_future(_startup())
+    try:
+        tornado.ioloop.IOLoop.current().start()
+    finally:
+        executor_state.shutdown()

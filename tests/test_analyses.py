@@ -244,18 +244,41 @@ def test_com_guess_flip_conjugates_rotation(lt_ctx, monkeypatch):
         pass
 
     def run_with_guess(rel_guess, old_params):
-        analysis = cls(dataset=ds, parameters=old_params)
+        # fake following the web RPCContext protocol (web/rpc.py)
+        from libertem_tpu.web.state import AnalysisResultInfo
+
+        class R:
+            raw_data = np.zeros((4, 4))
 
         class Ctx:
-            def get_analysis(self):
-                return analysis
+            def get_compound_analysis(self):
+                return {"details": {"analyses": ["a-1"],
+                                    "mainType": "CENTER_OF_MASS"}}
 
-            def run_analysis_default(self, a):
-                # y/x fields: only consumed by guess_corrections,
-                # which we stub out
-                class R:
-                    raw_data = np.zeros((4, 4))
-                return {"y": R(), "x": R()}
+            def get_analysis_details(self, analysis_id):
+                return {
+                    "analysis": analysis_id,
+                    "details": {
+                        "analysisType": "CENTER_OF_MASS",
+                        "parameters": old_params,
+                    },
+                }
+
+            def have_analysis_results(self, analysis_id):
+                return True
+
+            def get_analysis_results(self, analysis_id):
+                return AnalysisResultInfo(
+                    details={
+                        "analysisType": "CENTER_OF_MASS",
+                        "parameters": old_params,
+                    },
+                    results={"y": R(), "x": R()},
+                    job_id="job-1", udf_results=None,
+                )
+
+            async def run_sync(self, fn, *args, **kwargs):
+                return fn(*args, **kwargs)
 
         monkeypatch.setattr(
             com_mod, "guess_corrections",

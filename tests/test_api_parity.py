@@ -33,9 +33,19 @@ def test_dataset_roi_helper(ds):
 
 def test_dataset_diagnostics_and_partition_size(ds):
     d, _ = ds
-    # get_diagnostics is the reference-named method; the diagnostics
-    # property (used by web/state.py) delegates to it
-    assert d.get_diagnostics() == d.diagnostics
+    # the diagnostics property = format-specific get_diagnostics()
+    # plus the six common rows (reference base/dataset.py:177-196)
+    diag = d.diagnostics
+    assert diag[:len(d.get_diagnostics())] == d.get_diagnostics()
+    common = [row["name"] for row in diag[len(d.get_diagnostics()):]]
+    assert common == [
+        "Partition shape",
+        "Number of partitions",
+        "Number of frames skipped at the beginning",
+        "Number of frames ignored at the end",
+        "Number of blank frames inserted at the beginning",
+        "Number of blank frames inserted at the end",
+    ]
     assert isinstance(d.get_diagnostics(), list)
     assert d.MAX_PARTITION_SIZE == 512 * 1024 * 1024
 

@@ -118,6 +118,14 @@ from contextlib import contextmanager
 import numpy as np
 
 
+def assert_msg(msg, msg_type, status="ok"):
+    # mirror of reference tests/utils.py:89
+    assert msg["status"] == status
+    assert msg["messageType"] == msg_type, (
+        "expected: {}, is: {}".format(msg_type, msg["messageType"])
+    )
+
+
 def _mk_random(size, dtype="float32", array_backend=None,
                sparse_density=None):
     size = tuple(size)

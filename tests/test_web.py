@@ -4,6 +4,7 @@ import json
 
 import numpy as np
 import pytest
+import tornado.gen
 import tornado.httpclient
 import tornado.testing
 import tornado.websocket
@@ -20,6 +21,32 @@ class WebTestBase(tornado.testing.AsyncHTTPTestCase):
         self.state = SharedState()
         return make_app(state=self.state)
 
+    def tearDown(self):
+        self.state.executor_state.shutdown()
+        super().tearDown()
+
+    def connect(self, executor=None):
+        """Install an executor (reference tests do this via the
+        connection PUT; most tests here use the inline one for
+        speed)."""
+        from libertem_tpu.executor.async_adapter import AsyncAdapter
+        from libertem_tpu.executor.inline import InlineJobExecutor
+        if executor is None:
+            executor = InlineJobExecutor()
+        adapter = AsyncAdapter(wrapped=executor)
+        self.io_loop.run_sync(
+            lambda: self.state.executor_state.set_executor(
+                adapter, {"connection": {"type": "inline"}},
+            )
+        )
+
+    def register_ds(self, uuid, ds, params=None):
+        self.state.dataset_state.register(
+            uuid, ds,
+            {"params": params or {"type": "MEMORY"}},
+            converted={},
+        )
+
     def fetch_json(self, path, method="GET", body=None):
         kwargs = {"method": method}
         if body is not None:
@@ -27,6 +54,29 @@ class WebTestBase(tornado.testing.AsyncHTTPTestCase):
         resp = self.fetch(path, **kwargs)
         assert resp.code == 200, resp.body
         return json.loads(resp.body)
+
+    def wait_job(self, job_id, deadline=400):
+        """Drive the test loop until the job's run_analysis coroutine
+        completed — the job PUT responds BEFORE running (reference
+        web/jobs.py:40), and AsyncHTTPTestCase only runs the loop
+        while a fetch is in flight."""
+        engine = self._app.job_engine
+        while deadline > 0:
+            if job_id in engine.finished_jobs:
+                return
+            self.io_loop.run_sync(
+                lambda: tornado.gen.sleep(0.02)
+            )
+            deadline -= 1
+        raise AssertionError(f"job {job_id} did not finish")
+
+    def run_job(self, job_id, analysis_id):
+        resp = self.fetch_json(
+            f"/api/jobs/{job_id}/", method="PUT",
+            body={"job": {"analysis": analysis_id}},
+        )
+        self.wait_job(job_id)
+        return resp
 
 
 class TestConfig(WebTestBase):
@@ -53,13 +103,12 @@ class TestDatasetAndJob(WebTestBase):
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=2
         ).initialize()
-        self.state.dataset_state.register(
-            uuid, ds, {"type": "MEMORY"}
-        )
+        self.register_ds(uuid, ds)
         return data
 
     def test_dataset_lifecycle_raw(self):
         import tempfile, os
+        self.connect()
         raw = _mk_random((4, 5, 8, 8), dtype="float32")
         with tempfile.NamedTemporaryFile(
             suffix=".raw", delete=False
@@ -91,7 +140,8 @@ class TestDatasetAndJob(WebTestBase):
             os.unlink(path)
 
     def test_analysis_and_job(self):
-        data = self._register_memory_ds()
+        self.connect()
+        self._register_memory_ds()
         resp = self.fetch_json(
             "/api/compoundAnalyses/ca-1/analyses/an-1/",
             method="PUT",
@@ -104,25 +154,16 @@ class TestDatasetAndJob(WebTestBase):
             },
         )
         assert resp["messageType"] == "ANALYSIS_CREATED"
-        resp = self.fetch_json(
-            "/api/jobs/job-1/", method="PUT",
-            body={"job": {"analysis": "an-1"}},
-        )
+        # the job PUT responds after the run completed (the handler
+        # awaits run_analysis; reference web/jobs.py:25)
+        resp = self.run_job("job-1", "an-1")
         assert resp["messageType"] == "JOB_STARTED"
-
-        # drive the ioloop until the job finishes
-        deadline = 200
-        while (
-            self.state.job_state["job-1"]["running"]
-            and deadline > 0
-        ):
-            self.io_loop.run_sync(
-                lambda: tornado.gen.sleep(0.05)
-            )
-            deadline -= 1
-        assert not self.state.job_state["job-1"]["running"]
+        assert resp["details"] == {"id": "job-1",
+                                   "analysis": "an-1"}
+        assert self.state.analysis_state.have_results("an-1")
 
     def test_download(self):
+        self.connect()
         self._register_memory_ds(uuid="ds-2")
         self.fetch_json(
             "/api/compoundAnalyses/ca-2/analyses/an-2/",
@@ -135,9 +176,9 @@ class TestDatasetAndJob(WebTestBase):
                 },
             },
         )
-        self.state.job_state.register("job-2", "an-2", "ds-2")
+        self.run_job("job-2", "an-2")
         resp = self.fetch(
-            "/api/jobs/job-2/download/?fmt=NPZ"
+            "/api/compoundAnalyses/ca-2/analyses/an-2/download/NPZ/"
         )
         assert resp.code == 200
         import io
@@ -147,6 +188,8 @@ class TestDatasetAndJob(WebTestBase):
 
 class TestEvents(WebTestBase):
     def test_initial_state_ws(self):
+        self.connect()
+
         async def go():
             url = (
                 f"ws://127.0.0.1:{self.get_http_port()}/api/events/"
@@ -162,6 +205,8 @@ class TestEvents(WebTestBase):
         """Without a token, the events websocket enforces Tornado's
         same-origin policy (reference web/events.py:49-51): a browser
         page from another origin must not be able to connect."""
+        self.connect()
+
         async def go():
             port = self.get_http_port()
             url = f"ws://127.0.0.1:{port}/api/events/"
@@ -184,30 +229,41 @@ class TestEvents(WebTestBase):
 
 class TestConnectionAndRPC(WebTestBase):
     def test_connection(self):
+        # before any connect: disconnected, empty connection
+        # (reference web/connect.py:36-41)
         data = self.fetch_json("/api/config/connection/")
-        assert data["messageType"] == "EXECUTOR_STATE"
-        # per-device resource rows for the GUI cluster page
-        # (reference: executor.get_resource_details feeds it)
-        details = data["connection"]["details"]
-        assert len(details) == data["connection"]["numWorkers"]
-        for row in details:
-            assert row["host"] == "localhost"
-            assert row["platform"]
-            assert row["resources"].get("compute") == 1
+        assert data == {"status": "disconnected", "connection": {}}
+        conn = {"type": "local", "numWorkers": 2}
         data = self.fetch_json(
             "/api/config/connection/", method="PUT",
-            body={"connection": {"type": "LOCAL"}},
+            body={"connection": conn},
         )
-        assert data["messageType"] == "CLUSTER_CONNECTED"
-        assert data["connection"]["numWorkers"] >= 1
+        assert data == {"status": "ok", "connection": conn}
+        # GET echoes the connection params verbatim
+        data = self.fetch_json("/api/config/connection/")
+        assert data == {"status": "ok", "connection": conn}
+        # cluster page: per-host rows (reference shape)
+        data = self.fetch_json("/api/config/cluster/")
+        assert data["messageType"] == "CLUSTER_DETAILS"
+        assert data["details"] == [
+            {"host": "localhost", "cpu": 2, "cuda": 0,
+             "service": 1},
+        ]
 
     def test_com_guess_rpc(self):
+        self.connect()
         data = _mk_random((5, 5, 16, 16), dtype="float32")
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=1
         ).initialize()
-        self.state.dataset_state.register(
-            "ds-rpc", ds, {"type": "MEMORY"}
+        self.register_ds("ds-rpc", ds)
+        self.fetch_json(
+            "/api/compoundAnalyses/ca/", method="PUT",
+            body={
+                "dataset": "ds-rpc",
+                "details": {"mainType": "CENTER_OF_MASS",
+                            "analyses": []},
+            },
         )
         self.fetch_json(
             "/api/compoundAnalyses/ca/analyses/an-rpc/",
@@ -220,9 +276,23 @@ class TestConnectionAndRPC(WebTestBase):
                 },
             },
         )
+        # RPC before the analysis joins the compound: error
+        # (reference tests/server/test_job.py:516)
         resp = self.fetch_json(
-            "/api/compoundAnalyses/ca/analyses/an-rpc/rpc/"
-            "guess_parameters/",
+            "/api/compoundAnalyses/ca/rpc/guess_parameters/",
+            method="PUT", body={},
+        )
+        assert resp["status"] == "error"
+        self.fetch_json(
+            "/api/compoundAnalyses/ca/", method="PUT",
+            body={
+                "dataset": "ds-rpc",
+                "details": {"mainType": "CENTER_OF_MASS",
+                            "analyses": ["an-rpc"]},
+            },
+        )
+        resp = self.fetch_json(
+            "/api/compoundAnalyses/ca/rpc/guess_parameters/",
             method="PUT", body={},
         )
         assert resp["status"] == "ok"
@@ -242,12 +312,11 @@ class TestConnectionAndRPC(WebTestBase):
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=1
         ).initialize()
-        self.state.dataset_state.register(
-            "ds-nb", ds, {"type": "MEMORY"}
-        )
+        self.register_ds("ds-nb", ds)
         self.fetch_json(
             "/api/compoundAnalyses/ca-nb/", method="PUT",
-            body={"details": {"dataset": "ds-nb",
+            body={"dataset": "ds-nb",
+                  "details": {"mainType": "SUM_FRAMES",
                               "analyses": ["an-nb"]}},
         )
         self.fetch_json(
@@ -278,13 +347,12 @@ class TestClientPage(WebTestBase):
 class TestJobError(WebTestBase):
     def test_job_error_broadcast(self):
         # analysis referencing a dataset that raises during the run
+        self.connect()
         data = _mk_random((4, 4, 8, 8), dtype="float32")
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=1
         ).initialize()
-        self.state.dataset_state.register(
-            "ds-err", ds, {"type": "MEMORY"}
-        )
+        self.register_ds("ds-err", ds)
         self.fetch_json(
             "/api/compoundAnalyses/ca/analyses/an-err/",
             method="PUT",
@@ -298,20 +366,11 @@ class TestJobError(WebTestBase):
                 },
             },
         )
-        self.fetch_json(
-            "/api/jobs/job-err/", method="PUT",
-            body={"job": {"analysis": "an-err"}},
-        )
-        deadline = 100
-        while (
-            self.state.job_state["job-err"]["running"]
-            and deadline > 0
-        ):
-            self.io_loop.run_sync(
-                lambda: tornado.gen.sleep(0.05)
-            )
-            deadline -= 1
-        assert not self.state.job_state["job-err"]["running"]
+        self.run_job("job-err", "an-err")
+        # a failed job is removed from the registry
+        # (reference engine.py:127)
+        assert "job-err" not in self.state.job_state.jobs
+        assert not self.state.analysis_state.have_results("an-err")
 
 
 class TestParamValidation(WebTestBase):
@@ -336,13 +395,12 @@ class TestWebRound2(WebTestBase):
     short-circuit, ClusterAnalysis job controller."""
 
     def _register_memory_ds(self, uuid="ds-1", nav=(6, 7)):
+        self.connect()
         data = _mk_random(nav + (12, 12), dtype="float32")
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=2
         ).initialize()
-        self.state.dataset_state.register(
-            uuid, ds, {"type": "MEMORY"}
-        )
+        self.register_ds(uuid, ds)
         return data
 
     def _mk_analysis(self, an_uuid, analysis_type, parameters=None):
@@ -359,13 +417,7 @@ class TestWebRound2(WebTestBase):
         )
 
     def _wait_job(self, job_uuid):
-        deadline = 400
-        while (
-            self.state.job_state[job_uuid]["running"] and deadline > 0
-        ):
-            self.io_loop.run_sync(lambda: tornado.gen.sleep(0.05))
-            deadline -= 1
-        assert not self.state.job_state[job_uuid]["running"]
+        self.wait_job(job_uuid)
 
     def test_binary_result_frames(self):
         """TASK_RESULT carries channel metadata + followup count; the
@@ -488,7 +540,11 @@ class TestWebRound2(WebTestBase):
                 if isinstance(msg, bytes):
                     continue
                 data = json.loads(msg)
-                if data["messageType"] == "TASK_RESULT":
+                # the controller pushes its one result set on
+                # FINISH_JOB (finished=True); channels ride both
+                # TASK_RESULT and FINISH_JOB headers
+                if data["messageType"] in ("TASK_RESULT",
+                                           "FINISH_JOB"):
                     keys = [c["key"] for c in data["channels"]]
                     assert "intensity" in keys
                     saw_result = True
@@ -505,13 +561,13 @@ class TestCompoundAnalysisProtocol(WebTestBase):
     def test_create_compound_top_level_dataset(self):
         """The reference client sends the dataset id at the TOP level
         of the CREATE_COMPOUND_ANALYSIS message (web/messages.py);
-        the handler must accept that shape (and a details-nested id)."""
+        UPDATED on re-PUT, and the serialized shape carries
+        dataset/compoundAnalysis/details."""
         data = _mk_random((4, 5, 8, 8), dtype="float32")
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=2
         ).initialize()
-        self.state.dataset_state.register("ds-ca", ds,
-                                          {"type": "MEMORY"})
+        self.register_ds("ds-ca", ds)
         resp = self.fetch_json(
             "/api/compoundAnalyses/ca-top/", method="PUT",
             body={
@@ -521,32 +577,31 @@ class TestCompoundAnalysisProtocol(WebTestBase):
             },
         )
         assert resp["messageType"] == "COMPOUND_ANALYSIS_CREATED"
-        assert (
-            self.state.compound_analyses["ca-top"]["dataset"]
-            == "ds-ca"
-        )
-        # details-nested id still accepted
+        assert resp["dataset"] == "ds-ca"
+        assert resp["compoundAnalysis"] == "ca-top"
+        ca_state = self.state.compound_analysis_state
+        assert ca_state["ca-top"]["dataset"] == "ds-ca"
+        # second PUT on the same uuid: UPDATED
         resp = self.fetch_json(
-            "/api/compoundAnalyses/ca-nested/", method="PUT",
+            "/api/compoundAnalyses/ca-top/", method="PUT",
             body={
+                "dataset": "ds-ca",
                 "details": {"mainType": "APPLY_RING_MASK",
-                            "analyses": [], "dataset": "ds-ca"},
+                            "analyses": ["an-x"]},
             },
         )
-        assert (
-            self.state.compound_analyses["ca-nested"]["dataset"]
-            == "ds-ca"
-        )
+        assert resp["messageType"] == "COMPOUND_ANALYSIS_UPDATED"
+        assert ca_state["ca-top"]["details"]["analyses"] == ["an-x"]
 
     def test_download_all_formats(self):
         """Every registered result format serves a non-trivial body
         (the GUI download selector exposes all of them)."""
+        self.connect()
         data = _mk_random((4, 5, 8, 8), dtype="float32")
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=2
         ).initialize()
-        self.state.dataset_state.register("ds-dl", ds,
-                                          {"type": "MEMORY"})
+        self.register_ds("ds-dl", ds)
         self.fetch_json(
             "/api/compoundAnalyses/ca-dl/analyses/an-dl/",
             method="PUT",
@@ -556,10 +611,11 @@ class TestCompoundAnalysisProtocol(WebTestBase):
                             "parameters": {}},
             },
         )
-        self.state.job_state.register("job-dl", "an-dl", "ds-dl")
+        self.run_job("job-dl", "an-dl")
         for fmt in ("NPZ", "NPZ_COMPRESSED", "HDF5", "TIFF", "RAW"):
             resp = self.fetch(
-                f"/api/jobs/job-dl/download/?fmt={fmt}"
+                "/api/compoundAnalyses/ca-dl/analyses/an-dl/"
+                f"download/{fmt}/"
             )
             assert resp.code == 200, fmt
             assert len(resp.body) > 100, fmt
@@ -608,25 +664,24 @@ class TestGuiWorkflow(WebTestBase):
         assert "nav_shape" in raw["required"]
         h5 = schemas["HDF5"]
         assert "ds_path" in h5["schema"]["properties"]
-        # every schema carries the base fields the form renders
-        for info in schemas.values():
+        # every file-format schema carries the base fields the
+        # form renders (MEMORY is the in-memory test format)
+        for type_id, info in schemas.items():
             props = info["schema"]["properties"]
-            for key in ("path", "nav_shape", "sig_shape",
-                        "sync_offset"):
-                assert key in props
+            keys = ("nav_shape", "sig_shape", "sync_offset") if \
+                type_id == "MEMORY" else \
+                ("path", "nav_shape", "sig_shape", "sync_offset")
+            for key in keys:
+                assert key in props, (type_id, key)
 
     def _wait_job(self, job_id, deadline=200):
-        while (
-            self.state.job_state[job_id]["running"] and deadline > 0
-        ):
-            self.io_loop.run_sync(lambda: tornado.gen.sleep(0.05))
-            deadline -= 1
-        assert not self.state.job_state[job_id]["running"]
+        self.wait_job(job_id)
 
     def test_open_pick_disk_com_roi_flow(self):
         import io
         import tempfile
 
+        self.connect()
         rng = np.random.default_rng(0)
         nav, sig = (6, 6), (16, 16)
         frames = rng.poisson(
@@ -677,7 +732,10 @@ class TestGuiWorkflow(WebTestBase):
             body={"job": {"analysis": "an-disk"}},
         )
         self._wait_job("job-disk")
-        resp = self.fetch("/api/jobs/job-disk/download/?fmt=NPZ")
+        resp = self.fetch(
+            "/api/compoundAnalyses/ca-g/analyses/an-disk/"
+            "download/NPZ/"
+        )
         assert resp.code == 200
         arrays = np.load(io.BytesIO(resp.body))
         from libertem_tpu import masks as mask_lib
@@ -709,7 +767,10 @@ class TestGuiWorkflow(WebTestBase):
             body={"job": {"analysis": "an-com"}},
         )
         self._wait_job("job-com")
-        resp = self.fetch("/api/jobs/job-com/download/?fmt=NPZ")
+        resp = self.fetch(
+            "/api/compoundAnalyses/ca-g/analyses/an-com/"
+            "download/NPZ/"
+        )
         arrays = np.load(io.BytesIO(resp.body))
         # the field tuple is excluded from downloads like the
         # reference (include_in_download=False, com.py:243); the
@@ -836,13 +897,11 @@ class TestNotebookTemplates(WebTestBase):
         ds = MemoryDataSet(
             data=data, sig_dims=2, num_partitions=1
         ).initialize()
-        self.state.dataset_state.register(
-            "ds-nb2", ds, {"type": "MEMORY"}
-        )
+        self.register_ds("ds-nb2", ds)
         self.fetch_json(
             "/api/compoundAnalyses/ca-nb2/", method="PUT",
-            body={"details": {
-                "dataset": "ds-nb2",
+            body={"dataset": "ds-nb2", "details": {
+                "mainType": "SUM_FRAMES",
                 "analyses": [{"analysisType": "SUM_FRAMES",
                               "parameters": {}}],
             }},
