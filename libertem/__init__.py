@@ -40,6 +40,10 @@ _EXPLICIT = {
     "libertem.common.udf": "libertem_tpu.udf.base",
     # single-file DM loader is part of dm.py here
     "libertem.io.dataset.dm_single": "libertem_tpu.io.dataset.dm",
+    # reference io/dataset/base is a package; ours is one module,
+    # with the decode protocol in a sibling
+    "libertem.io.dataset.base.decode":
+        "libertem_tpu.io.dataset.decode",
     # reference executor module names that collapsed (docs in
     # executor/compat.py)
     "libertem.executor.dask": "libertem_tpu.executor.compat",
@@ -47,6 +51,7 @@ _EXPLICIT = {
     "libertem.executor.concurrent": "libertem_tpu.executor.compat",
     "libertem.executor.integration": "libertem_tpu.executor.compat",
     # reference io/writers/results is a package; ours is one module
+    "libertem.io.writers.base": "libertem_tpu.io.writers",
     "libertem.io.writers.results": "libertem_tpu.io.writers",
     "libertem.io.writers.results.base": "libertem_tpu.io.writers",
     "libertem.io.writers.results.formats":
@@ -74,6 +79,7 @@ _EXPLICIT = {
 # reference (children resolved via _EXPLICIT)
 _FORCE_PACKAGE = {
     "libertem.corrections", "libertem.io.corrections",
+    "libertem.io.dataset.base",
     "libertem.io.writers", "libertem.io.writers.results",
     "libertem.web.notebook_generator",
 }

@@ -373,7 +373,8 @@ class Context:
             )
             from .common.async_utils import async_generator_eager
             return AsyncResultGenerator(
-                async_generator_eager(iter(sync_gen)), sync_gen
+                async_generator_eager(iter(sync_gen), queue_size=8),
+                sync_gen
             )
         udfs, single = self._normalize_udfs(udf)
         roi = self._normalize_roi(roi, dataset)
@@ -405,7 +406,9 @@ class Context:
             dataset, udf, roi=roi, corrections=corrections,
             progress=progress, backends=backends, plots=plots,
         )
-        async for item in async_generator_eager(iter(gen)):
+        async for item in async_generator_eager(
+            iter(gen), queue_size=8,
+        ):
             yield item
 
     async def run_udf_async(

@@ -6,7 +6,6 @@ run_gen_get_last:95).
 from __future__ import annotations
 
 import asyncio
-import functools
 import queue as queue_mod
 import threading
 from typing import AsyncGenerator, Callable, Generator, TypeVar
@@ -14,19 +13,54 @@ from typing import AsyncGenerator, Callable, Generator, TypeVar
 T = TypeVar("T")
 
 
+class MyStopIteration(Exception):
+    """Carrier for ``StopIteration`` across a future/coroutine
+    boundary (raising StopIteration into a Future is a TypeError;
+    reference async_utils.py:18)."""
+
+
 async def sync_to_async(fn: Callable[..., T], *args, pool=None,
                         **kwargs) -> T:
     loop = asyncio.get_running_loop()
-    return await loop.run_in_executor(
-        pool, functools.partial(fn, *args, **kwargs)
-    )
+
+    def _call():
+        try:
+            return fn(*args, **kwargs)
+        except StopIteration as e:
+            raise MyStopIteration() from e
+
+    return await loop.run_in_executor(pool, _call)
+
+
+async def async_generator(gen: Generator, pool=None) -> AsyncGenerator:
+    """LAZY sync->async bridge: each ``__anext__`` advances the
+    source generator by exactly one item in the pool (reference
+    async_utils.py:63).  Use :func:`async_generator_eager` to let the
+    producer run ahead instead."""
+    loop = asyncio.get_running_loop()
+
+    def _next():
+        try:
+            return next(gen)
+        except StopIteration:
+            raise MyStopIteration()
+
+    while True:
+        try:
+            item = await loop.run_in_executor(pool, _next)
+        except MyStopIteration:
+            break
+        yield item
 
 
 async def async_generator_eager(
-    gen: Generator, pool=None, queue_size: int = 8,
+    gen: Generator, pool=None, queue_size: int = 0,
 ) -> AsyncGenerator:
     """Drain a sync generator in a thread, yield asynchronously; the
-    producer runs eagerly ahead up to ``queue_size`` items."""
+    producer runs eagerly ahead — unboundedly by default (reference
+    async_utils.py:231 contract), or up to ``queue_size`` items when
+    the caller wants backpressure (the engine's partial-result
+    streams pass 8)."""
     # a plain thread-safe queue avoids cross-thread asyncio puts
     # entirely: put/get are atomic, so there is no timeout/cancel race
     # that could duplicate or drop an item
@@ -101,4 +135,15 @@ def run_gen_get_last(gen: Generator[T, None, None]) -> T:
         have = True
     if not have:
         raise RuntimeError("generator produced no items")
+    return result
+
+
+async def run_agen_get_last(gen: AsyncGenerator[T, None]) -> T:
+    """Exhaust an async generator, return its last item."""
+    result = None
+    have = False
+    async for result in gen:
+        have = True
+    if not have:
+        raise RuntimeError("async generator produced no items")
     return result

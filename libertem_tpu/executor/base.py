@@ -34,6 +34,12 @@ class WorkerQueue:
     def put(self, header, payload=None):
         raise NotImplementedError()
 
+    def put_nocopy(self, header, size: int):
+        """Context manager yielding a writable memoryview of
+        ``size`` bytes, enqueued on exit (reference
+        common/executor.py:548)."""
+        raise NotImplementedError()
+
     def close(self, drain: bool = True, force: bool = False):
         raise NotImplementedError()
 
@@ -55,6 +61,13 @@ class SimpleWorkerQueue(WorkerQueue):
         self.q.put((header, payload))
 
     @contextmanager
+    def put_nocopy(self, header, size: int):
+        import numpy as _np
+        payload = _np.zeros(size, dtype=_np.uint8)
+        yield memoryview(payload)
+        self.q.put((header, payload))
+
+    @contextmanager
     def get(self, block: bool = True, timeout=None):
         try:
             yield self.q.get(block=block, timeout=timeout)
@@ -63,6 +76,59 @@ class SimpleWorkerQueue(WorkerQueue):
 
     def close(self, drain: bool = True, force: bool = False):
         pass
+
+    def size(self) -> int:
+        return self.q.qsize()
+
+
+class SimpleMPWorkerQueue(WorkerQueue):
+    """multiprocessing.Queue-backed WorkerQueue (reference
+    common/executor.py:628).  Items cross a process boundary, so
+    header and payload are cloudpickled (headers may carry closures).
+    Present for protocol parity — this engine's own loops are
+    single-process + threads (SimpleWorkerQueue)."""
+
+    def __init__(self):
+        import multiprocessing as mp
+        import queue as _queue
+        self._queue_mod = _queue
+        self._mp_ctx = mp.get_context("spawn")
+        self.q = self._mp_ctx.Queue()
+        self._closed = False
+
+    def _dumps(self, obj):
+        import cloudpickle
+        return cloudpickle.dumps(obj)
+
+    def put(self, header, payload=None):
+        self.q.put((self._dumps(header), self._dumps(payload)))
+
+    @contextmanager
+    def put_nocopy(self, header, size: int):
+        import numpy as _np
+        payload = _np.zeros(size, dtype=_np.uint8)
+        yield memoryview(payload)
+        self.q.put((self._dumps(header), self._dumps(payload)))
+
+    @contextmanager
+    def get(self, block: bool = True, timeout=None):
+        import pickle
+        try:
+            res = self.q.get(block=block, timeout=timeout)
+        except self._queue_mod.Empty:
+            raise WorkerQueueEmpty()
+        yield (pickle.loads(res[0]), pickle.loads(res[1]))
+
+    def close(self, drain: bool = True, force: bool = False):
+        if not self._closed:
+            if drain:
+                while True:
+                    try:
+                        self.q.get_nowait()
+                    except self._queue_mod.Empty:
+                        break
+            self.q.close()
+            self._closed = True
 
     def size(self) -> int:
         return self.q.qsize()

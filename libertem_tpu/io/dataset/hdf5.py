@@ -129,6 +129,11 @@ class H5DataSet(DataSet):
         self._min_num_partitions = min_num_partitions
         self._chunks = None
 
+    @property
+    def path(self) -> str:
+        # reference hdf5.py:472
+        return self._path
+
     def get_num_partitions(self) -> int:
         # precedence: explicit num_partitions= > target_size= (bytes
         # PER partition, both directions — reference hdf5.py:556) >
@@ -227,9 +232,28 @@ class H5DataSet(DataSet):
         try:
             with _open_h5(path) as f:
                 cands = cls._find_datasets(f)
-            if not cands:
-                return False
-            return {"path": path, "ds_path": cands[0]}
+                if not cands:
+                    # a real HDF5 file with no compatible dataset:
+                    # detection still succeeds with the path only
+                    # (reference hdf5.py:411-419)
+                    return {"path": path}
+                shape = tuple(f[cands[0]].shape)
+            # GUI-facing nav collapsed to 2d, sig implicitly the two
+            # trailing dims (reference hdf5.py:423,431)
+            nav = shape[:-2]
+            if len(nav) == 0:
+                nav2d = (1, 1)
+            elif len(nav) == 1:
+                nav2d = (1, nav[0])
+            else:
+                import math
+                nav2d = (math.prod(nav[:-1]), nav[-1])
+            return {
+                "path": path,
+                "ds_path": cands[0],
+                "nav_shape": nav2d,
+                "sig_shape": shape[-2:],
+            }
         except Exception:
             return False
 

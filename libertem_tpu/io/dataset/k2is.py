@@ -24,13 +24,25 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from ...common.shape import Shape
-from ...native import decode_uint12_le
+from ...native import decode_uint12_le as _decode_uint12_le
 from .base import (
     DataSet,
     DataSetException,
     DataSetMeta,
     Partition,
 )
+
+def decode_uint12_le(inp, out=None):
+    """Unpack little-endian 12-bit pairs to u16 (reference
+    k2is.py decode_uint12_le — same signature: fills ``out`` when
+    given; native C++ kernel under the hood, numpy fallback)."""
+    vals = _decode_uint12_le(np.ascontiguousarray(inp))
+    if out is None:
+        return vals
+    n = min(len(vals), len(out))
+    out[:n] = vals[:n]
+    return out
+
 
 HEADER_SIZE = 40
 BLOCK_SIZE = 0x5758

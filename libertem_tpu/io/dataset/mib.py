@@ -149,6 +149,64 @@ def parse_hdr_sidecar(path: str) -> dict:
     return result
 
 
+# -- encoders + reference-signature decode adapters -------------------
+# (reference mib.py:160-213 encode_*, :216-399 decode_*_swap; used by
+# the reference's simulation tooling and round-trip tests.  Encoders
+# are vectorized numpy — the bit layouts are the Merlin file-format
+# spec.)
+
+def encode_u1(inp, out):
+    """U08 processed data: plain bytes."""
+    out[:] = inp
+
+
+def encode_u2(inp, out):
+    """U16 processed data: big-endian u16 byte pairs."""
+    rows = inp.shape[0]
+    out[:] = inp.astype(">u2").view(np.uint8).reshape(rows, -1)
+
+
+def encode_r1(inp, out):
+    """RAW 1-bit: 64-pixel stripes, bits little-endian within each
+    byte, bytes reversed within the stripe."""
+    rows = inp.shape[0]
+    bits = (inp & 1).astype(np.uint8).reshape(rows, -1, 8, 8)
+    packed = np.packbits(bits, axis=-1, bitorder="little")
+    out[:] = packed[:, :, ::-1, 0].reshape(rows, -1)
+
+
+def encode_r6(inp, out):
+    """RAW 6-bit (one byte per pixel): bytes reversed in groups of
+    8."""
+    rows = inp.shape[0]
+    out[:] = inp.reshape(rows, -1, 8)[:, :, ::-1].reshape(rows, -1)
+
+
+def encode_r12(inp, out):
+    """RAW 12-bit: u16 values reversed in groups of 4, stored
+    big-endian."""
+    rows = inp.shape[0]
+    reordered = inp.reshape(rows, -1, 4)[:, :, ::-1].reshape(rows, -1)
+    out[:] = reordered.astype(">u2").view(np.uint8).reshape(rows, -1)
+
+
+def decode_r1_swap(inp, out, idx, native_dtype, rr, origin, shape,
+                   ds_shape):
+    """Reference decode-signature adapter over the native r1 bit
+    unpack (native/decode.cpp)."""
+    out[idx, :] = decode_r1(inp.reshape(1, -1), out.shape[1])[0]
+
+
+def decode_r6_swap(inp, out, idx, native_dtype, rr, origin, shape,
+                   ds_shape):
+    out[idx, :] = decode_r6(inp.reshape(1, -1), out.shape[1])[0]
+
+
+def decode_r12_swap(inp, out, idx, native_dtype, rr, origin, shape,
+                    ds_shape):
+    out[idx, :] = decode_r12(inp.reshape(1, -1), out.shape[1])[0]
+
+
 def assemble_quad(decoded: np.ndarray) -> np.ndarray:
     """(n, h, 4h) decoded stream rows -> (n, 2h, 2h) assembled quad
     frames (layout: stored [Q4|Q3|Q2|Q1], bottom quadrants rotated

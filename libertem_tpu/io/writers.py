@@ -40,43 +40,78 @@ def write_dataset_npy(ctx, dataset, path: str, progress=False) -> None:
 
 
 class WriteHandle:
-    """Tile-wise writing of a partition's worth of frames to a raw
-    file, atomically (tmp + rename; reference writers/base.py:8)."""
+    """Tile-wise writing of a partition's worth of frames to a RAW
+    file, atomically: tiles land in a tempfile-backed memmap in
+    partition-local coordinates; success renames into place, an
+    exception or :meth:`abort` unlinks the tempfile (reference
+    writers/base.py:8 — same constructor, ``write_tile``/
+    ``write_tiles``/``abort`` API and ``_dest``/``_tmp_file``
+    internals, which the reference's own tests assert on)."""
 
-    def __init__(self, path: str, dtype, shape):
+    def __init__(self, path: str, tmp_base_path: str, part_slice,
+                 dtype):
         self._path = path
+        self._tmp_base_path = tmp_base_path
+        self._slice = part_slice
         self._dtype = np.dtype(dtype)
-        self._shape = tuple(shape)
-        self._tmp = None
-        self._mmap = None
+        self._dest = None
+        self._tmp_file = None
+        self._aborted = False
 
     def __enter__(self):
-        fd, self._tmp = tempfile.mkstemp(
-            dir=os.path.dirname(os.path.abspath(self._path)) or "."
+        assert self._tmp_file is None
+        self._tmp_file = tempfile.NamedTemporaryFile(
+            prefix=os.path.basename(".tmp-%s" % self._path),
+            dir=self._tmp_base_path, delete=False,
         )
-        os.close(fd)
-        # mkstemp creates 0600 and os.replace keeps it — honor the
-        # umask like a normally created file would
-        umask = os.umask(0)
-        os.umask(umask)
-        os.chmod(self._tmp, 0o666 & ~umask)
-        self._mmap = np.lib.format.open_memmap(
-            self._tmp, mode="w+", dtype=self._dtype, shape=self._shape
+        self._dest = np.memmap(
+            self._tmp_file.name, dtype=self._dtype, mode="write",
+            shape=tuple(self._slice.shape),
         )
         return self
 
+    def write_tile(self, tile):
+        """Write one DataTile into its partition-local slot."""
+        assert self._tmp_file is not None
+        dest_slice = tile.tile_slice.shift(self._slice)
+        self._dest[dest_slice.get()] = tile.data
+
+    def write_tiles(self, tiles):
+        """Write all tiles, re-yielding each for further use."""
+        for tile in tiles:
+            self.write_tile(tile)
+            yield tile
+
     def write_frames(self, offset: int, frames: np.ndarray):
-        self._mmap[offset:offset + frames.shape[0]] = frames
+        """Frame-offset convenience over the tile API (this
+        engine's block feed is frame-granular)."""
+        self._dest[offset:offset + frames.shape[0]] = frames
+
+    def abort(self):
+        self._cleanup()
+        self._aborted = True
+
+    def _cleanup(self):
+        self._dest = None
+        if self._tmp_file is not None:
+            self._tmp_file.close()
+            os.unlink(self._tmp_file.name)
+            self._tmp_file = None
 
     def __exit__(self, exc_type, exc, tb):
-        if self._mmap is not None:
-            self._mmap.flush()
-            del self._mmap
-            self._mmap = None
-        if exc_type is None:
-            os.replace(self._tmp, self._path)
-        else:
-            os.unlink(self._tmp)
+        if exc_type is not None or self._aborted:
+            self._cleanup()
+            return False
+        self._dest.flush()
+        self._tmp_file.close()
+        os.replace(self._tmp_file.name, self._path)
+        # tmp files are created 0600 — honor the umask like a
+        # normally created file would
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(self._path, 0o666 & ~umask)
+        self._dest = None
+        self._tmp_file = None
         return False
 
 

@@ -22,6 +22,7 @@ class RecordUDF(UDF):
     def __init__(self, filename: str, _dtype=None):
         super().__init__(filename=filename, _dtype=_dtype)
         self._mmap = None
+        self._mmap_base = None
 
     def get_backends(self):
         # host-side effect: write from the host block feed (no
@@ -31,9 +32,10 @@ class RecordUDF(UDF):
     def on_params_updated(self):
         # a patched filename must open a new file, not keep writing
         # into the old mmap
-        if self._mmap is not None:
-            self._mmap.flush()
+        if self._mmap_base is not None:
+            self._mmap_base.flush()
         self._mmap = None
+        self._mmap_base = None
 
     def get_result_buffers(self):
         return {}
@@ -52,20 +54,26 @@ class RecordUDF(UDF):
 
     @property
     def _out_shape(self):
-        n = (
-            int(np.count_nonzero(self.meta.roi))
-            if self.meta.roi is not None
-            else self.meta.dataset_shape.nav.size
-        )
-        return (n,) + tuple(self.meta.dataset_shape.sig)
+        # no roi: the npy header carries the dataset's FULL nav
+        # dims (reference record.py:49 writes tuple(ds_shape)); with
+        # a roi (an extension over the reference, which refuses rois)
+        # nav compresses to the roi's flat count
+        if self.meta.roi is not None:
+            n = int(np.count_nonzero(self.meta.roi))
+            return (n,) + tuple(self.meta.dataset_shape.sig)
+        return tuple(self.meta.dataset_shape)
 
     def _ensure_mmap(self):
         if self._mmap is None:
-            self._mmap = np.lib.format.open_memmap(
+            self._mmap_base = np.lib.format.open_memmap(
                 self.params.filename,
                 mode="w+",
                 dtype=self.meta.input_dtype,
                 shape=self._out_shape,
+            )
+            # writes index by global FLAT frame offset
+            self._mmap = self._mmap_base.reshape(
+                (-1,) + tuple(self.meta.dataset_shape.sig)
             )
         return self._mmap
 
@@ -81,5 +89,5 @@ class RecordUDF(UDF):
         mm[goff:goff + len(tile)] = tile
 
     def postprocess(self):
-        if self._mmap is not None:
-            self._mmap.flush()
+        if self._mmap_base is not None:
+            self._mmap_base.flush()

@@ -18,6 +18,19 @@ def detect() -> dict:
         # psutil may return None for BOTH calls on platforms where
         # core count is undetectable (cgroup containers)
         cpus = os.cpu_count() or 1
+    # cupy probe for API parity (reference devices.py:40): a clean
+    # "not installed" stays silent; a BROKEN cupy (ImportError with a
+    # cause, AttributeError, driver exceptions) warns so the user
+    # learns why CUDA workers are absent.  has_cupy is always False —
+    # the accelerator path here is jax/TPU.
+    try:
+        import cupy  # noqa: F401
+        _probe = getattr(cupy, "cuda", None)  # broken-install probe
+    except ModuleNotFoundError:
+        pass
+    except Exception as e:
+        import warnings
+        warnings.warn(repr(e), RuntimeWarning)
     tpus: list = []
     has_tpu = False
     try:

@@ -336,7 +336,8 @@ def test_context_signature_parity(lt_ctx, tmp_path):
     with pytest.raises(FileExistsError, match="overwrite"):
         lt_ctx.export_dataset(d, path=out)
     lt_ctx.export_dataset(d, path=out, overwrite=True)
-    assert np.allclose(np.load(out), data.reshape(-1, 8, 8))
+    # the npy header carries the FULL nav dims (reference record.py:49)
+    assert np.allclose(np.load(out), data)
     with pytest.raises(ValueError, match="npy"):
         lt_ctx.export_dataset(d, path=str(tmp_path / "exp.tiff"))
 

@@ -118,8 +118,10 @@ def test_record_and_export(lt_ctx, tmp_path, data):
     out = str(tmp_path / "exported.npy")
     lt_ctx.export_dataset(ds, path=out)
     written = np.load(out)
-    assert written.shape == (13 * 17, 19, 21)
-    assert np.array_equal(written, data.reshape(-1, 19, 21))
+    # the npy header carries the FULL nav dims (reference
+    # record.py:49)
+    assert written.shape == (13, 17, 19, 21)
+    assert np.array_equal(written, data)
 
 
 def test_dataset_registry_unknown(lt_ctx):
@@ -138,7 +140,7 @@ def test_export_from_sharded_context(tmp_path, data):
     out = str(tmp_path / "exported.npy")
     ctx.export_dataset(ds, path=out)
     written = np.load(out)
-    assert np.array_equal(written, data.reshape(-1, 19, 21))
+    assert np.array_equal(written, data)
 
 
 def test_raw_buffered_backend(lt_ctx, tmp_path, data):

@@ -529,6 +529,28 @@ class _H5File:
 
 
 @pytest.fixture
+def empty_hdf5(tmp_path):
+    import h5py
+    path = str(tmp_path / "hdf5-empty.h5")
+    with h5py.File(path, "w"):
+        pass
+    with h5py.File(path, "r") as f:
+        yield f
+
+
+@pytest.fixture
+def hdf5_ds_1(tmp_path):
+    import h5py
+    from libertem.io.dataset.hdf5 import H5DataSet
+    from libertem.executor.inline import InlineJobExecutor
+    path = str(tmp_path / "hdf5-test.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=np.ones((5, 5, 16, 16)))
+    ds = H5DataSet(path=path, ds_path="data")
+    return ds.initialize(InlineJobExecutor())
+
+
+@pytest.fixture
 def _same_4d_data():
     return np.random.randn(2, 10, 26, 26).astype("float32")
 
@@ -617,6 +639,14 @@ def default_raw(default_raw_file, lt_ctx):
 @pytest.fixture
 def lt_ctx_fast(lt_ctx):
     return lt_ctx
+
+
+@pytest.fixture(scope="session")
+def raw_data_8x8x8x8_path(tmp_path_factory):
+    from utils import _mk_random
+    path = tmp_path_factory.mktemp("data") / "8x8x8x8"
+    _mk_random(size=(8, 8, 8, 8), dtype="float32").tofile(str(path))
+    return str(path)
 
 
 @pytest.fixture(scope="session")

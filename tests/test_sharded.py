@@ -448,7 +448,8 @@ def test_sharded_record_udf(tmp_path, data):
         ds, devices=devices()
     )
     written = np.load(out)
-    assert np.array_equal(written, data.reshape(-1, 24, 24))
+    # the npy header carries the FULL nav dims (reference record.py:49)
+    assert np.array_equal(written, data)
 
 
 def test_sharded_record_with_roi_and_device_udf(tmp_path, data):

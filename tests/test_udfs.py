@@ -508,6 +508,5 @@ def test_record_udf_runs_sharded(lt_ctx, tmp_path):
     udf = RecordUDF(filename=str(tmp_path / "o.npy"))
     assert udf.get_tiling_preferences()["whole_frames"]
     UDFRunner([udf]).run_for_dataset(mds, devices=jax.devices())
-    assert np.array_equal(
-        np.load(str(tmp_path / "o.npy")), data.reshape(-1, 4, 4)
-    )
+    # the npy header carries the FULL nav dims (reference record.py:49)
+    assert np.array_equal(np.load(str(tmp_path / "o.npy")), data)
