@@ -107,6 +107,18 @@ CASES = [
     # test_on_cuda skips (no CUDA in this env, same as the
     # reference's CUDA-less CI)
     ("io/test_sparse.py", None),
+    ("io/test_write_handle.py", None),
+    ("io/test_writing.py", None),
+    ("io/test_decode_swap.py", None),
+    ("io/test_detect.py", None),
+    ("utils/test_async_utils.py", None),
+    # cupy/cuda cells skip (no CUDA in this env)
+    ("utils/test_devices.py", None),
+    ("executor/test_executor_base.py", None),
+    # the dask cell needs a live dask cluster's worker-memory
+    # accounting (ctx.executor.client) — no dask cluster exists in
+    # the single-controller design; the inline cell runs verbatim
+    ("udf/test_memleak.py", "not dask"),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
