@@ -742,32 +742,44 @@ class Context:
                                 f"channel {name} not found, have: "
                                 f"{list(dry.buffers[idx].keys())}"
                             )
-            for udf, udf_channels in zip(udfs, channels):
+            from .udf.base import UDFResults
+            for idx, (udf, udf_channels) in enumerate(
+                zip(udfs, channels)
+            ):
                 for channel in udf_channels:
                     if isinstance(channel, list):
                         channel = tuple(channel)
                     p = self.plot_class(
                         dataset, udf, roi=roi, channel=channel,
+                        # reuse the dry run instead of re-running it
+                        # per plot (reference api.py:1513)
+                        udfresult=UDFResults(
+                            (dry.buffers[idx],), dry.damage
+                        ),
                     )
                     p.display()
                     prepared.append(p)
             return prepared or None
         for p in plots:
-            if isinstance(p, Live2DPlot):
+            # duck-typed: anything with new_data()/get_udf() plots
+            # (the reference accepts arbitrary plot objects, and its
+            # own tests drive Mocks through this path)
+            if isinstance(p, Live2DPlot) or hasattr(p, "new_data"):
                 prepared.append(p)
         return prepared or None
 
     def _update_plots(self, plots, results, udfs, final=False):
-        from .udf.base import SingleUDFResults
+        damage = np.asarray(results.damage.data)
         for p in plots:
+            get_udf = getattr(p, "get_udf", None)
+            udf = get_udf() if get_udf is not None else getattr(
+                p, "udf", None
+            )
             try:
-                idx = udfs.index(p.udf)
+                idx = udfs.index(udf)
             except ValueError:
                 idx = 0
-            wrapped = SingleUDFResults(
-                results.buffers[idx], results.damage
-            )
-            p.new_data(wrapped, force=final)
+            p.new_data(results.buffers[idx], damage, force=final)
 
     def close(self):
         if self.snooze_manager is not None:

@@ -33,7 +33,14 @@ class GMSLive2DPlot(Live2DPlot):
         self.image.ShowImage()
 
     def update(self, damage, force=False):
-        if self.image is None or self.data is None:
+        if self.image is None:
+            import warnings
+            warnings.warn(
+                "Plot is not displayed, not plotting. "
+                "Call display() to display the plot."
+            )
+            return
+        if self.data is None:
             return
         buf = self.image.GetNumArray()
         buf[:] = np.nan_to_num(np.asarray(self.data))

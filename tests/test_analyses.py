@@ -419,14 +419,16 @@ def test_analyses_honor_gui_roi(lt_ctx, ds, data):
 
 def test_live_plot_sig_channel(lt_ctx, ds):
     """Live plots of sig-kind buffers must not crash on the nav
-    damage mask (damage becomes True for non-nav channels)."""
+    damage mask (a named channel's damage is its buffer's validity
+    mask ∩ finiteness — fully valid after a complete run)."""
     from libertem_tpu.udf import SumUDF
     from libertem_tpu.viz.base import Dummy2DPlot
 
     pl = Dummy2DPlot(dataset=ds, udf=SumUDF(), channel="intensity")
     lt_ctx.run_udf(ds, SumUDF(), plots=[pl])
     assert pl.data.shape == tuple(ds.shape.sig)
-    assert pl.damage is True
+    assert np.asarray(pl.damage).shape == tuple(ds.shape.sig)
+    assert np.all(pl.damage)
 
 
 def test_analysis_channel_key_parity(lt_ctx, ds):

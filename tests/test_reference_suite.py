@@ -119,6 +119,12 @@ CASES = [
     # accounting (ctx.executor.client) — no dask cluster exists in
     # the single-controller design; the inline cell runs verbatim
     ("udf/test_memleak.py", "not dask"),
+    ("viz/test_viz_base.py", None),
+    ("viz/test_mpl.py", None),
+    # all three bqp tests importorskip("bqplot") — absent here, same
+    # as the reference's widget-less CI
+    ("viz/test_bqp.py", None),
+    ("viz/test_gms.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -646,6 +652,20 @@ def default_raw(default_raw_file, lt_ctx):
         "raw", path=default_raw_file, dtype="float32",
         nav_shape=(16, 16), sig_shape=(128, 128),
     )
+
+
+@pytest.fixture(scope="session")
+def default_raw_asymm(default_raw_file):
+    # asymmetric nav over the same file (reference conftest.py:306)
+    from libertem.api import Context
+    from libertem.executor.inline import InlineJobExecutor
+    ctx = Context(executor=InlineJobExecutor())
+    ds = ctx.load(
+        "raw", path=default_raw_file, dtype="float32",
+        nav_shape=(14, 17), sig_shape=(128, 128),
+    )
+    ds.set_num_cores(2)
+    return ds
 
 
 @pytest.fixture

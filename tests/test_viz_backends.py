@@ -118,7 +118,8 @@ def test_gms_live_plot(ds, fake_gms):
     plot = GMSLive2DPlot(dataset=ds, udf=SumSigUDF())
     plot.display()
     assert plot.image is not None
-    assert plot.image.name == "SumSigUDF"
+    # reference title format: "<UDF class>: <channel>"
+    assert plot.image.name == "SumSigUDF: intensity"
     assert plot.image.shown == 1
     data = np.full((4, 5), 7.5)
     plot.data = data
