@@ -34,3 +34,32 @@ def sparse_to_coo(arr):
     if arr is None or isinstance(arr, np.ndarray):
         return arr
     return sp.coo_matrix(arr)
+
+
+def to_backend(arr: np.ndarray, backend):
+    """Convert a dense ``(depth, *sig)`` array to the named array
+    backend (the reference's sparseconverter.for_backend spellings,
+    common/udf.py:43-57).  2D formats (scipy.sparse) carry the sig
+    axes FLATTENED to one, matching the reference's D2 backend
+    contract.  cupy spellings raise — no CUDA exists on this target.
+    """
+    if backend is None or backend == "numpy":
+        return np.asarray(arr)
+    if backend == "jax":
+        import jax.numpy as jnp
+        return jnp.asarray(arr)
+    if str(backend).startswith("cupy") or backend == "cuda":
+        raise RuntimeError(
+            f"array backend {backend!r} needs CUDA, which this "
+            "TPU-native build does not target"
+        )
+    if str(backend).startswith("sparse."):
+        import sparse as sparse_pkg
+        cls = getattr(sparse_pkg, str(backend).split(".", 1)[1])
+        return cls.from_numpy(np.asarray(arr))
+    if str(backend).startswith("scipy.sparse."):
+        import scipy.sparse as sp
+        ctor = getattr(sp, str(backend).rsplit(".", 1)[1])
+        flat = np.asarray(arr)
+        return ctor(flat.reshape(flat.shape[0], -1))
+    raise ValueError(f"unknown array backend: {backend!r}")

@@ -519,10 +519,15 @@ def correct(buffer, dark_image=None, gain_map=None,
                 "excluded_pixels set"
             )
     flat = out.reshape((prod(nav_shape), prod(sig_shape)))
+    # apply the correction operands in the OUTPUT precision: the
+    # engine's device path carries dark/gain as f32 operands, and
+    # this standalone oracle must agree with production math near
+    # zero (reference detector.py:194 lets numba upcast per element
+    # instead — a CPU luxury; divergence is <1 operand ulp)
     if dark_image is not None:
-        flat -= dark_image.reshape(-1)
+        flat -= dark_image.reshape(-1).astype(out.dtype, copy=False)
     if gain_map is not None:
-        flat *= gain_map.reshape(-1)
+        flat *= gain_map.reshape(-1).astype(out.dtype, copy=False)
     _apply_repairs(flat, repair_descriptor)
     return out
 

@@ -99,7 +99,14 @@ class DataTile:
     def __init__(self, data, tile_slice: Slice, scheme_idx: int):
         if isinstance(data, DataTile):
             data = data.data
-        if tuple(data.shape) != tuple(tile_slice.shape):
+        flat2d = (
+            tile_slice.shape.nav.size, tile_slice.shape.sig.size,
+        )
+        # 2D array formats (scipy.sparse) carry sig FLATTENED — the
+        # reference's D2 backend contract (sparseconverter
+        # D2_BACKENDS); the slice keeps the logical nD shape
+        if tuple(data.shape) != tuple(tile_slice.shape) and \
+                tuple(data.shape) != flat2d:
             raise ValueError(
                 f"shape mismatch: data {tuple(data.shape)} vs "
                 f"tile_slice {tuple(tile_slice.shape)}"
@@ -212,6 +219,39 @@ class Partition:
         """(n_frames, *sig) — the partition's flat-nav shape
         (reference io/dataset/base/partition.py)."""
         return self.slice.shape
+
+    @property
+    def _start_frame(self) -> int:
+        """DATA-space index of the partition's first frame: dataset
+        index + sync_offset (reference partition.py keeps partitions
+        in data space; here ``start_frame`` is ds-space and the
+        offset applies at read time, read_dataset_frames below —
+        tests/io/datasets/test_mem.py asserts this mapping)."""
+        return self.start_frame + self.meta.sync_offset
+
+    def get_macrotile(self, dest_dtype=None, roi=None):
+        """The whole partition as ONE flat-nav tile (reference
+        partition.py:156 get_macrotile) — the simple consumer API for
+        code that wants partition granularity without negotiating a
+        tiling scheme."""
+        if roi is not None:
+            data = self._read_selected_with_offset(
+                self.local_frame_ids(roi)
+            )
+            origin = self.roi_offset(roi)
+        else:
+            data = self.read_dataset_frames(
+                self.start_frame, self.start_frame + self.num_frames
+            )
+            origin = self.start_frame
+        if dest_dtype is not None:
+            data = data.astype(dest_dtype, copy=False)
+        sig_dims = self.meta.shape.sig.dims
+        tile_slice = Slice(
+            (origin,) + (0,) * sig_dims,
+            Shape(data.shape, sig_dims=sig_dims),
+        )
+        return DataTile(data, tile_slice=tile_slice, scheme_idx=0)
 
     def get_ident(self) -> str:
         """Stable identity for progress/comm messages (reference
@@ -421,6 +461,10 @@ class Partition:
                     # reference tiles are assembled contiguous
                     # (consumers rely on reshaped_view working)
                     sub = np.ascontiguousarray(sub)
+                if array_backend is not None and \
+                        array_backend != "numpy":
+                    from ...common.sparse import to_backend
+                    sub = to_backend(sub, array_backend)
                 tile_slice = Slice(
                     (block.global_offset,) + tuple(sig_slice.origin),
                     Shape(

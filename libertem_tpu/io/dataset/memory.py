@@ -11,7 +11,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from ...common.shape import Shape
-from .base import DataSet, DataSetMeta, Partition
+from .base import DataSet, DataSetException, DataSetMeta, Partition
 
 
 class MemPartition(Partition):
@@ -34,7 +34,7 @@ class MemoryDataSet(DataSet):
     def __init__(
         self,
         data: Optional[np.ndarray] = None,
-        sig_dims: int = 2,
+        sig_dims: Optional[int] = None,
         nav_shape: Optional[Sequence[int]] = None,
         sig_shape: Optional[Sequence[int]] = None,
         num_partitions: Optional[int] = None,
@@ -49,18 +49,32 @@ class MemoryDataSet(DataSet):
             # reference memory.py:222: an empty (zeros) dataset from
             # just a shape, for API/GUI testing
             if datashape is None:
-                raise ValueError(
+                raise DataSetException(
                     "MemoryDataSet needs either data or datashape"
                 )
             data = np.zeros(
                 tuple(int(s) for s in tuple(datashape)), np.float32
             )
         data = np.asarray(data)
+        # shape-inference algebra (reference memory.py MemoryDataSet
+        # + tests/io/datasets/test_mem.py test_sig_nav_dims_sync):
+        # an explicit sig_shape/sig_dims pair must AGREE; with only
+        # nav_shape given, sig is whatever trails the nav dims
         if sig_shape is not None:
             sig_shape = tuple(int(s) for s in sig_shape)
-            sig_dims = len(sig_shape)
-        else:
+            if sig_dims is not None and len(sig_shape) != sig_dims:
+                raise ValueError(
+                    f"sig_shape {sig_shape} and sig_dims {sig_dims} "
+                    "disagree"
+                )
+        elif sig_dims is not None:
             sig_shape = data.shape[data.ndim - sig_dims:]
+        elif nav_shape is not None:
+            sig_shape = data.shape[len(tuple(nav_shape)):]
+        else:
+            sig_shape = data.shape[data.ndim - 2:]
+        sig_shape = tuple(int(s) for s in sig_shape)
+        sig_dims = len(sig_shape)
         if nav_shape is not None:
             nav_shape = tuple(int(s) for s in nav_shape)
         else:

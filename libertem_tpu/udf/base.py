@@ -652,6 +652,13 @@ class UDF:
         return type(self).merge is not UDF.merge
 
 
+# Reference-API alias: the reference splits the backend/tiling
+# constants onto a typing.Protocol (common/udf.py:34 UDFProtocol)
+# that MIT-licensed code imports; here UDF itself carries all of
+# them, so the protocol IS the class.
+UDFProtocol = UDF
+
+
 # Mixin markers for reference-API familiarity (udf/base.py:805–943).
 # Method detection is duck-typed here (get_method inspects which
 # process_* the subclass defines), so these carry no behavior.

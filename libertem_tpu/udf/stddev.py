@@ -107,7 +107,7 @@ class StdDevUDF(UDF):
         dest.varsum = v
 
     def get_results(self):
-        n = max(float(self.results.num_frames), 1.0)
+        n = max(float(np.asarray(self.results.num_frames).reshape(())), 1.0)
         var = self.results.varsum / n
         return {
             "var": var,
