@@ -2384,6 +2384,18 @@ class UDFRunner:
         merge = self._make_merge(prep)
         damage_host = np.zeros(prep["n_nav"], dtype=bool)
 
+        # opt-in per-stage timing of the single-device feed pipeline
+        # (block read+assembly+H2D vs device step) — the CI bound in
+        # tests/test_sharded.py test_feed_budget_single_device guards
+        # the host-feed path the same way the sharded stats guard the
+        # mesh loop.  Forces a device sync per step, so only enable
+        # when measuring.
+        self.last_feed_stats = None
+        if os.environ.get("LIBERTEM_TPU_FEED_STATS"):
+            self.last_feed_stats = {
+                "feed_s": 0.0, "step_s": 0.0, "n_blocks": 0,
+            }
+
         host_entries = [
             (ui, e) for ui, e in enumerate(prep["plan"]) if e.host
         ]
@@ -2596,15 +2608,55 @@ class UDFRunner:
                     )
                 return dev, block
 
-            for dev, block in self._prefetch(
-                partition.gen_blocks(scheme, roi), to_device
-            ):
+            fstats = self.last_feed_stats
+            if fstats is not None:
+                import time as _time
+                blocks_iter = partition.gen_blocks(scheme, roi)
+
+                def timed_blocks(_it=iter(blocks_iter)):
+                    # runs inside the prefetch worker: charges block
+                    # read/assembly time to feed_s
+                    while True:
+                        t0 = _time.perf_counter()
+                        try:
+                            b = next(_it)
+                        except StopIteration:
+                            return
+                        fstats["feed_s"] += _time.perf_counter() - t0
+                        yield b
+
+                inner_to_device = to_device
+
+                def to_device(block):  # noqa: F811
+                    t0 = _time.perf_counter()
+                    out = inner_to_device(block)
+                    if out[0] is not None:
+                        jax.block_until_ready(out[0][0])
+                    fstats["feed_s"] += _time.perf_counter() - t0
+                    fstats["n_blocks"] += 1
+                    return out
+
+                feed_iter = self._prefetch(timed_blocks(), to_device)
+            else:
+                feed_iter = self._prefetch(
+                    partition.gen_blocks(scheme, roi), to_device
+                )
+            for dev, block in feed_iter:
                 if dev is not None:
                     dev_block, goff, coords, valid, dterms = dev
-                    state, part_state = step(
-                        state, part_state, dev_block, goff, coords,
-                        valid, dterms,
-                    )
+                    if fstats is not None:
+                        t0 = _time.perf_counter()
+                        state, part_state = step(
+                            state, part_state, dev_block, goff,
+                            coords, valid, dterms,
+                        )
+                        jax.block_until_ready(part_state)
+                        fstats["step_s"] += _time.perf_counter() - t0
+                    else:
+                        state, part_state = step(
+                            state, part_state, dev_block, goff,
+                            coords, valid, dterms,
+                        )
                 if host_runner is not None:
                     host_runner.process_block(
                         host_global, host_part, block.data,
