@@ -44,6 +44,8 @@ _EXPLICIT = {
     # with the decode protocol in a sibling
     "libertem.io.dataset.base.decode":
         "libertem_tpu.io.dataset.decode",
+    "libertem.io.dataset.base.utils":
+        "libertem_tpu.io.dataset.utils",
     # reference executor module names that collapsed (docs in
     # executor/compat.py)
     "libertem.executor.dask": "libertem_tpu.executor.compat",

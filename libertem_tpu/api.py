@@ -312,6 +312,9 @@ class Context:
         runner = UDFRunner(
             udfs, debug=getattr(self.executor, '_debug', False),
             backends=backends,
+            threads_per_worker=getattr(
+                self.executor, "threads_per_worker", 1
+            ),
         )
         self._emit_run_event("run_udf:start", udfs, dataset)
         try:
@@ -382,6 +385,9 @@ class Context:
         runner = UDFRunner(
             udfs, debug=getattr(self.executor, '_debug', False),
             backends=backends,
+            threads_per_worker=getattr(
+                self.executor, "threads_per_worker", 1
+            ),
         )
         self._emit_run_event("run_udf:start", udfs, dataset)
         gen = runner.run_for_dataset_iter(

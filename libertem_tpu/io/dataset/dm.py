@@ -274,6 +274,14 @@ class SingleDMDataSet(DataSet):
         self._force_c_order = force_c_order
         self._dataset_index = dataset_index
 
+    @classmethod
+    def _read_metadata(cls, path, use_ds=None):
+        """Parse the DM tag tree without building a dataset
+        (reference dm_single.py _read_metadata — the
+        convert_dm4_transposed entry point consults it to check the
+        storage order)."""
+        return parse_dm(path, use_ds)
+
     def initialize(self, executor=None) -> "SingleDMDataSet":
         info = parse_dm(self._path, self._dataset_index)
         if not info.get("c_order", True) and not self._force_c_order:

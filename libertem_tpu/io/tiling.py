@@ -108,6 +108,38 @@ class TilingScheme:
             sig_dims=self._dataset_shape.sig.dims,
         )
 
+    def __eq__(self, other):
+        return (
+            isinstance(other, TilingScheme)
+            and self._depth == other._depth
+            and self._sig_slices == other._sig_slices
+            and tuple(self._dataset_shape) ==
+            tuple(other._dataset_shape)
+            and self._intent == other._intent
+        )
+
+    def __hash__(self):
+        return hash((self._depth, len(self._sig_slices),
+                     tuple(self._dataset_shape), self._intent))
+
+    def adjust_for_partition(self, partition) -> "TilingScheme":
+        """PARTITION-intent schemes mean "the whole partition as one
+        tile": when the partition's depth differs from the scheme's,
+        return a scheme matching it; otherwise return self UNCHANGED
+        (identity matters — callers cache compiled consumers per
+        scheme object; reference io/dataset/base/tiling_scheme.py
+        adjust_for_partition, pinned by tests/io/
+        test_tiling_scheme.py)."""
+        if self._intent != "partition":
+            return self
+        p_depth = int(partition.slice.shape[0])
+        if p_depth == self._depth:
+            return self
+        return TilingScheme(
+            p_depth, self._sig_slices, self._dataset_shape,
+            self._intent,
+        )
+
     def __repr__(self):
         return (
             f"<TilingScheme depth={self._depth} "

@@ -14,6 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# the reference re-exports the sparse helpers from its masks module
+# (masks.py:12) — consumers import them from either place
+from .common.sparse import is_sparse, to_dense, to_sparse  # noqa: F401
+
 
 class _DenseStack(np.ndarray):
     """Dense stand-in for the reference's sparse.COO mask stacks

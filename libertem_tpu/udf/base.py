@@ -855,15 +855,38 @@ class _UDFPlanEntry:
         self.frame_navonly = self.method == "frame" and not self.part_names
 
 
+class _PartitionTask:
+    """Minimal TaskProtocol carrier handed to
+    TaskCommHandler.handle_task — one per partition (the reference
+    wraps partitions in UDFTask objects, udf/base.py; this engine
+    has no task objects, so the carrier exposes just the protocol
+    surface handlers consume)."""
+
+    def __init__(self, partition):
+        self._partition = partition
+
+    def get_partition(self):
+        return self._partition
+
+    def get_locations(self):
+        return None
+
+    def get_resources(self):
+        return {"compute": 1}
+
+
 class UDFRunner:
     def __init__(self, udfs: Sequence[UDF], debug: bool = False,
-                 progress_reporter=None, backends=None):
+                 progress_reporter=None, backends=None,
+                 threads_per_worker: int = 1):
         """``progress_reporter``: a ProgressReporter instance used
         when ``progress=True`` (reference udf/base.py UDFRunner
         signature); ``progress=<reporter>`` per run also works.
         ``backends``: per-RUN backend restriction (the Context's
         ``backends=`` kwarg) — scoped to this runner, NOT written
-        onto the UDF instances."""
+        onto the UDF instances.  ``threads_per_worker`` flows into
+        ``meta.threads_per_worker`` (the executor's fine-grained
+        thread allowance; reference Environment.threads_per_worker)."""
         self._udfs = list(udfs)
         self._debug = debug
         self._progress_reporter = progress_reporter
@@ -871,6 +894,7 @@ class UDFRunner:
             (backends,) if isinstance(backends, str)
             else tuple(backends) if backends is not None else None
         )
+        self._threads_per_worker = max(1, int(threads_per_worker))
         self._params_patched = False
 
     def _debug_check_picklable(self):
@@ -1162,6 +1186,7 @@ class UDFRunner:
             input_dtype=input_dtype,
             roi=roi,
             tiling_scheme=None,
+            threads_per_worker=self._threads_per_worker,
         )
         for u in udfs:
             u.meta = pre_meta
@@ -1221,6 +1246,7 @@ class UDFRunner:
             tiling_scheme=scheme,
             device_class=device_class,
             corrections=corrections,
+            threads_per_worker=self._threads_per_worker,
         )
 
         n_nav = (
@@ -2470,6 +2496,8 @@ class UDFRunner:
                         device_entries_exist, densify_cache,
                         damage_host, state, step, merge,
                         worker_context=worker_context,
+                        comms=comms if comms_active else None,
+                        comms_queue=comms_queue,
                     )
                 except JobCancelledError:
                     # a task signalled cancellation (reference
@@ -2491,7 +2519,7 @@ class UDFRunner:
         self, prep, dataset, roi, yield_partial, partitions, pm,
         host_runner, host_global, device_entries_exist,
         densify_cache, damage_host, state, step, merge,
-        worker_context=None,
+        worker_context=None, comms=None, comms_queue=None,
     ):
         from ..common.progress import (
             PartitionProgressTracker, PartitionTrackerNoOp,
@@ -2520,6 +2548,14 @@ class UDFRunner:
             if n_sel == 0:
                 continue
             any_partition = True
+            if comms is not None:
+                # per-task hook (reference inline.py:108): live
+                # sources push detector data here; a handler may
+                # raise JobCancelledError to abort the run, which
+                # the caller converts to UDFRunCancelled
+                comms.handle_task(
+                    _PartitionTask(partition), comms_queue
+                )
             tracker = (
                 PartitionProgressTracker(
                     partition.get_ident(), worker_context, sig_size

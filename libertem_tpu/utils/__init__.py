@@ -27,12 +27,28 @@ def make_polar(cartesian: np.ndarray) -> np.ndarray:
     return np.stack((r, phi), axis=-1)
 
 
+def rotate_precalc(y, x, cos_angle, sin_angle):
+    """Rotate with precomputed rotation-matrix entries (reference
+    utils/__init__.py:47) — the loop-hoisted form rotate_deg/_rad
+    delegate to."""
+    return (
+        sin_angle * x + cos_angle * y,
+        cos_angle * x - sin_angle * y,
+    )
+
+
+def rotate_rad(y, x, radians):
+    """Rotate (y, x) clockwise in pixel coordinates (y down, x right)
+    by ``radians`` (reference utils/__init__.py:107)."""
+    return rotate_precalc(
+        y, x, cos_angle=np.cos(radians), sin_angle=np.sin(radians)
+    )
+
+
 def rotate_deg(y, x, degrees: float):
     """Rotate (y, x) clockwise in pixel coordinates (y down, x right)
     by ``degrees``: +x rotates towards +y."""
-    rad = np.deg2rad(degrees)
-    c, s = np.cos(rad), np.sin(rad)
-    return s * x + c * y, c * x - s * y
+    return rotate_rad(y, x, np.deg2rad(degrees))
 
 
 def frame_peaks_polar(zero, a, b, indices):

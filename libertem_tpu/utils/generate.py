@@ -94,24 +94,45 @@ def hologram_frame(
     f_angle=30.0, gaussian_noise=None, poisson_noise=None,
 ):
     """Simulated off-axis electron hologram of a (amplitude, phase)
-    object (reference generate.py:45)."""
-    sy, sx = np.asarray(amp).shape
+    object (reference generate.py:45 — same fringe geometry and
+    noise semantics, pinned by the reference's tests/test_utils.py):
+    the carrier runs along y*cos(f_angle) + x*sin(f_angle);
+    ``gaussian_noise`` is a focus-spread/detector-PSF SMOOTHING sigma
+    (not additive noise); ``poisson_noise`` scales shot noise as
+    noise_scale = poisson_noise * counts."""
+    amp = np.asarray(amp)
+    phi = np.asarray(phi)
+    if amp.shape != phi.shape:
+        raise ValueError(
+            "Amplitude and phase should be 2d arrays of the same "
+            "shape."
+        )
+    sy, sx = phi.shape
     y, x = np.mgrid[0:sy, 0:sx].astype(np.float64)
     f_angle_rad = np.deg2rad(f_angle)
     carrier = 2 * np.pi / sampling * (
-        x * np.cos(f_angle_rad) + y * np.sin(f_angle_rad)
+        y * np.cos(f_angle_rad) + x * np.sin(f_angle_rad)
     )
     holo = counts / 2 * (
-        1.0 + np.asarray(amp) ** 2 + 2 * np.asarray(amp)
-        * visibility * np.cos(carrier - np.asarray(phi))
+        1.0 + amp ** 2 + 2 * amp * visibility
+        * np.cos(carrier - phi)
     )
-    rng = np.random.default_rng(42)
-    if gaussian_noise:
-        holo = holo + rng.normal(0, gaussian_noise, holo.shape)
     if poisson_noise:
-        holo = rng.poisson(
-            np.clip(holo, 0, None) * poisson_noise
-        ) / poisson_noise
+        if not isinstance(poisson_noise, (int, float)):
+            raise ValueError(
+                "poisson_noise parameter should be float or int or "
+                "None."
+            )
+        noise_scale = poisson_noise * counts
+        holo = noise_scale * np.random.poisson(holo / noise_scale)
+    if gaussian_noise:
+        if not isinstance(gaussian_noise, (int, float)):
+            raise ValueError(
+                "gaussian_noise parameter should be float or int or "
+                "None."
+            )
+        from scipy.ndimage import gaussian_filter
+        holo = gaussian_filter(holo, gaussian_noise)
     return holo.astype(np.float64)
 
 

@@ -573,8 +573,12 @@ class BrowseHandler(_BaseHandler):
                 lambda: sorted(os.listdir(path))
             )
         except OSError as e:
+            # offer the nearest accessible ancestor so the GUI can
+            # recover (reference web/browse.py:32 FSError handling)
+            from ..io.fs import _get_alt_path
             self.write_json(Message().browse_failed(
                 path, code="NOT_FOUND", msg=str(e),
+                alternative=str(_get_alt_path(path)),
             ))
             return
         dirs, files = [], []

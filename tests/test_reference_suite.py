@@ -136,6 +136,16 @@ CASES = [
     # covered by tests/test_mib.py::test_mib_r6_quad against an
     # independent layout oracle.
     ("io/datasets/test_k2is_uint12.py", None),
+    ("test_smoke.py", None),
+    ("test_utils.py", None),
+    ("test_fs.py", None),
+    ("test_fileowner.py", None),
+    ("io/test_io_utils.py", None),
+    ("io/test_tiling_scheme.py", None),
+    ("io/test_convert_transposed.py", None),
+    ("executor/test_inline.py", None),
+    ("io/datasets/test_helpers.py", None),
+    ("io/datasets/test_missing.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -236,6 +246,16 @@ def dataset_correction_verification(ds, roi, lt_ctx, exclude=None):
     assert np.allclose(
         pick_res['intensity'].raw_data.reshape(shape), corrected
     )
+
+
+class MockFile:
+    # mirror of reference tests/utils.py:110
+    def __init__(self, start_idx, end_idx):
+        self.start_idx = start_idx
+        self.end_idx = end_idx
+
+    def __repr__(self):
+        return "<MockFile: [%d, %d)>" % (self.start_idx, self.end_idx)
 
 
 class _SeenList(list):
@@ -562,9 +582,13 @@ _CONFTEST_SHIM = '''import pytest
 
 @pytest.fixture
 def lt_ctx():
+    # reference conftest.py:834: inline_threads=2 (tests pin
+    # meta.threads_per_worker == 2); debug=True omitted — its
+    # pickle round-trips are covered by this repo's own
+    # debug-pickle tests without slowing every gate file
     from libertem.api import Context
     from libertem.executor.inline import InlineJobExecutor
-    return Context(executor=InlineJobExecutor())
+    return Context(executor=InlineJobExecutor(inline_threads=2))
 
 
 @pytest.fixture
@@ -601,6 +625,14 @@ def ds_random(lt_ctx):
     data = np.random.randn(16, 16, 16, 16).astype("float32")
     return MemoryDataSet(data=data, tileshape=(1, 16, 16),
                          num_partitions=2, sig_dims=2)
+
+
+@pytest.fixture
+def points():
+    # mirror of reference conftest.py:1107
+    return np.array([
+        (0, 0), (0, 1), (1, 0), (1, 1), (0, -1), (-1, 0), (-1, -1),
+    ])
 
 
 @pytest.fixture(scope='session')
