@@ -95,6 +95,10 @@ def detect(path: str, executor=None) -> Optional[dict]:
         except Exception:
             params = False
         if params:
+            if isinstance(params, dict) and "parameters" in params:
+                # reference-shaped return: {"parameters", "info"}
+                # (e.g. npy.py:205) — lift alongside "type"
+                return {"type": ft, **params}
             return {"type": ft, "parameters": params}
     return None
 

@@ -229,6 +229,11 @@ class Partition:
         tests/io/datasets/test_mem.py asserts this mapping)."""
         return self.start_frame + self.meta.sync_offset
 
+    @property
+    def _num_frames(self) -> int:
+        """Reference-internal alias (BasePartition._num_frames)."""
+        return self.num_frames
+
     def get_macrotile(self, dest_dtype=None, roi=None):
         """The whole partition as ONE flat-nav tile (reference
         partition.py:156 get_macrotile) — the simple consumer API for
@@ -435,6 +440,20 @@ class Partition:
             return self.num_frames
         return len(self.local_frame_ids(roi))
 
+    def _get_read_ranges(self, tiling_scheme, roi=None):
+        """Compat plan view of the read layout: ds-space
+        (start, stop) frame spans of the depth-blocks the engine
+        will read (the reference's read ranges are byte-level
+        file/tile tables, io/dataset/base/tiling.py — this engine
+        plans whole-frame spans in gen_blocks instead)."""
+        ids = self.local_frame_ids(roi)
+        depth = max(1, min(int(tiling_scheme.depth),
+                           self.num_frames))
+        return [
+            (int(ids[i]), int(ids[min(i + depth, len(ids)) - 1]) + 1)
+            for i in range(0, len(ids), depth)
+        ]
+
     def get_tiles(
         self,
         tiling_scheme: TilingScheme,
@@ -451,8 +470,33 @@ class Partition:
         this adapter serves compat consumers that want slice-tagged
         tiles."""
         sig_dims = self.meta.shape.sig.dims
+        # ds-index range backed by actual file data under
+        # sync_offset: i + so in [0, image_count).  The reference's
+        # read-range tiles cover ONLY stored frames (inserted blanks
+        # are absent from the tile stream — reference
+        # test_npy.py test_negative_sync_offset asserts the first
+        # tile origin); the ENGINE's gen_blocks path zero-fills
+        # instead (damage handles validity there).
+        so = self.meta.sync_offset
+        ic = self.meta.image_count
+        v0, v1 = -so, (ic or 0) - so
+        # clip applies under a sync offset OR when nav claims more
+        # frames than the file holds (test_raw.py test_missing_frames)
+        # — but NOT for in-progress acquisitions (image_count == 0,
+        # permissive by contract, DataSetMeta above)
+        clip = bool(ic) and (
+            so != 0 or ic < self.meta.shape.nav.size
+        )
         for block in self.gen_blocks(tiling_scheme, roi=roi):
             data = block.data[:block.valid]
+            goff = block.global_offset
+            if roi is None and clip:
+                lo = max(goff, v0)
+                hi = min(goff + len(data), v1)
+                if hi <= lo:
+                    continue
+                data = data[lo - goff:hi - goff]
+                goff = lo
             if dest_dtype is not None:
                 data = data.astype(dest_dtype, copy=False)
             for idx, sig_slice in tiling_scheme.slices:
@@ -466,9 +510,9 @@ class Partition:
                     from ...common.sparse import to_backend
                     sub = to_backend(sub, array_backend)
                 tile_slice = Slice(
-                    (block.global_offset,) + tuple(sig_slice.origin),
+                    (goff,) + tuple(sig_slice.origin),
                     Shape(
-                        (block.valid,) + tuple(sig_slice.shape),
+                        (len(data),) + tuple(sig_slice.shape),
                         sig_dims=sig_dims,
                     ),
                 )

@@ -71,6 +71,16 @@ class RawDatasetParams(_PathConverter):
     EXTRA = {"dtype": {"type": "string"}}
     REQUIRED = ["type", "path", "dtype", "nav_shape", "sig_shape"]
 
+    def convert_to_python(self, raw_data: dict) -> dict:
+        # the reference's RAW converter passes shapes through
+        # UNCHANGED (raw.py:44 — lists stay lists; RawFileDataSet
+        # normalizes), unlike e.g. NPY's tuple conversion
+        # (tests/io/datasets/test_raw.py test_message_converter_direct)
+        props = set(self.SCHEMA["properties"]) - _GUI_ONLY
+        return {
+            k: v for k, v in raw_data.items() if k in props
+        }
+
 
 class MemoryDatasetParams(MessageConverter):
     """GUI/test parameters for the in-memory dataset

@@ -15,6 +15,9 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from ...common.math import prod
+from .converters import (  # noqa: F401  (re-export, reference name)
+    RawDatasetParams, RawDatasetParams as RAWDatasetParams,
+)
 from ...common.shape import Shape
 from .base import (
     DataSet,
@@ -61,6 +64,17 @@ class RawFileDataSet(DataSet):
         **kwargs,
     ):
         import warnings
+        if scan_size is not None:
+            # reference raw.py deprecation: scan_size -> nav_shape
+            warnings.warn(
+                "scan_size is deprecated, use nav_shape instead",
+                FutureWarning,
+            )
+        if detector_size is not None:
+            warnings.warn(
+                "detector_size is deprecated, use sig_shape instead",
+                FutureWarning,
+            )
         if tileshape is not None:
             warnings.warn(
                 "tileshape is ignored (tiling is negotiated per "
@@ -81,6 +95,11 @@ class RawFileDataSet(DataSet):
             from .base import IOBackend
             kwargs["io_backend"] = IOBackend.from_json(
                 {"id": "direct"}
+            )
+        if detector_size_raw is not None:
+            warnings.warn(
+                "detector_size_raw is deprecated, specify sig_shape "
+                "instead", FutureWarning,
             )
         if crop_detector_to is not None:
             # reference raw.py:141: cropping was removed; only the
@@ -109,6 +128,13 @@ class RawFileDataSet(DataSet):
         self._dtype = np.dtype(dtype)
         self._nav_shape = tuple(nav_shape or scan_size or ())
         self._sig_shape = tuple(sig_shape or detector_size or ())
+        if not self._sig_shape:
+            # reference raw.py raises at construction with the
+            # standard-missing-argument wording (test_raw.py
+            # test_missing_sig_shape pins the message)
+            raise TypeError(
+                "__init__() missing 1 required argument: 'sig_shape'"
+            )
         self._sync_offset = int(sync_offset)
 
     def get_diagnostics(self) -> list:
@@ -117,16 +143,28 @@ class RawFileDataSet(DataSet):
             {"name": "dtype", "value": str(self.meta.raw_dtype)},
         ]
 
+    def get_cache_key(self) -> dict:
+        return {
+            "path": self._path,
+            "shape": tuple(self.shape),
+            "dtype": str(self._dtype),
+            "sync_offset": int(self._sync_offset),
+        }
+
     def initialize(self, executor=None) -> "RawFileDataSet":
-        if not self._sig_shape:
-            raise DataSetException("sig_shape is required for raw")
         filesize = os.path.getsize(self._path)
-        frame_bytes = prod(self._sig_shape) * self._dtype.itemsize
-        if filesize % frame_bytes != 0:
+        total_items = filesize // self._dtype.itemsize
+        if total_items and prod(self._sig_shape) > total_items:
+            # reference raw.py wording (test_too_large_sig_shape);
+            # an EMPTY file stays permissive — the in-progress-
+            # acquisition zero-fill contract (image_count == 0,
+            # tests/test_formats2.py test_header_only_file_zero_fills)
             raise DataSetException(
-                f"file size {filesize} is not a multiple of the frame "
-                f"size {frame_bytes}"
+                f"sig_shape must be less than size: {total_items}"
             )
+        frame_bytes = prod(self._sig_shape) * self._dtype.itemsize
+        # extra bytes at the end of the file are cut off (reference
+        # raw.py image_count, test_raw.py test_extra_data_at_the_end)
         image_count = filesize // frame_bytes
         if not self._nav_shape:
             self._nav_shape = (image_count,)

@@ -146,6 +146,12 @@ CASES = [
     ("executor/test_inline.py", None),
     ("io/datasets/test_helpers.py", None),
     ("io/datasets/test_missing.py", None),
+    ("io/datasets/test_npy.py", None),
+    # the two @dist tests need a live multi-node cluster fixture
+    # (raw_on_workers/dist_ctx) — absent in the reference's own
+    # single-node CI as well
+    ("io/datasets/test_raw.py",
+     "not test_raw_on_workers and not test_sum_on_dist"),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -512,7 +518,10 @@ class COO(SparseArray):
                    fill_value=self.fill_value)
 
     def __array__(self, *args, **kwargs):
-        if self.size >= 2 ** 22:
+        # guard against accidental huge densifications; 2**25 still
+        # admits the reference's full-shape bool rois
+        # (test_npy.py test_roi_2: (256, 128, 128) ~ 4.2M)
+        if self.size >= 2 ** 25:
             raise TypeError("shim COO refuses huge densification")
         out = np.full(self.shape, self.fill_value,
                       dtype=self.data.dtype)
@@ -602,10 +611,104 @@ import numpy as np
 
 
 @pytest.fixture
-def npy_8x8x8x8_ds(tmp_path, lt_ctx):
-    path = str(tmp_path / "d.npy")
-    np.save(path, np.random.randn(8, 8, 8, 8).astype("float32"))
-    return lt_ctx.load("npy", path=path)
+def npy_8x8x8x8_ds(npy_8x8x8x8_path, lt_ctx):
+    return lt_ctx.load("npy", path=npy_8x8x8x8_path)
+
+
+@pytest.fixture(scope='session')
+def npy_datadir(tmp_path_factory):
+    return tmp_path_factory.mktemp('npy_data')
+
+
+@pytest.fixture(scope='session')
+def npy_8x8x8x8_path(npy_datadir):
+    from utils import _mk_random
+    path = str(npy_datadir / "8x8x8x8.npy")
+    np.save(path, _mk_random(size=(8, 8, 8, 8), dtype="float32"))
+    return path
+
+
+@pytest.fixture
+def default_npy_filepath(npy_datadir):
+    return str(npy_datadir / "test_default.npy")
+
+
+@pytest.fixture
+def default_npy(default_npy_filepath, default_raw_data, lt_ctx):
+    from libertem.io.dataset.base import MMapBackend
+    np.save(default_npy_filepath, default_raw_data)
+    ds = lt_ctx.load(
+        "npy", path=default_npy_filepath, sig_dims=2,
+        io_backend=MMapBackend(),
+    )
+    ds.set_num_cores(2)
+    return ds
+
+
+@pytest.fixture
+def npy_random_array(npy_datadir):
+    path = str(
+        npy_datadir / f"array{np.random.randint(0, 100000)}.npy"
+    )
+    ndim = np.random.randint(1, 6)
+    shape = tuple(np.random.randint(1, 10) for _ in range(ndim))
+    dtype = np.random.choice(
+        [np.float32, np.uint8, np.int64, np.complex128]
+    )
+    array = np.empty(shape, dtype=dtype)
+    np.save(path, array)
+    return path, array
+
+
+@pytest.fixture
+def npy_fortran_array(npy_datadir):
+    path = str(
+        npy_datadir / f"farray{np.random.randint(0, 100000)}.npy"
+    )
+    array = np.ones((55, 55), order='F')
+    np.save(path, array)
+    return path, array
+
+
+@pytest.fixture
+def bad_params_logger():
+    lines = []
+    yield lines
+    print("\\n".join(lines))
+
+
+@pytest.fixture
+def standard_bad_ds_params():
+    # mirror of reference conftest.py:1120
+    return [
+        dict(nav_shape=(-1, 2)),
+        dict(nav_shape=4),
+        dict(sig_shape=(3, 17)),
+        dict(sig_shape=(103, -83)),
+        dict(sync_offset=180000000),
+        dict(io_backend="doesn't exist"),
+    ]
+
+
+@pytest.fixture
+def ds_params_tester(lt_ctx, bad_params_logger):
+    # mirror of reference conftest.py:1132 (log-only: records
+    # whether bad params raise)
+    from libertem.io.dataset import get_dataset_cls
+
+    def _test_bad_params(ds_key, *args, **params):
+        ds_class = get_dataset_cls(ds_key)
+        stub = f"{ds_class.__name__}(..., {params})"
+        try:
+            lt_ctx.load(ds_key, *args, **params)
+        except Exception as e:
+            bad_params_logger.append(
+                f'{stub} RAISED {type(e).__name__}("{e}")'
+            )
+            return False
+        bad_params_logger.append(f'{stub} DID NOT raise')
+        return True
+    return _test_bad_params
 
 
 @pytest.fixture
@@ -625,6 +728,60 @@ def ds_random(lt_ctx):
     data = np.random.randn(16, 16, 16, 16).astype("float32")
     return MemoryDataSet(data=data, tileshape=(1, 16, 16),
                          num_partitions=2, sig_dims=2)
+
+
+@pytest.fixture(scope='session')
+def uint16_raw(tmp_path_factory):
+    from utils import _mk_random
+    from libertem.io.dataset.raw import RawFileDataSet
+    from libertem.executor.inline import InlineJobExecutor
+    path = str(tmp_path_factory.mktemp('data') / 'raw-u16')
+    _mk_random(size=(16, 16, 128, 128), dtype='uint16').tofile(path)
+    return RawFileDataSet(
+        path=path, nav_shape=(16, 16), dtype="uint16",
+        sig_shape=(128, 128),
+    ).initialize(InlineJobExecutor())
+
+
+@pytest.fixture(scope='session')
+def big_endian_raw(tmp_path_factory):
+    from utils import _mk_random
+    from libertem.io.dataset.raw import RawFileDataSet
+    from libertem.executor.inline import InlineJobExecutor
+    path = str(tmp_path_factory.mktemp('data') / 'raw-be')
+    _mk_random(size=(16, 16, 128, 128), dtype='>u2').tofile(path)
+    ds = RawFileDataSet(
+        path=path, nav_shape=(16, 16), dtype=">u2",
+        sig_shape=(128, 128),
+    )
+    ds.set_num_cores(2)
+    return ds.initialize(InlineJobExecutor())
+
+
+@pytest.fixture(scope='session')
+def buffered_raw(default_raw_file):
+    from libertem.api import Context
+    from libertem.executor.inline import InlineJobExecutor
+    from libertem.io.dataset.base import BufferedBackend
+    ctx = Context(executor=InlineJobExecutor())
+    return ctx.load(
+        "raw", path=str(default_raw_file), dtype="float32",
+        nav_shape=(16, 16), sig_shape=(128, 128),
+        io_backend=BufferedBackend(),
+    )
+
+
+@pytest.fixture(scope='session')
+def direct_raw(default_raw_file):
+    from libertem.api import Context
+    from libertem.executor.inline import InlineJobExecutor
+    from libertem.io.dataset.base import DirectBackend
+    ctx = Context(executor=InlineJobExecutor())
+    return ctx.load(
+        "raw", path=str(default_raw_file), dtype="float32",
+        nav_shape=(16, 16), sig_shape=(128, 128),
+        io_backend=DirectBackend(),
+    )
 
 
 @pytest.fixture
