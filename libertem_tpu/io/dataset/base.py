@@ -25,7 +25,7 @@ import numpy as np
 from ...common.math import prod
 from ...common.shape import Shape
 from ...common.slice import Slice
-from ..tiling import TilingScheme
+from ..tiling import Negotiator, TilingScheme  # noqa: F401  (re-export: reference io/dataset/base surface)
 
 MAX_PARTITION_SIZE = 512 * 1024 * 1024  # bytes, like reference dataset.py:33
 

@@ -164,13 +164,36 @@ class Negotiator:
     def get_scheme(
         self,
         udfs: Sequence["UDF"],
-        dataset_shape: Shape,
-        read_dtype,
-        max_partition_frames: int,
+        dataset_shape: Optional[Shape] = None,
+        read_dtype=None,
+        max_partition_frames: Optional[int] = None,
         approx_partition_shape: Optional[Shape] = None,
         corrections=None,
         max_io_size: Optional[int] = None,
+        dataset=None,
+        roi=None,
     ) -> TilingScheme:
+        # reference calling convention (tiling_scheme.py:223): pass
+        # the DATASET plus an approx partition shape; this engine's
+        # runner passes the resolved shape/frame-budget directly.
+        # Accept both (pinned by the reference's test_hdf5.py
+        # test_hdf5_result_dtype driving the reference signature).
+        if dataset is not None:
+            if dataset_shape is None:
+                dataset_shape = dataset.shape
+            if max_io_size is None:
+                get_mis = getattr(dataset, "get_max_io_size", None)
+                if get_mis is not None:
+                    max_io_size = get_mis()
+        if max_partition_frames is None:
+            if approx_partition_shape is not None:
+                max_partition_frames = int(
+                    tuple(approx_partition_shape)[0]
+                )
+            else:
+                max_partition_frames = dataset_shape.nav.size
+        if read_dtype is None:
+            read_dtype = np.float32
         itemsize = np.dtype(read_dtype).itemsize
         frame_bytes = dataset_shape.sig.size * itemsize
         # dataset-imposed IO ceiling (reference: dataset.py:332
@@ -233,6 +256,25 @@ class Negotiator:
         whole_sig_required = any(
             m in ("frame", "partition") for m in methods
         ) or any(p.get("whole_frames") for p in prefs)
+        # reference-style chunk-aware sig split (tiling_scheme.py's
+        # base-shape negotiation, pinned by test_hdf5.py
+        # test_hdf5_tileshape_negotation): when the DATASET was passed
+        # and reports a sig base shape FINER than the full frame
+        # (chunked HDF5), tile-method schemes follow the chunk grid so
+        # host-compat readers stay chunk-cache friendly.  The engine's
+        # own calls pass dataset_shape only, so the flat device feed
+        # never sig-splits on this path.
+        if not whole_sig_required and dataset is not None:
+            get_bs = getattr(dataset, "get_base_shape", None)
+            base_sig = (
+                tuple(get_bs(roi))[1:] if get_bs is not None else None
+            )
+            if base_sig and tuple(base_sig) != tuple(sig_shape) and \
+                    all(
+                        s % b == 0
+                        for s, b in zip(sig_shape, base_sig)
+                    ):
+                sig_tile = tuple(base_sig)
         if not whole_sig_required and (
             frame_bytes > self.MAX_SIG_BYTES or (
                 wanted_size is not None and wanted_size < frame_bytes

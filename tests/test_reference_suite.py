@@ -152,6 +152,7 @@ CASES = [
     # single-node CI as well
     ("io/datasets/test_raw.py",
      "not test_raw_on_workers and not test_sum_on_dist"),
+    ("io/datasets/test_hdf5.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
@@ -347,11 +348,31 @@ def _make_validation_udf():
     return ValidationUDF
 
 
+def _make_pixelsum_udf():
+    from libertem.udf import UDF
+
+    class PixelsumUDF(UDF):
+        # mirror of reference tests/utils.py:96
+        def get_result_buffers(self):
+            return {
+                'pixelsum': self.buffer(kind="nav", dtype="float32"),
+            }
+
+        def process_frame(self, frame):
+            assert frame.shape == (16, 16)
+            assert self.results.pixelsum.shape == (1,)
+            self.results.pixelsum[:] = np.sum(frame)
+
+    return PixelsumUDF
+
+
 def __getattr__(name):
-    # lazy: building ValidationUDF imports libertem, which several
+    # lazy: building the UDF classes imports libertem, which several
     # consumers of this shim must be able to import first
     if name == "ValidationUDF":
         return _make_validation_udf()
+    if name == "PixelsumUDF":
+        return _make_pixelsum_udf()
     raise AttributeError(name)
 
 
@@ -803,6 +824,81 @@ def prime_raw_data():
 class _H5File:
     def __init__(self, filename):
         self.filename = filename
+
+
+def _h5_session_file(tmp_path_factory, name, data):
+    # mirror of reference conftest.py:67 get_or_create_hdf5
+    import h5py
+    path = str(tmp_path_factory.mktemp('h5data') / name)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+    with h5py.File(path, "r") as f:
+        yield f
+
+
+@pytest.fixture(scope='session')
+def hdf5(tmp_path_factory):
+    yield from _h5_session_file(
+        tmp_path_factory, "hdf5-test.h5", np.ones((5, 5, 16, 16))
+    )
+
+
+@pytest.fixture(scope='session')
+def hdf5_2d(tmp_path_factory):
+    yield from _h5_session_file(
+        tmp_path_factory, "hdf5-test-2d.h5", np.ones((16, 16))
+    )
+
+
+@pytest.fixture(scope='session')
+def hdf5_3d(tmp_path_factory):
+    yield from _h5_session_file(
+        tmp_path_factory, "hdf5-test-3d.h5", np.ones((17, 16, 16))
+    )
+
+
+@pytest.fixture(scope='session')
+def hdf5_5d(tmp_path_factory):
+    yield from _h5_session_file(
+        tmp_path_factory, "hdf5-test-5d.h5",
+        np.ones((3, 5, 9, 16, 16)),
+    )
+
+
+@pytest.fixture(scope='session')
+def random_hdf5(tmp_path_factory):
+    yield from _h5_session_file(
+        tmp_path_factory, "hdf5-test-random.h5",
+        np.random.randn(5, 5, 16, 16),
+    )
+
+
+def _h5_ds(h5file):
+    from libertem.io.dataset.hdf5 import H5DataSet
+    from libertem.executor.inline import InlineJobExecutor
+    return H5DataSet(
+        path=h5file.filename, ds_path="data",
+    ).initialize(InlineJobExecutor())
+
+
+@pytest.fixture
+def hdf5_ds_2(random_hdf5):
+    return _h5_ds(random_hdf5)
+
+
+@pytest.fixture
+def hdf5_ds_2d(hdf5_2d):
+    return _h5_ds(hdf5_2d)
+
+
+@pytest.fixture
+def hdf5_ds_3d(hdf5_3d):
+    return _h5_ds(hdf5_3d)
+
+
+@pytest.fixture
+def hdf5_ds_5d(hdf5_5d):
+    return _h5_ds(hdf5_5d)
 
 
 @pytest.fixture
