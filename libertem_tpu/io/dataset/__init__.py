@@ -103,11 +103,27 @@ def detect(path: str, executor=None) -> Optional[dict]:
     return None
 
 
+def get_extensions() -> set:
+    """All supported file extensions, lowercased (reference
+    io/dataset/__init__.py:242)."""
+    exts: set = set()
+    for ft in filetypes:
+        try:
+            cls = get_dataset_cls(ft)
+        except Exception:
+            continue
+        exts |= {
+            e.lower() for e in cls.get_supported_extensions()
+        }
+    return exts
+
+
 def detect_and_load(path: str, executor=None, **kwargs) -> DataSet:
     detected = detect(path, executor)
     if detected is None:
+        # reference wording (io/dataset/__init__.py load('auto')):
         raise DataSetException(
-            f"could not auto-detect file format of {path!r}"
+            f"could not determine DataSet type for file {path!r}"
         )
     params = dict(detected["parameters"])
     params.update(kwargs)

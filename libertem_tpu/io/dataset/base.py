@@ -90,6 +90,23 @@ def resolve_sig_override(sig_shape, native) -> tuple:
     return sig
 
 
+def _roi_to_nd_indices(roi, part_slice):
+    """ND nav coordinates of roi-selected frames within a
+    partition's nav range, in flat-nav order (reference
+    io/dataset/base/__init__ _roi_to_nd_indices)."""
+    roi = np.asarray(roi)
+    nav_dims = roi.ndim
+    nav_origin = tuple(part_slice.origin[:nav_dims])
+    nav_shape = tuple(part_slice.shape[:nav_dims])
+    sel = np.argwhere(roi)
+    for coord in sel:
+        if all(
+            o <= c < o + n
+            for c, o, n in zip(coord, nav_origin, nav_shape)
+        ):
+            yield tuple(int(c) for c in coord)
+
+
 class DataTile:
     """Slice-tagged tile carrier (reference io/dataset/base/tiling.py
     :274).  The engine itself streams :class:`Block` s; DataTile is the
@@ -233,6 +250,39 @@ class Partition:
     def _num_frames(self) -> int:
         """Reference-internal alias (BasePartition._num_frames)."""
         return self.num_frames
+
+    @classmethod
+    def make_slices(cls, shape, num_partitions, sync_offset=0):
+        """Balanced flat-nav partition slices + DATA-space start/stop
+        frames (reference partition.py:67 — same contract incl. the
+        empty-partition clamp warning)."""
+        import warnings
+        num_frames = shape.nav.size
+        if num_partitions > num_frames:
+            warnings.warn(
+                "dataset contains fewer frames than specified "
+                f"partitions, setting num_partitions == num_frames "
+                f"== {num_frames} to avoid creating empty partitions",
+                RuntimeWarning,
+            )
+            num_partitions = num_frames
+        bounds = np.linspace(
+            0, num_frames, num=max(2, num_partitions + 1),
+            endpoint=True, dtype=int,
+        )
+        for start, stop in zip(bounds[:-1], bounds[1:]):
+            start, stop = int(start), int(stop)
+            yield (
+                Slice(
+                    (start,) + (0,) * shape.sig.dims,
+                    Shape(
+                        (stop - start,) + tuple(shape.sig),
+                        sig_dims=shape.sig.dims,
+                    ),
+                ),
+                start + sync_offset,
+                stop + sync_offset,
+            )
 
     def get_macrotile(self, dest_dtype=None, roi=None):
         """The whole partition as ONE flat-nav tile (reference
@@ -669,7 +719,18 @@ class DataSet:
 
     def get_partition_ranges(self) -> list[tuple[int, int]]:
         n_frames = self.meta.shape.nav.size
-        n_part = min(self.get_num_partitions(), n_frames)
+        n_part = self.get_num_partitions()
+        if n_part > n_frames:
+            # reference contract (partition.py:74): warn, then clamp
+            # so no empty partitions exist
+            import warnings
+            warnings.warn(
+                "dataset contains fewer frames than specified "
+                f"partitions, setting num_partitions == num_frames "
+                f"== {n_frames} to avoid creating empty partitions",
+                RuntimeWarning,
+            )
+        n_part = min(n_part, n_frames)
         bounds = np.linspace(0, n_frames, n_part + 1).astype(np.int64)
         return [
             (int(bounds[i]), int(bounds[i + 1]))

@@ -189,6 +189,11 @@ class H5DataSet(DataSet):
         # reference hdf5.py:472
         return self._path
 
+    @property
+    def ds_path(self) -> str:
+        # reference hdf5.py:476
+        return self._ds_path
+
     def get_num_partitions(self) -> int:
         # precedence: explicit num_partitions= > target_size= (bytes
         # PER partition, both directions — reference hdf5.py:556) >

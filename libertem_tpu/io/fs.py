@@ -35,6 +35,90 @@ def _accessible(path: Path) -> bool:
         return False
 
 
+def stat_path(path):
+    """Stat with FSError translation + recovery alternative
+    (reference io/fs.py:52)."""
+    try:
+        return Path(path).expanduser().resolve().stat()
+    except FileNotFoundError:
+        raise FSError(
+            code="NOT_FOUND",
+            msg=f"path {path} could not be found",
+            alternative=str(_get_alt_path(path)),
+        )
+    except PermissionError as e:
+        raise FSError(
+            code="PERMISSION_ERROR",
+            msg=str(e),
+            alternative=str(_get_alt_path(path)),
+        )
+
+
+def get_fs_listing(path):
+    """Directory listing for the GUI file browser (reference
+    io/fs.py:69): stat'ed dirs/files (inaccessible entries SKIPPED —
+    broken symlinks, TOCTOU races, permission holes), mount points,
+    and bookmark places.  Raises FSError with a recovery alternative
+    for unusable paths."""
+    import stat as stat_mod
+
+    from .utils import get_owner_name
+
+    try:
+        abspath = Path(path).expanduser().resolve()
+    except PermissionError as e:
+        raise FSError(
+            code="PERMISSION_ERROR", msg=str(e),
+            alternative=str(_get_alt_path(path)),
+        )
+    if not abspath.is_dir():
+        raise FSError(
+            code="NOT_FOUND",
+            msg=f"path {path} could not be found",
+            alternative=str(_get_alt_path(path)),
+        )
+    if not _accessible(abspath):
+        raise FSError(
+            code="ACCESS_DENIED",
+            msg=f"access to {path} was denied",
+            alternative=str(_get_alt_path(path)),
+        )
+    dirs, files = [], []
+    for name in [".."] + sorted(os.listdir(abspath)):
+        full = os.path.join(abspath, name)
+        try:
+            s = os.stat(full)
+            owner = get_owner_name(full, s)
+        except (FileNotFoundError, PermissionError):
+            continue
+        except OSError:
+            owner = "<Unknown>"
+            s = None
+        if s is None:
+            continue
+        entry = {"name": name, "stat": s, "owner": owner}
+        (dirs if stat_mod.S_ISDIR(s.st_mode) else files).append(entry)
+    try:
+        import psutil
+        drives = [
+            part.mountpoint
+            for part in psutil.disk_partitions()
+            if part.fstype != "squashfs"
+        ]
+    except Exception:
+        drives = ["/"]
+    places = [
+        {"key": "home", "title": "Home", "path": str(Path.home())},
+    ]
+    return {
+        "path": str(abspath),
+        "files": files,
+        "dirs": dirs,
+        "drives": drives,
+        "places": places,
+    }
+
+
 def _get_alt_path(path) -> Path:
     """Nearest accessible ancestor of ``path`` (home directory when
     the walk runs out of parents — e.g. a nonexistent drive root)."""

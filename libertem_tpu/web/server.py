@@ -566,41 +566,24 @@ def _collect_notebook_inputs(state: SharedState,
 
 class BrowseHandler(_BaseHandler):
     async def get(self):
+        from ..io.fs import FSError, get_fs_listing
         path = self.get_argument("path")
         try:
             # a large NFS directory must not stall the event loop
-            names = await self.engine.run_sync(
-                lambda: sorted(os.listdir(path))
+            listing = await self.engine.run_sync(
+                get_fs_listing, path
             )
-        except OSError as e:
+        except FSError as e:
             # offer the nearest accessible ancestor so the GUI can
-            # recover (reference web/browse.py:32 FSError handling)
-            from ..io.fs import _get_alt_path
+            # recover (reference web/browse.py:32)
             self.write_json(Message().browse_failed(
-                path, code="NOT_FOUND", msg=str(e),
-                alternative=str(_get_alt_path(path)),
+                path, code=e.code, msg=str(e.args[0]),
+                alternative=e.alternative,
             ))
             return
-        dirs, files = [], []
-        for name in names:
-            full = os.path.join(path, name)
-            try:
-                st = os.stat(full)
-            except OSError:
-                continue
-            entry = {
-                "name": name, "stat": st, "owner": str(st.st_uid),
-            }
-            if stat_mod.S_ISDIR(st.st_mode):
-                dirs.append(entry)
-            else:
-                files.append(entry)
         self.write_json(Message().directory_listing(
-            path, files=files, dirs=dirs, drives=["/"],
-            places=[{
-                "key": "home", "title": "Home",
-                "path": os.path.expanduser("~"),
-            }],
+            path, files=listing["files"], dirs=listing["dirs"],
+            drives=listing["drives"], places=listing["places"],
         ))
 
 

@@ -153,6 +153,9 @@ CASES = [
     ("io/datasets/test_raw.py",
      "not test_raw_on_workers and not test_sum_on_dist"),
     ("io/datasets/test_hdf5.py", None),
+    ("io/test_base.py", None),
+    ("io/test_io_fs.py", None),
+    ("executor/test_delayed_unpack.py", None),
 ]
 
 _UTILS_SHIM = '''"""Minimal stand-in for the reference tests' utils module —
