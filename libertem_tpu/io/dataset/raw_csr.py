@@ -15,13 +15,15 @@ from __future__ import annotations
 
 import os
 import tomllib
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, NamedTuple, Optional, Sequence
 
 import numpy as np
 
 from ...common.math import prod
 from ...common.shape import Shape
+from ...common.slice import Slice
 from .base import (
+    DataTile,
     DataSet,
     DataSetException,
     DataSetMeta,
@@ -29,9 +31,115 @@ from .base import (
 )
 
 
-def load_descriptor(path: str) -> dict:
+def load_toml(path: str) -> dict:
+    """Parse the sidecar TOML (split out so detection-time guards
+    can be tested; reference raw_csr.py load_toml)."""
     with open(path, "rb") as f:
-        raw = tomllib.load(f)
+        return tomllib.load(f)
+
+
+# detection refuses to parse huge files as TOML (a multi-GB binary
+# that happens to end in .toml must not be slurped; reference
+# raw_csr.py detect_params size guard)
+_DETECT_MAX_TOML_BYTES = 1024 * 1024
+
+
+class CSRTriple(NamedTuple):
+    """The three CSR arrays (reference raw_csr.py:47)."""
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+
+
+def _csr_for_span(triple: CSRTriple, a: int, b: int, n_sig: int,
+                  dest_dtype=None):
+    """scipy CSR holding rows [a, b) of the triple."""
+    import scipy.sparse as sp
+    indptr = np.asarray(triple.indptr[a:b + 1])
+    lo, hi = int(indptr[0]), int(indptr[-1])
+    mat = sp.csr_matrix(
+        (
+            np.asarray(triple.data[lo:hi]),
+            np.asarray(triple.indices[lo:hi]),
+            indptr - lo,
+        ),
+        shape=(b - a, n_sig),
+    )
+    if dest_dtype is not None and mat.dtype != np.dtype(dest_dtype):
+        mat = mat.astype(dest_dtype)
+    return mat
+
+
+def read_tiles_straight(triple: CSRTriple, partition_slice,
+                        tiling_scheme, dest_dtype=None,
+                        sync_offset: int = 0):
+    """Depth-chunked scipy-CSR tiles over a partition's frame span
+    (reference raw_csr.py read_tiles_straight — whole-sig tiles;
+    CSR cannot sig-split without re-indexing).  ``sync_offset``
+    follows the engine convention: data row = ds index + offset,
+    out-of-data rows skipped."""
+    n_frames = int(partition_slice.shape[0])
+    origin = int(partition_slice.origin[0])
+    sig_dims = partition_slice.shape.sig.dims
+    n_sig = partition_slice.shape.sig.size
+    depth = max(1, int(tiling_scheme.depth))
+    n_rows = len(triple.indptr) - 1
+    for off in range(0, n_frames, depth):
+        a_ds = origin + off
+        b_ds = min(origin + n_frames, a_ds + depth)
+        a = max(0, a_ds + sync_offset)
+        b = min(n_rows, b_ds + sync_offset)
+        if b <= a:
+            continue
+        mat = _csr_for_span(triple, a, b, n_sig, dest_dtype)
+        tile_slice = Slice(
+            (a - sync_offset,) + (0,) * sig_dims,
+            Shape(
+                (b - a,) + tuple(partition_slice.shape.sig),
+                sig_dims=sig_dims,
+            ),
+        )
+        yield DataTile(mat, tile_slice=tile_slice, scheme_idx=0)
+
+
+def read_tiles_with_roi(triple: CSRTriple, partition_slice,
+                        tiling_scheme, roi, dest_dtype=None,
+                        sync_offset: int = 0):
+    """Roi-compressed variant of :func:`read_tiles_straight`
+    (reference raw_csr.py read_tiles_with_roi): only selected frames
+    appear; tile origins are roi-COMPRESSED flat-nav positions."""
+    import scipy.sparse as sp  # noqa: F401  (hard dep of this path)
+    roi = np.asarray(roi).reshape(-1)
+    origin = int(partition_slice.origin[0])
+    n_frames = int(partition_slice.shape[0])
+    sig_dims = partition_slice.shape.sig.dims
+    n_sig = partition_slice.shape.sig.size
+    depth = max(1, int(tiling_scheme.depth))
+    n_rows = len(triple.indptr) - 1
+    sel = np.flatnonzero(roi[origin:origin + n_frames]) + origin
+    stored = sel + sync_offset
+    ok = (stored >= 0) & (stored < n_rows)
+    sel, stored = sel[ok], stored[ok]
+    goff0 = int(np.count_nonzero(roi[:origin]))
+    part = None
+    if len(stored):
+        lo, hi = int(stored[0]), int(stored[-1]) + 1
+        part = _csr_for_span(triple, lo, hi, n_sig, dest_dtype)
+        part = part[stored - lo]
+    for off in range(0, len(stored), depth):
+        chunk = part[off:off + depth]
+        tile_slice = Slice(
+            (goff0 + off,) + (0,) * sig_dims,
+            Shape(
+                (chunk.shape[0],) + tuple(partition_slice.shape.sig),
+                sig_dims=sig_dims,
+            ),
+        )
+        yield DataTile(chunk, tile_slice=tile_slice, scheme_idx=0)
+
+
+def load_descriptor(path: str) -> dict:
+    raw = load_toml(path)
     params = raw.get("params", {})
     csr = raw.get("raw_csr", {})
     base = os.path.dirname(os.path.abspath(path))
@@ -259,11 +367,31 @@ class RawCSRDataSet(DataSet):
                 io_backend=self._io_backend,
             )
 
+    @property
+    def diagnostics(self) -> list:
+        d = self._desc
+        return [
+            {"name": "data dtype",
+             "value": str(np.dtype(d["data_dtype"]))},
+            {"name": "indptr dtype",
+             "value": str(np.dtype(d["indptr_dtype"]))},
+            {"name": "indices dtype",
+             "value": str(np.dtype(d["indices_dtype"]))},
+        ]
+
+    def get_diagnostics(self) -> list:
+        return self.diagnostics
+
     @classmethod
     def detect_params(cls, path: str, executor=None):
-        if not path.lower().endswith(".toml"):
-            return False
         try:
+            if not str(path).lower().endswith(".toml"):
+                return False
+            # never slurp a large binary as TOML (reference size
+            # guard; tests monkeypatch load_toml to assert it is not
+            # reached for big files)
+            if os.path.getsize(path) > _DETECT_MAX_TOML_BYTES:
+                return False
             load_descriptor(path)
         except Exception:
             return False

@@ -855,6 +855,67 @@ class _UDFPlanEntry:
         self.frame_navonly = self.method == "frame" and not self.part_names
 
 
+# backend classes for the resource algebra (reference
+# common/backend.py CPU_BACKENDS/CUDA_BACKENDS).  'jax' counts as a
+# CPU-class backend here: in the single-controller design the
+# controller process owns the TPU, so a jax UDF is satisfiable
+# wherever the controller runs.
+CPU_BACKENDS = frozenset({
+    UDF.BACKEND_JAX, UDF.BACKEND_NUMPY, UDF.BACKEND_SPARSE_COO,
+    UDF.BACKEND_SPARSE_GCXS, UDF.BACKEND_SPARSE_DOK,
+    UDF.BACKEND_SCIPY_COO, UDF.BACKEND_SCIPY_CSR,
+    UDF.BACKEND_SCIPY_CSC, UDF.BACKEND_SCIPY_COO_ARRAY,
+    UDF.BACKEND_SCIPY_CSR_ARRAY, UDF.BACKEND_SCIPY_CSC_ARRAY,
+})
+CUDA_BACKENDS = frozenset({
+    UDF.BACKEND_CUDA, UDF.BACKEND_CUPY, UDF.BACKEND_CUPY_SCIPY_COO,
+    UDF.BACKEND_CUPY_SCIPY_CSR, UDF.BACKEND_CUPY_SCIPY_CSC,
+})
+
+
+def _get_canonical_backends(backends):
+    """Normalize a backend spec: a bare string means a single
+    backend (reference udf/base.py _get_canonical_backends)."""
+    if backends is None:
+        return ()
+    if isinstance(backends, str):
+        return (backends,)
+    return tuple(backends)
+
+
+def get_resources_for_backends(udf_backends, user_backends):
+    """Scheduling resources implied by the UDFs' declared backends
+    intersected with a user restriction (reference udf/base.py:1844,
+    pinned by the reference's udf/test_resources_for_backends.py):
+    CPU-only sets pin CPU, CUDA-only sets pin CUDA, mixed
+    availability pins neither; 'ndarray' marks array-producing
+    backends (everything except bare 'cuda')."""
+    canonical = [_get_canonical_backends(b) for b in udf_backends]
+    user = _get_canonical_backends(user_backends)
+    needs_cuda = needs_cpu = needs_ndarray = 0
+    for backend_set in canonical:
+        if user:
+            backends = set(user).intersection(backend_set)
+        else:
+            backends = set(backend_set)
+        needs_cuda += backends.isdisjoint(CPU_BACKENDS)
+        needs_cpu += backends.isdisjoint(CUDA_BACKENDS)
+        needs_ndarray += UDF.BACKEND_CUDA not in backends
+    if needs_cuda and needs_cpu:
+        raise ValueError(
+            "There is no common supported UDF backend "
+            f"(have: {udf_backends!r}, limited to {user!r})"
+        )
+    result = {"compute": 1}
+    if needs_cpu:
+        result["CPU"] = 1
+    if needs_cuda:
+        result["CUDA"] = 1
+    if needs_ndarray:
+        result["ndarray"] = 1
+    return result
+
+
 class _PartitionTask:
     """Minimal TaskProtocol carrier handed to
     TaskCommHandler.handle_task — one per partition (the reference
@@ -862,8 +923,11 @@ class _PartitionTask:
     has no task objects, so the carrier exposes just the protocol
     surface handlers consume)."""
 
-    def __init__(self, partition):
+    def __init__(self, partition, udf_backends=None,
+                 user_backends=None):
         self._partition = partition
+        self._udf_backends = udf_backends
+        self._user_backends = user_backends
 
     def get_partition(self):
         return self._partition
@@ -872,7 +936,11 @@ class _PartitionTask:
         return None
 
     def get_resources(self):
-        return {"compute": 1}
+        if self._udf_backends is None:
+            return {"compute": 1}
+        return get_resources_for_backends(
+            self._udf_backends, self._user_backends
+        )
 
 
 class UDFRunner:
@@ -896,6 +964,21 @@ class UDFRunner:
         )
         self._threads_per_worker = max(1, int(threads_per_worker))
         self._params_patched = False
+
+    def _make_udf_tasks(self, dataset, roi=None, backends=None):
+        """Reference task enumeration (udf/base.py
+        UDFRunner._make_udf_tasks): one task per partition carrying
+        the combined resource demand of all UDFs.  This engine
+        schedules partitions itself — the tasks serve resource-
+        introspection consumers (pinned by the reference's
+        udf/test_get_resources.py)."""
+        udf_backends = [u.get_backends() for u in self._udfs]
+        user = backends if backends is not None else self._backends
+        for partition in dataset.get_partitions():
+            yield _PartitionTask(
+                partition, udf_backends=udf_backends,
+                user_backends=user,
+            )
 
     def _debug_check_picklable(self):
         """debug=True semantics (reference: debug executors force

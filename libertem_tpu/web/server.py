@@ -564,6 +564,14 @@ def _collect_notebook_inputs(state: SharedState,
     return ds_type, entry["converted"], analyses, ds_name
 
 
+def prime_numba_cache(ds):
+    """No-op warmup hook (reference web/dataset.py:33 compiles the
+    numba decode kernels ahead of the first GUI run; this engine's
+    kernels are XLA-compiled per run shape and cached by jax, so
+    there is nothing to prime host-side)."""
+    return None
+
+
 class BrowseHandler(_BaseHandler):
     async def get(self):
         from ..io.fs import FSError, get_fs_listing
