@@ -82,6 +82,7 @@ def main():
     print(json.dumps({
         "t1_s": round(t1, 4),
         "t8_s": round(t8, 4),
+        "metric_kind": "sharded-engine OVERHEAD bound, NOT chip scaling",
         "mesh_overhead": round(t8 / t1, 4),
         "frames_per_s_1dev": round(n_frames / t1, 1),
         "frames_per_s_8dev": round(n_frames / t8, 1),
