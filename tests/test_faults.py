@@ -36,12 +36,26 @@ def test_blo_bad_magic(lt_ctx, tmp_path):
 
 
 def test_raw_wrong_size(lt_ctx, tmp_path):
+    # Reference contract (raw.py image_count;
+    # test_raw.py::test_extra_data_at_the_end, in the gate): trailing
+    # bytes that don't fill a frame are cut off, NOT an error...
     path = str(tmp_path / "bad.raw")
     with open(path, "wb") as f:
-        f.write(b"\x00" * 1001)  # not a multiple of frame size
+        f.write(b"\x00" * 1001)  # 7 full 128-byte frames + 105 extra
+    ds = lt_ctx.load(
+        "raw", path=path, dtype="uint16",
+        nav_shape=(2, 2), sig_shape=(8, 8),
+    )
+    assert ds.meta.image_count == 7
+
+    # ...but a frame that can't fit in the file at all IS detected
+    # (reference wording, test_raw.py::test_too_large_sig_shape)
+    small = str(tmp_path / "small.raw")
+    with open(small, "wb") as f:
+        f.write(b"\x00" * 10)  # 5 uint16 items < 64-item sig frame
     with pytest.raises(DataSetException):
         lt_ctx.load(
-            "raw", path=path, dtype="uint16",
+            "raw", path=small, dtype="uint16",
             nav_shape=(2, 2), sig_shape=(8, 8),
         )
 

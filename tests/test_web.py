@@ -844,6 +844,31 @@ class TestClientConsistency(WebTestBase):
                 probe, resp.code
             )
 
+    def test_message_vocabulary_covered(self):
+        """Every messageType the server can emit must appear in the
+        client source — either in a handler branch or in the
+        explicit deliberately-ignored comment block.  A new server
+        message added without a client decision fails here."""
+        import os
+        import re
+
+        import libertem_tpu.web as web
+        msgs_path = os.path.join(
+            os.path.dirname(os.path.abspath(web.__file__)),
+            "messages.py",
+        )
+        with open(msgs_path) as f:
+            vocabulary = set(re.findall(
+                r'"messageType": "([A-Z_]+)"', f.read()
+            ))
+        assert len(vocabulary) > 25  # sanity: found the vocabulary
+        src = self._client_src()
+        missing = {m for m in vocabulary if m not in src}
+        assert not missing, (
+            f"server messageTypes with no client handler and no "
+            f"documented ignore: {sorted(missing)}"
+        )
+
 
 class TestNotebookTemplates(WebTestBase):
     def test_every_analysis_id_has_pretty_template(self):
