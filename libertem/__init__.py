@@ -46,6 +46,12 @@ _EXPLICIT = {
         "libertem_tpu.io.dataset.decode",
     "libertem.io.dataset.base.utils":
         "libertem_tpu.io.dataset.utils",
+    "libertem.io.dataset.base.exceptions":
+        "libertem_tpu.io.dataset.base",
+    "libertem.io.dataset.base.tiling_scheme":
+        "libertem_tpu.io.tiling",
+    "libertem.io.dataset.base.backend":
+        "libertem_tpu.io.dataset.base",
     # reference executor module names that collapsed (docs in
     # executor/compat.py)
     "libertem.executor.dask": "libertem_tpu.executor.compat",

@@ -816,6 +816,14 @@ class IOBackend:
         kwargs = {k: v for k, v in data.items() if k != "id"}
         return cls.registry[kind](**kwargs)
 
+    @classmethod
+    def get_supported(cls) -> list:
+        """Registered backend ids, in registration order (reference
+        backend.py get_supported; 'direct' is Linux-only there —
+        this framework targets Linux hosts, so all built-ins
+        qualify)."""
+        return list(cls.registry)
+
 
 class MMapBackend(IOBackend, id_="mmap"):
     def __init__(self, enable_readahead_hints: bool = False):
@@ -878,6 +886,18 @@ class RangeReader:
                 getattr(io_backend, "enable_readahead_hints", False)
             )
         else:
+            if io_backend is not None and not isinstance(
+                io_backend, BufferedBackend
+            ):
+                # a custom/unknown IOBackend has no reader
+                # implementation here; silently reading through the
+                # default would bypass the user's explicit request
+                # (contract pinned by the reference's FakeBackend,
+                # tests/io/datasets/test_backend.py)
+                raise RuntimeError(
+                    f"io_backend {type(io_backend).__name__!r} has "
+                    "no reader implementation in this framework"
+                )
             self.strategy = "buffered"
         if isinstance(io_backend, (BufferedBackend, DirectBackend)):
             mbs = int(getattr(

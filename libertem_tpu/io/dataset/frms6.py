@@ -22,6 +22,7 @@ import numpy as np
 
 from ...common.shape import Shape
 from ..corrections import CorrectionSet
+from .decode import Decoder
 from .base import (
     DataSet,
     DataSetException,
@@ -68,6 +69,75 @@ def unfold(frames: np.ndarray) -> np.ndarray:
     out[:, :h] = frames[:, :, :w2]
     out[:, h:] = frames[:, ::-1, w2:][:, :, ::-1]
     return out
+
+
+def _pattern(path: str) -> str:
+    """Sibling-chunk glob (reference frms6.py:178): ``scan.hdr``
+    opens ``scan_*.frms6``; ``scan_001.frms6`` opens ``scan_*.frms6``
+    (the trailing chunk counter is stripped); anything else is an
+    error."""
+    base, ext = os.path.splitext(os.fspath(path))
+    ext = ext.lower()
+    if ext == ".hdr":
+        return glob.escape(base) + "_*.frms6"
+    if ext == ".frms6":
+        return glob.escape(re.sub(r"[0-9]+$", "", base)) + "*.frms6"
+    raise DataSetException(f"unknown extension: {ext}")
+
+
+def get_filenames(path, disable_glob: bool = False) -> list:
+    """All sibling chunks of a multi-file acquisition (reference
+    frms6.py:191)."""
+    if disable_glob:
+        return [os.fspath(path)]
+    return list(sorted(glob.glob(_pattern(path))))
+
+
+def _map_y(y, xs, binning, num_rows):
+    """Folded-row mapping (reference frms6.py:233): stored row ``y``
+    lands at ``(row, x_offset)`` in the unfolded frame — the bottom
+    detector half is read out mirrored, so its rows count back from
+    the end and shift right by ``xs``.  ``unfold`` below applies the
+    same mapping vectorized; this scalar form is the per-row oracle
+    the reference's tests drive directly."""
+    half = num_rows // 2 // binning
+    if y < half:
+        return (y, 0)
+    return ((num_rows // binning) - y - 1, xs)
+
+
+class FRMS6Decoder(Decoder):
+    """Row-for-row tile decoder implementing the reference's decode
+    protocol (frms6.py:321-366): each read is ONE stored row; rows
+    from the bottom detector half write x-reversed, and binned rows
+    broadcast over ``binning`` output rows.  The engine's block
+    reader unfolds whole frames vectorized (``unfold``); this
+    decoder exists for tile-protocol parity and as an independent
+    oracle for the row mapping."""
+
+    def __init__(self, binning):
+        self._binning = binning
+
+    def get_decode(self, native_dtype, read_dtype):
+        binning = self._binning
+
+        def _decode(inp, out, idx, native_dtype, rr, origin, shape,
+                    ds_shape):
+            row = inp.reshape((-1,)).view(native_dtype)
+            out3 = out.reshape(out.shape[0], -1, shape[-1])
+            rows_binned = ds_shape[-2] // binning
+            rows_in_tile = shape[1] // binning
+            start = (idx % rows_in_tile) * binning
+            depth = idx // rows_in_tile
+            top = (
+                origin[1] // binning + (idx % rows_in_tile)
+                < rows_binned // 2
+            )
+            out3[depth, start:start + binning, :] = (
+                row if top else row[::-1]
+            )
+
+        return _decode
 
 
 def _discover(path: str) -> tuple:

@@ -166,6 +166,13 @@ class H5DataSet(DataSet):
         min_num_partitions: Optional[int] = None,
         **kwargs,
     ):
+        if kwargs.get("io_backend") is not None:
+            # HDF5 reads through h5py — an alternative byte-level
+            # IOBackend cannot be honored and must not be silently
+            # ignored (reference hdf5.py:307 raises the same)
+            raise ValueError(
+                "H5DataSet does not support alternative I/O backends"
+            )
         super().__init__(**kwargs)
         self._path = path
         self._ds_path = ds_path

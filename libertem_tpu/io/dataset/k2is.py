@@ -55,16 +55,26 @@ SHUTTER_ACTIVE_MASK = 0x1
 SYNC_MAGIC = 0xFFFF0055
 
 
-def _sector_files(path: str) -> list:
-    ext = os.path.splitext(path)[1].lower()
+def get_filenames(path, disable_glob: bool = False) -> list:
+    """Sector-file discovery (reference k2is.py:239-257): the .gtg
+    sidecar or any sector .bin yields every sibling ``*.bin`` (a
+    trailing sector counter on a .bin is stripped first)."""
+    path = os.fspath(path)
+    if disable_glob:
+        return [path]
+    base, ext = os.path.splitext(path)
+    ext = ext.lower()
     if ext == ".gtg":
-        pattern = glob.escape(path[:-4]) + "*.bin"
+        pattern = glob.escape(base) + "*.bin"
     elif ext == ".bin":
-        stem = re.sub(r"\d+$", "", os.path.splitext(path)[0])
-        pattern = glob.escape(stem) + "*.bin"
+        pattern = glob.escape(re.sub(r"[0-9]+$", "", base)) + "*.bin"
     else:
         raise DataSetException(f"unrecognized k2is path {path}")
-    files = sorted(glob.glob(pattern))
+    return glob.glob(pattern)
+
+
+def _sector_files(path: str) -> list:
+    files = sorted(get_filenames(path))
     if len(files) != NUM_SECTORS:
         raise DataSetException(
             f"expected {NUM_SECTORS} sector files, found "

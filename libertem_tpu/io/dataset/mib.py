@@ -34,6 +34,30 @@ from .base import (
 )
 
 
+def get_filenames(path, disable_glob: bool = False) -> list:
+    """Sibling-chunk discovery for multi-file acquisitions
+    (reference mib.py:109-127 ``_pattern``/``get_filenames``):
+    ``acq_001.mib`` opens every ``acq_*.mib`` (the trailing frame
+    counter is stripped), ``scan.hdr`` opens every ``scan*.mib``;
+    any other extension is an error.  Ordering comes from the
+    per-file header sequence numbers at initialize time, not from
+    this listing."""
+    import re
+
+    path = os.fspath(path)
+    if disable_glob:
+        return [path]
+    base, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext == ".mib":
+        pattern = re.sub(r"[0-9]+$", "", glob.escape(base)) + "*.mib"
+    elif ext == ".hdr":
+        pattern = glob.escape(base) + "*.mib"
+    else:
+        raise DataSetException("unknown extension")
+    return glob.glob(pattern)
+
+
 def parse_mib_header(path: str) -> dict:
     """Parse the first frame header of a .mib file."""
     with open(path, "rb") as f:
@@ -315,28 +339,16 @@ class MIBDataSet(DataSet):
 
     def _discover_files(self):
         if self._path.lower().endswith(".hdr"):
-            pattern = glob.escape(self._path[:-4]) + "*.mib"
-            files = sorted(glob.glob(pattern))
+            files = sorted(get_filenames(self._path))
             if not files:
                 base = os.path.dirname(self._path)
                 files = sorted(glob.glob(
                     os.path.join(glob.escape(base), "*.mib")
                 ))
         elif self._path.lower().endswith(".mib"):
-            if self._disable_glob:
-                files = [self._path]
-            else:
-                # multi-file acquisitions: strip the trailing frame
-                # counter and collect every sibling chunk (reference
-                # mib.py:110 _pattern — acq_001.mib opens
-                # acq_*.mib; ordering comes from the header sequence
-                # numbers below, not the name sort)
-                import re
-                base = os.path.splitext(self._path)[0]
-                pattern = re.sub(
-                    r"[0-9]+$", "", glob.escape(base)
-                ) + "*.mib"
-                files = sorted(glob.glob(pattern)) or [self._path]
+            files = sorted(get_filenames(
+                self._path, disable_glob=self._disable_glob
+            )) or [self._path]
         else:
             files = sorted(glob.glob(
                 os.path.join(glob.escape(self._path), "*.mib")

@@ -60,6 +60,24 @@ def read_tvips_header(path: str) -> dict:
     return h
 
 
+def _get_suffix(path: str) -> int:
+    """Series index of one chunk file — the suffix is an underscore
+    plus a three-digit zero-padded number (reference
+    tvips.py:270)."""
+    return int(os.path.splitext(os.fspath(path))[0][-3:])
+
+
+def get_filenames(path) -> list:
+    """All chunk files of the series ``path`` belongs to, in series
+    order (reference tvips.py:173 ``_pattern`` + :277): the trailing
+    counter is stripped and every sibling ``*.tvips`` collected."""
+    base, ext = os.path.splitext(os.fspath(path))
+    if ext.lower() != ".tvips":
+        raise DataSetException("unknown extension")
+    pattern = re.sub(r"[0-9]+$", "", glob.escape(base)) + "*.tvips"
+    return list(sorted(glob.glob(pattern), key=_get_suffix))
+
+
 def _series_files(path: str) -> list:
     m = re.match(r"^(.*)_(\d{3})\.tvips$", path)
     if not m:

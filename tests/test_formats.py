@@ -90,6 +90,43 @@ def test_seq(lt_ctx, tmp_path):
     _check_sum(lt_ctx, ds, frames.astype(np.float32))
 
 
+def test_seq_xml_excluded_sidecars(lt_ctx, tmp_path):
+    """The XML bad-pixel-map + binary metadata sidecar pair next to
+    a .seq becomes the CorrectionSet's excluded-pixel mask
+    (reference seq.py:557 _load_xml_from_file; the XML machinery
+    itself is driven cell-by-cell by the reference's own
+    tests/io/datasets/test_seq.py in the gate)."""
+    import struct as _struct
+
+    w, h, n = 16, 12, 6
+    frames = _mk_random((n, h, w), dtype="uint16")
+    path = str(tmp_path / "scan.seq")
+    _write_seq(path, frames)
+    xml = (
+        '<?xml version="1.0"?><Configuration><BadPixels>'
+        f'<BadPixelMap Rows="{h}" Columns="{w}">'
+        '<Defect Row="3"/><Defect Columns="5-6"/>'
+        '<Defect Row="1" Column="2"/>'
+        "</BadPixelMap></BadPixels></Configuration>"
+    )
+    (tmp_path / "scan.seq.Config.Metadata.xml").write_text(xml)
+    # binary geometry record: 11 int32 + bool at offset 282
+    meta = bytearray(282) + _struct.pack(
+        "iiiiiiiiiii?", 0, 1, w, h, 0, 0, 1, 16, 100, 0, 0, False
+    )
+    (tmp_path / "scan.seq.metadata").write_bytes(bytes(meta))
+
+    ds = lt_ctx.load("seq", path=path)
+    corr = ds.get_correction_data()
+    got = np.zeros((h, w), dtype=bool)
+    got[tuple(corr.excluded_coords.T)] = True
+    expected = np.zeros((h, w), dtype=bool)
+    expected[3] = True
+    expected[:, 5:7] = True
+    expected[1, 2] = True
+    assert np.array_equal(got, expected)
+
+
 def test_tvips(lt_ctx, tmp_path):
     w, h, n = 16, 14, 8
     frames = _mk_random((n, h, w), dtype="uint16")

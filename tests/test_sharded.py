@@ -647,19 +647,33 @@ def test_feed_budget_catches_slow_reader(monkeypatch):
         data=data, sig_dims=2, num_partitions=2
     ).initialize()
 
-    # single-device loop
+    # single-device loop.  The bound is RELATIVE to a fast control
+    # measured under the same conditions (plus a low absolute
+    # floor): absolute ratios are load-sensitive on the shared
+    # single-core CI host — step_s inflates under suite-wide memory
+    # pressure and can eat a fixed margin.
     UDFRunner(_feed_udfs()).run_for_dataset(fast)  # warm-up compile
+    ctl = UDFRunner(_feed_udfs())
+    ctl.run_for_dataset(fast)
+    cs = ctl.last_feed_stats
+    fast_ratio = cs["feed_s"] / cs["step_s"]
     runner = UDFRunner(_feed_udfs())
     runner.run_for_dataset(slow)
     stats = runner.last_feed_stats
-    assert stats["feed_s"] / stats["step_s"] > 0.5, stats
+    slow_ratio = stats["feed_s"] / stats["step_s"]
+    assert slow_ratio > max(0.3, 2 * fast_ratio), (cs, stats)
 
     # sharded loop (tiledelay sleeps inside the reader pool threads)
     UDFRunner(_feed_udfs()).run_for_dataset(fast, devices=devices())
+    ctl = UDFRunner(_feed_udfs())
+    ctl.run_for_dataset(fast, devices=devices())
+    cst = ctl.last_sharded_stats
+    fast_ratio = (cst["assembly_s"] + cst["h2d_s"]) / cst["step_s"]
     runner = UDFRunner(_feed_udfs())
     runner.run_for_dataset(slow, devices=devices())
     st = runner.last_sharded_stats
-    assert (st["assembly_s"] + st["h2d_s"]) / st["step_s"] > 0.6, st
+    slow_ratio = (st["assembly_s"] + st["h2d_s"]) / st["step_s"]
+    assert slow_ratio > max(0.4, 2 * fast_ratio), (cst, st)
 
 
 def test_sharded_preprocess_clone_isolation(ds):
