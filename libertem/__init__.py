@@ -34,6 +34,11 @@ _EXPLICIT = {
         "libertem_tpu.io.corrections",
     # the executor interfaces live in executor/, not common/
     "libertem.common.executor": "libertem_tpu.executor.base",
+    # encode_image lives with the viz backends here
+    "libertem.common.viz": "libertem_tpu.viz.base",
+    # notebook-template helper (reference analysis/helper.py)
+    "libertem.analysis.helper":
+        "libertem_tpu.web.notebook_generator",
     # MaskContainer lives with the masks UDF
     "libertem.common.container": "libertem_tpu.udf.masks",
     # reference udf-method constants live on UDF itself here

@@ -42,6 +42,34 @@ def get_use_cpu() -> bool:
     return _ENV_CPU in os.environ
 
 
+def get_use_cuda() -> Optional[int]:
+    """Reference-API alias (common/backend.py:22): the pinned
+    accelerator-device index, or None.  On this target the
+    'cuda'-class device is the TPU chip selected by
+    ``set_use_cuda``/``set_use_device``."""
+    if get_use_cpu():
+        return None
+    return get_use_device()
+
+
+def get_device_class() -> str:
+    """'cuda' when an accelerator device is pinned, else 'cpu'
+    (reference common/backend.py:99 — downstream code branches on
+    exactly these two strings, so the TPU reports as the
+    accelerator class)."""
+    return "cpu" if get_use_cuda() is None else "cuda"
+
+
+def set_file_limit() -> None:
+    """Raise RLIMIT_NOFILE to the hard limit (reference
+    common/backend.py:121): many-file datasets (K2IS sectors,
+    chunked MIB/TVIPS series) keep per-file descriptors open."""
+    import resource
+
+    _, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    resource.setrlimit(resource.RLIMIT_NOFILE, (hard, hard))
+
+
 def get_pinned_device():
     """The jax device selected by the env pinning, or None."""
     import jax

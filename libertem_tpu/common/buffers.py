@@ -551,3 +551,143 @@ def reshaped_view(a: np.ndarray, shape) -> np.ndarray:
     return v
 
 
+# ---- aligned allocation utilities --------------------------------
+# Page-aligned host buffers for O_DIRECT reads and copy-free
+# handoffs (reference common/buffers.py:39-225).  The engine's own
+# read path allocates through RangeReader; these are the public
+# utility surface user IO code builds on.
+
+
+def _alloc_aligned(size: int, blocksize: int = 4096):
+    import mmap as _mmap
+
+    blocks = -(-max(1, int(size)) // blocksize)
+    return _mmap.mmap(-1, blocksize * blocks)
+
+
+def bytes_aligned(size: int) -> memoryview:
+    """A page-aligned writable buffer of exactly ``size`` bytes."""
+    return memoryview(_alloc_aligned(size))[:size]
+
+
+def empty_aligned(size, dtype) -> np.ndarray:
+    """Like ``np.empty`` but page-aligned (for O_DIRECT)."""
+    dtype = np.dtype(dtype)
+    n = prod(size)
+    buf = _alloc_aligned(dtype.itemsize * n)
+    return np.frombuffer(buf, dtype=dtype)[:n].reshape(size)
+
+
+def zeros_aligned(size, dtype) -> np.ndarray:
+    """Like ``np.zeros`` but page-aligned (for O_DIRECT)."""
+    if np.dtype(dtype) == object or prod(size) == 0:
+        return np.zeros(size, dtype=dtype)
+    res = empty_aligned(size, dtype)
+    res[:] = 0
+    return res
+
+
+def to_numpy(a) -> np.ndarray:
+    """Return ``a`` as a host ndarray.  numpy passes through; device
+    arrays (jax) fetch D2H; anything else is a TypeError (the
+    reference converts cupy here — no CUDA on this target)."""
+    if isinstance(a, np.ndarray):
+        return a
+    if hasattr(a, "__array__") and type(a).__module__.split(".")[0] in (
+        "jax", "jaxlib"
+    ):
+        return np.asarray(a)
+    raise TypeError(f"I don't know how to convert {type(a)} here.")
+
+
+def disjoint(sl, slices) -> bool:
+    """True when ``sl`` intersects none of ``slices`` (reference
+    common/buffers.py:122)."""
+    return all(
+        sl.intersection_with(s2).is_null() for s2 in slices
+    )
+
+
+def get_bbox_2d(arr, eps: float = 1e-8) -> tuple:
+    """(ymin, ymax, xmin, xmax) bounding box of entries with
+    ``|value| >= eps`` — vectorized, where the reference loops per
+    pixel (common/buffers.py:272)."""
+    arr = np.asarray(arr)
+    ys, xs = np.nonzero(np.abs(arr) >= eps)
+    if ys.size == 0:
+        # same out-of-range sentinel layout as the reference's
+        # never-updated loop variables
+        return arr.shape[0], 0, arr.shape[1], 0
+    return (
+        int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max())
+    )
+
+
+class BufferPool:
+    """Free-list pool for re-using aligned allocations, keyed by
+    (size, alignment) (reference common/buffers.py:126)."""
+
+    def __init__(self):
+        import collections
+
+        self._buffers = collections.defaultdict(list)
+
+    def checkout_bytes(self, size, alignment):
+        free = self._buffers[(size, alignment)]
+        return free.pop() if free else _alloc_aligned(size, alignment)
+
+    def checkin_bytes(self, size, alignment, buf):
+        self._buffers[(size, alignment)].append(buf)
+
+    from contextlib import contextmanager as _cm
+
+    @_cm
+    def bytes(self, size, alignment=4096):
+        buf = self.checkout_bytes(size, alignment)
+        try:
+            yield buf
+        finally:
+            self.checkin_bytes(size, alignment, buf)
+
+    @_cm
+    def empty(self, size, dtype, alignment=4096):
+        dtype = np.dtype(dtype)
+        n = prod(size)
+        with self.bytes(dtype.itemsize * n, alignment) as buf:
+            yield np.frombuffer(buf, dtype=dtype)[:n].reshape(size)
+
+    @_cm
+    def zeros(self, size, dtype, alignment=4096):
+        if np.dtype(dtype) == object or prod(size) == 0:
+            yield np.zeros(size, dtype=dtype)
+            return
+        with self.empty(size, dtype, alignment) as res:
+            res[:] = 0
+            yield res
+
+    del _cm
+
+
+class ManagedBuffer:
+    """``size`` bytes checked out of ``pool``, returned on GC
+    (reference common/buffers.py:170)."""
+
+    def __init__(self, pool, size, alignment):
+        self.pool = pool
+        self.buf = pool.checkout_bytes(size, alignment)
+        self.size = size
+        self.alignment = alignment
+
+    def __del__(self):
+        self.pool.checkin_bytes(self.size, self.alignment, self.buf)
+
+
+class PreallocBufferWrapper(BufferWrapper):
+    """A BufferWrapper carrying externally-allocated backing data
+    (reference common/buffers.py:989)."""
+
+    def __init__(self, data, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._data = data
+
+

@@ -114,3 +114,25 @@ class Shape:
 
     def __repr__(self) -> str:
         return repr(self.to_tuple())
+
+
+class SigOnlyShape(Shape):
+    """A Shape that is all signal dims (reference shape.py:216) —
+    what ``shape.sig`` returns, constructible directly."""
+
+    def __init__(self, shape: Sequence[int]):
+        super().__init__(
+            tuple(int(s) for s in shape),
+            sig_dims=len(tuple(shape)),
+        )
+
+
+class NavOnlyShape(Shape):
+    """A Shape that is all navigation dims (reference
+    shape.py:250) — what ``shape.nav`` returns, constructible
+    directly."""
+
+    def __init__(self, shape: Sequence[int]):
+        super().__init__(
+            tuple(int(s) for s in shape), sig_dims=0,
+        )

@@ -480,10 +480,65 @@ class JobExecutor:
         return False
 
 
+class ExecutorError(Exception):
+    """Generic executor failure (reference common/executor.py:41)."""
+
+
+class ResourceError(RuntimeError):
+    """Task requests resources the worker pool lacks (reference
+    executor/base.py:26)."""
+
+
+# reference naming: BaseJobExecutor is the concrete-executor base
+# (executor/base.py:95); here the JobExecutor protocol class fills
+# both roles
+BaseJobExecutor = JobExecutor
+
+
+class GenericTaskProtocol:
+    """Interface for generic (non-UDF) tasks submitted via
+    run_function-style APIs (reference common/executor.py:160)."""
+
+    def __call__(self, args, kwargs, environment):
+        raise NotImplementedError()
+
+
+def make_canonical(main_gpu) -> "int | None":
+    """Resolve a main-device spec to a device index or None
+    (reference executor/base.py:34, where the devices are GPUs; the
+    accelerator class on this target is the TPU mesh).  True picks
+    the first accelerator and raises without one; an int validates
+    against the device count; False/None disable/auto."""
+    import jax
+
+    def _n_devices():
+        try:
+            return jax.device_count()
+        except Exception:
+            return 0
+
+    if main_gpu is None or main_gpu is False:
+        return None
+    if main_gpu is True:
+        if _n_devices() < 1:
+            raise ResourceError(
+                "main_gpu=True but no accelerator devices present"
+            )
+        return 0
+    idx = int(main_gpu)
+    if idx < 0 or idx >= _n_devices():
+        raise ResourceError(
+            f"main_gpu={idx} is not present "
+            f"({_n_devices()} devices)"
+        )
+    return idx
+
+
 def __getattr__(name):
     # reference layout compat: AsyncAdapter is importable from
-    # executor.base there (lazy here to avoid a circular import)
-    if name == "AsyncAdapter":
+    # executor.base there (lazy here to avoid a circular import);
+    # AsyncJobExecutor names its async facade
+    if name in ("AsyncAdapter", "AsyncJobExecutor"):
         from .async_adapter import AsyncAdapter
         return AsyncAdapter
     raise AttributeError(name)

@@ -30,7 +30,25 @@ filetypes = {
 }
 
 
+def register_dataset_cls(filetype: str, cls) -> None:
+    """Register a custom DataSet implementation under ``filetype``
+    (reference io/dataset/__init__.py:160): ``cls`` may be the class
+    itself, a ``module:ClassName`` spec, or the reference's dotted
+    ``module.ClassName`` path.  It participates in ``load()`` and
+    ``detect()`` like the built-ins."""
+    filetypes[filetype.lower()] = cls
+
+
+def unregister_dataset_cls(filetype: str) -> None:
+    """Remove a registered filetype (reference
+    io/dataset/__init__.py:164)."""
+    del filetypes[filetype.lower()]
+
+
 def get_dataset_cls(filetype: str) -> type:
+    if not isinstance(filetype, str):
+        # reference :169 — a class passes through
+        return filetype
     try:
         spec = filetypes[filetype.lower()]
     except KeyError:
@@ -38,9 +56,54 @@ def get_dataset_cls(filetype: str) -> type:
             f"unknown filetype {filetype!r}; known: "
             f"{sorted(filetypes)}"
         ) from None
-    module_name, cls_name = spec.split(":")
-    module = importlib.import_module(module_name)
+    if not isinstance(spec, str):
+        return spec
+    if ":" in spec:
+        module_name, cls_name = spec.split(":")
+    else:
+        # reference-style dotted path
+        module_name, _, cls_name = spec.rpartition(".")
+    try:
+        module = importlib.import_module(module_name)
+    except ImportError as e:
+        raise DataSetException(
+            f"could not load dataset: {e}"
+        ) from None
     return getattr(module, cls_name)
+
+
+def build_extension_map() -> dict:
+    """extension -> [filetype keys], in registration order
+    (reference io/dataset/__init__.py:36)."""
+    ext_map: dict = {}
+    for ft in filetypes:
+        try:
+            cls = get_dataset_cls(ft)
+        except Exception:
+            continue
+        for ext in cls.get_supported_extensions():
+            ext_map.setdefault(ext.lower(), []).append(ft)
+    return ext_map
+
+
+def get_search_order(path) -> list:
+    """filetype keys in detection order: formats registered for the
+    path's extension float to the top, 'memory' sinks to the bottom
+    (reference io/dataset/__init__.py:188)."""
+    import pathlib
+
+    search_order = list(filetypes)
+    try:
+        ext = pathlib.Path(path).suffix.strip().lstrip(".").lower()
+        for ft in reversed(build_extension_map().get(ext, ())):
+            search_order.remove(ft)
+            search_order.insert(0, ft)
+    except (TypeError, ValueError):
+        pass
+    if "memory" in search_order:
+        search_order.remove("memory")
+        search_order.append("memory")
+    return search_order
 
 
 def load(filetype: str, *args, executor=None, **kwargs) -> DataSet:

@@ -35,11 +35,37 @@ if TYPE_CHECKING:
 
 
 # Depth markers mirroring the reference's UDF tiling preferences
-# (common/udf.py:23 TilingPreferences)
-TILE_DEPTH_DEFAULT = object()
-TILE_DEPTH_MAX = object()  # "whole partition" (PARTITION-method UDFs)
-TILE_SIZE_BEST_FIT = object()
-TILE_SIZE_MAX = object()
+# (common/udf.py:15-25 TileDepthEnum/TileSizeEnum/TilingPreferences).
+# The module-level sentinels ARE the enum members, so both the
+# reference spelling (TileDepthEnum.TILE_DEPTH_DEFAULT) and the
+# sentinel spelling (UDF.TILE_DEPTH_DEFAULT) compare identical.
+import enum
+
+
+class TileDepthEnum(enum.Enum):
+    TILE_DEPTH_DEFAULT = object()
+    TILE_DEPTH_MAX = object()  # "whole partition" (PARTITION UDFs)
+
+
+class TileSizeEnum(enum.Enum):
+    TILE_SIZE_BEST_FIT = object()
+    TILE_SIZE_MAX = object()
+
+
+TILE_DEPTH_DEFAULT = TileDepthEnum.TILE_DEPTH_DEFAULT
+TILE_DEPTH_MAX = TileDepthEnum.TILE_DEPTH_MAX
+TILE_SIZE_BEST_FIT = TileSizeEnum.TILE_SIZE_BEST_FIT
+TILE_SIZE_MAX = TileSizeEnum.TILE_SIZE_MAX
+
+try:
+    from typing import TypedDict
+
+    class TilingPreferences(TypedDict):
+        # reference common/udf.py:23
+        depth: object
+        total_size: object
+except ImportError:  # pragma: no cover
+    TilingPreferences = dict
 
 
 class TilingScheme:

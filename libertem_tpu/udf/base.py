@@ -68,6 +68,9 @@ from ..io.tiling import (
     TILE_SIZE_BEST_FIT,
     TILE_SIZE_MAX,
     Negotiator,
+    TileDepthEnum,  # noqa: F401  (re-export: common/udf.py parity)
+    TileSizeEnum,  # noqa: F401
+    TilingPreferences,  # noqa: F401
     TilingScheme,
 )
 

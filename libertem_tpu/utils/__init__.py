@@ -62,3 +62,42 @@ def frame_peaks_polar(zero, a, b, indices):
         + idx[:, 1:2] * np.asarray(b, dtype=np.float64)
     )
     return make_polar(pts - zero)
+
+
+def regularize_indices(indices):
+    """Normalize lattice indices to an (n, 2) list: accepts either
+    the (2, n, m) output of ``np.mgrid`` or an (n, 2) pair list
+    (reference utils/__init__.py:135)."""
+    indices = np.asarray(indices)
+    s = indices.shape
+    if len(s) == 3 and s[0] == 2:
+        return np.concatenate(indices.T)
+    if len(s) == 2 and s[1] == 2:
+        return indices
+    raise ValueError(
+        f"Shape of indices is {s}, expected (n, 2) or (2, n, m)"
+    )
+
+
+def calc_coords(zero, a, b, indices):
+    """Pixel coordinates of lattice points ``zero + i*a + j*b``
+    (reference utils/__init__.py:156)."""
+    return zero + np.dot(indices, np.array((a, b)))
+
+
+def within_frame(peaks, r, fy, fx):
+    """Boolean selector for peaks whose (r, r) neighborhood lies
+    fully inside an (fy, fx) frame (reference
+    utils/__init__.py:164)."""
+    selector = (peaks >= (r, r)) * (peaks < (fy - r, fx - r))
+    return selector.all(axis=-1)
+
+
+def frame_peaks(fy, fx, zero, a, b, r, indices):
+    """Lattice peaks that fit in an (fy, fx) frame with margin ``r``:
+    returns (kept indices, kept coordinates) (reference
+    utils/__init__.py:149)."""
+    indices = regularize_indices(indices)
+    peaks = calc_coords(zero, a, b, indices)
+    selector = within_frame(peaks, r, fy, fx)
+    return indices[selector], peaks[selector]

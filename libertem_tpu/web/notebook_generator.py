@@ -198,12 +198,138 @@ def dataset_cell(ds_type: str, ds_params: dict) -> str:
     return f'ds = ctx.load("{ds_type.lower()}", {args})\n'
 
 
+class TemplateBase:
+    """Shared code-template strings + substitution helper for
+    notebook GeneratorHelper subclasses (reference
+    web/notebook_generator/template.py — same attribute names, so
+    subclasses written against the reference work unchanged)."""
+
+    temp_ds_backend = ["io_backend = ${backend_cls}()"]
+    temp_ds = [
+        "params = $params",
+        'ds = ctx.load("$type", **params)',
+    ]
+    temp_dep_ds = [
+        "from libertem.io.dataset.base import ${backend_cls}",
+    ]
+    temp_dep = [
+        "import matplotlib.pyplot as plt",
+        "import libertem.api as lt",
+        "import numpy as np",
+    ]
+    temp_dep_conn = []  # no dask cluster in this design
+    temp_conn = ["ctx = lt.Context()"]
+    temp_analysis = [
+        "${short}_analysis = ctx.$analysis_api($params)",
+        "${short}_result = ctx.run(${short}_analysis, "
+        "progress=True)",
+    ]
+    temp_save = [
+        "np.save('${short}_result.npy', "
+        "${short}_result['intensity'])",
+    ]
+
+    def code_formatter(self, code):
+        try:
+            import autopep8
+            return autopep8.fix_code(code)
+        except ImportError:
+            return code
+
+    def format_template(self, template, data):
+        from string import Template
+
+        return Template("\n".join(template)).substitute(data)
+
+
+class GeneratorHelper(TemplateBase):
+    """Extension point for GUI/notebook code generation (reference
+    analysis/helper.py): an Analysis class returns a subclass from
+    ``get_template_helper()`` and the generated notebook uses its
+    docs/dependency/analysis/plot/save cells instead of the built-in
+    template table."""
+
+    short_name = None
+    api = None
+
+    def __init__(self, params):
+        self.params = params
+
+    def get_dependency(self):
+        return None
+
+    def convert_params(self):
+        return None
+
+    def get_plot(self):
+        return None
+
+    def get_docs(self):
+        return None
+
+    def get_analysis(self):
+        data = {
+            "short": self.short_name,
+            "analysis_api": self.api,
+            "params": self.convert_params() or "",
+        }
+        return self.format_template(self.temp_analysis, data)
+
+    def get_save(self):
+        return self.format_template(
+            self.temp_save, {"short": self.short_name}
+        )
+
+    def format_docs(self, title, docs_rst):
+        return f"# {title}\n\n<pre>{docs_rst}</pre>"
+
+    def get_roi(self):
+        from ..analysis.getroi import roi_code_lines
+
+        return roi_code_lines(self.params.get("roi", {}))
+
+
+def _helper_section(helper_cls, a_type: str, params: dict):
+    """Build one analysis section from a registered
+    GeneratorHelper subclass."""
+    helper = helper_cls(params)
+    plot = helper.get_plot() or []
+    if isinstance(plot, str):
+        plot = [plot]
+    section = {
+        "title": helper.short_name or a_type,
+        "analysis": helper.get_analysis(),
+        "plot": list(plot),
+    }
+    save = helper.get_save()
+    if save:
+        section["save"] = save
+    docs = helper.get_docs()
+    if docs:
+        section["docs"] = docs
+    dep = helper.get_dependency()
+    if dep:
+        section["dependency"] = list(dep)
+    return section
+
+
 def analysis_sections(analyses: Sequence[dict]) -> list:
     """[{title, analysis, plot: [...]}] per GUI analysis entry."""
+    from ..analysis.base import Analysis
+
     out = []
     for entry in analyses:
         a_type = entry["analysisType"]
         params = dict(entry.get("parameters", {}))
+        helper_cls = None
+        try:
+            cls = Analysis.get_analysis_by_type(a_type)
+            helper_cls = cls.get_template_helper()
+        except Exception:
+            helper_cls = None
+        if helper_cls is not None:
+            out.append(_helper_section(helper_cls, a_type, params))
+            continue
         tpl = ANALYSIS_TEMPLATES.get(a_type)
         if params.get("roi"):
             # the pretty create_* templates can't express a GUI roi —
